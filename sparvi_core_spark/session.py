@@ -1,0 +1,131 @@
+"""SparkSession factory + source registry.
+
+Replaces the reference's whole connection layer (SQLAlchemy engines per
+warehouse, ``sparvi/db/connection.py:23-305``) with one Spark engine:
+tables are paths (parquet/csv/json/orc) or existing temp views, and all
+query shapes run through Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# The driver-provided synthetic star schema (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "sparvi-core-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for analytics.
+
+    AQE on (runtime partition coalescing + skew-join handling), Arrow on
+    (fast toPandas / pandas UDFs). On a real cluster ``master`` comes from
+    the environment; tests pass ``local[n]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # session timezone pinned so date math is deterministic across
+        # driver/oracle environments
+        "spark.sql.session.timeZone": "UTC",
+        # parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+        # unreadable by Spark natively; read as long and convert on
+        # registration (see register_views)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, source: str, fmt: str | None = None) -> DataFrame:
+    """Resolve a table reference: existing view/catalog name, or a path.
+
+    Format inferred from the extension when not given (parquet default —
+    the columnar format this engine is designed around).
+    """
+    if not os.path.exists(source) and not source.endswith(
+        (".parquet", ".csv", ".json", ".orc")
+    ):
+        # not a filesystem path → treat as a catalog/temp-view name
+        return spark.table(source)
+    if fmt is None:
+        for ext in ("parquet", "csv", "json", "orc"):
+            if source.rstrip("/").endswith(ext):
+                fmt = ext
+                break
+        else:
+            fmt = "parquet"
+    reader = spark.read
+    if fmt == "csv":
+        return reader.option("header", "true").option("inferSchema", "true").csv(source)
+    return reader.format(fmt).load(source)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore them to
+    timestamps (microsecond precision) after the scan."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        df = df.withColumn(
+            c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> dict[str, DataFrame]:
+    """Register ``{sf_dir}/{name}.parquet`` as temp views; returns name→df."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_parquet_table(spark, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
