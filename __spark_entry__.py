@@ -1,38 +1,898 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is the Spark-first implementation of an
+operator from SURVEY.md §2 (or a scale extension), and
+``oracle_sql()[name]`` is the equivalent DuckDB SQL over the same
+parquet views. Column names/aliases match pairwise; floating outputs
+are rounded identically on both sides so the driver's value-hash
+compare is deterministic.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _views(spark: SparkSession, sf_dir: str):
+    """Register the testdata views; defensive confs for driver-owned
+    sessions (nanos parquet timestamps, UTC determinism)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    from sparvi_core_spark.session import register_views
+
+    return register_views(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# §2 core: profiling / validation query shapes
+# --------------------------------------------------------------------------
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+NUMERIC_MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_row_count(spark, sf_dir):
+    """A1 (profile_engine.py:82,88)."""
+    t = _views(spark, sf_dir)
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def q_null_counts(spark, sf_dir):
+    """A2/P2 — all columns, one pass (profile_engine.py:83)."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    return df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in LINEITEM_COLS
+        ]
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    """A3 — all columns, one pass (profile_engine.py:84)."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    return df.agg(
+        *[F.count_distinct(F.col(c)).alias(f"distinct_{c}") for c in LINEITEM_COLS]
+    )
+
+
+def q_duplicate_row_groups(spark, sf_dir):
+    """A4 — duplicated full-row *groups* (profile_engine.py:100-123)."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    return (
+        df.groupBy(*LINEITEM_COLS)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("duplicate_groups"))
+    )
+
+
+def q_numeric_summary(spark, sf_dir):
+    """A5/A6/A7 — stats block per numeric measure (profile_engine.py:136-176).
+    Exact percentile_cont interpolation; sample stddev."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    exprs = []
+    for c in NUMERIC_MEASURES:
+        col = F.col(c)
+        q = F.percentile(col, F.lit([0.25, 0.5, 0.75]))
+        exprs += [
+            F.min(col).alias(f"min_{c}"),
+            F.max(col).alias(f"max_{c}"),
+            F.round(F.avg(col), 4).alias(f"avg_{c}"),
+            F.round(F.sum(col), 2).alias(f"sum_{c}"),
+            F.round(F.stddev_samp(col), 4).alias(f"stdev_{c}"),
+            F.round(q[0], 4).alias(f"q1_{c}"),
+            F.round(q[1], 4).alias(f"median_{c}"),
+            F.round(q[2], 4).alias(f"q3_{c}"),
+        ]
+    return df.agg(*exprs)
+
+
+def q_text_length_stats(spark, sf_dir):
+    """A8 (profile_engine.py:178-204)."""
+    t = _views(spark, sf_dir)
+    df = t["part"]
+    exprs = []
+    for c in ["p_name", "p_brand", "p_type"]:
+        ln = F.length(F.col(c))
+        exprs += [
+            F.min(ln).cast("bigint").alias(f"min_length_{c}"),
+            F.max(ln).cast("bigint").alias(f"max_length_{c}"),
+            F.round(F.avg(ln), 4).alias(f"avg_length_{c}"),
+        ]
+    return df.agg(*exprs)
+
+
+def q_text_patterns(spark, sf_dir):
+    """A9 — email/digits/date-like regex counts (profile_engine.py:206-238)."""
+    from sparvi_core_spark.profiler.metrics import (
+        DATE_PATTERN,
+        EMAIL_PATTERN,
+        NUMERIC_PATTERN,
+    )
+
+    t = _views(spark, sf_dir)
+    df = t["part"]
+    exprs = []
+    for c in ["p_name", "p_type"]:
+        for name, pat in (
+            ("email", EMAIL_PATTERN),
+            ("digits", NUMERIC_PATTERN),
+            ("datelike", DATE_PATTERN),
+        ):
+            exprs.append(
+                F.sum(F.col(c).rlike(pat).cast("long")).alias(f"{name}_{c}")
+            )
+    return df.agg(*exprs)
+
+
+def q_date_stats(spark, sf_dir):
+    """A10 — min/max/distinct/range (profile_engine.py:240-288); the
+    reference's second DATEDIFF round-trip is fused into the same agg."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    mn = F.min("l_shipdate")
+    mx = F.max("l_shipdate")
+    return df.agg(
+        F.date_format(mn.cast("date"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(mx.cast("date"), "yyyy-MM-dd").alias("max_shipdate"),
+        F.count_distinct(F.col("l_shipdate")).alias("distinct_shipdates"),
+        F.datediff(mx.cast("date"), mn.cast("date")).cast("bigint").alias("range_days"),
+    )
+
+
+def q_frequent_values(spark, sf_dir):
+    """A11 — top-1 value per column, ALL columns in one pass via stack +
+    window (vs one query per column, profile_engine.py:290-335).
+    Deterministic tie-break: frequency desc, value asc."""
+    t = _views(spark, sf_dir)
+    df = t["orders"]
+    cols = ["o_orderstatus", "o_orderpriority"]
+    total = df.count()
+    args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {args})").alias("col_name", "value")
+    ).filter(F.col("value").isNotNull())
+    counts = pairs.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("frequency")
+    )
+    w = Window.partitionBy("col_name").orderBy(F.desc("frequency"), F.asc("value"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "col_name",
+            "value",
+            "frequency",
+            F.round(F.col("frequency") * 100.0 / total, 2).alias("percentage"),
+        )
+    )
+
+
+def q_outlier_counts(spark, sf_dir):
+    """A13 — 3σ outlier counts (default_validations.py:297-320): the
+    1-row stats CTE becomes scalar literals after a first agg —
+    equivalently a broadcast cross join (J1)."""
+    t = _views(spark, sf_dir)
+    out = []
+    for table, c in (("lineitem", "l_extendedprice"), ("orders", "o_totalprice")):
+        df = t[table]
+        s = df.agg(
+            F.avg(c).alias("a"), F.stddev_samp(c).alias("s")
+        ).first()
+        cnt = df.filter(
+            (F.col(c) > s["a"] + 3 * s["s"]) | (F.col(c) < s["a"] - 3 * s["s"])
+        ).count()
+        out.append((c, cnt))
+    return spark.createDataFrame(out, "col_name string, outlier_count bigint")
+
+
+def q_outlier_values(spark, sf_dir):
+    """A12 — outlier listing (2σ so the sf0.01 data yields rows),
+    deterministic order + LIMIT 10 (profile_engine.py:337-385)."""
+    t = _views(spark, sf_dir)
+    df = t["orders"]
+    s = df.agg(F.avg("o_totalprice").alias("a"), F.stddev_samp("o_totalprice").alias("s")).first()
+    hi = s["a"] + 2 * s["s"]
+    lo = s["a"] - 2 * s["s"]
+    return (
+        df.filter((F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_category_skew(spark, sf_dir):
+    """A14 — categorical distribution checks (default_validations.py:356-383):
+    #groups over 95% (skew guard) and over 20% (concentration)."""
+    t = _views(spark, sf_dir)
+    out = []
+    for table, c, pct in (
+        ("orders", "o_orderstatus", 95.0),
+        ("customer", "c_mktsegment", 20.0),
+    ):
+        df = t[table]
+        total = df.count()
+        n = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * 100.0 / total > pct)
+            .count()
+        )
+        out.append((c, float(pct), n))
+    return spark.createDataFrame(
+        out, "col_name string, pct_threshold double, groups_over bigint"
+    )
+
+
+def q_uniqueness_violations(spark, sf_dir):
+    """A15 — duplicated-value groups per key column (default_validations.py:56-71,102-126)."""
+    t = _views(spark, sf_dir)
+    out = []
+    for table, c in (("lineitem", "l_partkey"), ("customer", "c_custkey")):
+        n = (
+            t[table]
+            .filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .count()
+        )
+        out.append((c, n))
+    return spark.createDataFrame(out, "col_name string, dup_groups bigint")
+
+
+def q_fk_cardinality_flag(spark, sf_dir):
+    """A16 — FK references only one distinct value? (default_validations.py:385-398)."""
+    t = _views(spark, sf_dir)
+    df = t["orders"]
+    return df.agg(
+        F.when(F.count_distinct(F.col("o_custkey")) == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("single_value_flag")
+    )
+
+
+def q_row_growth_flag(spark, sf_dir):
+    """A17 — the reference's self-comparing row-growth CTE
+    (default_validations.py:73-100), verbatim shape through Catalyst."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """WITH current_count AS (SELECT COUNT(*) AS cnt FROM lineitem),
+prev_count AS (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE COUNT(*) END AS cnt FROM lineitem)
+SELECT CAST(CASE WHEN prev_count.cnt IS NULL THEN 0
+            WHEN ABS(current_count.cnt - prev_count.cnt) > prev_count.cnt * 0.2 THEN 1
+            ELSE 0 END AS BIGINT) AS growth_flag
+FROM current_count, prev_count"""
+    )
+
+
+def q_validation_results(spark, sf_dir):
+    """§2.6 — the validator end-to-end: four rules through
+    run_validations (spark.sql + comparators), results as a DataFrame."""
+    from sparvi_core_spark import run_validations
+
+    _views(spark, sf_dir)
+    rules = [
+        {"name": "orders_not_empty", "query": "SELECT COUNT(*) FROM orders",
+         "operator": "greater_than", "expected_value": 0},
+        {"name": "quantity_positive", "query":
+         "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0",
+         "operator": "equals", "expected_value": 0},
+        {"name": "totalprice_not_zero", "query":
+         "SELECT COUNT(*) FROM orders WHERE o_totalprice = 0",
+         "operator": "equals", "expected_value": 0},
+        {"name": "avg_price_between", "query":
+         "SELECT ROUND(AVG(o_totalprice), 4) FROM orders",
+         "operator": "between", "expected_value": [1000.0, 1000000.0]},
+    ]
+    res = run_validations(spark, rules, config={"validation": {"parallelism": 1}})
+    rows = [
+        (r["rule_name"], float(r["actual_value"]), bool(r["is_valid"])) for r in res
+    ]
+    return spark.createDataFrame(
+        rows, "rule_name string, actual_value double, is_valid boolean"
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H-Q1-shaped pricing summary — predicate pushdown to
+    parquet, map-side partial aggregation, one shuffle on the tiny
+    (flag, status) key space."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_sample_rows(spark, sf_dir):
+    """S6 — deterministic display sample (ORDER BY key LIMIT 10; the
+    reference's LIMIT-without-order made deterministic for parity)."""
+    t = _views(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale extensions: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from sparvi_core_spark.operators.dedup import exact_dedup_stats
+
+    t = _views(spark, sf_dir)
+    return exact_dedup_stats(t["documents"], ["text"])
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from sparvi_core_spark.operators.dedup import minhash_signatures
+
+    t = _views(spark, sf_dir)
+    return minhash_signatures(
+        t["documents"].filter(F.col("doc_id") < 50), num_hashes=4
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from sparvi_core_spark.operators.dedup import minhash_dedup_pairs
+
+    t = _views(spark, sf_dir)
+    return minhash_dedup_pairs(
+        t["documents"], num_hashes=8, bands=4, threshold=0.5
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from sparvi_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = _views(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(t["documents"], n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from sparvi_core_spark.operators.dedup import simhash
+
+    t = _views(spark, sf_dir)
+    return simhash(t["documents"].filter(F.col("doc_id") < 50), bits=32)
+
+
+def q_embedding_topk(spark, sf_dir):
+    from sparvi_core_spark.operators.similarity import cosine_topk
+
+    t = _views(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_embedding_topk_bucketed(spark, sf_dir):
+    from sparvi_core_spark.operators.similarity import cosine_topk_bucketed
+
+    t = _views(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from sparvi_core_spark.operators.similarity import embedding_near_duplicates
+
+    t = _views(spark, sf_dir)
+    return embedding_near_duplicates(t["embeddings"], threshold=0.4)
+
+
+def q_language_id(spark, sf_dir):
+    from sparvi_core_spark.functions.text import language_id
+
+    t = _views(spark, sf_dir)
+    return language_id(t["documents"].filter(F.col("doc_id") < 50))
+
+
+def q_quality_scores(spark, sf_dir):
+    from sparvi_core_spark.functions.text import quality_features
+
+    t = _views(spark, sf_dir)
+    return quality_features(t["documents"].filter(F.col("doc_id") < 100))
+
+
+def q_token_counts(spark, sf_dir):
+    from sparvi_core_spark.functions.text import token_counts
+
+    t = _views(spark, sf_dir)
+    return token_counts(t["documents"].filter(F.col("doc_id") < 100))
+
+
+def q_fingerprints(spark, sf_dir):
+    from sparvi_core_spark.functions.text import fingerprints
+
+    t = _views(spark, sf_dir)
+    return fingerprints(t["documents"].filter(F.col("doc_id") < 100))
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped tumbling-window agg as a batch query (the same
+    transformation runs under Structured Streaming in
+    sparvi_core_spark.streaming)."""
+    t = _views(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "row_count": q_row_count,
+        "null_counts": q_null_counts,
+        "distinct_counts": q_distinct_counts,
+        "duplicate_row_groups": q_duplicate_row_groups,
+        "numeric_summary": q_numeric_summary,
+        "text_length_stats": q_text_length_stats,
+        "text_patterns": q_text_patterns,
+        "date_stats": q_date_stats,
+        "frequent_values": q_frequent_values,
+        "outlier_counts": q_outlier_counts,
+        "outlier_values": q_outlier_values,
+        "category_skew": q_category_skew,
+        "uniqueness_violations": q_uniqueness_violations,
+        "fk_cardinality_flag": q_fk_cardinality_flag,
+        "row_growth_flag": q_row_growth_flag,
+        "validation_results": q_validation_results,
+        "pricing_summary": q_pricing_summary,
+        "sample_rows": q_sample_rows,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash": q_dedup_minhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_bucketed": q_embedding_topk_bucketed,
+        "embedding_near_dups": q_embedding_near_dups,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_SHINGLE3 = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), i -> "
+    "string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' "
+    "|| string_split(text, ' ')[i+2])"
+)
+_SHINGLE4 = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 2), i -> "
+    "string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' "
+    "|| string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3])"
+)
+
+_MINHASH_SIG_CTE = f"""
+sh AS (
+    SELECT doc_id AS id, unnest({_SHINGLE3}) AS shingle
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+sig AS (
+    SELECT id,
+           min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+           min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+           min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+           min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+    FROM sh GROUP BY id
+)"""
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+_LANG_SCORES = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], t)))"
+    )
+    for lang, words in {
+        "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+        "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+        "es": ["el", "la", "de", "los", "las", "un", "una", "es", "en", "que"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "eine", "den", "von", "mit"],
+        "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "不"],
+    }.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["row_count"] = "SELECT CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem"
+
+    o["null_counts"] = "SELECT " + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS nulls_{c}"
+        for c in LINEITEM_COLS
+    ) + " FROM lineitem"
+
+    o["distinct_counts"] = "SELECT " + ", ".join(
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_{c}"
+        for c in LINEITEM_COLS
+    ) + " FROM lineitem"
+
+    cols = ", ".join(LINEITEM_COLS)
+    o["duplicate_row_groups"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS duplicate_groups FROM (
+    SELECT {cols}, COUNT(*) AS cnt FROM lineitem GROUP BY {cols} HAVING COUNT(*) > 1
+) d"""
+
+    parts = []
+    for c in NUMERIC_MEASURES:
+        parts += [
+            f"MIN({c}) AS min_{c}",
+            f"MAX({c}) AS max_{c}",
+            f"ROUND(AVG({c}), 4) AS avg_{c}",
+            f"ROUND(SUM({c}), 2) AS sum_{c}",
+            f"ROUND(STDDEV_SAMP({c}), 4) AS stdev_{c}",
+            f"ROUND(quantile_cont({c}, 0.25), 4) AS q1_{c}",
+            f"ROUND(quantile_cont({c}, 0.5), 4) AS median_{c}",
+            f"ROUND(quantile_cont({c}, 0.75), 4) AS q3_{c}",
+        ]
+    o["numeric_summary"] = "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+    parts = []
+    for c in ["p_name", "p_brand", "p_type"]:
+        parts += [
+            f"CAST(MIN(LENGTH({c})) AS BIGINT) AS min_length_{c}",
+            f"CAST(MAX(LENGTH({c})) AS BIGINT) AS max_length_{c}",
+            f"ROUND(AVG(LENGTH({c})), 4) AS avg_length_{c}",
+        ]
+    o["text_length_stats"] = "SELECT " + ", ".join(parts) + " FROM part"
+
+    pats = (
+        ("email", ".*@.*\\..*"),
+        ("digits", "^[0-9]+$"),
+        ("datelike", "^[0-9]{2,4}[/-][0-9]{1,2}[/-][0-9]{1,2}$"),
+    )
+    parts = []
+    for c in ["p_name", "p_type"]:
+        for name, pat in pats:
+            parts.append(
+                f"CAST(COUNT(*) FILTER (WHERE regexp_matches({c}, '{pat}')) AS BIGINT)"
+                f" AS {name}_{c}"
+            )
+    o["text_patterns"] = "SELECT " + ", ".join(parts) + " FROM part"
+
+    o["date_stats"] = """
+SELECT strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_shipdate,
+       strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d') AS max_shipdate,
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS distinct_shipdates,
+       CAST(date_diff('day', CAST(MIN(l_shipdate) AS DATE), CAST(MAX(l_shipdate) AS DATE)) AS BIGINT) AS range_days
+FROM lineitem"""
+
+    o["frequent_values"] = """
+WITH total AS (SELECT COUNT(*) AS n FROM orders)
+(SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        ROUND(COUNT(*) * 100.0 / (SELECT n FROM total), 2) AS percentage
+ FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus
+ ORDER BY frequency DESC, value ASC LIMIT 1)
+UNION ALL
+(SELECT 'o_orderpriority', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+        ROUND(COUNT(*) * 100.0 / (SELECT n FROM total), 2)
+ FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+ ORDER BY 3 DESC, 2 ASC LIMIT 1)"""
+
+    o["outlier_counts"] = """
+(SELECT 'l_extendedprice' AS col_name, CAST(COUNT(*) AS BIGINT) AS outlier_count
+ FROM lineitem, (SELECT AVG(l_extendedprice) a, STDDEV_SAMP(l_extendedprice) s FROM lineitem) st
+ WHERE l_extendedprice > st.a + 3*st.s OR l_extendedprice < st.a - 3*st.s)
+UNION ALL
+(SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT)
+ FROM orders, (SELECT AVG(o_totalprice) a, STDDEV_SAMP(o_totalprice) s FROM orders) st
+ WHERE o_totalprice > st.a + 3*st.s OR o_totalprice < st.a - 3*st.s)"""
+
+    o["outlier_values"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders, (SELECT AVG(o_totalprice) a, STDDEV_SAMP(o_totalprice) s FROM orders) st
+WHERE o_totalprice > st.a + 2*st.s OR o_totalprice < st.a - 2*st.s
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+
+    o["category_skew"] = """
+(SELECT 'o_orderstatus' AS col_name, 95.0 AS pct_threshold, CAST(COUNT(*) AS BIGINT) AS groups_over
+ FROM (SELECT o_orderstatus, COUNT(*) AS cnt,
+              COUNT(*) * 100.0 / NULLIF((SELECT COUNT(*) FROM orders), 0) AS pct
+       FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus) v
+ WHERE pct > 95.0)
+UNION ALL
+(SELECT 'c_mktsegment', 20.0, CAST(COUNT(*) AS BIGINT)
+ FROM (SELECT c_mktsegment, COUNT(*) AS cnt,
+              COUNT(*) * 100.0 / NULLIF((SELECT COUNT(*) FROM customer), 0) AS pct
+       FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment) v
+ WHERE pct > 20.0)"""
+
+    o["uniqueness_violations"] = """
+(SELECT 'l_partkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS dup_groups FROM (
+    SELECT l_partkey, COUNT(*) c FROM lineitem WHERE l_partkey IS NOT NULL
+    GROUP BY l_partkey HAVING COUNT(*) > 1) d)
+UNION ALL
+(SELECT 'c_custkey', CAST(COUNT(*) AS BIGINT) FROM (
+    SELECT c_custkey, COUNT(*) c FROM customer WHERE c_custkey IS NOT NULL
+    GROUP BY c_custkey HAVING COUNT(*) > 1) d)"""
+
+    o["fk_cardinality_flag"] = """
+SELECT CAST(CASE WHEN (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                       WHERE o_custkey IS NOT NULL) = 1 THEN 1 ELSE 0 END AS BIGINT)
+       AS single_value_flag"""
+
+    o["row_growth_flag"] = """
+WITH current_count AS (SELECT COUNT(*) AS cnt FROM lineitem),
+prev_count AS (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE COUNT(*) END AS cnt FROM lineitem)
+SELECT CAST(CASE WHEN prev_count.cnt IS NULL THEN 0
+            WHEN ABS(current_count.cnt - prev_count.cnt) > prev_count.cnt * 0.2 THEN 1
+            ELSE 0 END AS BIGINT) AS growth_flag
+FROM current_count, prev_count"""
+
+    o["validation_results"] = """
+SELECT 'orders_not_empty' AS rule_name,
+       CAST((SELECT COUNT(*) FROM orders) AS DOUBLE) AS actual_value,
+       (SELECT COUNT(*) FROM orders) > 0 AS is_valid
+UNION ALL
+SELECT 'quantity_positive',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0) AS DOUBLE),
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0) = 0
+UNION ALL
+SELECT 'totalprice_not_zero',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice = 0) AS DOUBLE),
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice = 0) = 0
+UNION ALL
+SELECT 'avg_price_between',
+       (SELECT ROUND(AVG(o_totalprice), 4) FROM orders),
+       (SELECT ROUND(AVG(o_totalprice), 4) FROM orders) BETWEEN 1000.0 AND 1000000.0"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    o["sample_rows"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"""
+
+    o["dedup_exact"] = """
+SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       CAST(SUM(cnt - 1) AS BIGINT) AS surplus_rows,
+       CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS duplicated_groups
+FROM (SELECT text, COUNT(*) AS cnt FROM documents GROUP BY text) g"""
+
+    o["minhash_signatures"] = f"""
+WITH sh AS (
+    SELECT doc_id AS id, unnest({_SHINGLE3}) AS shingle
+    FROM documents WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 3
+)
+SELECT id, min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+       min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+FROM sh GROUP BY id"""
+
+    o["dedup_minhash"] = f"""
+WITH {_MINHASH_SIG_CTE},
+bands AS (
+    SELECT id, b.band, CASE b.band
+        WHEN 0 THEN md5(h0 || '|' || h1) WHEN 1 THEN md5(h2 || '|' || h3)
+        WHEN 2 THEN md5(h4 || '|' || h5) ELSE md5(h6 || '|' || h7) END AS bkey
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+        (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+        (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est_jaccard
+FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
+WHERE ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+       (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+       (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 >= 0.5"""
+
+    o["ngram_jaccard"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, unnest({_SHINGLE3}) AS shingle
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8"""
+
+    o["simhash"] = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 50
+),
+hashed AS (
+    SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+    SELECT id, b.bit,
+           ((strpos('0123456789abcdef', substr(h, 8 - (b.bit // 4), 1)) - 1)
+            // CAST(pow(2, b.bit % 4) AS INT)) % 2 AS bitval
+    FROM hashed, (SELECT unnest(range(0, 32)) AS bit) b
+),
+sums AS (
+    SELECT id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY id, bit
+)
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY id"""
+
+    topk_base = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+    SELECT a.query_id, b.vec_id AS neighbor_id, ROUND({_COS}, 4) AS cosine
+    FROM (SELECT query_id, embedding FROM q) a(query_id, embedding),
+         embeddings b
+    WHERE a.query_id <> b.vec_id {{extra}}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+    o["embedding_topk"] = topk_base.format(extra="")
+
+    o["embedding_topk_bucketed"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 3),
+scored AS (
+    SELECT a.query_id, b.vec_id AS neighbor_id, ROUND({_COS}, 4) AS cosine
+    FROM (SELECT query_id, embedding, label FROM q) a(query_id, embedding, label),
+         embeddings b
+    WHERE a.query_id <> b.vec_id AND a.label = b.label
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    o["embedding_near_dups"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS}, 4) >= 0.4"""
+
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_LANG_SCORES[lang]} = best THEN '{lang}'"
+            for lang in ["en", "fr", "es", "de", "zh"]
+        )
+        + " ELSE 'und' END"
+    )
+    greatest = "GREATEST(" + ", ".join(_LANG_SCORES[lang] for lang in ["en", "fr", "es", "de", "zh"]) + ")"
+    o["language_id"] = f"""
+WITH scored AS (
+    SELECT doc_id AS id, text, {greatest} AS best FROM documents WHERE doc_id < 50
+)
+SELECT id, CASE WHEN best > 0 THEN {lang_case} ELSE 'und' END AS predicted_lang
+FROM scored"""
+
+    en_stops = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"])
+    o["quality_scores"] = f"""
+WITH base AS (
+    SELECT doc_id AS id, text,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           LENGTH(REPLACE(text, ' ', '')) AS no_space,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+           len(list_filter(string_split(text, ' '), t -> list_contains([{en_stops}], t))) AS stop_hits
+    FROM documents WHERE doc_id < 100
+)
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(no_space * 1.0 / n_tokens, 4) AS avg_token_len,
+       ROUND(punct * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+       ROUND(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
+       ROUND(0.4 * LEAST(1.0, n_tokens / 100.0) + 0.3 * (stop_hits * 1.0 / n_tokens)
+             + 0.3 * (1 - punct * 1.0 / GREATEST(LENGTH(text), 1)), 4) AS quality_score
+FROM base"""
+
+    o["token_counts"] = """
+SELECT doc_id AS id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents WHERE doc_id < 100"""
+
+    o["fingerprints"] = f"""
+WITH sh AS (
+    SELECT doc_id AS id, unnest({_SHINGLE4}) AS shingle
+    FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 4
+)
+SELECT id, min(md5('fp|' || shingle)) AS fingerprint FROM sh GROUP BY id"""
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    return o

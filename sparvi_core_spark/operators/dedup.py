@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (its only dedup is the full-row
+duplicate-group count, ``profile_engine.py:100-123``): exact dedup,
+MinHash+LSH near-dedup, SimHash, and n-gram Jaccard — the operators an
+LLM-training-data pipeline needs at 100 TB.
+
+Design notes (Spark-first):
+- Everything is DataFrame expressions (split/transform/explode/groupBy/
+  join) — JVM-side, whole-stage codegen, no Python UDFs.
+- Hashes are ``md5`` over strings so results are engine-portable and
+  deterministic (lexicographic min over hex digests ≡ min over a 128-bit
+  hash family member; seeds are prefixed to get independent family
+  members). This is what makes the DuckDB oracle parity checkable.
+- The LSH band join is the scale path: candidate generation is
+  ``O(docs × bands)`` shuffle keyed by band hash, never all-pairs.
+  Skewed buckets (degenerate band keys, e.g. empty docs) are capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: word n-gram shingles, docs with < n words drop out."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns ``id, h0..h{K-1}``.
+
+    One explode + one groupBy (single shuffle); the K family members are
+    K min-aggregates over the same exploded shingles — map-side partial
+    mins keep the shuffle tiny regardless of corpus size.
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH over a signature frame → candidate (id_a, id_b) pairs.
+
+    Docs agreeing on ALL rows of any band collide. The join is keyed by
+    (band index, band hash); ``max_bucket`` drops degenerate buckets
+    (banding a skewed corpus can produce a bucket holding a large
+    fraction of all docs — a quadratic blow-up at scale).
+    """
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_cols[b].alias("bkey"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    counts = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("n") > max_bucket)),
+        ["band", "bkey"],
+        "left_anti",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates filtered by estimated Jaccard
+    (fraction of agreeing minhashes) ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard). The signature frame is computed
+    once and reused for both candidate generation and verification.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col("sa.id"))
+        .join(b, pairs.id_b == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for pairs sharing ≥1 shingle.
+
+    The shared-shingle join is the scale hazard: common shingles fan
+    out quadratically. Use after LSH candidate generation for big
+    corpora, or directly on modest ones; shingle sets are deduplicated
+    first (``distinct``) so the join is over set elements.
+    """
+    sh = shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash over tokens → (id, simhash BIGINT).
+
+    Token hash = first 8 hex chars of md5 (32 bits). Bit b of the
+    simhash is the sign of Σ_tokens (±1 by token-hash bit b). Pure
+    expressions: one explode over tokens, one conditional-sum agg per
+    bit, single shuffle with map-side partials.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    toks = toks.select("id", h.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(bits)
+    )
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the simhash into ``max_hamming+1`` chunks — any pair
+    within distance k agrees on ≥1 chunk (pigeonhole). Join per chunk,
+    then verify exact popcount. Avoids all-pairs at scale.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    sh = simhash(df, id_col, text_col, bits)
+    mask = (1 << chunk_bits) - 1
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(mask)
+                    .alias("ckey"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact duplicate summary over ``cols``: total rows, distinct keys,
+    surplus rows, duplicated groups (A4's group semantics preserved)."""
+    key = [F.col(c) for c in cols]
+    groups = df.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+        F.sum(F.col("cnt") - 1).cast("bigint").alias("surplus_rows"),
+        F.sum((F.col("cnt") > 1).cast("bigint")).alias("duplicated_groups"),
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per key — ``row_number`` over a deterministic order
+    would be needed for stable survivor choice; for pure dedup semantics
+    ``dropDuplicates`` (hash-based, single shuffle) is the scale path."""
+    return df.dropDuplicates(cols)

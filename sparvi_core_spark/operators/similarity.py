@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline, and a
+partition-pruned (IVF-style) variant as the scale path. All math is
+built-in expressions (``zip_with`` dot products folded with
+``aggregate``) — JVM-side, no Python in the hot loop; the per-element
+double accumulation is sequential, which makes results bit-deterministic
+and oracle-comparable.
+
+At 100 TB: brute force is O(Q×N) — only for small query sets against a
+broadcastable query side; the bucketed variant prunes to matching
+partitions (precomputed cluster assignments), the standard IVF
+trade-off. For very high QPS, pre-normalize vectors once
+(``norm_col``) so each probe is a single dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    v = F.col(vec_col)
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k: (query_id, neighbor_id, cosine, rank).
+
+    The (small) query side is broadcast → Catalyst plans
+    BroadcastNestedLoopJoin; the big vector side streams through
+    without a shuffle; ranking shuffles only Q×N scored rows reduced by
+    the window's top-k. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = v.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_bucketed(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style top-k: search only vectors in the query's bucket
+    (cluster assignment precomputed in ``bucket_col``).
+
+    The equi-join on the bucket key replaces the cross join — Catalyst
+    broadcasts the query side and prunes every non-matching bucket, so
+    cost drops from O(Q×N) to O(Q×N/buckets). Recall < 1.0 by design
+    (neighbors outside the probed bucket are missed) — the classic IVF
+    nprobe=1 trade-off; raise recall by probing adjacent buckets.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(bucket_col).alias("qb"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(bucket_col).alias("nb"),
+    )
+    scored = v.join(F.broadcast(q), F.col("qb") == F.col("nb")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold → (id_a, id_b, cosine).
+
+    With ``bucket_col`` the pair join is bucket-local (near-dups almost
+    always share a cluster); without it, all-pairs — correctness
+    baseline only.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col(bucket_col).alias("ba")] if bucket_col else []),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col(bucket_col).alias("bb")] if bucket_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if bucket_col:
+        joined = a.join(b, (F.col("ba") == F.col("bb")) & cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
