@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Timings exclude JVM/session startup. DataFrame queries are forced with
+the ``noop`` sink (full execution, no driver materialization); the
+profiler/validator timings are the end-to-end API calls (their results
+ARE driver-side dicts — that's the product shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sparvi_core_spark import (
+        get_default_validations,
+        get_spark,
+        profile_table,
+        register_views,
+        run_validations,
+    )
+
+    spark = get_spark(
+        app_name="sparvi-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, sf_dir)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # full profiling pass over the fact table — the product's flagship
+    bench("profile_lineitem", lambda: profile_table(spark, "lineitem"))
+    bench("profile_orders", lambda: profile_table(spark, "orders"))
+
+    # validation batch: all default rules for lineitem + orders
+    rules = get_default_validations(
+        spark, "lineitem", primary_keys=["l_orderkey", "l_linenumber"]
+    ) + get_default_validations(spark, "orders", primary_keys=["o_orderkey"])
+    bench("validations_default", lambda: run_validations(spark, rules))
+
+    # representative §2 + extension queries (forced via noop sink)
+    for name in (
+        "pricing_summary",
+        "numeric_summary",
+        "frequent_values",
+        "dedup_minhash",
+        "ngram_jaccard",
+        "simhash",
+        "embedding_topk",
+        "quality_scores",
+        "events_hourly",
+    ):
+        bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sparvi_core_spark headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "sample_row_limit": 10,
         # reference: profile_engine.py:295-297 (skip frequent values > 1e6 rows)
         "frequent_values_row_threshold": 1_000_000,
+        # skip top-1 frequency for near-unique columns (top-1 of a ~unique
+        # column is noise, and grouping it shuffles ~every row)
+        "frequent_values_max_distinct_fraction": 0.5,
         # reference: profile_engine.py:361,378 (LIMIT 10 outliers)
         "outlier_limit": 10,
         # reference: sparvi/config.py:66 + hardcoded 3σ at profile_engine.py:359

@@ -32,6 +32,7 @@ a full-width groupBy of a wide fact table is an opt-in, not a default).
 from __future__ import annotations
 
 import datetime
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -99,21 +100,35 @@ def profile_table(
         df = read_table(spark, table)
     b = bucket_columns(df.schema)
 
-    # --- J1: one wide aggregation over a single scan -------------------
-    exprs = [F.count(F.lit(1)).alias("row_count")]
-    exprs += M.null_count_exprs(b.all)
-    exprs += M.distinct_count_exprs(
-        b.all, approx=p["approx_distinct"], rsd=p["approx_distinct_rsd"]
-    )
-    exprs += M.numeric_stats_exprs(
+    # --- J1: wide aggregation(s) ---------------------------------------
+    # Mixing exact count_distinct (plans an Expand) with object-hash
+    # aggregates like exact percentile in ONE agg degenerates badly
+    # (~15x slower, measured at sf0.1) — so exact-distinct mode runs
+    # TWO fused aggs concurrently (each one scan, column-pruned), while
+    # approx mode (HLL is a streaming agg) fuses everything into a
+    # single pass — the 100 TB default.
+    nd_exprs = [F.count(F.lit(1)).alias("row_count")]
+    nd_exprs += M.null_count_exprs(b.all)
+    nd_exprs += M.numeric_stats_exprs(
         b.numeric,
         approx_percentiles=p["approx_percentiles"],
         accuracy=p["approx_percentile_accuracy"],
     )
-    exprs += M.text_stats_exprs(b.text)
-    exprs += M.text_pattern_exprs(b.text)
-    exprs += M.date_stats_exprs(b.date)
-    wide = df.agg(*exprs).first().asDict()
+    nd_exprs += M.text_stats_exprs(b.text)
+    nd_exprs += M.text_pattern_exprs(b.text)
+    nd_exprs += M.date_stats_exprs(b.date)
+    d_exprs = M.distinct_count_exprs(
+        b.all, approx=p["approx_distinct"], rsd=p["approx_distinct_rsd"]
+    )
+    if p["approx_distinct"]:
+        wide = df.agg(*nd_exprs, *d_exprs).first().asDict()
+    else:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_nd = ex.submit(lambda: df.agg(*nd_exprs).first().asDict())
+            f_d = ex.submit(
+                lambda: df.agg(*d_exprs).first().asDict() if d_exprs else {}
+            )
+            wide = {**f_nd.result(), **f_d.result()}
     row_count = wide["row_count"]
 
     cached = False
@@ -192,28 +207,42 @@ def profile_table(
             }
 
         # --- J3: frequent values, one pass for all columns (A11) -------
+        # Near-unique columns (distinct fraction above the config cap)
+        # are skipped: their top-1 is noise and grouping them shuffles
+        # nearly every row. Top-1 per column via min_by over
+        # struct(-freq, value) — a pure reduction (map-side partials,
+        # no window sort): min of (-freq, value) ≡ max freq, ties by
+        # smallest value.
         frequent_values = {}
-        if 0 < row_count <= p["frequent_values_row_threshold"] and b.all:
-            pairs = _stack_pairs(df, b.all, "string").filter(
+        freq_cols = [
+            c
+            for c in b.all
+            if (wide[M.a("distinct", c)] or 0)
+            <= row_count * p["frequent_values_max_distinct_fraction"]
+        ]
+        if 0 < row_count <= p["frequent_values_row_threshold"] and freq_cols:
+            pairs = _stack_pairs(df, freq_cols, "string").filter(
                 F.col("col_value").isNotNull()
             )
             counts = pairs.groupBy("col_name", "col_value").agg(
                 F.count(F.lit(1)).alias("frequency")
             )
-            w = Window.partitionBy("col_name").orderBy(
-                F.desc("frequency"), F.asc("col_value")
-            )
-            top = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .collect()
-            )
+            top = counts.groupBy("col_name").agg(
+                F.min_by(
+                    F.struct("col_value", "frequency"),
+                    F.struct(-F.col("frequency"), F.col("col_value")),
+                ).alias("top")
+            ).collect()
             kind_of = {c: ("numeric" if c in b.numeric else "") for c in b.all}
             for r in top:
                 frequent_values[r["col_name"]] = {
-                    "value": _restore_value(r["col_value"], kind_of[r["col_name"]]),
-                    "frequency": r["frequency"],
-                    "percentage": round(r["frequency"] * 100.0 / row_count, 2),
+                    "value": _restore_value(
+                        r["top"]["col_value"], kind_of[r["col_name"]]
+                    ),
+                    "frequency": r["top"]["frequency"],
+                    "percentage": round(
+                        r["top"]["frequency"] * 100.0 / row_count, 2
+                    ),
                 }
 
         # --- J4: 3σ outliers, one pass for all numeric columns (A12) ---
