@@ -1,0 +1,211 @@
+"""CLI — same command surface as the reference (`sparvi` entry point,
+reference: sparvi/cli/main.py:18-41,79): ``profile``, ``validate``,
+``info``, ``test-connection``. The connection string becomes a data
+*source*: a directory of parquet files (each registered as a temp view)
+or a single table file.
+
+Rendering is plain text (three formats for profile: table/json/minimal,
+mirroring cli/profile.py:107-113).
+"""
+
+from __future__ import annotations
+
+import json
+import platform
+import sys
+
+import click
+
+import sparvi_core_spark
+from sparvi_core_spark import (
+    export_rules,
+    get_default_validations,
+    get_spark,
+    load_rules_from_file,
+    profile_table,
+    register_views,
+    run_validations,
+)
+from sparvi_core_spark.session import read_table
+
+
+def _session(cpus: str | None = None):
+    s = get_spark(
+        app_name="sparvi-cli",
+        master=f"local[{cpus}]" if cpus else None,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _register_source(spark, source: str, table: str | None):
+    import os
+
+    if os.path.isdir(source) and not source.rstrip("/").endswith(".parquet"):
+        register_views(spark, source)
+    elif table:
+        read_table(spark, source).createOrReplaceTempView(table)
+
+
+@click.group()
+@click.version_option(version=sparvi_core_spark.__version__, prog_name="sparvi-spark")
+def cli():
+    """sparvi-core-spark: data profiling and validation on PySpark."""
+
+
+@cli.command()
+@click.argument("source")
+@click.argument("table")
+@click.option("--format", "fmt", default="table", type=click.Choice(["table", "json", "minimal"]))
+@click.option("--output", default=None, help="Write profile JSON to this path")
+@click.option("--compare", default=None, help="Historical profile JSON for anomaly detection")
+@click.option("--no-samples", is_flag=True, default=False)
+@click.option("--cpus", default=None, help="local[N] cores")
+def profile(source, table, fmt, output, compare, no_samples, cpus):
+    """Profile TABLE from SOURCE (a directory of parquet files, or a file path)."""
+    spark = _session(cpus)
+    _register_source(spark, source, table)
+    historical = None
+    if compare:
+        with open(compare) as f:
+            historical = json.load(f)
+    prof = profile_table(
+        spark, table, historical_data=historical, include_samples=not no_samples
+    )
+    if output:
+        with open(output, "w") as f:
+            json.dump(prof, f, indent=2, default=str)
+        click.echo(f"Profile written to {output}")
+    if fmt == "json":
+        click.echo(json.dumps(prof, indent=2, default=str))
+        return
+    click.echo(f"Table: {prof['table']}")
+    click.echo(f"Row count: {prof['row_count']}")
+    click.echo(f"Duplicate row groups: {prof['duplicate_count']}")
+    if fmt == "minimal":
+        return
+    click.echo("\nCompleteness:")
+    for col, c in prof["completeness"].items():
+        click.echo(
+            f"  {col}: nulls={c['nulls']} ({c['null_percentage']}%) "
+            f"distinct={c['distinct_count']} ({c['distinct_percentage']}%)"
+        )
+    if prof["numeric_stats"]:
+        click.echo("\nNumeric stats:")
+        for col, s in prof["numeric_stats"].items():
+            click.echo(
+                f"  {col}: min={s['min']} max={s['max']} avg={s['avg']} "
+                f"stdev={s['stdev']} q1={s['q1']} median={s['median']} q3={s['q3']}"
+            )
+    if prof["text_length_stats"]:
+        click.echo("\nText length stats:")
+        for col, s in prof["text_length_stats"].items():
+            click.echo(
+                f"  {col}: min={s['min_length']} max={s['max_length']} avg={s['avg_length']}"
+            )
+    if prof["date_stats"]:
+        click.echo("\nDate stats:")
+        for col, s in prof["date_stats"].items():
+            click.echo(
+                f"  {col}: min={s['min_date']} max={s['max_date']} "
+                f"range_days={s['date_range_days']}"
+            )
+    if prof["frequent_values"]:
+        click.echo("\nMost frequent values:")
+        for col, s in prof["frequent_values"].items():
+            click.echo(f"  {col}: {s['value']!r} x{s['frequency']} ({s['percentage']}%)")
+    if prof.get("anomalies"):
+        click.echo("\nAnomalies:")
+        for a in prof["anomalies"]:
+            click.echo(f"  [{a['severity']}] {a['type']}: {a['description']}")
+    if prof.get("schema_shifts"):
+        click.echo("\nSchema shifts:")
+        for s in prof["schema_shifts"]:
+            click.echo(f"  [{s['severity']}] {s['type']}: {s['description']}")
+
+
+@cli.command()
+@click.argument("source")
+@click.argument("table")
+@click.option("--rules", "rules_file", default=None, help="YAML/JSON rules file")
+@click.option("--generate-defaults", is_flag=True, default=False)
+@click.option("--save-defaults", default=None, help="Write generated rules to this path")
+@click.option("--primary-key", multiple=True, help="PK column hint (repeatable)")
+@click.option("--output", default=None, help="Write results JSON to this path")
+@click.option("--fail-on-error", is_flag=True, default=False)
+@click.option("--cpus", default=None)
+def validate(source, table, rules_file, generate_defaults, save_defaults,
+             primary_key, output, fail_on_error, cpus):
+    """Run validation rules for TABLE from SOURCE."""
+    spark = _session(cpus)
+    _register_source(spark, source, table)
+    rules = []
+    if rules_file:
+        rules += load_rules_from_file(rules_file)
+    if generate_defaults or not rules:
+        generated = get_default_validations(
+            spark, table, primary_keys=list(primary_key) or None
+        )
+        click.echo(f"Generated {len(generated)} default validation rules")
+        rules += generated
+        if save_defaults:
+            fmt = "json" if save_defaults.endswith(".json") else "yaml"
+            export_rules(generated, save_defaults, fmt)
+            click.echo(f"Default rules saved to {save_defaults}")
+    results = run_validations(spark, rules)
+    n_pass = sum(1 for r in results if r["is_valid"])
+    n_fail = len(results) - n_pass
+    for r in results:
+        status = "PASS" if r["is_valid"] else "FAIL"
+        detail = (
+            f"actual={r.get('actual_value')!r} expected={r.get('expected_value')!r}"
+            if "error" not in r
+            else f"error={r['error']}"
+        )
+        click.echo(f"[{status}] {r['rule_name']}: {detail}")
+    click.echo(f"\n{n_pass} passed, {n_fail} failed of {len(results)} rules")
+    if output:
+        with open(output, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        click.echo(f"Results written to {output}")
+    if fail_on_error and n_fail:
+        sys.exit(1)
+
+
+@cli.command()
+def info():
+    """Version / platform info (reference: cli/main.py:39-76)."""
+    import pyspark
+
+    click.echo(f"sparvi-core-spark version: {sparvi_core_spark.__version__}")
+    click.echo(f"pyspark version: {pyspark.__version__}")
+    click.echo(f"python: {platform.python_version()} on {platform.system()}")
+
+
+@cli.command(name="test-connection")
+@click.argument("source")
+@click.option("--cpus", default=None)
+def test_connection(source, cpus):
+    """Check SOURCE is readable and list its tables (cli/main.py:79-123)."""
+    import os
+
+    if not os.path.exists(source):
+        click.echo(f"Connection failed: source does not exist: {source}")
+        sys.exit(1)
+    spark = _session(cpus)
+    try:
+        views = register_views(spark, source)
+        if not views:
+            click.echo("Connection OK, but no known tables found")
+            return
+        click.echo(f"Connection successful. {len(views)} tables:")
+        for name, df in list(views.items())[:10]:
+            click.echo(f"  {name}: {len(df.columns)} columns")
+    except Exception as e:
+        click.echo(f"Connection failed: {e}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    cli()

@@ -25,3 +25,60 @@ def views(spark, sf_dir):
     from sparvi_core_spark.session import register_views
 
     return register_views(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def employees(spark):
+    """The reference's primary profiler fixture (FIXTURES.md §1 /
+    reference tests/conftest.py:22-32): 10 rows, planted nulls."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.DoubleType(), True),
+            T.StructField("salary", T.DoubleType(), True),
+            T.StructField("department", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (1, "Employee 1", 25.0, 50000.0, "HR"),
+        (2, "Employee 2", 30.0, 60000.0, "IT"),
+        (3, "Employee 3", None, 70000.0, "Finance"),
+        (4, "Employee 4", 40.0, None, "HR"),
+        (5, "Employee 5", 45.0, 90000.0, "IT"),
+        (6, "Employee 6", 50.0, 100000.0, None),
+        (7, "Employee 7", None, 110000.0, "Finance"),
+        (8, "Employee 8", 60.0, None, "HR"),
+        (9, "Employee 9", 65.0, 130000.0, "IT"),
+        (10, "Employee 10", 70.0, 140000.0, "Finance"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.createOrReplaceTempView("employees")
+    return df
+
+
+@pytest.fixture(scope="session")
+def products(spark):
+    """Validation fixture (FIXTURES.md §2): planted negative price."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("product_id", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("price", T.DoubleType(), False),
+            T.StructField("category", T.StringType(), False),
+        ]
+    )
+    rows = [
+        (1, "Product A", 10.0, "Electronics"),
+        (2, "Product B", 20.0, "Clothing"),
+        (3, "Product C", -1.0, "Food"),
+        (4, "Product D", 40.0, "Electronics"),
+        (5, "Product E", 50.0, "Clothing"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.createOrReplaceTempView("products")
+    return df

@@ -1,0 +1,71 @@
+"""CLI contract — mirrors reference tests/test_cli.py:8-36."""
+
+import json
+
+from click.testing import CliRunner
+
+from sparvi_core_spark.cli.main import cli
+
+
+def test_help_lists_commands():
+    r = CliRunner().invoke(cli, ["--help"])
+    assert r.exit_code == 0
+    for cmd in ("profile", "validate", "info", "test-connection"):
+        assert cmd in r.output
+
+
+def test_version():
+    r = CliRunner().invoke(cli, ["--version"])
+    assert r.exit_code == 0
+
+
+def test_info():
+    r = CliRunner().invoke(cli, ["info"])
+    assert r.exit_code == 0
+    assert "pyspark" in r.output
+
+
+def test_profile_minimal(spark, sf_dir):
+    r = CliRunner().invoke(
+        cli, ["profile", sf_dir, "region", "--format", "minimal"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Row count" in r.output
+
+
+def test_profile_json_output(spark, sf_dir, tmp_path):
+    out = tmp_path / "profile.json"
+    r = CliRunner().invoke(
+        cli,
+        ["profile", sf_dir, "nation", "--format", "minimal", "--output", str(out)],
+    )
+    assert r.exit_code == 0, r.output
+    prof = json.loads(out.read_text())
+    assert prof["row_count"] == 25
+    assert "completeness" in prof
+
+
+def test_validate_generate_defaults(spark, sf_dir, tmp_path):
+    out = tmp_path / "results.json"
+    rules_out = tmp_path / "rules.yaml"
+    r = CliRunner().invoke(
+        cli,
+        [
+            "validate", sf_dir, "region",
+            "--generate-defaults",
+            "--save-defaults", str(rules_out),
+            "--output", str(out),
+        ],
+    )
+    assert r.exit_code == 0, r.output
+    assert "Generated" in r.output
+    assert "passed" in r.output
+    assert rules_out.exists()
+    results = json.loads(out.read_text())
+    assert all("rule_name" in x for x in results)
+
+
+def test_test_connection(spark, sf_dir):
+    r = CliRunner().invoke(cli, ["test-connection", sf_dir])
+    assert r.exit_code == 0, r.output
+    assert "Connection successful" in r.output

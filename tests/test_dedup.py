@@ -1,0 +1,92 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = "the quick brown fox jumps over the lazy cat and runs far away home tonight"
+    other = "completely different content about spark query engines and data pipelines here now"
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0 (one word changed)
+        (3, other),
+        (4, "tiny doc"),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_stats(docs):
+    row = exact_dedup_stats(docs, ["text"]).first()
+    assert row["total_rows"] == 5
+    assert row["distinct_keys"] == 4
+    assert row["surplus_rows"] == 1
+    assert row["duplicated_groups"] == 1
+    assert exact_dedup(docs, ["text"]).count() == 4
+
+
+def test_minhash_signature_properties(docs):
+    sig = minhash_signatures(docs, num_hashes=4).collect()
+    by_id = {r["id"]: [r[f"h{k}"] for k in range(4)] for r in sig}
+    assert by_id[0] == by_id[1]          # identical docs → identical signatures
+    assert by_id[0] != by_id[3]          # different docs → different signatures
+    assert 4 not in by_id                # too-short doc has no shingles
+    assert all(len(h) == 32 for h in by_id[0])  # md5 hex
+
+
+def test_minhash_dedup_finds_planted_pairs(docs):
+    pairs = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert found.get((0, 1)) == 1.0
+    assert (0, 2) in found or (1, 2) in found  # near-dup caught by some band
+    assert all(a != 3 and b != 3 for a, b in found)
+
+
+def test_lsh_skew_bucket_guard(spark):
+    # 50 identical docs → one giant bucket; max_bucket drops it
+    rows = [(i, "same same same same same") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, num_hashes=4)
+    pairs = lsh_candidate_pairs(sig, num_hashes=4, bands=2, max_bucket=10)
+    assert pairs.count() == 0
+    pairs_all = lsh_candidate_pairs(sig, num_hashes=4, bands=2, max_bucket=10_000)
+    assert pairs_all.count() == 50 * 49 // 2
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert found[(0, 1)] == 1.0
+    assert (0, 2) in found and 0.5 < found[(0, 2)] < 1.0
+    assert not any({a, b} == {0, 3} for a, b in found)
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    # one changed word out of 14 → small hamming distance
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert 0 <= ham <= 10
+    pairs = simhash_near_pairs(docs, max_hamming=10)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found.get((0, 1)) == 0
+
+
+def test_minhash_on_real_documents(spark, views):
+    pairs = minhash_dedup_pairs(views["documents"], threshold=0.5).collect()
+    assert len(pairs) > 0, "driver corpus has planted near-dups"
+    assert all(r["est_jaccard"] >= 0.5 for r in pairs)

@@ -1,0 +1,72 @@
+"""Similarity search: brute-force vs numpy ground truth, bucketed variant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_bucketed,
+    embedding_near_duplicates,
+    with_norm,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v], int(i % 4)))
+    # plant a near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in v0 + 0.001], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), rows
+
+
+def _numpy_topk(rows, qid, k):
+    mat = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    q = mat[qid]
+    scores = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in mat.items()
+        if i != qid
+    }
+    return sorted(scores.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:k]
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, rows = vectors
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    got = [(r["neighbor_id"], r["cosine"]) for r in out.orderBy("rank").collect()]
+    want = [(i, round(s, 4)) for i, s in _numpy_topk(rows, 0, 5)]
+    assert got == want
+    assert got[0][0] == 100, "planted near-duplicate must rank first"
+    assert got[0][1] > 0.999
+
+
+def test_bucketed_subset_of_brute(vectors):
+    df, rows = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    brute = {
+        r["neighbor_id"]
+        for r in cosine_topk(df, q, k=100).collect()
+    }
+    bucketed = cosine_topk_bucketed(df, q, k=100).collect()
+    assert {r["neighbor_id"] for r in bucketed} <= brute
+    # bucket 0 members only (i % 4 == 0, plus the planted 100)
+    assert all(r["neighbor_id"] % 4 == 0 for r in bucketed)
+
+
+def test_near_duplicates(vectors):
+    df, _ = vectors
+    pairs = embedding_near_duplicates(df, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_with_norm(vectors):
+    df, rows = vectors
+    got = {r["vec_id"]: r["norm"] for r in with_norm(df).collect()}
+    for i, v, _ in rows[:5]:
+        assert abs(got[i] - float(np.linalg.norm(np.array(v, dtype=np.float32).astype(np.float64)))) < 1e-6
