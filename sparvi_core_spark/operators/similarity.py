@@ -50,16 +50,26 @@ def cosine_topk(
     without a shuffle; ranking shuffles only Q×N scored rows reduced by
     the window's top-k. Ties broken by neighbor id for determinism.
     """
+    # norms are computed ONCE per side before the join (identical math,
+    # sqrt(dot(v,v)), so results are bit-equal to the inline formula) —
+    # the per-pair work inside the BroadcastNestedLoopJoin is a single
+    # dot product.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
     )
     scored = v.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
+    cos = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 4
+    )
     scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -91,16 +101,20 @@ def cosine_topk_bucketed(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(bucket_col).alias("qb"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         F.col(bucket_col).alias("nb"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
     )
     scored = v.join(F.broadcast(q), F.col("qb") == F.col("nb")).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
+    cos = F.round(
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 4
+    )
     scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
