@@ -449,6 +449,45 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(t["documents"].filter(F.col("doc_id") < 100))
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min) over the events stream — the
+    window/cumsum sessionizer from operators.timeseries."""
+    from sparvi_core_spark.operators.timeseries import session_stats
+
+    t = _views(spark, sf_dir)
+    s = session_stats(t["events"].filter(F.col("user_id") < 20), gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.round(F.avg("duration_seconds"), 2).alias("avg_session_seconds"),
+    )
+
+
+def q_asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior (or same-instant) click. Oracle = DuckDB's native ASOF JOIN."""
+    from sparvi_core_spark.operators.timeseries import asof_join
+
+    t = _views(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+    ).select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", right_payload=["click_event_id"]
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("click_event_id_right").alias("click_event_id"),
+        F.col("matched_ts_us").alias("click_us"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Streaming-shaped tumbling-window agg as a batch query (the same
     transformation runs under Structured Streaming in
@@ -509,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "sessionization": q_sessionization,
+        "asof_purchase_click": q_asof_purchase_click,
         "events_hourly": q_events_hourly,
     }
 
@@ -887,6 +928,50 @@ WITH sh AS (
     FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 4
 )
 SELECT id, min(md5('fp|' || shingle)) AS fingerprint FROM sh GROUP BY id"""
+
+    o["sessionization"] = """
+WITH ev AS (
+    SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+    FROM events WHERE user_id < 20
+),
+flagged AS (
+    SELECT user_id, us,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+),
+sessions AS (
+    SELECT user_id, us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) / 1000000.0 AS duration_seconds
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       ROUND(AVG(duration_seconds), 2) AS avg_session_seconds
+FROM per_session GROUP BY user_id"""
+
+    o["asof_purchase_click"] = """
+WITH purchases AS (
+    SELECT user_id, event_id AS purchase_event_id,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS purchase_us
+    FROM events WHERE event_type = 'purchase' AND user_id < 10
+),
+clicks AS (
+    SELECT user_id, event_id AS click_event_id,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS click_us
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_event_id, p.purchase_us,
+       c.click_event_id, c.click_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us"""
 
     o["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

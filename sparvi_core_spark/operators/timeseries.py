@@ -1,0 +1,138 @@
+"""Time-series operators Spark lacks as builtins: as-of join and
+gap-based sessionization.
+
+Both are implemented as single-shuffle window plans (partition by key,
+order by time) — NOT range joins, whose candidate space explodes
+quadratically per key at scale.
+
+Determinism note: event-time arithmetic is done on integer microseconds
+(``unix_micros``) so results are exact and portable across engines
+(parquet nanosecond inputs truncate identically everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids per user.
+
+    A new session starts when the time since the previous event of the
+    same user exceeds ``gap_seconds``. One shuffle (by user), one
+    window pass: ``session_seq`` is the running count of gap-breaks.
+    Output = input + (session_seq bigint).
+
+    At scale this is the standard shuffle-bounded sessionizer; for
+    unbounded streams the stateful equivalent lives in
+    ``streaming`` (``applyInPandasWithState``-style), where the state
+    store holds one (last_ts, session_seq) pair per user.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us)
+    prev = F.lag(us).over(w)
+    new_session = (
+        prev.isNull() | ((us - prev) > F.lit(gap_seconds * 1_000_000))
+    ).cast("long")
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: (user, session_seq, n_events, start/end µs,
+    duration_seconds)."""
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+        .withColumn(
+            "duration_seconds",
+            ((F.col("end_us") - F.col("start_us")) / 1_000_000.0),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row of
+    the same key with ``right.ts <= left.ts`` (left join: no match →
+    nulls).
+
+    Plan: union the two sides tagged, one window over (key, time, tag)
+    carrying the right payload forward with ``last(..., ignorenulls)``,
+    filter back to left rows. Exactly ONE shuffle on the key — the
+    scale-correct alternative to a range join (quadratic per key) or a
+    groupBy-collect (unbounded per-key memory). Equal timestamps match
+    (right sorts before left at ties).
+
+    DuckDB's native ``ASOF JOIN`` is the oracle for this operator.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_payload],
+        F.lit(None).cast("bigint").alias("__rt"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(c + suffix) for c in right_payload],
+        F.unix_micros(F.col(right_ts)).alias("__rt"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "__k",
+        "__t",
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in right_payload
+        ],
+        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__matched_ts_us"),
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col("__lrow." + c).alias(c) for c in lcols],
+        *[F.col(c + suffix) for c in right_payload],
+        F.col("__matched_ts_us").alias("matched_ts_us"),
+    )

@@ -1,0 +1,70 @@
+"""As-of join and sessionization semantics on crafted data."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.timeseries import asof_join, session_stats, sessionize
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: events at 12:00, 12:10, 12:50 (gap>30min before last)
+        (1, _ts(0)), (1, _ts(10)), (1, _ts(50)),
+        # user 2: single event
+        (2, _ts(5)),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_sessionize_gap_semantics(events):
+    s = sessionize(events, gap_seconds=1800)
+    got = {(r["user_id"], r["ts"].minute): r["session_seq"] for r in s.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 10)] == 1  # same session
+    assert got[(1, 50)] == 2                        # 40-min gap → new session
+    assert got[(2, 5)] == 1
+
+
+def test_session_stats(events):
+    st = {(r["user_id"], r["session_seq"]): r for r in session_stats(events, gap_seconds=1800).collect()}
+    assert st[(1, 1)]["n_events"] == 2
+    assert st[(1, 1)]["duration_seconds"] == 600.0
+    assert st[(1, 2)]["n_events"] == 1
+    assert st[(2, 1)]["duration_seconds"] == 0.0
+
+
+def test_asof_backward_with_ties_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (2, _ts(10), "p3"), (3, _ts(10), "p4")],
+        "user_id long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), "c1"),
+            (1, _ts(10), "c2"),   # tie with p1 → matches (<=)
+            (1, _ts(15), "c3"),
+            (2, _ts(30), "c4"),   # after p3 → no match
+        ],
+        "user_id long, ts timestamp, cid string",
+    )
+    out = asof_join(left, right, key="user_id", right_payload=["cid"])
+    got = {r["pid"]: r["cid_right"] for r in out.collect()}
+    assert got["p1"] == "c2"   # equal timestamp matches
+    assert got["p2"] == "c3"   # latest prior
+    assert got["p3"] is None   # only future clicks
+    assert got["p4"] is None   # key never in right
+    assert out.count() == 4    # left join preserves all left rows
+
+
+def test_asof_one_shuffle_plan(spark):
+    left = spark.createDataFrame([(1, _ts(1), "x")], "user_id long, ts timestamp, pid string")
+    right = spark.createDataFrame([(1, _ts(0), "y")], "user_id long, ts timestamp, cid string")
+    plan = asof_join(left, right, key="user_id")._jdf.queryExecution().optimizedPlan().toString()
+    # no Join node at all: union + window
+    assert "Join" not in plan
