@@ -351,6 +351,118 @@ def q_sample_rows(spark, sf_dir):
     )
 
 
+def q_mode_values(spark, sf_dir):
+    """A11 variant — F.mode (Spark 3.4+) for value-only top-1."""
+    t = _views(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.mode("l_returnflag").alias("mode_returnflag"),
+        F.mode("l_linestatus").alias("mode_linestatus"),
+    )
+
+
+def q_systematic_sample(spark, sf_dir):
+    """S6 — sampling made deterministic (key-systematic; TABLESAMPLE is
+    RNG-divergent across engines so it can't be oracle-checked)."""
+    t = _views(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_group_topk(spark, sf_dir):
+    """Top-3 orders by total price per priority — window rank shape."""
+    t = _views(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped dim rollup: customer ⋈ orders ⋈ nation ⋈ region.
+    The three dims are broadcast (auto under the threshold; nation and
+    region are tiny) — the fact side shuffles once for the final agg."""
+    t = _views(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_array_agg(spark, sf_dir):
+    """The reference's defined-but-never-called aggregate_array surface
+    (adapters.py:134-144) made real: sorted distinct sets per group,
+    serialized for cross-engine comparison."""
+    t = _views(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_running_totals(spark, sf_dir):
+    """Cumulative revenue per customer over time — running-sum window."""
+    t = _views(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT / INTERSECT shapes: customers without orders, and nations
+    present in both customer and supplier bases."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """SELECT
+    (SELECT COUNT(*) FROM
+        (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+        AS customers_without_orders,
+    (SELECT COUNT(*) FROM
+        (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier))
+        AS nations_in_both"""
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    """ROLLUP aggregation with grouping labels (subtotals + grand total)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """SELECT
+    CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+    CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+    COUNT(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Scale extensions: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -536,6 +648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_results": q_validation_results,
         "pricing_summary": q_pricing_summary,
         "sample_rows": q_sample_rows,
+        "mode_values": q_mode_values,
+        "systematic_sample": q_systematic_sample,
+        "group_topk": q_group_topk,
+        "region_revenue": q_region_revenue,
+        "array_agg": q_array_agg,
+        "running_totals": q_running_totals,
+        "set_ops": q_set_ops,
+        "rollup_counts": q_rollup_counts,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash": q_dedup_minhash,
@@ -768,6 +888,63 @@ ORDER BY l_returnflag, l_linestatus"""
     o["sample_rows"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"""
+
+    o["mode_values"] = """
+SELECT mode(l_returnflag) AS mode_returnflag,
+       mode(l_linestatus) AS mode_linestatus
+FROM lineitem"""
+
+    o["systematic_sample"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""
+
+    o["group_topk"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders) x
+WHERE rk <= 3"""
+
+    o["region_revenue"] = """
+SELECT r_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+    o["array_agg"] = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority"""
+
+    o["running_totals"] = """
+SELECT o_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders WHERE o_custkey < 20"""
+
+    o["set_ops"] = """
+SELECT
+    (SELECT COUNT(*) FROM
+        (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+        AS customers_without_orders,
+    (SELECT COUNT(*) FROM
+        (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier))
+        AS nations_in_both"""
+
+    o["rollup_counts"] = """
+SELECT
+    CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+    CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+    CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
 
     o["dedup_exact"] = """
 SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
