@@ -101,34 +101,44 @@ def profile_table(
     b = bucket_columns(df.schema)
 
     # --- J1: wide aggregation(s) ---------------------------------------
-    # Mixing exact count_distinct (plans an Expand) with object-hash
-    # aggregates like exact percentile in ONE agg degenerates badly
-    # (~15x slower, measured at sf0.1) — so exact-distinct mode runs
-    # TWO fused aggs concurrently (each one scan, column-pruned), while
-    # approx mode (HLL is a streaming agg) fuses everything into a
-    # single pass — the 100 TB default.
+    # Plan-shape rules (each measured at sf0.1, see SCALE.md):
+    # * exact count_distinct plans an Expand; exact/approx percentile is
+    #   an object-hash aggregate. Fusing either with the streaming-agg
+    #   family knocks the whole agg out of whole-stage codegen (worst
+    #   case, Expand x object-agg, is ~15x).
+    # * so: streaming aggregates fuse into ONE job; percentiles are a
+    #   second job; exact distincts a third — all submitted
+    #   concurrently (the scheduler interleaves; each is one
+    #   column-pruned scan). Approx distinct (HLL) is a streaming agg
+    #   and joins job 1, making approx mode a two-job single-scan-ish
+    #   pass — the 100 TB default.
     nd_exprs = [F.count(F.lit(1)).alias("row_count")]
     nd_exprs += M.null_count_exprs(b.all)
-    nd_exprs += M.numeric_stats_exprs(
-        b.numeric,
-        approx_percentiles=p["approx_percentiles"],
-        accuracy=p["approx_percentile_accuracy"],
-    )
+    nd_exprs += M.numeric_stats_exprs(b.numeric)
     nd_exprs += M.text_stats_exprs(b.text)
     nd_exprs += M.text_pattern_exprs(b.text)
     nd_exprs += M.date_stats_exprs(b.date)
     d_exprs = M.distinct_count_exprs(
         b.all, approx=p["approx_distinct"], rsd=p["approx_distinct_rsd"]
     )
+    pct_exprs = M.percentile_exprs(
+        b.numeric,
+        approx=p["approx_percentiles"],
+        accuracy=p["approx_percentile_accuracy"],
+    )
     if p["approx_distinct"]:
-        wide = df.agg(*nd_exprs, *d_exprs).first().asDict()
-    else:
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_nd = ex.submit(lambda: df.agg(*nd_exprs).first().asDict())
-            f_d = ex.submit(
-                lambda: df.agg(*d_exprs).first().asDict() if d_exprs else {}
-            )
-            wide = {**f_nd.result(), **f_d.result()}
+        nd_exprs += d_exprs
+        d_exprs = []
+    jobs = [nd_exprs]
+    if d_exprs:
+        jobs.append(d_exprs)
+    if pct_exprs:
+        jobs.append(pct_exprs)
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(lambda e=e: df.agg(*e).first().asDict()) for e in jobs]
+        wide = {}
+        for f in futures:
+            wide.update(f.result())
     row_count = wide["row_count"]
 
     cached = False

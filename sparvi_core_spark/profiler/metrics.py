@@ -50,20 +50,18 @@ def distinct_count_exprs(
     return [F.count_distinct(F.col(c)).alias(a("distinct", c)) for c in cols]
 
 
-def numeric_stats_exprs(
-    cols: list[str], approx_percentiles: bool = False, accuracy: int = 10_000
-) -> list[Column]:
-    """A5/A6/A7 — min/max/avg/sum/stdev + quartiles per numeric column
+def numeric_stats_exprs(cols: list[str]) -> list[Column]:
+    """A5/A6 — min/max/avg/sum/stdev per numeric column
     (profile_engine.py:136-176).
 
     - stdev is **sample** stddev (matches Snowflake/DuckDB ``STDDEV``,
       Redshift ``STDDEV_SAMP``; adapters.py:287-288).
-    - Quartiles exact ``percentile`` (linear interpolation — matches
-      DuckDB ``PERCENTILE_CONT``, adapters.py:220-221). Exact percentile
-      buffers per-partition values; at 100 TB use ``approx_percentiles``
-      (t-digest-style sketch, mergeable, bounded memory).
     - Aggregates skip NULLs natively — same result as the reference's
       ``WHERE col IS NOT NULL`` (profile_engine.py:155).
+    - Quartiles (A7) are deliberately NOT here: percentile aggregates
+      (exact and approx) are object-hash aggregates that knock the whole
+      fused agg out of whole-stage codegen (~2x, measured) — they run as
+      their own concurrent job via ``percentile_exprs``.
     """
     exprs: list[Column] = []
     for c in cols:
@@ -75,17 +73,29 @@ def numeric_stats_exprs(
             F.sum(col).alias(a("sum", c)),
             F.stddev_samp(col).alias(a("stdev", c)),
         ]
-        if approx_percentiles:
-            exprs.append(
-                F.percentile_approx(col, [0.25, 0.5, 0.75], accuracy).alias(
-                    a("quartiles", c)
-                )
-            )
-        else:
-            exprs.append(
-                F.percentile(col, F.lit([0.25, 0.5, 0.75])).alias(a("quartiles", c))
-            )
     return exprs
+
+
+def percentile_exprs(
+    cols: list[str], approx: bool = False, accuracy: int = 10_000
+) -> list[Column]:
+    """A7 — quartiles per numeric column.
+
+    Exact ``percentile`` (linear interpolation — matches DuckDB
+    ``PERCENTILE_CONT``, adapters.py:220-221) buffers per-partition
+    values; at 100 TB use ``approx`` (mergeable sketch, bounded memory).
+    """
+    if approx:
+        return [
+            F.percentile_approx(F.col(c), [0.25, 0.5, 0.75], accuracy).alias(
+                a("quartiles", c)
+            )
+            for c in cols
+        ]
+    return [
+        F.percentile(F.col(c), F.lit([0.25, 0.5, 0.75])).alias(a("quartiles", c))
+        for c in cols
+    ]
 
 
 def text_stats_exprs(cols: list[str]) -> list[Column]:
