@@ -35,6 +35,11 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # (wide fact tables at 100 TB: a groupBy over every column shuffles
         # the entire table; prefer an opt-in).
         "duplicate_check_max_columns": 64,
+        # "full": groupBy every column (shuffles whole rows — exact, the
+        # reference's shape). "hash": groupBy md5 of the concatenated row
+        # (one narrow string column through the shuffle — the 100 TB path;
+        # md5-collision error is negligible).
+        "duplicate_check_mode": "full",
         # Cache the input DataFrame across profiling jobs when the table is
         # small enough to fit cluster memory; at 100 TB rely on column-pruned
         # parquet re-scans instead (each job reads only its columns).

@@ -150,8 +150,23 @@ def profile_table(
         # --- J2: duplicate full-row groups (A4) ------------------------
         duplicate_count = 0
         if b.all and len(b.all) <= p["duplicate_check_max_columns"]:
+            if p["duplicate_check_mode"] == "hash":
+                # one md5 per row through the shuffle instead of the
+                # full row — the wide-table scale path
+                key = F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                            for c in b.all
+                        ],
+                    )
+                )
+                groups = df.groupBy(key.alias("__rowhash"))
+            else:
+                groups = df.groupBy(*b.all)
             duplicate_count = (
-                df.groupBy(*b.all).count().filter(F.col("count") > 1).count()
+                groups.count().filter(F.col("count") > 1).count()
             )
 
         # --- assembly of J1 families ----------------------------------

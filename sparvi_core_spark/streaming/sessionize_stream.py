@@ -1,0 +1,98 @@
+"""Stateful streaming sessionization — the custom stateful operator
+surface (``applyInPandasWithState``).
+
+Batch sessionization (operators.timeseries.sessionize) is a window over
+(user, time); on an unbounded stream the same semantics need per-key
+state: the state store holds one (last_ts_us, session_seq) pair per
+user, so memory is O(active users), not O(events). Arrow-batched
+per-group pandas processing keeps the Python boundary vectorized.
+
+Within a micro-batch, a group's rows are sorted by event time before
+assignment; cross-batch correctness relies on per-key event-time order
+across batches (guaranteed under availableNow backfill of ordered
+files; for out-of-order live streams pair with a watermark upstream and
+treat session ids as append-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("session_seq", LongType()),
+    ]
+)
+
+
+def _output_schema(user_col: str, ts_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField("session_seq", LongType()),
+        ]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids on a streaming DataFrame.
+
+    Output rows: (user, ts, session_seq) — same assignment the batch
+    ``sessionize`` produces when events arrive in order.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def assign(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts_us, seq = state.get
+        else:
+            last_ts_us, seq = None, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64") // 1000  # ns → µs
+            seqs = []
+            for t in ts_us:
+                if last_ts_us is None or (t - last_ts_us) > gap_us:
+                    seq += 1
+                seqs.append(seq)
+                last_ts_us = int(t)
+            yield pd.DataFrame(
+                {
+                    user_col: pdf[user_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "session_seq": seqs,
+                }
+            )
+        state.update((last_ts_us, seq))
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        assign,
+        outputStructType=_output_schema(user_col, ts_col),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

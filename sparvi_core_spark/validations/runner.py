@@ -44,12 +44,23 @@ def _compare(operator: str, actual: Any, expected: Any) -> bool:
     raise ValueError(f"Unknown operator: {operator}")
 
 
+def _normalize_scalar(v: Any) -> Any:
+    """Decimal results (e.g. from FILTER-percentage SQL) → float: keeps
+    results JSON-serializable and display-friendly, matching the native
+    numeric types warehouse drivers hand the reference."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
 def _run_one(spark: SparkSession, rule: dict[str, Any]) -> dict[str, Any]:
     name = rule.get("name", "<unnamed>")
     base = {"name": name, "rule_name": name, "description": rule.get("description", "")}
     try:
         row = spark.sql(rule["query"]).first()
-        actual_value = row[0] if row is not None else None
+        actual_value = _normalize_scalar(row[0]) if row is not None else None
         is_valid = _compare(rule.get("operator", "equals"), actual_value,
                             rule.get("expected_value", 0))
         return {
