@@ -1,0 +1,110 @@
+"""Skew mitigation: salted two-stage aggregation and salted joins.
+
+AQE's skew-join splitting (enabled in the session factory) handles most
+sort-merge skew at runtime; these operators cover the cases AQE can't:
+a groupBy where one key holds a large fraction of all rows (the hot
+reducer), and broadcast-ineligible joins against a skewed key.
+
+Results are salt-invariant: the salt only spreads the partial
+aggregation; the final combine removes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# partial/combine pairs for algebraic aggregates
+_PARTIAL = {
+    "count": lambda c: F.count(F.lit(1)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+_COMBINE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    metrics: list[tuple[str, str]],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) → groupBy(keys).
+
+    ``metrics`` is a list of (column, fn) with fn in
+    {count, sum, min, max, avg}. avg decomposes into sum+count and is
+    recombined exactly. The hot key's rows spread over ``salt_buckets``
+    reducers in stage 1; stage 2 combines ``keys × salt_buckets`` tiny
+    partials.
+    """
+    plan: list[tuple[str, str, str]] = []  # (out_name, col, fn)
+    needed: dict[tuple[str, str], str] = {}
+
+    def _need(col: str, fn: str) -> str:
+        alias = needed.get((col, fn))
+        if alias is None:
+            alias = f"__p_{fn}_{col}"
+            needed[(col, fn)] = alias
+        return alias
+
+    for col, fn in metrics:
+        if fn == "avg":
+            _need(col, "sum")
+            _need(col, "count")
+        elif fn in _PARTIAL:
+            _need(col, fn)
+        else:
+            raise ValueError(f"unsupported metric fn: {fn}")
+        plan.append((f"{fn}_{col}" if fn != "count" else f"count_{col}", col, fn))
+
+    salt = F.floor(F.rand(42) * salt_buckets).cast("int").alias("__salt")
+    stage1 = df.groupBy(*keys, salt).agg(
+        *[_PARTIAL[fn](F.col(col)).alias(alias) for (col, fn), alias in needed.items()]
+    )
+    stage2 = stage1.groupBy(*keys).agg(
+        *[
+            _COMBINE[fn](F.col(alias)).alias(alias)
+            for (col, fn), alias in needed.items()
+        ]
+    )
+    outs = []
+    for out_name, col, fn in plan:
+        if fn == "avg":
+            outs.append(
+                (
+                    F.col(needed[(col, "sum")])
+                    / F.col(needed[(col, "count")])
+                ).alias(f"avg_{col}")
+            )
+        else:
+            outs.append(F.col(needed[(col, fn)]).alias(out_name))
+    return stage2.select(*keys, *outs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a skewed left key and a non-broadcastable right.
+
+    Left rows get a random salt in [0, n); right rows are replicated n×
+    (explode over the salt range) so every (key, salt) partition finds
+    its match. Trades n× replication of the right side for even reducer
+    load — only worth it when the right side is far smaller than the
+    skewed key's row count but too big to broadcast.
+    """
+    l = left.withColumn("__salt", F.floor(F.rand(42) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical plans we rely on at scale.
+
+If any of these fail after a refactor, the operator still returns the
+right rows but has lost its 100 TB story — treat as a bug.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from sparvi_core_spark.plans import (
+    has_broadcast_hash_join,
+    has_broadcast_nested_loop_join,
+    has_join,
+    pushed_filters,
+    scan_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = entrymod.q_pricing_summary(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    cols = scan_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"column pruning lost: {cols}"
+    )
+
+
+def test_numeric_summary_reads_only_measures(spark):
+    df = entrymod.q_numeric_summary(spark, SF)
+    assert scan_columns(df) == {"l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    df = entrymod.q_embedding_topk(spark, SF)
+    assert has_broadcast_nested_loop_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "vec_id" in pf, "query-side filter should reach the scan"
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    df = entrymod.q_region_revenue(spark, SF)
+    assert has_broadcast_hash_join(df), "dim joins must be broadcast, not sort-merge"
+
+
+def test_asof_join_has_no_join_node(spark):
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:01", "x")],
+                                 "user_id long, ts string, pid string").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:00", "y")],
+                                  "user_id long, ts string, cid string").withColumn("ts", F.col("ts").cast("timestamp"))
+    from sparvi_core_spark.operators.timeseries import asof_join
+
+    assert not has_join(asof_join(left, right, key="user_id"))
+
+
+def test_validation_rule_filter_pushdown(spark, views):
+    df = spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0")
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf
+    assert scan_columns(df) <= {"l_quantity"}
+
+
+def test_profiler_scan_prunes_to_numeric_for_outliers(spark, views):
+    # the outlier stack pass must only read numeric columns
+    from sparvi_core_spark.coltypes import bucket_columns
+    from sparvi_core_spark.profiler.engine import _stack_pairs
+
+    df = views["lineitem"]
+    b = bucket_columns(df.schema)
+    pairs = _stack_pairs(df, b.numeric, "double")
+    assert scan_columns(pairs) == set(b.numeric)

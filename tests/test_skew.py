@@ -1,0 +1,62 @@
+"""Salted aggregation/join correctness: results must equal unsalted plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key "hot" holds 90% of rows
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("cold"), (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_matches_plain(skewed):
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"], r["a"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("a"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["count_v"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max"), ("v", "avg")],
+            salt_buckets=16,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        for i in range(5):
+            assert abs(plain[k][i] - salted[k][i]) < 1e-9, (k, i)
+
+
+def test_salted_agg_rejects_unknown_fn(skewed):
+    with pytest.raises(ValueError):
+        salted_agg(skewed, ["k"], [("v", "median")])
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(50)],
+        "k string, label string",
+    )
+    plain = skewed.join(dim, "k").groupBy("label").count()
+    salted = salted_join(skewed, dim, "k", salt_buckets=8).groupBy("label").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
