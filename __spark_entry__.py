@@ -533,6 +533,41 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_duplicates(t["embeddings"], threshold=0.4)
 
 
+def q_histogram(spark, sf_dir):
+    """Equal-width histogram (10 bins) over l_extendedprice."""
+    from sparvi_core_spark.functions.stats import histogram
+
+    t = _views(spark, sf_dir)
+    return histogram(t["lineitem"], "l_extendedprice", bins=10)
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF build + assign: per-label centroids (element-wise mean), then
+    nearest-centroid assignment for vec_id < 100."""
+    from sparvi_core_spark.operators.similarity import compute_centroids, ivf_assign
+
+    t = _views(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = compute_centroids(emb)
+    return ivf_assign(emb.filter(F.col("vec_id") < 100), cents)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """A3 at 100 TB — HLL sketches (approx_count_distinct). No SQL
+    oracle: DuckDB's approx algorithm differs; the driver records the
+    weaker rows-only check, and exactness is covered by
+    ``distinct_counts``. Accuracy vs exact is asserted in
+    tests/test_profiler.py::test_approx_mode."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    return df.agg(
+        *[
+            F.approx_count_distinct(c, 0.05).alias(f"approx_distinct_{c}")
+            for c in LINEITEM_COLS
+        ]
+    )
+
+
 def q_language_id(spark, sf_dir):
     from sparvi_core_spark.functions.text import language_id
 
@@ -664,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_bucketed": q_embedding_topk_bucketed,
         "embedding_near_dups": q_embedding_near_dups,
+        "histogram": q_histogram,
+        "ivf_assign": q_ivf_assign,
+        "approx_distinct": q_approx_distinct,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1058,6 +1096,42 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 4) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_COS}, 4) >= 0.4"""
+
+    o["histogram"] = """
+WITH bounds AS (
+    SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - bounds.lo) / ((bounds.hi - bounds.lo) / 10)) AS INT), 9) AS bin
+    FROM lineitem, bounds WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin,
+       ROUND((SELECT lo FROM bounds) + bin * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_lo,
+       ROUND((SELECT lo FROM bounds) + (bin + 1) * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM binned GROUP BY bin"""
+
+    o["ivf_assign"] = """
+WITH ex AS (
+    SELECT label AS bucket, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT bucket, pos, AVG(CAST(val AS DOUBLE)) AS v FROM ex GROUP BY bucket, pos
+),
+centroids AS (
+    SELECT bucket, list(v ORDER BY pos) AS centroid FROM cent GROUP BY bucket
+),
+scored AS (
+    SELECT e.vec_id AS id, c.bucket,
+           list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS distance
+    FROM embeddings e, centroids c
+    WHERE e.vec_id < 100
+)
+SELECT id, arg_min(bucket, distance) AS bucket,
+       ROUND(MIN(distance), 4) AS distance
+FROM scored GROUP BY id"""
 
     lang_case = (
         "CASE "

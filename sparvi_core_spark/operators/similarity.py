@@ -125,6 +125,65 @@ def cosine_topk_bucketed(
     )
 
 
+def compute_centroids(
+    vectors: DataFrame,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build step: per-bucket centroid = element-wise mean.
+
+    posexplode → groupBy(bucket, pos) avg → rebuild ordered arrays.
+    Shuffle volume O(N × dim) once at build time; centroid table is
+    tiny (buckets × dim) and broadcastable ever after.
+    """
+    ex = vectors.select(
+        F.col(bucket_col).alias("bucket"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    m = ex.groupBy("bucket", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("v")
+    )
+    return (
+        m.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("bucket", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (L2) per vector →
+    (id, bucket, distance).
+
+    Centroid table broadcast; per-vector work is #buckets distance
+    evaluations; ``min_by`` picks the argmin without a window sort.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    c = centroids.select("bucket", "centroid")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id", "bucket", dist.alias("distance")
+    )
+    return scored.groupBy("id").agg(
+        F.min_by(F.col("bucket"), F.col("distance")).alias("bucket"),
+        F.round(F.min("distance"), 4).alias("distance"),
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,
