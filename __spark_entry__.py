@@ -493,6 +493,16 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: minhash pairs → connected components (iterative
+    min-label propagation). Oracle: recursive-CTE transitive closure."""
+    from sparvi_core_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    t = _views(spark, sf_dir)
+    pairs = minhash_dedup_pairs(t["documents"], num_hashes=8, bands=4, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from sparvi_core_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -694,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1020,6 +1031,37 @@ FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
 WHERE ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
        (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
        (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 >= 0.5"""
+
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_SIG_CTE.lstrip()},
+bands AS (
+    SELECT id, b.band, CASE b.band
+        WHEN 0 THEN md5(h0 || '|' || h1) WHEN 1 THEN md5(h2 || '|' || h3)
+        WHEN 2 THEN md5(h4 || '|' || h5) ELSE md5(h6 || '|' || h7) END AS bkey
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cpairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+fpairs AS (
+    SELECT p.id_a, p.id_b
+    FROM cpairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
+    WHERE ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+           (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+           (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM fpairs
+    UNION SELECT id_b, id_a FROM fpairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id, MIN(r) AS cluster FROM reach GROUP BY id"""
 
     o["ngram_jaccard"] = f"""
 WITH sh AS (

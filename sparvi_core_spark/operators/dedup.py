@@ -284,6 +284,61 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster), where
+    cluster = min doc id reachable through the pair graph (the survivor
+    every other member dedups onto).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels — converges in graph-diameter
+    rounds (near-dup clusters are tiny, so a handful). Each round is one
+    join + one agg; ``localCheckpoint`` truncates lineage so plans don't
+    grow across iterations. This is the standard Spark CC shape without
+    a graph library dependency.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
 def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact duplicate summary over ``cols``: total rows, distinct keys,
     surplus rows, duplicated groups (A4's group semantics preserved)."""

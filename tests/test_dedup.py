@@ -90,3 +90,14 @@ def test_minhash_on_real_documents(spark, views):
     pairs = minhash_dedup_pairs(views["documents"], threshold=0.5).collect()
     assert len(pairs) > 0, "driver corpus has planted near-dups"
     assert all(r["est_jaccard"] >= 0.5 for r in pairs)
+
+
+def test_dedup_clusters_chain(spark):
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
