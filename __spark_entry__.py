@@ -645,6 +645,27 @@ def q_asof_purchase_click(spark, sf_dir):
     )
 
 
+def q_top_terms(spark, sf_dir):
+    """Corpus document-frequency top-20 (the TF-IDF building block):
+    distinct tokens per doc → df counts → deterministic top-k."""
+    t = _views(spark, sf_dir)
+    docs = t["documents"]
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term", "df", F.round(F.col("df") / F.lit(n_docs), 4).alias("df_frac")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Streaming-shaped tumbling-window agg as a batch query (the same
     transformation runs under Structured Streaming in
@@ -717,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "top_terms": q_top_terms,
         "sessionization": q_sessionization,
         "asof_purchase_click": q_asof_purchase_click,
         "events_hourly": q_events_hourly,
@@ -1221,6 +1243,18 @@ WITH sh AS (
     FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 4
 )
 SELECT id, min(md5('fp|' || shingle)) AS fingerprint FROM sh GROUP BY id"""
+
+    o["top_terms"] = """
+WITH pairs AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs
+    WHERE term <> '' GROUP BY term
+)
+SELECT term, df,
+       ROUND(df * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS df_frac
+FROM counts ORDER BY df DESC, term ASC LIMIT 20"""
 
     o["sessionization"] = """
 WITH ev AS (
