@@ -147,29 +147,7 @@ def profile_table(
         cached = True
 
     try:
-        # --- J2: duplicate full-row groups (A4) ------------------------
-        duplicate_count = 0
-        if b.all and len(b.all) <= p["duplicate_check_max_columns"]:
-            if p["duplicate_check_mode"] == "hash":
-                # one md5 per row through the shuffle instead of the
-                # full row — the wide-table scale path
-                key = F.md5(
-                    F.concat_ws(
-                        "\x1f",
-                        *[
-                            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                            for c in b.all
-                        ],
-                    )
-                )
-                groups = df.groupBy(key.alias("__rowhash"))
-            else:
-                groups = df.groupBy(*b.all)
-            duplicate_count = (
-                groups.count().filter(F.col("count") > 1).count()
-            )
-
-        # --- assembly of J1 families ----------------------------------
+        # --- assembly of J1 families (driver-side, no Spark work) ------
         completeness = {}
         for c in b.all:
             nulls = wide[M.a("nulls", c)] or 0
@@ -231,21 +209,47 @@ def profile_table(
                 "date_range_days": days,
             }
 
-        # --- J3: frequent values, one pass for all columns (A11) -------
-        # Near-unique columns (distinct fraction above the config cap)
-        # are skipped: their top-1 is noise and grouping them shuffles
-        # nearly every row. Top-1 per column via min_by over
-        # struct(-freq, value) — a pure reduction (map-side partials,
-        # no window sort): min of (-freq, value) ≡ max freq, ties by
-        # smallest value.
-        frequent_values = {}
-        freq_cols = [
-            c
-            for c in b.all
-            if (wide[M.a("distinct", c)] or 0)
-            <= row_count * p["frequent_values_max_distinct_fraction"]
-        ]
-        if 0 < row_count <= p["frequent_values_row_threshold"] and freq_cols:
+        # --- J2-J5: independent jobs, submitted concurrently -----------
+        # (dup groups, frequent values, outliers, samples share no state;
+        # the scheduler interleaves their stages across the cluster)
+
+        def j2_duplicates() -> int:
+            # A4 — duplicated full-row groups
+            if not b.all or len(b.all) > p["duplicate_check_max_columns"]:
+                return 0
+            if p["duplicate_check_mode"] == "hash":
+                # one md5 per row through the shuffle instead of the
+                # full row — the wide-table scale path
+                key = F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                            for c in b.all
+                        ],
+                    )
+                )
+                groups = df.groupBy(key.alias("__rowhash"))
+            else:
+                groups = df.groupBy(*b.all)
+            return groups.count().filter(F.col("count") > 1).count()
+
+        def j3_frequent_values() -> dict:
+            # A11 — top-1 per column in one pass. Near-unique columns
+            # (distinct fraction above the config cap) are skipped:
+            # their top-1 is noise and grouping them shuffles nearly
+            # every row. min_by over struct(-freq, value) is a pure
+            # reduction (map-side partials, no window sort): min of
+            # (-freq, value) ≡ max freq, ties by smallest value.
+            out: dict = {}
+            freq_cols = [
+                c
+                for c in b.all
+                if (wide[M.a("distinct", c)] or 0)
+                <= row_count * p["frequent_values_max_distinct_fraction"]
+            ]
+            if not (0 < row_count <= p["frequent_values_row_threshold"]) or not freq_cols:
+                return out
             pairs = _stack_pairs(df, freq_cols, "string").filter(
                 F.col("col_value").isNotNull()
             )
@@ -260,7 +264,7 @@ def profile_table(
             ).collect()
             kind_of = {c: ("numeric" if c in b.numeric else "") for c in b.all}
             for r in top:
-                frequent_values[r["col_name"]] = {
+                out[r["col_name"]] = {
                     "value": _restore_value(
                         r["top"]["col_value"], kind_of[r["col_name"]]
                     ),
@@ -269,17 +273,20 @@ def profile_table(
                         r["top"]["frequency"] * 100.0 / row_count, 2
                     ),
                 }
+            return out
 
-        # --- J4: 3σ outliers, one pass for all numeric columns (A12) ---
-        outliers: dict[str, list] = {}
-        k = p["anomaly_threshold"]
-        eligible = [
-            c
-            for c in b.numeric
-            if stats_for_outliers[c][0] is not None
-            and stats_for_outliers[c][1] is not None
-        ]
-        if eligible and row_count > 0:
+        def j4_outliers() -> dict:
+            # A12 — 3σ listing, bounds as scalar literals
+            out: dict[str, list] = {}
+            k = p["anomaly_threshold"]
+            eligible = [
+                c
+                for c in b.numeric
+                if stats_for_outliers[c][0] is not None
+                and stats_for_outliers[c][1] is not None
+            ]
+            if not eligible or row_count == 0:
+                return out
             lo = {c: s[0] - k * s[1] for c, s in stats_for_outliers.items() if c in eligible}
             hi = {c: s[0] + k * s[1] for c, s in stats_for_outliers.items() if c in eligible}
             lo_map = F.create_map(*[x for c in eligible for x in (F.lit(c), F.lit(lo[c]))])
@@ -299,12 +306,23 @@ def profile_table(
                 .collect()
             )
             for r in rows:
-                outliers.setdefault(r["col_name"], []).append(r["col_value"])
+                out.setdefault(r["col_name"], []).append(r["col_value"])
+            return out
 
-        # --- J5: samples -----------------------------------------------
-        samples = []
-        if include_samples:
-            samples = [r.asDict() for r in df.limit(p["sample_row_limit"]).collect()]
+        def j5_samples() -> list:
+            if not include_samples:
+                return []
+            return [r.asDict() for r in df.limit(p["sample_row_limit"]).collect()]
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f2 = ex.submit(j2_duplicates)
+            f3 = ex.submit(j3_frequent_values)
+            f4 = ex.submit(j4_outliers)
+            f5 = ex.submit(j5_samples)
+            duplicate_count = f2.result()
+            frequent_values = f3.result()
+            outliers = f4.result()
+            samples = f5.result()
     finally:
         if cached:
             df.unpersist()
