@@ -314,6 +314,61 @@ def q_validation_results(spark, sf_dir):
     )
 
 
+def q_profile_completeness(spark, sf_dir):
+    """ENGINE integration gate: run the real profiler end-to-end and
+    flatten its completeness block — oracle-checks profile_table itself
+    (null/distinct counts + the reference's round(2) percentage math),
+    not just the underlying expression shapes."""
+    from sparvi_core_spark import profile_table
+
+    _views(spark, sf_dir)
+    prof = profile_table(spark, "lineitem", include_samples=False)
+    rows = [
+        (
+            c,
+            s["nulls"],
+            float(s["null_percentage"]),
+            s["distinct_count"],
+            float(s["distinct_percentage"]),
+        )
+        for c, s in prof["completeness"].items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, nulls bigint, null_pct double, "
+        "distinct_count bigint, distinct_pct double",
+    )
+
+
+def q_profile_numeric(spark, sf_dir):
+    """ENGINE integration gate for the numeric stats block (min/max/avg/
+    sum/stdev/quartiles through profile_table, rounded for comparison)."""
+    from sparvi_core_spark import profile_table
+
+    _views(spark, sf_dir)
+    prof = profile_table(spark, "lineitem", include_samples=False)
+    rows = [
+        (
+            c,
+            float(s["min"]),
+            float(s["max"]),
+            round(float(s["avg"]), 4),
+            round(float(s["sum"]), 2),
+            round(float(s["stdev"]), 4),
+            round(float(s["q1"]), 4),
+            round(float(s["median"]), 4),
+            round(float(s["q3"]), 4),
+        )
+        for c, s in prof["numeric_stats"].items()
+        if c in NUMERIC_MEASURES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, min double, max double, avg double, sum double, "
+        "stdev double, q1 double, median double, q3 double",
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Flagship: TPC-H-Q1-shaped pricing summary — predicate pushdown to
     parquet, map-side partial aggregation, one shuffle on the tiny
@@ -712,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_cardinality_flag": q_fk_cardinality_flag,
         "row_growth_flag": q_row_growth_flag,
         "validation_results": q_validation_results,
+        "profile_completeness": q_profile_completeness,
+        "profile_numeric": q_profile_numeric,
         "pricing_summary": q_pricing_summary,
         "sample_rows": q_sample_rows,
         "mode_values": q_mode_values,
@@ -940,6 +997,48 @@ UNION ALL
 SELECT 'avg_price_between',
        (SELECT ROUND(AVG(o_totalprice), 4) FROM orders),
        (SELECT ROUND(AVG(o_totalprice), 4) FROM orders) BETWEEN 1000.0 AND 1000000.0"""
+
+    # the engine rounds with Python round() (reference behavior,
+    # profile_engine.py:418) — round-half-even over the true double.
+    # DuckDB ROUND is decimal-half-up; printf matches Python exactly.
+    pyround = "CAST(printf('%.{n}f', {x}) AS DOUBLE)"
+    comp_branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, nulls_{c} AS nulls, "
+        + pyround.format(n=2, x=f"nulls_{c} * 100.0 / rc")
+        + f" AS null_pct, distinct_{c} AS distinct_count, "
+        + pyround.format(n=2, x=f"distinct_{c} * 100.0 / rc")
+        + " AS distinct_pct FROM s"
+        for c in LINEITEM_COLS
+    )
+    o["profile_completeness"] = (
+        "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS rc, "
+        + ", ".join(
+            f"CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS nulls_{c}, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_{c}"
+            for c in LINEITEM_COLS
+        )
+        + " FROM lineitem) "
+        + comp_branches
+    )
+
+    num_branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST(MIN({c}) AS DOUBLE) AS min, "
+        f"CAST(MAX({c}) AS DOUBLE) AS max, "
+        + pyround.format(n=4, x=f"AVG({c})")
+        + " AS avg, "
+        + pyround.format(n=2, x=f"SUM({c})")
+        + " AS sum, "
+        + pyround.format(n=4, x=f"STDDEV_SAMP({c})")
+        + " AS stdev, "
+        + pyround.format(n=4, x=f"quantile_cont({c}, 0.25)")
+        + " AS q1, "
+        + pyround.format(n=4, x=f"quantile_cont({c}, 0.5)")
+        + " AS median, "
+        + pyround.format(n=4, x=f"quantile_cont({c}, 0.75)")
+        + " AS q3 FROM lineitem"
+        for c in NUMERIC_MEASURES
+    )
+    o["profile_numeric"] = num_branches
 
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

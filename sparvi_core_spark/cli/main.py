@@ -61,8 +61,10 @@ def cli():
 @click.option("--output", default=None, help="Write profile JSON to this path")
 @click.option("--compare", default=None, help="Historical profile JSON for anomaly detection")
 @click.option("--no-samples", is_flag=True, default=False)
+@click.option("--approx", is_flag=True, default=False,
+              help="HLL distincts + sketch percentiles (the large-scale mode)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def profile(source, table, fmt, output, compare, no_samples, cpus):
+def profile(source, table, fmt, output, compare, no_samples, approx, cpus):
     """Profile TABLE from SOURCE (a directory of parquet files, or a file path)."""
     spark = _session(cpus)
     _register_source(spark, source, table)
@@ -70,8 +72,14 @@ def profile(source, table, fmt, output, compare, no_samples, cpus):
     if compare:
         with open(compare) as f:
             historical = json.load(f)
+    config = (
+        {"profiling": {"approx_distinct": True, "approx_percentiles": True}}
+        if approx
+        else None
+    )
     prof = profile_table(
-        spark, table, historical_data=historical, include_samples=not no_samples
+        spark, table, historical_data=historical,
+        include_samples=not no_samples, config=config,
     )
     if output:
         with open(output, "w") as f:
