@@ -60,11 +60,13 @@ def cli():
 @click.option("--format", "fmt", default="table", type=click.Choice(["table", "json", "minimal"]))
 @click.option("--output", default=None, help="Write profile JSON to this path")
 @click.option("--compare", default=None, help="Historical profile JSON for anomaly detection")
+@click.option("--history-dir", default=None,
+              help="Snapshot store: compare vs last run, populate trends, append this run")
 @click.option("--no-samples", is_flag=True, default=False)
 @click.option("--approx", is_flag=True, default=False,
               help="HLL distincts + sketch percentiles (the large-scale mode)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def profile(source, table, fmt, output, compare, no_samples, approx, cpus):
+def profile(source, table, fmt, output, compare, history_dir, no_samples, approx, cpus):
     """Profile TABLE from SOURCE (a directory of parquet files, or a file path)."""
     spark = _session(cpus)
     _register_source(spark, source, table)
@@ -77,10 +79,18 @@ def profile(source, table, fmt, output, compare, no_samples, approx, cpus):
         if approx
         else None
     )
-    prof = profile_table(
-        spark, table, historical_data=historical,
-        include_samples=not no_samples, config=config,
-    )
+    if history_dir:
+        from sparvi_core_spark.profiler.history import profile_with_history
+
+        prof = profile_with_history(
+            spark, table, history_dir,
+            include_samples=not no_samples, config=config,
+        )
+    else:
+        prof = profile_table(
+            spark, table, historical_data=historical,
+            include_samples=not no_samples, config=config,
+        )
     if output:
         with open(output, "w") as f:
             json.dump(prof, f, indent=2, default=str)
@@ -131,6 +141,10 @@ def profile(source, table, fmt, output, compare, no_samples, approx, cpus):
         click.echo("\nSchema shifts:")
         for s in prof["schema_shifts"]:
             click.echo(f"  [{s['severity']}] {s['type']}: {s['description']}")
+    rc_trend = (prof.get("trends") or {}).get("row_counts") or []
+    if len(rc_trend) > 1:
+        series = " -> ".join(str(x["value"]) for x in rc_trend[-10:])
+        click.echo(f"\nRow-count trend ({len(rc_trend)} runs): {series}")
 
 
 @cli.command()
