@@ -134,7 +134,10 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, est_jaccard). The signature frame is computed
     once and reused for both candidate generation and verification.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # the signature frame is consumed three times (banding + both sides
+    # of the verification join) — materialize it once; it's tiny
+    # (docs x K hashes) relative to the corpus
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     a = sig.alias("sa")
     b = sig.alias("sb")
