@@ -1,0 +1,81 @@
+"""End-to-end training-corpus preparation: the engine's operators
+composed into the standard LLM-data pipeline shape:
+
+    quality-score → quality-filter → near-dup detection → survivor keep
+
+One call produces the cleaned corpus plus a per-stage attrition report —
+the numbers a data curator actually monitors.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparvi_core_spark.functions.text import quality_features
+from sparvi_core_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    dedup_threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Returns (clean_df, report).
+
+    clean_df: surviving rows of ``docs`` plus a ``quality_score``
+    column. Near-dup clusters keep their minimum-id member (the
+    deterministic survivor from ``dedup_clusters``).
+
+    report: {input_docs, low_quality_dropped, near_dup_dropped,
+    output_docs, near_dup_clusters}.
+
+    All heavy stages are the scale-hardened operators (LSH candidate
+    join, CC label propagation); the joins against the small
+    quality/cluster frames broadcast.
+    """
+    n_input = docs.count()
+
+    q = quality_features(docs, id_col, text_col).select(
+        F.col("id"), F.col("quality_score")
+    )
+    scored = docs.join(
+        q, docs[id_col] == q["id"], "left"
+    ).drop("id")
+    kept_quality = scored.filter(
+        F.coalesce(F.col("quality_score"), F.lit(0.0)) >= min_quality
+    )
+    n_quality = kept_quality.count()
+
+    pairs = minhash_dedup_pairs(
+        kept_quality,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=dedup_threshold,
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    n_clusters = clusters.select("cluster").distinct().count()
+
+    clean = kept_quality.join(
+        F.broadcast(losers),
+        kept_quality[id_col] == losers["id"],
+        "left_anti",
+    )
+    n_output = clean.count()
+
+    report = {
+        "input_docs": n_input,
+        "low_quality_dropped": n_input - n_quality,
+        "near_dup_dropped": n_quality - n_output,
+        "near_dup_clusters": n_clusters,
+        "output_docs": n_output,
+    }
+    return clean, report

@@ -1,0 +1,31 @@
+"""Corpus-preparation pipeline: attrition accounting and survivor rules."""
+
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.pipeline import prepare_corpus
+
+
+def test_prepare_corpus_on_driver_docs(spark, views):
+    clean, report = prepare_corpus(
+        views["documents"], min_quality=0.2, dedup_threshold=0.5
+    )
+    assert report["input_docs"] == 500
+    assert (
+        report["output_docs"]
+        == report["input_docs"]
+        - report["low_quality_dropped"]
+        - report["near_dup_dropped"]
+    )
+    assert report["near_dup_dropped"] > 0, "planted near-dups must be removed"
+    assert "quality_score" in clean.columns
+    assert clean.count() == report["output_docs"]
+
+
+def test_prepare_corpus_survivor_is_min_id(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [(10, base), (3, base), (99, "totally different words in this document " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, report = prepare_corpus(df, min_quality=0.0, dedup_threshold=0.8)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids == {3, 99}, "min-id survivor keeps 3, drops 10"
+    assert report["near_dup_dropped"] == 1
