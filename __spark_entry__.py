@@ -394,6 +394,55 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped: 3-way fact join + revenue ranking, top 10.
+    customer filter prunes the broadcast side; date filters push into
+    both fact scans."""
+    t = _views(spark, sf_dir)
+    cutoff = F.lit("1998-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped: pure filter + agg — every predicate reaches the
+    parquet scan (no join, no shuffle beyond the final reduce)."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return df.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_effect"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_sample_rows(spark, sf_dir):
     """S6 — deterministic display sample (ORDER BY key LIMIT 10; the
     reference's LIMIT-without-order made deterministic for parity)."""
@@ -770,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_completeness": q_profile_completeness,
         "profile_numeric": q_profile_numeric,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
         "sample_rows": q_sample_rows,
         "mode_values": q_mode_values,
         "systematic_sample": q_systematic_sample,
@@ -1054,6 +1105,29 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
+
+    o["shipping_priority"] = """
+SELECT l_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, order_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+    o["forecast_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24"""
 
     o["sample_rows"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

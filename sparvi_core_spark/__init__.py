@@ -10,7 +10,7 @@ Public API mirrors ``sparvi/__init__.py:22-32`` with the connection
 string replaced by a SparkSession.
 """
 
-from sparvi_core_spark.profiler.engine import profile_table
+from sparvi_core_spark.profiler.engine import profile_table, profile_tables
 from sparvi_core_spark.profiler.compare import (
     build_trends,
     detect_anomalies,
@@ -28,6 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "profile_table",
+    "profile_tables",
     "run_validations",
     "load_rules_from_file",
     "get_default_validations",

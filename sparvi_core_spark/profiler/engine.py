@@ -78,6 +78,30 @@ def _to_date(v):
     return v
 
 
+def profile_tables(
+    spark: SparkSession,
+    tables: list[str],
+    include_samples: bool = False,
+    config: dict | None = None,
+    parallelism: int = 4,
+) -> dict[str, dict[str, Any]]:
+    """Profile several tables concurrently on the shared session —
+    per-table jobs interleave on the scheduler, overlapping scans the
+    way the reference's sequential per-table round-trips never could."""
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as ex:
+        futures = {
+            t: ex.submit(
+                profile_table,
+                spark,
+                t,
+                include_samples=include_samples,
+                config=config,
+            )
+            for t in tables
+        }
+        return {t: f.result() for t, f in futures.items()}
+
+
 def profile_table(
     spark: SparkSession,
     table: str,

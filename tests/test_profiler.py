@@ -97,3 +97,12 @@ def test_approx_mode(spark, views):
         a = approx["completeness"][col]["distinct_count"]
         assert abs(a - e) <= max(5, 0.1 * e), f"{col}: approx {a} vs exact {e}"
     assert approx["numeric_stats"]["l_quantity"]["median"] is not None
+
+
+def test_profile_tables_concurrent(spark, views):
+    from sparvi_core_spark import profile_tables
+
+    out = profile_tables(spark, ["region", "nation", "supplier"])
+    assert set(out) == {"region", "nation", "supplier"}
+    assert out["region"]["row_count"] == 5
+    assert out["nation"]["row_count"] == 25
