@@ -72,3 +72,20 @@ def test_profiler_scan_prunes_to_numeric_for_outliers(spark, views):
     b = bucket_columns(df.schema)
     pairs = _stack_pairs(df, b.numeric, "double")
     assert scan_columns(pairs) == set(b.numeric)
+
+
+def test_shipping_priority_plan(spark):
+    df = entrymod.q_shipping_priority(spark, SF)
+    assert has_broadcast_hash_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "o_orderdate" in pf and "c_mktsegment" in pf
+
+
+def test_forecast_revenue_fully_pushed(spark):
+    df = entrymod.q_forecast_revenue(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, f"{c} not pushed: {pf}"
+    assert scan_columns(df) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
