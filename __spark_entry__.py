@@ -579,6 +579,17 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup_stats(t["documents"], ["text"])
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup over the normalized text form — catches duplicates
+    that differ only in case/punctuation/whitespace."""
+    from sparvi_core_spark.functions.text import normalize_text
+    from sparvi_core_spark.operators.dedup import exact_dedup_stats
+
+    t = _views(spark, sf_dir)
+    normalized = t["documents"].select(normalize_text("text").alias("norm_text"))
+    return exact_dedup_stats(normalized, ["norm_text"])
+
+
 def q_minhash_signatures(spark, sf_dir):
     from sparvi_core_spark.operators.dedup import minhash_signatures
 
@@ -831,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup_counts": q_rollup_counts,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1196,6 +1208,18 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
        CAST(SUM(cnt - 1) AS BIGINT) AS surplus_rows,
        CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS duplicated_groups
 FROM (SELECT text, COUNT(*) AS cnt FROM documents GROUP BY text) g"""
+
+    o["dedup_exact_normalized"] = """
+WITH norm AS (
+    SELECT trim(regexp_replace(regexp_replace(lower(text),
+        '[.,!?;:''"()\\[\\]{}]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       CAST(SUM(cnt - 1) AS BIGINT) AS surplus_rows,
+       CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS duplicated_groups
+FROM (SELECT norm_text, COUNT(*) AS cnt FROM norm GROUP BY norm_text) g"""
 
     o["minhash_signatures"] = f"""
 WITH sh AS (

@@ -123,6 +123,16 @@ def fingerprints(
     )
 
 
+def normalize_text(text_col: str = "text") -> F.Column:
+    """Canonical text form for exact-dup detection across formatting
+    noise: lowercase, punctuation stripped, whitespace collapsed+trimmed.
+    Pure built-ins — runs inside codegen."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[.,!?;:'\"()\[\]{}]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
