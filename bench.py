@@ -54,7 +54,9 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    def bench(name, fn):
+    def bench(name, fn, warmup: bool = True):
+        if warmup:  # JIT/codegen/page-cache warm-up → stabler timings
+            fn()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
