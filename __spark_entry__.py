@@ -455,6 +455,34 @@ def q_sample_rows(spark, sf_dir):
     )
 
 
+def q_column_entropy(spark, sf_dir):
+    """Shannon entropy per categorical column (skew/balance metric the
+    profiler's top-1 share can't capture) — all columns in one stacked
+    pass, same fused shape as the frequent-values job."""
+    t = _views(spark, sf_dir)
+    df = t["orders"]
+    cols = ["o_orderstatus", "o_orderpriority"]
+    args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {args})").alias("col_name", "value")
+    ).filter(F.col("value").isNotNull())
+    counts = pairs.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_total = counts.groupBy("col_name").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_values")
+    )
+    p = counts.join(w_total, "col_name").select(
+        "col_name",
+        "n_values",
+        (F.col("cnt") / F.col("total")).alias("p"),
+    )
+    return p.groupBy("col_name").agg(
+        F.max("n_values").cast("bigint").alias("n_values"),
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("entropy_nats"),
+    )
+
+
 def q_mode_values(spark, sf_dir):
     """A11 variant — F.mode (Spark 3.4+) for value-only top-1."""
     t = _views(spark, sf_dir)
@@ -833,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
         "sample_rows": q_sample_rows,
+        "column_entropy": q_column_entropy,
         "mode_values": q_mode_values,
         "systematic_sample": q_systematic_sample,
         "group_topk": q_group_topk,
@@ -1144,6 +1173,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     o["sample_rows"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"""
+
+    o["column_entropy"] = """
+WITH pairs AS (
+    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value FROM orders
+    WHERE o_orderstatus IS NOT NULL
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    WHERE o_orderpriority IS NOT NULL
+),
+counts AS (
+    SELECT col_name, value, COUNT(*) AS cnt FROM pairs GROUP BY col_name, value
+),
+totals AS (
+    SELECT col_name, SUM(cnt) AS total, COUNT(*) AS n_values
+    FROM counts GROUP BY col_name
+)
+SELECT c.col_name,
+       CAST(MAX(t.n_values) AS BIGINT) AS n_values,
+       ROUND(-SUM((c.cnt * 1.0 / t.total) * ln(c.cnt * 1.0 / t.total)), 4) AS entropy_nats
+FROM counts c JOIN totals t ON c.col_name = t.col_name
+GROUP BY c.col_name"""
 
     o["mode_values"] = """
 SELECT mode(l_returnflag) AS mode_returnflag,
