@@ -455,6 +455,18 @@ def q_sample_rows(spark, sf_dir):
     )
 
 
+def q_numeric_correlations(spark, sf_dir):
+    """Pearson correlation between measure pairs — one fused agg
+    (co-moment accumulation, streaming, single scan)."""
+    t = _views(spark, sf_dir)
+    df = t["lineitem"]
+    return df.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+    )
+
+
 def q_column_entropy(spark, sf_dir):
     """Shannon entropy per categorical column (skew/balance metric the
     profiler's top-1 share can't capture) — all columns in one stacked
@@ -861,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
         "sample_rows": q_sample_rows,
+        "numeric_correlations": q_numeric_correlations,
         "column_entropy": q_column_entropy,
         "mode_values": q_mode_values,
         "systematic_sample": q_systematic_sample,
@@ -1173,6 +1186,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     o["sample_rows"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"""
+
+    o["numeric_correlations"] = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+       ROUND(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+FROM lineitem"""
 
     o["column_entropy"] = """
 WITH pairs AS (
