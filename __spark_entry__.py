@@ -1440,10 +1440,10 @@ WITH base AS (
     FROM documents WHERE doc_id < 100
 )
 SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(no_space * 1.0 / n_tokens, 4) AS avg_token_len,
+       ROUND(no_space * 1.0 / GREATEST(n_tokens, 1), 4) AS avg_token_len,
        ROUND(punct * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
-       ROUND(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
-       ROUND(0.4 * LEAST(1.0, n_tokens / 100.0) + 0.3 * (stop_hits * 1.0 / n_tokens)
+       ROUND(stop_hits * 1.0 / GREATEST(n_tokens, 1), 4) AS stopword_ratio,
+       ROUND(0.4 * LEAST(1.0, n_tokens / 100.0) + 0.3 * (stop_hits * 1.0 / GREATEST(n_tokens, 1))
              + 0.3 * (1 - punct * 1.0 / GREATEST(LENGTH(text), 1)), 4) AS quality_score
 FROM base"""
 

@@ -100,7 +100,11 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
         return
     click.echo(f"Table: {prof['table']}")
     click.echo(f"Row count: {prof['row_count']}")
-    click.echo(f"Duplicate row groups: {prof['duplicate_count']}")
+    dup = prof["duplicate_count"]
+    click.echo(
+        "Duplicate row groups: "
+        + ("(skipped: wide table)" if dup is None else str(dup))
+    )
     if fmt == "minimal":
         return
     click.echo("\nCompleteness:")
@@ -132,7 +136,12 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
     if prof["frequent_values"]:
         click.echo("\nMost frequent values:")
         for col, s in prof["frequent_values"].items():
-            click.echo(f"  {col}: {s['value']!r} x{s['frequency']} ({s['percentage']}%)")
+            if "skipped" in s:
+                click.echo(f"  {col}: (skipped: {s['skipped']})")
+            else:
+                click.echo(
+                    f"  {col}: {s['value']!r} x{s['frequency']} ({s['percentage']}%)"
+                )
     if prof.get("anomalies"):
         click.echo("\nAnomalies:")
         for a in prof["anomalies"]:

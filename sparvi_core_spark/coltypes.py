@@ -18,8 +18,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql.types import (
+    ArrayType,
     DataType,
     DateType,
+    MapType,
     NumericType,
     StringType,
     StructType,
@@ -31,6 +33,23 @@ NUMERIC = "numeric"
 DATE = "date"
 TEXT = "text"
 OTHER = "other"
+
+
+def is_orderable(dt: DataType) -> bool:
+    """Whether Spark can group/sort/count-distinct this type.
+
+    MapType (at any nesting depth) is not orderable — using it in a
+    ``groupBy``/``count_distinct`` throws. The profiler excludes such
+    columns from distinct/duplicate/frequency metrics instead of
+    failing the whole profile (graceful degradation, mirroring the
+    reference's per-metric try/except)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return is_orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def bucket_of(dt: DataType) -> str:
@@ -50,6 +69,8 @@ class ColumnBuckets:
     text: list[str] = field(default_factory=list)
     date: list[str] = field(default_factory=list)
     other: list[str] = field(default_factory=list)
+    #: columns safe for groupBy / count_distinct (excludes MapType etc.)
+    groupable: list[str] = field(default_factory=list)
     types: dict[str, DataType] = field(default_factory=dict)
 
 
@@ -58,6 +79,8 @@ def bucket_columns(schema: StructType) -> ColumnBuckets:
     for f in schema.fields:
         b.all.append(f.name)
         b.types[f.name] = f.dataType
+        if is_orderable(f.dataType):
+            b.groupable.append(f.name)
         kind = bucket_of(f.dataType)
         if kind == NUMERIC:
             b.numeric.append(f.name)

@@ -31,6 +31,13 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "approx_distinct_rsd": 0.05,
         "approx_percentiles": False,
         "approx_percentile_accuracy": 10_000,
+        # Auto-flip to approx mode when the Catalyst size estimate of the
+        # input exceeds this many bytes (exact distinct plans an Expand and
+        # exact percentiles are object-hash aggregates — neither is the
+        # right default on a 100 TB table). Explicit approx_* settings
+        # (caller overrides or SPARVI_* env) always win.
+        "auto_approx": True,
+        "auto_approx_size_bytes": 16 * 1024**3,
         # Skip the full-width duplicate-row groupBy above this many columns
         # (wide fact tables at 100 TB: a groupBy over every column shuffles
         # the entire table; prefer an opt-in).

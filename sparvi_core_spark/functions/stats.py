@@ -24,6 +24,12 @@ def histogram(
     """
     if lo is None or hi is None:
         row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            # empty or all-null column: no bins — return an empty frame
+            # with the output schema instead of raising
+            return df.sparkSession.createDataFrame(
+                [], "bin int, bin_lo double, bin_hi double, count bigint"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:

@@ -72,13 +72,17 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_PATTERN), F.lit(0))
     )
     stop_hits = _stop_hits(toks, STOPWORDS["en"])
-    avg_token_len = F.round(no_space / n_tokens, 4)
-    punct_ratio = F.round(punct / F.greatest(F.length(F.col(text_col)), F.lit(1)), 4)
-    stop_ratio = F.round(stop_hits / n_tokens, 4)
+    # empty-doc guard: clamp denominators to 1 so empty/whitespace-only
+    # documents get zeroed features instead of a divide-by-zero error
+    tok_d = F.greatest(n_tokens, F.lit(1))
+    chr_d = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    avg_token_len = F.round(no_space / tok_d, 4)
+    punct_ratio = F.round(punct / chr_d, 4)
+    stop_ratio = F.round(stop_hits / tok_d, 4)
     score = F.round(
         0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.3 * (stop_hits / n_tokens)
-        + 0.3 * (1 - punct / F.greatest(F.length(F.col(text_col)), F.lit(1))),
+        + 0.3 * (stop_hits / tok_d)
+        + 0.3 * (1 - punct / chr_d),
         4,
     )
     return df.select(

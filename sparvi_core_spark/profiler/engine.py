@@ -32,6 +32,7 @@ a full-width groupBy of a wide fact table is an opt-in, not a default).
 from __future__ import annotations
 
 import datetime
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -55,11 +56,25 @@ def _q(name: str) -> str:
 def _stack_pairs(df: DataFrame, cols: list[str], cast_to: str) -> DataFrame:
     """(col_name, col_value) rows from N columns in one projection."""
     args = ", ".join(
-        f"'{c}', cast({_q(c)} as {cast_to})" for c in cols
+        "'{}', cast({} as {})".format(c.replace("'", "''"), _q(c), cast_to)
+        for c in cols
     )
     return df.select(
         F.expr(f"stack({len(cols)}, {args})").alias("col_name", "col_value")
     )
+
+
+def _estimate_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's pre-execution size estimate for the plan (bytes).
+
+    Plans with unknown stats report ``spark.sql.defaultSizeInBytes``
+    (Long.MaxValue by default) — treat anything that large as unknown
+    rather than "huge"."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if est >= 1 << 62 else est
 
 
 def _restore_value(val: str, kind: str):
@@ -124,6 +139,23 @@ def profile_table(
         df = read_table(spark, table)
     b = bucket_columns(df.schema)
 
+    # Scale-adaptive defaults: above the size threshold, flip to approx
+    # distincts (HLL, fuses into the streaming agg) and approx
+    # percentiles unless the caller pinned them explicitly (overrides or
+    # SPARVI_PROFILING_APPROX_* env).
+    explicit = set((config or {}).get("profiling", {}))
+    explicit |= {
+        k
+        for k in ("approx_distinct", "approx_percentiles")
+        if f"SPARVI_PROFILING_{k.upper()}" in os.environ
+    }
+    if p["auto_approx"]:
+        est = _estimate_size_bytes(df)
+        if est is not None and est > p["auto_approx_size_bytes"]:
+            for k in ("approx_distinct", "approx_percentiles"):
+                if k not in explicit:
+                    p[k] = True
+
     # --- J1: wide aggregation(s) ---------------------------------------
     # Plan-shape rules (each measured at sf0.1, see SCALE.md):
     # * exact count_distinct plans an Expand; exact/approx percentile is
@@ -143,7 +175,7 @@ def profile_table(
     nd_exprs += M.text_pattern_exprs(b.text)
     nd_exprs += M.date_stats_exprs(b.date)
     d_exprs = M.distinct_count_exprs(
-        b.all, approx=p["approx_distinct"], rsd=p["approx_distinct_rsd"]
+        b.groupable, approx=p["approx_distinct"], rsd=p["approx_distinct_rsd"]
     )
     pct_exprs = M.percentile_exprs(
         b.numeric,
@@ -173,19 +205,27 @@ def profile_table(
     try:
         # --- assembly of J1 families (driver-side, no Spark work) ------
         completeness = {}
+        groupable = set(b.groupable)
         for c in b.all:
             nulls = wide[M.a("nulls", c)] or 0
-            distinct = wide[M.a("distinct", c)] or 0
-            completeness[c] = {
+            entry = {
                 "nulls": nulls,
                 "null_percentage": round(nulls / row_count * 100, 2)
                 if row_count > 0
                 else 0,
-                "distinct_count": distinct,
-                "distinct_percentage": round(distinct / row_count * 100, 2)
-                if row_count > 0
-                else 0,
             }
+            if c in groupable:
+                distinct = wide.get(M.a("distinct", c)) or 0
+                entry["distinct_count"] = distinct
+                entry["distinct_percentage"] = (
+                    round(distinct / row_count * 100, 2) if row_count > 0 else 0
+                )
+            else:
+                # non-groupable column (e.g. MapType): distinct is not
+                # computable in Spark — explicit None beats a silent 0
+                entry["distinct_count"] = None
+                entry["distinct_percentage"] = None
+            completeness[c] = entry
 
         numeric_stats = {}
         stats_for_outliers = {}
@@ -237,23 +277,36 @@ def profile_table(
         # (dup groups, frequent values, outliers, samples share no state;
         # the scheduler interleaves their stages across the cluster)
 
-        def j2_duplicates() -> int:
-            # A4 — duplicated full-row groups
-            if not b.all or len(b.all) > p["duplicate_check_max_columns"]:
-                return 0
-            if p["duplicate_check_mode"] == "hash":
-                # one md5 per row through the shuffle instead of the
-                # full row — the wide-table scale path
-                key = F.md5(
-                    F.concat_ws(
-                        "\x1f",
-                        *[
-                            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                            for c in b.all
-                        ],
+        def _row_hash_key():
+            # One md5 per row through the shuffle instead of the full
+            # row — the wide-table scale path. Each field is
+            # length-prefixed ("<len>:<value>", NULL → "\x00") so field
+            # boundaries and NULLs are unambiguous: ('a\x1fb',) vs
+            # ('a','b') and a literal '\x00' string vs NULL all hash
+            # differently.
+            parts = []
+            for c in b.all:
+                s = F.col(c).cast("string")
+                parts.append(
+                    F.when(s.isNull(), F.lit("\x00")).otherwise(
+                        F.concat(F.length(s).cast("string"), F.lit(":"), s)
                     )
                 )
-                groups = df.groupBy(key.alias("__rowhash"))
+            return F.md5(F.concat_ws("\x1f", *parts))
+
+        def j2_duplicates() -> int | None:
+            # A4 — duplicated full-row groups. Returns None (not 0) when
+            # the check is skipped: a silent 0 is indistinguishable from
+            # "no duplicates".
+            if not b.all or len(b.all) > p["duplicate_check_max_columns"]:
+                return None
+            mode = p["duplicate_check_mode"]
+            if mode != "hash" and len(b.groupable) < len(b.all):
+                # full-row groupBy cannot include non-orderable columns
+                # (MapType) — degrade to the hash key, which can.
+                mode = "hash"
+            if mode == "hash":
+                groups = df.groupBy(_row_hash_key().alias("__rowhash"))
             else:
                 groups = df.groupBy(*b.all)
             return groups.count().filter(F.col("count") > 1).count()
@@ -268,11 +321,19 @@ def profile_table(
             out: dict = {}
             freq_cols = [
                 c
-                for c in b.all
-                if (wide[M.a("distinct", c)] or 0)
+                for c in b.groupable
+                if (wide.get(M.a("distinct", c)) or 0)
                 <= row_count * p["frequent_values_max_distinct_fraction"]
             ]
-            if not (0 < row_count <= p["frequent_values_row_threshold"]) or not freq_cols:
+            # Surface skipped columns explicitly (absence ≠ "no data"):
+            # near-unique columns whose top-1 would be noise, and
+            # non-groupable columns.
+            for c in b.all:
+                if c not in freq_cols:
+                    out[c] = {"skipped": "near_unique" if c in groupable else "not_groupable"}
+            if not (0 < row_count <= p["frequent_values_row_threshold"]):
+                return {c: {"skipped": "row_threshold"} for c in b.all}
+            if not freq_cols:
                 return out
             pairs = _stack_pairs(df, freq_cols, "string").filter(
                 F.col("col_value").isNotNull()
@@ -338,15 +399,28 @@ def profile_table(
                 return []
             return [r.asDict() for r in df.limit(p["sample_row_limit"]).collect()]
 
+        # Per-metric error isolation (the reference wraps each metric
+        # block in try/except and degrades gracefully — same contract):
+        # one failing job yields its default + an entry in
+        # profile["errors"] instead of failing the whole profile.
+        errors: dict[str, str] = {}
+
+        def _safe(name, fut, default):
+            try:
+                return fut.result()
+            except Exception as ex:  # noqa: BLE001 — degrade, don't die
+                errors[name] = f"{type(ex).__name__}: {ex}"
+                return default
+
         with ThreadPoolExecutor(max_workers=4) as ex:
             f2 = ex.submit(j2_duplicates)
             f3 = ex.submit(j3_frequent_values)
             f4 = ex.submit(j4_outliers)
             f5 = ex.submit(j5_samples)
-            duplicate_count = f2.result()
-            frequent_values = f3.result()
-            outliers = f4.result()
-            samples = f5.result()
+            duplicate_count = _safe("duplicate_count", f2, None)
+            frequent_values = _safe("frequent_values", f3, {})
+            outliers = _safe("outliers", f4, {})
+            samples = _safe("samples", f5, [])
     finally:
         if cached:
             df.unpersist()
@@ -364,6 +438,16 @@ def profile_table(
         "frequent_values": frequent_values,
         "outliers": outliers,
     }
+    # record which metric families are approximate (auto-flip or caller
+    # choice) so consumers never mistake a sketch for an exact number
+    profile["approx_mode"] = {
+        "distinct": bool(p["approx_distinct"]),
+        "percentiles": bool(p["approx_percentiles"]),
+    }
+    if duplicate_count is None and "duplicate_count" not in errors:
+        profile["duplicate_check"] = "skipped_wide_table"
+    if errors:
+        profile["errors"] = errors
     if include_samples and samples:
         profile["samples"] = samples
 

@@ -25,8 +25,11 @@ def profile_to_metrics(spark: SparkSession, profile: dict[str, Any]) -> DataFram
     ts = profile.get("timestamp", "")
     rows: list[tuple] = [
         (t, ts, "row_count", None, float(profile.get("row_count") or 0)),
-        (t, ts, "duplicate_count", None, float(profile.get("duplicate_count") or 0)),
     ]
+    if profile.get("duplicate_count") is not None:
+        rows.append(
+            (t, ts, "duplicate_count", None, float(profile["duplicate_count"]))
+        )
     for col, s in (profile.get("completeness") or {}).items():
         for m in ("nulls", "null_percentage", "distinct_count", "distinct_percentage"):
             if s.get(m) is not None:

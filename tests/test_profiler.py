@@ -106,3 +106,130 @@ def test_profile_tables_concurrent(spark, views):
     assert set(out) == {"region", "nation", "supplier"}
     assert out["region"]["row_count"] == 5
     assert out["nation"]["row_count"] == 25
+
+
+def test_wide_table_duplicate_guard_returns_none(spark, employees):
+    """A4 guard: above the column cap the duplicate check is SKIPPED —
+    duplicate_count must be None with an explicit marker, never a 0
+    that reads as 'no duplicates'."""
+    p = profile_table(
+        spark,
+        "employees",
+        include_samples=False,
+        config={"profiling": {"duplicate_check_max_columns": 2}},
+    )
+    assert p["duplicate_count"] is None
+    assert p["duplicate_check"] == "skipped_wide_table"
+
+
+def test_frequent_values_skip_marker(spark, employees):
+    """Near-unique columns get an explicit skipped marker (absence would
+    read as 'no data')."""
+    p = profile_table(spark, "employees", include_samples=False)
+    # id/name are unique (distinct fraction 1.0 > 0.5 cap)
+    assert p["frequent_values"]["id"] == {"skipped": "near_unique"}
+    assert p["frequent_values"]["name"] == {"skipped": "near_unique"}
+    # department is low-cardinality and still gets a real top-1
+    assert p["frequent_values"]["department"]["value"] == "Finance"
+
+
+def test_map_column_degrades_gracefully(spark):
+    """Per-metric isolation: a MapType column (not orderable — would
+    blow up count_distinct / full-row groupBy) must not fail the
+    profile; distinct metrics for it are None and the duplicate check
+    degrades to the hash key."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(
+        F.col("id"),
+        F.create_map(F.lit("k"), (F.col("id") % 2).cast("string")).alias("props"),
+    )
+    p = profile_table(spark, "maps_t", df=df, include_samples=False)
+    assert p["row_count"] == 6
+    assert p["completeness"]["props"]["distinct_count"] is None
+    assert p["completeness"]["props"]["nulls"] == 0
+    assert p["completeness"]["id"]["distinct_count"] == 6
+    # full mode degraded to hash: id is unique so no duplicate groups
+    assert p["duplicate_count"] == 0
+    assert "errors" not in p
+
+
+def test_quoted_column_name_profile(spark):
+    """A column name containing a single quote must survive the stacked
+    frequent-values/outlier jobs (identifier + label escaping)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(9).select(
+        (F.col("id") % 3).cast("string").alias("it's"),
+        (F.col("id") % 2).cast("double").alias("n"),
+    )
+    p = profile_table(spark, "quoted_t", df=df, include_samples=False)
+    assert "errors" not in p
+    assert p["frequent_values"]["it's"]["frequency"] == 3
+
+
+def test_auto_approx_flips_above_size_threshold(spark, views):
+    """Scale-adaptive default: above the size estimate threshold the
+    profiler flips to approx distincts/percentiles on its own (exact
+    plans an Expand — wrong default at 100 TB). Explicit settings win,
+    and unknown-stats plans (temp views over local data) never flip."""
+    # parquet-backed table has a real Catalyst size estimate;
+    # threshold of 1 byte trips it
+    p = profile_table(
+        spark,
+        "lineitem",
+        include_samples=False,
+        config={"profiling": {"auto_approx_size_bytes": 1}},
+    )
+    assert p["approx_mode"] == {"distinct": True, "percentiles": True}
+    assert p["numeric_stats"]["l_quantity"]["median"] is not None
+    # explicit exact pin wins over auto
+    p2 = profile_table(
+        spark,
+        "lineitem",
+        include_samples=False,
+        config={
+            "profiling": {
+                "auto_approx_size_bytes": 1,
+                "approx_distinct": False,
+                "approx_percentiles": False,
+            }
+        },
+    )
+    assert p2["approx_mode"] == {"distinct": False, "percentiles": False}
+
+
+def test_auto_approx_defaults_stay_exact_small(spark, employees):
+    """Default threshold (16 GiB): a tiny table stays exact."""
+    p = profile_table(spark, "employees", include_samples=False)
+    assert p["approx_mode"] == {"distinct": False, "percentiles": False}
+
+
+def test_hash_duplicate_mode_field_boundaries(spark):
+    """Hash dup mode must not conflate ('a\\x1fb',) with ('a','b') or a
+    literal '\\x00' with NULL (length-prefixed field encoding)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    rows = [
+        ("a\x1fb", None),   # would concat-collide with ('a', 'b\x00'-ish)
+        ("a", "b"),
+        ("\x00", None),     # literal \x00 string vs NULL
+        (None, None),
+        ("x", "y"),
+        ("x", "y"),         # the only real duplicate pair
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = profile_table(
+        spark,
+        "hashdup_t",
+        df=df,
+        include_samples=False,
+        config={"profiling": {"duplicate_check_mode": "hash"}},
+    )
+    assert p["duplicate_count"] == 1

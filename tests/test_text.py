@@ -61,3 +61,33 @@ def test_fingerprints_stability(spark):
     assert got[0] == got[1]
     assert got[0] != got[2]
     assert len(got[0]) == 32
+
+
+def test_quality_features_empty_doc(spark):
+    """Empty / whitespace-only docs get zeroed features, not a
+    divide-by-zero error (ANSI mode)."""
+    from sparvi_core_spark.functions.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat")], "doc_id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in quality_features(df).collect()}
+    assert got[1]["n_tokens"] == 0
+    assert got[1]["avg_token_len"] == 0.0
+    assert got[1]["stopword_ratio"] == 0.0
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 3
+
+
+def test_histogram_empty_input(spark):
+    """All-null / empty column → empty histogram frame with the output
+    schema, instead of a TypeError on float(None)."""
+    from sparvi_core_spark.functions.stats import histogram
+
+    empty = spark.createDataFrame([], "x double")
+    out = histogram(empty, "x", bins=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["bin", "bin_lo", "bin_hi", "count"]
+
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert histogram(allnull, "x", bins=5).count() == 0
