@@ -645,10 +645,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """64-bit SimHash (32-bit birthday-collides at corpus scale)."""
     from sparvi_core_spark.operators.dedup import simhash
 
     t = _views(spark, sf_dir)
-    return simhash(t["documents"].filter(F.col("doc_id") < 50), bits=32)
+    return simhash(t["documents"].filter(F.col("doc_id") < 50), bits=64)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1327,15 +1328,18 @@ hashed AS (
 ),
 bits AS (
     SELECT id, b.bit,
-           ((strpos('0123456789abcdef', substr(h, 8 - (b.bit // 4), 1)) - 1)
+           ((strpos('0123456789abcdef', substr(h, 16 - (b.bit // 4), 1)) - 1)
             // CAST(pow(2, b.bit % 4) AS INT)) % 2 AS bitval
-    FROM hashed, (SELECT unnest(range(0, 32)) AS bit) b
+    FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
 ),
 sums AS (
     SELECT id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS s
     FROM bits GROUP BY id, bit
 )
-SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN
+           CASE WHEN bit = 63 THEN -9223372036854775808
+                ELSE CAST(pow(2, bit) AS BIGINT) END
+           ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY id"""
 
     topk_base = f"""

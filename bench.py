@@ -85,6 +85,16 @@ def main() -> None:
     ):
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 
+    # end-to-end corpus prep (quality filter → LSH dedup → survivors)
+    from sparvi_core_spark.operators.pipeline import prepare_corpus
+
+    def run_pipeline():
+        clean, _report = prepare_corpus(spark.table("documents"))
+        _force(clean.select("doc_id", "quality_score"))
+        spark.catalog.clearCache()  # drop the stage cache between runs
+
+    bench("prepare_corpus", run_pipeline)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

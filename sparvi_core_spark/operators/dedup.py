@@ -163,21 +163,57 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard for pairs sharing ≥1 shingle.
+    """Exact n-gram-set Jaccard over candidate pairs.
 
-    The shared-shingle join is the scale hazard: common shingles fan
-    out quadratically. Use after LSH candidate generation for big
-    corpora, or directly on modest ones; shingle sets are deduplicated
-    first (``distinct``) so the join is over set elements.
+    The shared-shingle self-join fans out as Σ df(shingle)² — one
+    ubiquitous shingle is quadratic at corpus scale. Two guards, on by
+    default:
+
+    - ``max_doc_freq``: shingles appearing in more than this many
+      documents are excluded from *candidate generation* (stop-shingle
+      cap — they carry no pairing signal and dominate the fan-out).
+      Jaccard itself is still computed over the FULL shingle sets, so
+      reported values are exact; only pairs sharing *nothing but*
+      stop-shingles are missed, and such pairs cannot clear a
+      meaningful threshold.
+    - ``candidates``: an (id_a, id_b) frame (e.g. from
+      ``lsh_candidate_pairs``) to verify instead of self-joining at
+      all — the 100 TB path.
     """
     sh = shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if candidates is None:
+        shj = sh
+        if max_doc_freq is not None:
+            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
+            # stop-shingles are by definition few (high-df tail) — broadcast
+            shj = sh.join(F.broadcast(stop), "shingle", "left_anti")
+        a = shj.alias("a")
+        b = shj.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    # exact shared-shingle count for candidate pairs (over ALL shingles)
+    ca = sh.alias("ca")
+    cb = sh.alias("cb")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        candidates.join(ca, F.col("id_a") == F.col("ca.id"))
+        .join(
+            cb,
+            (F.col("id_b") == F.col("cb.id"))
+            & (F.col("ca.shingle") == F.col("cb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.alias("sa")
@@ -201,20 +237,33 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
 ) -> DataFrame:
     """Per-doc SimHash over tokens → (id, simhash BIGINT).
 
-    Token hash = first 8 hex chars of md5 (32 bits). Bit b of the
-    simhash is the sign of Σ_tokens (±1 by token-hash bit b). Pure
-    expressions: one explode over tokens, one conditional-sum agg per
-    bit, single shuffle with map-side partials.
+    Token hash = first ``bits/4`` hex chars of md5 (64-bit default —
+    32-bit birthday-collides on a 100 TB corpus). Bit b of the simhash
+    is the sign of Σ_tokens (±1 by token-hash bit b). Pure expressions:
+    one explode over tokens, one conditional-sum agg per bit, single
+    shuffle with map-side partials.
+
+    The 64-bit token hash is assembled from two 32-bit ``conv`` halves
+    (``conv`` of 16 hex chars would overflow a signed BIGINT cast);
+    bit 63 of the result is the two's-complement sign bit, so a doc
+    with that bit set gets a negative simhash — Hamming XOR/popcount
+    and chunk blocking are bit-pattern operations and don't care.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    md = F.md5(F.col("tok"))
+    if bits > 32:
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h = F.conv(F.substring(md, 1, bits // 4), 16, 10).cast("bigint")
     toks = toks.select("id", h.alias("th"))
     bit_sums = [
         F.sum(
@@ -223,10 +272,12 @@ def simhash(
         for b in range(bits)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
+    # bit 63 is the sign bit: its positive term is -2^63 in two's complement
     sim = sum(
-        F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        F.when(
+            F.col(f"b{b}") > 0,
+            F.lit(2**b if b < 63 else -(2**63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
         for b in range(bits)
     )
     return agg.select("id", sim.alias("simhash"))
@@ -236,7 +287,7 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.

@@ -50,6 +50,11 @@ def prepare_corpus(
     kept_quality = scored.filter(
         F.coalesce(F.col("quality_score"), F.lit(0.0)) >= min_quality
     )
+    # consumed by the count, the MinHash+LSH stage, and the final
+    # anti-join — materialize ONCE instead of recomputing the quality
+    # join three times (persist, not localCheckpoint: spillable to disk
+    # and evictable, which is what you want for a corpus-sized frame)
+    kept_quality = kept_quality.persist()
     n_quality = kept_quality.count()
 
     pairs = minhash_dedup_pairs(
@@ -70,6 +75,11 @@ def prepare_corpus(
         "left_anti",
     )
     n_output = clean.count()
+    # kept_quality stays persisted: the returned `clean` frame reads
+    # through it, so the caller's write is a cache scan + anti-join.
+    # MEMORY_AND_DISK storage is evictable under pressure; callers doing
+    # many corpora in one session can `clean.unpersist()` ancestors via
+    # spark.catalog.clearCache() when done.
 
     report = {
         "input_docs": n_input,

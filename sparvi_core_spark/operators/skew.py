@@ -100,7 +100,17 @@ def salted_join(
     its match. Trades n× replication of the right side for even reducer
     load — only worth it when the right side is far smaller than the
     skewed key's row count but too big to broadcast.
+
+    Only ``inner`` and ``left`` joins are supported: with the right side
+    replicated n×, a right/full outer join would emit every unmatched
+    right row n times — silently wrong results.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the right side "
+            f"is replicated {salt_buckets}x, so right/full outer joins "
+            "would duplicate unmatched right rows"
+        )
     l = left.withColumn("__salt", F.floor(F.rand(42) * salt_buckets).cast("int"))
     r = right.withColumn(
         "__salt",

@@ -91,12 +91,25 @@ def read_table(spark: SparkSession, source: str, fmt: str | None = None) -> Data
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     long (``spark.sql.legacy.parquet.nanosAsLong``); we restore them to
-    timestamps (microsecond precision) after the scan."""
+    timestamps (microsecond precision) after the scan.
+
+    ``path`` may be a single parquet file or a directory dataset
+    (multi-file / partitioned stream sources) — directories resolve
+    through ``pyarrow.dataset`` so the batch and stream readers agree on
+    the restored schema."""
     try:
-        import pyarrow.parquet as pq
+        import os
+
         import pyarrow as pa
 
-        schema = pq.read_schema(path)
+        if os.path.isdir(path):
+            import pyarrow.dataset as ds
+
+            schema = ds.dataset(path, format="parquet").schema
+        else:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
         return [
             f.name
             for f in schema

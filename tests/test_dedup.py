@@ -101,3 +101,69 @@ def test_dedup_clusters_chain(spark):
     )
     got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_simhash_64bit_collisions_10k(spark):
+    """64-bit simhash on 10k synthetic distinct docs: collisions should
+    be (essentially) absent — the reason the default moved off 32-bit."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.dedup import simhash
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.md5(F.concat(F.lit(f"t{j}|"), F.col("id").cast("string"))) for j in range(5)],
+        ).alias("text"),
+    )
+    sh = simhash(docs, bits=64)
+    n_docs = sh.count()
+    n_distinct = sh.select("simhash").distinct().count()
+    assert n_docs == 10_000
+    assert n_distinct >= 9_995  # ~0 expected at 64 bits
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A ubiquitous shingle must not create candidate pairs when the
+    doc-frequency cap triggers, but jaccard for real near-dups is still
+    computed over the FULL shingle sets (exact values)."""
+    from sparvi_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "the common boilerplate header"  # shared by every doc
+    rows = [
+        (1, common + " alpha beta gamma delta epsilon"),
+        (2, common + " alpha beta gamma delta zeta"),   # near-dup of 1
+        (3, common + " totally different content here now"),
+        (4, common + " nothing like the others at all really"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3: the boilerplate shingles (df=4) are stop-shingles
+    got = ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (1, 2) in pairs
+    # exact jaccard over FULL sets: docs share the boilerplate shingles
+    # too, so the value must match the uncapped computation
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None).collect()
+    }
+    assert pairs[(1, 2)] == uncapped[(1, 2)]
+
+
+def test_ngram_jaccard_candidates_input(spark):
+    """Candidate-pairs input skips self-join candidate generation (the
+    LSH-then-verify 100 TB path) and returns exact jaccard for exactly
+    those pairs."""
+    from sparvi_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g z"),
+        (3, "a b c d e f g h"),  # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    got = ngram_jaccard_pairs(df, threshold=0.0, candidates=cand).collect()
+    assert len(got) == 1
+    assert got[0]["id_a"] == 1 and got[0]["id_b"] == 3 and got[0]["jaccard"] == 1.0

@@ -60,3 +60,19 @@ def test_salted_join_matches_plain(spark, skewed):
     plain = skewed.join(dim, "k").groupBy("label").count()
     salted = salted_join(skewed, dim, "k", salt_buckets=8).groupBy("label").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would emit unmatched right rows salt_buckets
+    times — must raise instead of returning silently wrong results."""
+    import pytest
+
+    from sparvi_core_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "x")], "k long, v string")
+    r = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(l, r, "k", how=how)
+    # left join still fine
+    assert salted_join(l, r, "k", how="left").count() == 1

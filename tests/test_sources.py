@@ -59,3 +59,19 @@ def test_duplicate_modes_agree_with_dups(spark):
             config={"profiling": {"duplicate_check_mode": mode}},
         )
         assert p["duplicate_count"] == 2, mode  # two duplicated groups
+
+
+def test_nanos_columns_directory_dataset(tmp_path, sf_dir):
+    """Directory datasets (multi-file stream sources) must detect nanos
+    timestamp columns the same way single files do, so the stream
+    schema matches the batch reader."""
+    import os
+
+    from sparvi_core_spark.session import _nanos_timestamp_columns
+
+    single = os.path.join(sf_dir, "events.parquet")
+    assert _nanos_timestamp_columns(single) == ["ts"]
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    os.symlink(single, d / "part-0.parquet")
+    assert _nanos_timestamp_columns(str(d)) == ["ts"]
