@@ -22,7 +22,7 @@ from sparvi_core_spark.validations import (
     load_rules_from_file,
     run_validations,
 )
-from sparvi_core_spark.session import get_spark, read_table, register_views
+from sparvi_core_spark.session import get_spark, read_jdbc, read_table, register_views
 
 __version__ = "0.1.0"
 
@@ -37,6 +37,7 @@ __all__ = [
     "detect_schema_shifts",
     "build_trends",
     "get_spark",
+    "read_jdbc",
     "read_table",
     "register_views",
     "__version__",

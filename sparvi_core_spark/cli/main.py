@@ -39,10 +39,35 @@ def _session(cpus: str | None = None):
     return s
 
 
+def _resolve_source(source: str | None, table: str | None) -> tuple[str, str]:
+    """Apply the reference's connection-from-env fallback (reference:
+    ``sparvi/utils/env.py:88-112``, ``cli/profile.py:19-44``): with only
+    one positional argument it is the TABLE and the source comes from
+    ``SPARVI_SOURCE`` (or ``DATABASE_URL``)."""
+    import os
+
+    if source is not None and table is None:
+        source, table = None, source
+    if source is None:
+        source = os.environ.get("SPARVI_SOURCE") or os.environ.get("DATABASE_URL")
+    if not source:
+        raise click.UsageError(
+            "No source given and neither SPARVI_SOURCE nor DATABASE_URL is set"
+        )
+    if not table:
+        raise click.UsageError("Missing argument 'TABLE'")
+    return source, table
+
+
 def _register_source(spark, source: str, table: str | None):
     import os
 
-    if os.path.isdir(source) and not source.rstrip("/").endswith(".parquet"):
+    if source.startswith("jdbc:"):
+        if table:
+            from sparvi_core_spark.session import read_jdbc
+
+            read_jdbc(spark, source, table).createOrReplaceTempView(table)
+    elif os.path.isdir(source) and not source.rstrip("/").endswith(".parquet"):
         register_views(spark, source)
     elif table:
         read_table(spark, source).createOrReplaceTempView(table)
@@ -55,8 +80,8 @@ def cli():
 
 
 @cli.command()
-@click.argument("source")
-@click.argument("table")
+@click.argument("source", required=False)
+@click.argument("table", required=False)
 @click.option("--format", "fmt", default="table", type=click.Choice(["table", "json", "minimal"]))
 @click.option("--output", default=None, help="Write profile JSON to this path")
 @click.option("--compare", default=None, help="Historical profile JSON for anomaly detection")
@@ -67,7 +92,10 @@ def cli():
               help="HLL distincts + sketch percentiles (the large-scale mode)")
 @click.option("--cpus", default=None, help="local[N] cores")
 def profile(source, table, fmt, output, compare, history_dir, no_samples, approx, cpus):
-    """Profile TABLE from SOURCE (a directory of parquet files, or a file path)."""
+    """Profile TABLE from SOURCE (a directory of parquet files, a file
+    path, or a ``jdbc:`` URL). With one argument, SOURCE falls back to
+    $SPARVI_SOURCE / $DATABASE_URL."""
+    source, table = _resolve_source(source, table)
     spark = _session(cpus)
     _register_source(spark, source, table)
     historical = None
@@ -157,8 +185,8 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
 
 
 @cli.command()
-@click.argument("source")
-@click.argument("table")
+@click.argument("source", required=False)
+@click.argument("table", required=False)
 @click.option("--rules", "rules_file", default=None, help="YAML/JSON rules file")
 @click.option("--generate-defaults", is_flag=True, default=False)
 @click.option("--save-defaults", default=None, help="Write generated rules to this path")
@@ -168,7 +196,9 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
 @click.option("--cpus", default=None)
 def validate(source, table, rules_file, generate_defaults, save_defaults,
              primary_key, output, fail_on_error, cpus):
-    """Run validation rules for TABLE from SOURCE."""
+    """Run validation rules for TABLE from SOURCE (path or jdbc: URL;
+    SOURCE falls back to $SPARVI_SOURCE / $DATABASE_URL)."""
+    source, table = _resolve_source(source, table)
     spark = _session(cpus)
     _register_source(spark, source, table)
     rules = []

@@ -64,12 +64,65 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def read_table(spark: SparkSession, source: str, fmt: str | None = None) -> DataFrame:
-    """Resolve a table reference: existing view/catalog name, or a path.
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Read a warehouse table over JDBC — the reference's warehouse-first
+    usage (reference: ``sparvi/db/connection.py:23-305``) expressed as a
+    Spark source. Catalyst pushes predicates and column pruning into the
+    JDBC scan (``PushedFilters`` in the plan), so profiler/validator
+    queries don't drag the whole table over the wire.
+
+    ``table`` may be a table name or a parenthesized subquery alias
+    (``"(select ...) t"``). For large tables pass ``partition_column`` +
+    bounds + ``num_partitions`` so Spark opens parallel range-bounded
+    connections instead of one serial cursor — the 100 TB-warehouse path.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_table(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    jdbc_table: str | None = None,
+    **jdbc_kwargs,
+) -> DataFrame:
+    """Resolve a table reference: existing view/catalog name, a path, or
+    a JDBC URL (``jdbc:...`` — pass the table via ``jdbc_table``).
 
     Format inferred from the extension when not given (parquet default —
     the columnar format this engine is designed around).
     """
+    if fmt == "jdbc" or source.startswith("jdbc:"):
+        if not jdbc_table:
+            raise ValueError("JDBC sources need jdbc_table=<table or subquery>")
+        return read_jdbc(spark, source, jdbc_table, **jdbc_kwargs)
     if not os.path.exists(source) and not source.endswith(
         (".parquet", ".csv", ".json", ".orc")
     ):
