@@ -71,12 +71,45 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def solve_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    false_negative_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target Jaccard threshold.
+
+    The probability a pair with Jaccard s becomes an LSH candidate is
+    ``1 - (1 - s^rows)^bands``; the S-curve's midpoint sits near
+    ``(1/bands)^(1/rows)``. Enumerate the divisors of ``num_hashes``
+    and pick the banding whose midpoint lands closest to ``threshold``
+    (weighting ``false_negative_weight`` > 1 biases toward catching
+    more true pairs at the cost of more candidates to verify).
+
+    Driver-side arithmetic only — call once before building the plan.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        err = midpoint - threshold
+        # below-threshold midpoint → missed true pairs (false negatives)
+        cost = abs(err) * (false_negative_weight if err > 0 else 1.0)
+        if best is None or cost < best[0]:
+            best = (cost, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
-) -> DataFrame:
+) -> DataFrame:  # noqa: D401
     """Banded LSH over a signature frame → candidate (id_a, id_b) pairs.
 
     Docs agreeing on ALL rows of any band collide. The join is keyed by
@@ -124,7 +157,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
@@ -133,7 +166,12 @@ def minhash_dedup_pairs(
 
     Returns (id_a, id_b, est_jaccard). The signature frame is computed
     once and reused for both candidate generation and verification.
+    ``bands=None`` solves the banding from the threshold
+    (``solve_lsh_bands``) so the LSH S-curve midpoint tracks the
+    requested threshold instead of a fixed 4-band default.
     """
+    if bands is None:
+        bands, _rows = solve_lsh_bands(threshold, num_hashes)
     # the signature frame is consumed three times (banding + both sides
     # of the verification join) — materialize it once; it's tiny
     # (docs x K hashes) relative to the corpus
@@ -185,37 +223,80 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if candidates is None:
-        shj = sh
-        if max_doc_freq is not None:
-            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
-            # stop-shingles are by definition few (high-df tail) — broadcast
-            shj = sh.join(F.broadcast(stop), "shingle", "left_anti")
-        a = shj.alias("a")
-        b = shj.alias("b")
-        candidates = (
+    if candidates is not None:
+        # LSH-then-verify path: exact shared count over ALL shingles,
+        # cost bounded by |candidates| × shingles-per-doc
+        ca = sh.alias("ca")
+        cb = sh.alias("cb")
+        inter = (
+            candidates.join(ca, F.col("id_a") == F.col("ca.id"))
+            .join(
+                cb,
+                (F.col("id_b") == F.col("cb.id"))
+                & (F.col("ca.shingle") == F.col("cb.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    elif max_doc_freq is None:
+        # uncapped: one self-join + count — single aggregation pass
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-    # exact shared-shingle count for candidate pairs (over ALL shingles)
-    ca = sh.alias("ca")
-    cb = sh.alias("cb")
-    inter = (
-        candidates.join(ca, F.col("id_a") == F.col("ca.id"))
-        .join(
-            cb,
-            (F.col("id_b") == F.col("cb.id"))
-            & (F.col("ca.shingle") == F.col("cb.shingle")),
+    else:
+        # capped: self-join only over sub-cap shingles (bounds the
+        # Σ df(shingle)² fan-out), counting shared rare shingles in the
+        # same pass; then add back each surviving pair's shared
+        # STOP-shingle count — stop-shingles per doc are few, and the
+        # add-back join fans out by that small factor only — so
+        # reported jaccard stays exact over the full shingle sets.
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
+        rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
+        a = rare.alias("a")
+        b = rare.alias("b")
+        inter_rare = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_rare"))
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+        stop_sh = sh.join(F.broadcast(stop), "shingle", "left_semi")
+        sa_ = stop_sh.alias("ssa")
+        sb_ = stop_sh.alias("ssb")
+        stop_shared = (
+            inter_rare.select("id_a", "id_b")
+            .join(sa_, F.col("id_a") == F.col("ssa.id"))
+            .join(
+                sb_,
+                (F.col("id_b") == F.col("ssb.id"))
+                & (F.col("ssa.shingle") == F.col("ssb.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_stop"))
+        )
+        inter = (
+            inter_rare.join(stop_shared, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("shared_rare")
+                    + F.coalesce(F.col("shared_stop"), F.lit(0))
+                ).alias("shared"),
+            )
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

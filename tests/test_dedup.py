@@ -167,3 +167,18 @@ def test_ngram_jaccard_candidates_input(spark):
     got = ngram_jaccard_pairs(df, threshold=0.0, candidates=cand).collect()
     assert len(got) == 1
     assert got[0]["id_a"] == 1 and got[0]["id_b"] == 3 and got[0]["jaccard"] == 1.0
+
+
+def test_solve_lsh_bands():
+    """Banding solver: S-curve midpoint (1/b)^(1/r) tracks the threshold."""
+    from sparvi_core_spark.operators.dedup import solve_lsh_bands
+
+    import pytest
+
+    assert solve_lsh_bands(0.5, 8) == (4, 2)      # midpoint 0.5 exactly
+    assert solve_lsh_bands(0.8, 8) == (2, 4)      # midpoint ~0.841
+    assert solve_lsh_bands(0.1, 8) == (8, 1)      # midpoint 0.125
+    b, r = solve_lsh_bands(0.9, 16)
+    assert b * r == 16 and (1.0 / b) ** (1.0 / r) == pytest.approx(0.9, abs=0.15)
+    with pytest.raises(ValueError):
+        solve_lsh_bands(1.5, 8)
