@@ -45,7 +45,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # "full": groupBy every column (shuffles whole rows — exact, the
         # reference's shape). "hash": groupBy md5 of the concatenated row
         # (one narrow string column through the shuffle — the 100 TB path;
-        # md5-collision error is negligible).
+        # md5-collision error is negligible). auto_approx flips this to
+        # "hash" above auto_approx_size_bytes unless set explicitly —
+        # same pattern as the distinct/percentile sketches.
         "duplicate_check_mode": "full",
         # Cache the input DataFrame across profiling jobs when the table is
         # small enough to fit cluster memory; at 100 TB rely on column-pruned

@@ -96,7 +96,8 @@ def solve_lsh_bands(
         bands = num_hashes // rows
         midpoint = (1.0 / bands) ** (1.0 / rows)
         err = midpoint - threshold
-        # below-threshold midpoint → missed true pairs (false negatives)
+        # midpoint ABOVE threshold → pairs at the threshold collide with
+        # <50% probability → false negatives; weight that side
         cost = abs(err) * (false_negative_weight if err > 0 else 1.0)
         if best is None or cost < best[0]:
             best = (cost, bands, rows)
@@ -212,11 +213,20 @@ def ngram_jaccard_pairs(
 
     - ``max_doc_freq``: shingles appearing in more than this many
       documents are excluded from *candidate generation* (stop-shingle
-      cap — they carry no pairing signal and dominate the fan-out).
-      Jaccard itself is still computed over the FULL shingle sets, so
-      reported values are exact; only pairs sharing *nothing but*
-      stop-shingles are missed, and such pairs cannot clear a
-      meaningful threshold.
+      cap — they dominate the fan-out). Jaccard itself is still
+      computed over the FULL shingle sets, so reported values are
+      exact. Mass-duplicated boilerplate (>``max_doc_freq`` copies of
+      one template) turns EVERY shingle of those docs into a
+      stop-shingle — exactly the docs most worth deduping — so docs
+      left with zero sub-cap shingles get a rescue pass: grouped by a
+      signature of their full shingle set, each doc is paired to its
+      group's min-id representative with jaccard = 1.0 (a star, not a
+      clique: linear output, and connected components reconstructs the
+      full cluster). Remaining blind spot, by construction: pairs that
+      share only stop-shingles WITHOUT identical shingle sets (e.g. an
+      all-stop doc vs a near-copy with one extra rare shingle) are not
+      candidates here — use the ``candidates`` path (LSH is frequency-
+      blind) when that recall matters.
     - ``candidates``: an (id_a, id_b) frame (e.g. from
       ``lsh_candidate_pairs``) to verify instead of self-joining at
       all — the 100 TB path.
@@ -297,6 +307,35 @@ def ngram_jaccard_pairs(
                 ).alias("shared"),
             )
         )
+        # mass-duplicate rescue: docs whose every shingle is a
+        # stop-shingle (boilerplate with >max_doc_freq copies) produce
+        # no rare rows and would get no candidates at all. Group them
+        # by an order-insensitive signature of the full shingle set and
+        # star-pair each to the group's min-id representative: identical
+        # sets → shared = |set| → jaccard exactly 1.0. collect_list is
+        # bounded per doc (its own shingles), never per corpus.
+        all_stop = sizes.join(rare.select("id"), "id", "left_anti")
+        setsigs = (
+            sh.join(all_stop.select("id"), "id", "left_semi")
+            .groupBy("id")
+            .agg(
+                F.md5(
+                    F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))
+                ).alias("setsig"),
+                F.count(F.lit(1)).alias("set_n"),
+            )
+        )
+        reps = setsigs.groupBy("setsig").agg(F.min("id").alias("rep"))
+        rescue = (
+            setsigs.join(reps, "setsig")
+            .filter(F.col("id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("set_n").alias("shared"),
+            )
+        )
+        inter = inter.unionByName(rescue)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -451,10 +490,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the old label through the update so convergence is a
+        # cheap aggregate over the just-checkpointed frame — no extra
+        # join-and-count job per round
+        stepped = (
             labels.join(nbr, labels["id"] == nbr["a"], "left")
             .select(
                 labels["id"],
+                labels["label"].alias("old_label"),
                 F.least(
                     labels["label"],
                     F.coalesce(F.col("nbr_label"), labels["label"]),
@@ -463,12 +506,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            stepped.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("long"))
+            ).first()[0]
+            or 0
         )
-        labels = new_labels
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster"))

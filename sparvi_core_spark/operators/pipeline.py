@@ -25,6 +25,7 @@ def prepare_corpus(
     dedup_threshold: float = 0.8,
     num_hashes: int = 8,
     bands: int = 4,
+    keep_cache: bool = False,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (clean_df, report).
 
@@ -36,8 +37,18 @@ def prepare_corpus(
     output_docs, near_dup_clusters}.
 
     All heavy stages are the scale-hardened operators (LSH candidate
-    join, CC label propagation); the joins against the small
-    quality/cluster frames broadcast.
+    join, CC label propagation). The survivor anti-join carries no
+    broadcast hint: ``losers`` is every near-dup non-survivor, which on
+    a duplicate-heavy corpus is a large fraction of all documents — a
+    forced broadcast would OOM the driver at scale. AQE broadcasts it
+    at runtime when (and only when) it is actually small.
+
+    ``keep_cache=True`` leaves the intermediate quality-filtered frame
+    persisted so the caller's immediate write of ``clean`` is a cache
+    scan; the handle is returned as ``report["cache"]`` — unpersist it
+    (not ``spark.catalog.clearCache()``) when done. With the default
+    ``False`` the cache is released before returning and the caller's
+    first action recomputes the quality join once.
     """
     n_input = docs.count()
 
@@ -69,17 +80,16 @@ def prepare_corpus(
     losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
     n_clusters = clusters.select("cluster").distinct().count()
 
+    # No broadcast hint: losers can be corpus-sized (20-50% of docs on a
+    # duplicate-heavy corpus). The anti-join shuffles ids only — cheap —
+    # and AQE converts it to a broadcast join at runtime when losers is
+    # genuinely small, without risking a forced-broadcast OOM.
     clean = kept_quality.join(
-        F.broadcast(losers),
+        losers,
         kept_quality[id_col] == losers["id"],
         "left_anti",
     )
     n_output = clean.count()
-    # kept_quality stays persisted: the returned `clean` frame reads
-    # through it, so the caller's write is a cache scan + anti-join.
-    # MEMORY_AND_DISK storage is evictable under pressure; callers doing
-    # many corpora in one session can `clean.unpersist()` ancestors via
-    # spark.catalog.clearCache() when done.
 
     report = {
         "input_docs": n_input,
@@ -88,4 +98,8 @@ def prepare_corpus(
         "near_dup_clusters": n_clusters,
         "output_docs": n_output,
     }
+    if keep_cache:
+        report["cache"] = kept_quality
+    else:
+        kept_quality.unpersist()
     return clean, report

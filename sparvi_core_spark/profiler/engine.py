@@ -140,13 +140,14 @@ def profile_table(
     b = bucket_columns(df.schema)
 
     # Scale-adaptive defaults: above the size threshold, flip to approx
-    # distincts (HLL, fuses into the streaming agg) and approx
-    # percentiles unless the caller pinned them explicitly (overrides or
-    # SPARVI_PROFILING_APPROX_* env).
+    # distincts (HLL, fuses into the streaming agg), approx percentiles,
+    # and the hash-key duplicate check (one md5 through the shuffle
+    # instead of full-width rows) unless the caller pinned them
+    # explicitly (overrides or SPARVI_PROFILING_* env).
     explicit = set((config or {}).get("profiling", {}))
     explicit |= {
         k
-        for k in ("approx_distinct", "approx_percentiles")
+        for k in ("approx_distinct", "approx_percentiles", "duplicate_check_mode")
         if f"SPARVI_PROFILING_{k.upper()}" in os.environ
     }
     if p["auto_approx"]:
@@ -155,6 +156,8 @@ def profile_table(
             for k in ("approx_distinct", "approx_percentiles"):
                 if k not in explicit:
                     p[k] = True
+            if "duplicate_check_mode" not in explicit:
+                p["duplicate_check_mode"] = "hash"
 
     # --- J1: wide aggregation(s) ---------------------------------------
     # Plan-shape rules (each measured at sf0.1, see SCALE.md):
@@ -443,6 +446,10 @@ def profile_table(
     profile["approx_mode"] = {
         "distinct": bool(p["approx_distinct"]),
         "percentiles": bool(p["approx_percentiles"]),
+        # hash mode groups by md5 of the row instead of full-width rows;
+        # collision error is negligible but it is not byte-exact, so
+        # surface it the same way as the sketches
+        "duplicates_hashed": p["duplicate_check_mode"] == "hash",
     }
     if duplicate_count is None and "duplicate_count" not in errors:
         profile["duplicate_check"] = "skipped_wide_table"

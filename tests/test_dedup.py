@@ -169,6 +169,35 @@ def test_ngram_jaccard_candidates_input(spark):
     assert got[0]["id_a"] == 1 and got[0]["id_b"] == 3 and got[0]["jaccard"] == 1.0
 
 
+def test_ngram_jaccard_mass_duplicate_rescue(spark):
+    """Boilerplate duplicated beyond max_doc_freq turns ALL its shingles
+    into stop-shingles; the rescue pass must still pair every copy with
+    the min-id representative at jaccard 1.0 (star, not clique)."""
+    from sparvi_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    template = "please unsubscribe from this mailing list by clicking the link below now"
+    rows = [(i, template) for i in range(8)]
+    # distinct docs sharing nothing with the template keep rare shingles
+    rows += [(100, "entirely unrelated content about spark and parquet files here"),
+             (101, "entirely unrelated content about spark and parquet files here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_doc_freq=5: the template's shingles (df=8) all become stop;
+    # the pair of unrelated docs (df=2) stays on the rare path
+    pairs = ngram_jaccard_pairs(df, max_doc_freq=5, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # star: every non-rep template copy pairs with rep id 0 at exactly 1.0
+    for i in range(1, 8):
+        assert got.get((0, i)) == 1.0, f"missing rescue pair (0, {i}): {got}"
+    assert got.get((100, 101)) == 1.0
+    # star not clique: no (1, 2) pair
+    assert (1, 2) not in got
+    # uncapped run on the same corpus agrees on the rescued pairs' values
+    full = ngram_jaccard_pairs(df, max_doc_freq=None, threshold=0.9)
+    full_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    for k, v in got.items():
+        assert full_map[k] == v
+
+
 def test_solve_lsh_bands():
     """Banding solver: S-curve midpoint (1/b)^(1/r) tracks the threshold."""
     from sparvi_core_spark.operators.dedup import solve_lsh_bands

@@ -21,6 +21,44 @@ def test_prepare_corpus_on_driver_docs(spark, views):
     assert clean.count() == report["output_docs"]
 
 
+def test_prepare_corpus_antijoin_is_not_forced_broadcast(spark):
+    """The survivor anti-join must carry no broadcast() hint: losers can
+    be a corpus-sized fraction of all docs. With autoBroadcast disabled
+    an unhinted join plans as a shuffle join; a forced hint would
+    override the conf and broadcast regardless — the 100 TB OOM."""
+    from sparvi_core_spark.plans import (
+        has_broadcast_hash_join,
+        has_broadcast_nested_loop_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [(i, base) for i in range(6)] + [
+        (99, "totally different words in this document " * 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clean, report = prepare_corpus(df, min_quality=0.0, dedup_threshold=0.8)
+        assert not has_broadcast_hash_join(clean)
+        assert not has_broadcast_nested_loop_join(clean)
+        assert report["near_dup_dropped"] == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_prepare_corpus_cache_released_by_default(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, report = prepare_corpus(df, min_quality=0.0)
+    assert "cache" not in report
+    # keep_cache=True returns the handle for targeted unpersist
+    clean2, report2 = prepare_corpus(df, min_quality=0.0, keep_cache=True)
+    assert report2["cache"] is not None
+    assert report2["cache"].storageLevel.useMemory
+    report2["cache"].unpersist()
+
+
 def test_prepare_corpus_survivor_is_min_id(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     rows = [(10, base), (3, base), (99, "totally different words in this document " * 3)]

@@ -181,9 +181,13 @@ def test_auto_approx_flips_above_size_threshold(spark, views):
         include_samples=False,
         config={"profiling": {"auto_approx_size_bytes": 1}},
     )
-    assert p["approx_mode"] == {"distinct": True, "percentiles": True}
+    assert p["approx_mode"] == {
+        "distinct": True,
+        "percentiles": True,
+        "duplicates_hashed": True,
+    }
     assert p["numeric_stats"]["l_quantity"]["median"] is not None
-    # explicit exact pin wins over auto
+    # explicit exact pin wins over auto (dup mode not pinned → still flips)
     p2 = profile_table(
         spark,
         "lineitem",
@@ -196,13 +200,35 @@ def test_auto_approx_flips_above_size_threshold(spark, views):
             }
         },
     )
-    assert p2["approx_mode"] == {"distinct": False, "percentiles": False}
+    assert p2["approx_mode"] == {
+        "distinct": False,
+        "percentiles": False,
+        "duplicates_hashed": True,
+    }
+    # explicit full-width pin wins over the auto hash flip
+    p3 = profile_table(
+        spark,
+        "lineitem",
+        include_samples=False,
+        config={
+            "profiling": {
+                "auto_approx_size_bytes": 1,
+                "duplicate_check_mode": "full",
+            }
+        },
+    )
+    assert p3["approx_mode"]["duplicates_hashed"] is False
+    assert p3["approx_mode"]["distinct"] is True
 
 
 def test_auto_approx_defaults_stay_exact_small(spark, employees):
     """Default threshold (16 GiB): a tiny table stays exact."""
     p = profile_table(spark, "employees", include_samples=False)
-    assert p["approx_mode"] == {"distinct": False, "percentiles": False}
+    assert p["approx_mode"] == {
+        "distinct": False,
+        "percentiles": False,
+        "duplicates_hashed": False,
+    }
 
 
 def test_hash_duplicate_mode_field_boundaries(spark):
