@@ -644,6 +644,27 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """LSH-then-verify — the 100 TB dedup route: banded LSH candidate
+    pairs from MinHash signatures, then EXACT n-gram Jaccard computed
+    only over those candidates (``candidates=`` path of
+    ``ngram_jaccard_pairs`` — no shingle self-join anywhere)."""
+    from sparvi_core_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    t = _views(spark, sf_dir)
+    docs = t["documents"]
+    sig = minhash_signatures(docs, num_hashes=8)
+    cands = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, candidates=cands)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash (32-bit birthday-collides at corpus scale)."""
     from sparvi_core_spark.operators.dedup import simhash
@@ -858,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_bucketed": q_embedding_topk_bucketed,
@@ -1317,6 +1339,32 @@ SELECT id_a, id_b,
        ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8"""
+
+    o["ngram_jaccard_lsh"] = f"""
+WITH {_MINHASH_SIG_CTE.lstrip()},
+bands AS (
+    SELECT id, b.band, CASE b.band
+        WHEN 0 THEN md5(h0 || '|' || h1) WHEN 1 THEN md5(h2 || '|' || h3)
+        WHEN 2 THEN md5(h4 || '|' || h5) ELSE md5(h6 || '|' || h7) END AS bkey
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cpairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+shd AS (SELECT DISTINCT id, shingle FROM sh),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM shd GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS shared
+    FROM cpairs c
+    JOIN shd a ON a.id = c.id_a
+    JOIN shd b ON b.id = c.id_b AND a.shingle = b.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5"""
 
     o["simhash"] = """
 WITH toks AS (

@@ -4,14 +4,17 @@ reference: sparvi/cli/main.py:18-41,79): ``profile``, ``validate``,
 *source*: a directory of parquet files (each registered as a temp view)
 or a single table file.
 
-Rendering is plain text (three formats for profile: table/json/minimal,
-mirroring cli/profile.py:107-113).
+Three profile formats (table/json/minimal, mirroring
+cli/profile.py:107-113); ``table`` renders aligned ASCII tables (the
+reference uses rich-library tables, cli/profile.py:122-455 — same
+content, dependency-free markup).
 """
 
 from __future__ import annotations
 
 import json
 import platform
+import re
 import sys
 
 import click
@@ -59,18 +62,45 @@ def _resolve_source(source: str | None, table: str | None) -> tuple[str, str]:
     return source, table
 
 
-def _register_source(spark, source: str, table: str | None):
+def _register_source(spark, source: str, table: str | None) -> str | None:
+    """Register the source and return the temp-view name to query.
+
+    JDBC tables are usually schema-qualified (``schema.orders``) —
+    a dot is invalid in a temp-view name, so the view gets a sanitized
+    name while the ORIGINAL name goes into the JDBC ``dbtable`` option.
+    """
     import os
 
     if source.startswith("jdbc:"):
         if table:
             from sparvi_core_spark.session import read_jdbc
 
-            read_jdbc(spark, source, table).createOrReplaceTempView(table)
+            view = re.sub(r"[^0-9A-Za-z_]", "_", table)
+            read_jdbc(spark, source, table).createOrReplaceTempView(view)
+            return view
     elif os.path.isdir(source) and not source.rstrip("/").endswith(".parquet"):
         register_views(spark, source)
     elif table:
         read_table(spark, source).createOrReplaceTempView(table)
+    return table
+
+
+def _render_table(headers: list[str], rows: list[list]) -> str:
+    """Dependency-free aligned table (the reference renders these
+    sections with rich tables; content is identical)."""
+    cells = [["" if v is None else str(v) for v in r] for r in rows]
+    widths = [
+        max([len(h)] + [len(r[i]) for r in cells]) for i, h in enumerate(headers)
+    ]
+    rule = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+
+    def fmt(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+
+    lines = [rule, fmt(headers), rule]
+    lines += [fmt(r) for r in cells]
+    lines.append(rule)
+    return "\n".join(lines)
 
 
 @click.group()
@@ -97,7 +127,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
     $SPARVI_SOURCE / $DATABASE_URL."""
     source, table = _resolve_source(source, table)
     spark = _session(cpus)
-    _register_source(spark, source, table)
+    table = _register_source(spark, source, table)
     historical = None
     if compare:
         with open(compare) as f:
@@ -136,40 +166,53 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
     if fmt == "minimal":
         return
     click.echo("\nCompleteness:")
-    for col, c in prof["completeness"].items():
-        click.echo(
-            f"  {col}: nulls={c['nulls']} ({c['null_percentage']}%) "
-            f"distinct={c['distinct_count']} ({c['distinct_percentage']}%)"
-        )
+    click.echo(_render_table(
+        ["column", "nulls", "null %", "distinct", "distinct %"],
+        [
+            [col, c["nulls"], c["null_percentage"],
+             c["distinct_count"], c["distinct_percentage"]]
+            for col, c in prof["completeness"].items()
+        ],
+    ))
     if prof["numeric_stats"]:
         click.echo("\nNumeric stats:")
-        for col, s in prof["numeric_stats"].items():
-            click.echo(
-                f"  {col}: min={s['min']} max={s['max']} avg={s['avg']} "
-                f"stdev={s['stdev']} q1={s['q1']} median={s['median']} q3={s['q3']}"
-            )
+        click.echo(_render_table(
+            ["column", "min", "max", "avg", "stdev", "q1", "median", "q3"],
+            [
+                [col, s["min"], s["max"], s["avg"], s["stdev"],
+                 s["q1"], s["median"], s["q3"]]
+                for col, s in prof["numeric_stats"].items()
+            ],
+        ))
     if prof["text_length_stats"]:
         click.echo("\nText length stats:")
-        for col, s in prof["text_length_stats"].items():
-            click.echo(
-                f"  {col}: min={s['min_length']} max={s['max_length']} avg={s['avg_length']}"
-            )
+        click.echo(_render_table(
+            ["column", "min len", "max len", "avg len"],
+            [
+                [col, s["min_length"], s["max_length"], s["avg_length"]]
+                for col, s in prof["text_length_stats"].items()
+            ],
+        ))
     if prof["date_stats"]:
         click.echo("\nDate stats:")
-        for col, s in prof["date_stats"].items():
-            click.echo(
-                f"  {col}: min={s['min_date']} max={s['max_date']} "
-                f"range_days={s['date_range_days']}"
-            )
+        click.echo(_render_table(
+            ["column", "min", "max", "range days"],
+            [
+                [col, s["min_date"], s["max_date"], s["date_range_days"]]
+                for col, s in prof["date_stats"].items()
+            ],
+        ))
     if prof["frequent_values"]:
         click.echo("\nMost frequent values:")
-        for col, s in prof["frequent_values"].items():
-            if "skipped" in s:
-                click.echo(f"  {col}: (skipped: {s['skipped']})")
-            else:
-                click.echo(
-                    f"  {col}: {s['value']!r} x{s['frequency']} ({s['percentage']}%)"
-                )
+        click.echo(_render_table(
+            ["column", "value", "frequency", "%"],
+            [
+                [col, f"(skipped: {s['skipped']})", "", ""]
+                if "skipped" in s
+                else [col, repr(s["value"]), s["frequency"], s["percentage"]]
+                for col, s in prof["frequent_values"].items()
+            ],
+        ))
     if prof.get("anomalies"):
         click.echo("\nAnomalies:")
         for a in prof["anomalies"]:
@@ -191,22 +234,32 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
 @click.option("--generate-defaults", is_flag=True, default=False)
 @click.option("--save-defaults", default=None, help="Write generated rules to this path")
 @click.option("--primary-key", multiple=True, help="PK column hint (repeatable)")
+@click.option("--max-length", "max_length", multiple=True,
+              help="Column length hint col=N (repeatable) — restores the "
+                   "reference's VARCHAR(n) max-length rules")
 @click.option("--output", default=None, help="Write results JSON to this path")
 @click.option("--fail-on-error", is_flag=True, default=False)
 @click.option("--cpus", default=None)
 def validate(source, table, rules_file, generate_defaults, save_defaults,
-             primary_key, output, fail_on_error, cpus):
+             primary_key, max_length, output, fail_on_error, cpus):
     """Run validation rules for TABLE from SOURCE (path or jdbc: URL;
     SOURCE falls back to $SPARVI_SOURCE / $DATABASE_URL)."""
     source, table = _resolve_source(source, table)
     spark = _session(cpus)
-    _register_source(spark, source, table)
+    table = _register_source(spark, source, table)
     rules = []
     if rules_file:
         rules += load_rules_from_file(rules_file)
     if generate_defaults or not rules:
+        length_hints = {}
+        for spec in max_length:
+            col, _, n = spec.partition("=")
+            if not n.isdigit():
+                raise click.UsageError(f"--max-length expects col=N, got {spec!r}")
+            length_hints[col] = int(n)
         generated = get_default_validations(
-            spark, table, primary_keys=list(primary_key) or None
+            spark, table, primary_keys=list(primary_key) or None,
+            column_length_hints=length_hints or None,
         )
         click.echo(f"Generated {len(generated)} default validation rules")
         rules += generated

@@ -10,9 +10,10 @@ take optional ``primary_keys`` / ``foreign_keys`` hints and are skipped
 without them — mirroring the reference's graceful FK fallback
 (default_validations.py:35-37). Column-level NOT NULL still exists in
 Spark schemas (``StructField.nullable``) and drives families 5 and the
-empty-string check. VARCHAR length limits don't exist in Spark → the
-max-length rule (family 9a, default_validations.py:236-243) has no
-analog and is not generated.
+empty-string check. VARCHAR length limits don't exist in Spark either,
+so family 9a (max-length, default_validations.py:236-243) follows the
+same hints pattern: pass ``column_length_hints={"col": n}`` to generate
+``check_<col>_max_length`` rules; without hints the family is skipped.
 """
 
 from __future__ import annotations
@@ -102,6 +103,7 @@ def get_default_validations(
     table_name: str,
     primary_keys: list[str] | None = None,
     foreign_keys: list[str] | None = None,
+    column_length_hints: dict[str, int] | None = None,
 ) -> list[dict]:
     schema = spark.table(table_name).schema
     columns = [
@@ -210,10 +212,20 @@ FROM current_count, prev_count""",
                 f"AND {start_col} IS NOT NULL AND {c['name']} < {start_col}",
             ))
 
-    # 9. text formats (no VARCHAR(n) in Spark → no max-length rule)
+    # 9. text formats. 9a (max length, default_validations.py:236-243):
+    # Spark has no VARCHAR(n), so the limit comes from user hints —
+    # the same degrade-without-metadata pattern as PK/FK (family 2/14).
+    length_hints = column_length_hints or {}
     for c in columns:
         if c["bucket"] != TEXT:
             continue
+        if c["name"] in length_hints:
+            max_len = int(length_hints[c["name"]])
+            rules.append(_rule(
+                f"check_{c['name']}_max_length",
+                f"Ensure {c['name']} does not exceed max length ({max_len})",
+                f"SELECT COUNT(*) FROM {t} WHERE LENGTH({c['name']}) > {max_len}",
+            ))
         if not c["nullable"]:
             rules.append(_rule(
                 f"check_{c['name']}_not_empty_string",

@@ -69,3 +69,29 @@ def test_test_connection(spark, sf_dir):
     r = CliRunner().invoke(cli, ["test-connection", sf_dir])
     assert r.exit_code == 0, r.output
     assert "Connection successful" in r.output
+
+
+def test_profile_table_format_renders_aligned_tables(spark, sf_dir):
+    r = CliRunner().invoke(
+        cli, ["profile", sf_dir, "region", "--format", "table", "--no-samples"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Row count" in r.output
+    assert "| column" in r.output, "aligned table header expected"
+    assert r.output.count("+-") > 4, "table rules expected"
+
+
+def test_validate_max_length_hint(spark, sf_dir):
+    r = CliRunner().invoke(
+        cli,
+        ["validate", sf_dir, "region", "--generate-defaults",
+         "--max-length", "r_name=25"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "check_r_name_max_length" in r.output
+    bad = CliRunner().invoke(
+        cli,
+        ["validate", sf_dir, "region", "--generate-defaults",
+         "--max-length", "r_name"],
+    )
+    assert bad.exit_code != 0

@@ -117,3 +117,14 @@ def test_cli_validate_env_fallback(spark, sf_dir, monkeypatch):
     r = CliRunner().invoke(cli, ["validate", "nation", "--generate-defaults"])
     assert r.exit_code == 0, r.output
     assert "passed" in r.output
+
+
+def test_cli_profile_jdbc_schema_qualified(spark, derby):
+    """A schema-qualified warehouse table name (the normal JDBC case) is
+    not a valid temp-view name — the CLI must sanitize the view name
+    while keeping the original for the JDBC dbtable option."""
+    r = CliRunner().invoke(
+        cli, ["profile", derby, "APP.people", "--format", "minimal"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Row count: 20" in r.output

@@ -128,3 +128,36 @@ def test_max_rules_cap(spark, employees):
         spark, rules, config={"validation": {"max_rules": 3}}
     )
     assert len(results) == 3
+
+
+def test_length_hint_rules(spark, products):
+    """Family 9a: VARCHAR(n) doesn't exist in Spark, so max-length rules
+    come from user hints — absent hints, the family is skipped (same
+    degrade pattern as PK/FK)."""
+    no_hints = get_default_validations(spark, "products")
+    assert not any("max_length" in r["name"] for r in no_hints)
+
+    rules = get_default_validations(
+        spark, "products", column_length_hints={"name": 9, "category": 11}
+    )
+    named = {r["name"]: r for r in rules}
+    assert "check_name_max_length" in named
+    assert "check_category_max_length" in named
+    # numeric columns never get length rules even if hinted
+    hinted_numeric = get_default_validations(
+        spark, "products", column_length_hints={"price": 5}
+    )
+    assert not any("max_length" in r["name"] for r in hinted_numeric)
+
+    results = run_validations(
+        spark, [named["check_name_max_length"], named["check_category_max_length"]]
+    )
+    by_name = {r["rule_name"]: r for r in results}
+    # all product names are exactly 9 chars -> passes at limit 9
+    assert by_name["check_name_max_length"]["is_valid"]
+    # 'Electronics' is 11 chars, none longer -> passes at limit 11
+    assert by_name["check_category_max_length"]["is_valid"]
+    tight = dict(named["check_category_max_length"], query=named[
+        "check_category_max_length"]["query"].replace("> 11", "> 8"))
+    r2 = run_validations(spark, [tight])
+    assert not r2[0]["is_valid"] and r2[0]["actual_value"] > 0
