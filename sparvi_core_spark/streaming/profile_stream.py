@@ -93,9 +93,12 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
-) -> None:
+):
     """Drain a stream into an in-memory table via availableNow (test /
-    batch-backfill harness; production sinks are parquet/kafka)."""
+    batch-backfill harness; production sinks are parquet/kafka).
+
+    Returns the terminated ``StreamingQuery`` — its ``recentProgress``
+    carries per-batch watermark / late-row-drop / state-size metrics."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -104,3 +107,4 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+    return q

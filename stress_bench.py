@@ -1,0 +1,149 @@
+"""Adversarial skew stress-bench: proves the dedup/sessionization caps
+bound runtime on pathological inputs (the load-bearing 100 TB claims).
+
+Separate from ``bench.py`` on purpose — the driver's per-round bench
+must stay comparable round-over-round; this harness generates its own
+hostile corpora:
+
+- ``ngram``: one template mass-duplicated so every one of its shingles
+  is ubiquitous. Uncapped, the shared-shingle self-join fans out as
+  Σ df(shingle)² (quadratic in copies); the stop-shingle cap +
+  mass-duplicate rescue bound it while still emitting every copy's
+  rescue pair.
+- ``lsh``: the same degenerate corpus collapses into one LSH bucket per
+  band. ``max_bucket`` drops degenerate buckets (candidates for them
+  come from the exact/rescue path instead); uncapped is all-pairs.
+- ``session``: one user owning half of all events — the inherent
+  single-task straggler of per-user ordering, measured against the
+  uniform baseline to quantify (not hide) the skew cost.
+
+Prints ONE JSON line: {"metric": ..., "entries": {name: sec|rows, ...}}.
+Run: ``python stress_bench.py`` (env: SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from sparvi_core_spark import get_spark
+    from sparvi_core_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from sparvi_core_spark.operators.timeseries import session_stats
+
+    spark = get_spark(
+        app_name="sparvi-stress",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    entries: dict[str, float | int] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        out = fn()
+        entries[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- pathological corpus: n_dup copies of one template + n_uniq unique
+    template = (
+        "click here to unsubscribe from this mailing list and stop "
+        "receiving further notifications about your account status"
+    )
+    n_dup, n_uniq = 8000, 3000
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"), F.lit(template).alias("text")
+    )
+    # 14 pseudo-random words per unique doc (hash-derived, deterministic)
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.substring(F.md5(F.concat(F.lit(str(k)), F.col("id").cast("string"))), 1, 7),
+        )
+        for k in range(14)
+    ]
+    uniq = spark.range(n_uniq).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+    corpus = dup.unionByName(uniq).localCheckpoint()
+
+    # ngram with the stop-shingle cap (+ mass-dup rescue): bounded.
+    # (time the COUNT — the DataFrame build is lazy)
+    entries["ngram_capped_pairs"] = bench(
+        "ngram_capped_sec",
+        lambda: ngram_jaccard_pairs(corpus, max_doc_freq=500, threshold=0.8).count(),
+    )
+    # uncapped: the Σ df² fan-out — the quadratic path the cap prevents
+    entries["ngram_uncapped_pairs"] = bench(
+        "ngram_uncapped_sec",
+        lambda: ngram_jaccard_pairs(corpus, max_doc_freq=None, threshold=0.8).count(),
+    )
+
+    # LSH banding over the same corpus: n_dup identical docs = one
+    # degenerate bucket per band
+    sig = minhash_signatures(corpus, num_hashes=8).localCheckpoint()
+    t0 = time.time()
+    entries["lsh_capped_pairs"] = lsh_candidate_pairs(
+        sig, num_hashes=8, bands=4, max_bucket=1000
+    ).count()
+    entries["lsh_capped_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entries["lsh_uncapped_pairs"] = lsh_candidate_pairs(
+        sig, num_hashes=8, bands=4, max_bucket=1 << 40
+    ).count()
+    entries["lsh_uncapped_sec"] = round(time.time() - t0, 3)
+
+    # --- hot-user sessionization: n_ev events, uniform vs 50% on one user
+    n_ev = 4_000_000
+    base = spark.range(n_ev).select(
+        F.col("id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000)
+        ).alias("ts"),
+    )
+    uniform = base.select(
+        (F.col("id") % 40_000).alias("user_id"), F.col("ts")
+    ).localCheckpoint()
+    hot = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 40_000)
+        .alias("user_id"),
+        F.col("ts"),
+    ).localCheckpoint()
+    bench("session_uniform_sec", lambda: _force(session_stats(uniform)))
+    bench("session_hot_user_sec", lambda: _force(session_stats(hot)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "sparvi_core_spark skew stress suite",
+                "unit": "sec",
+                "entries": entries,
+                "corpus": {"dup_docs": n_dup, "uniq_docs": n_uniq, "events": n_ev},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,3 +48,72 @@ def test_watermark_applied_to_stream_only(spark, sf_dir):
     out = windowed_quality_metrics(batch, numeric_cols=["value"])
     assert not out.isStreaming  # no watermark error on batch input
     assert "window_start" in out.columns and "window_end" in out.columns
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Multi-trigger availableNow run with out-of-order files: a row
+    arriving AFTER the watermark already evicted its window's state must
+    be dropped (the window emitted without it, and must not re-emit),
+    and windows the watermark has not passed must emit nothing.
+
+    Note the exact watermark contract this pins: a late row landing in
+    the SAME batch where its window is evicted still merges (the
+    watermark is a lower-bound guarantee, not an upper bound); dropping
+    is only guaranteed once eviction happened in a PRIOR batch — so the
+    late row here arrives two batches after its window's data."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    def write_file(name, rows, mtime):
+        ts, vals = zip(*rows)
+        pdf = pd.DataFrame(
+            {
+                # microsecond precision: pandas' default nanos would hit
+                # the session's nanosAsLong long-read path instead
+                "ts": pd.to_datetime(list(ts))
+                .tz_localize("UTC")
+                .astype("datetime64[us, UTC]"),
+                "value": list(vals),
+            }
+        )
+        f = str(d / name)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f)
+        os.utime(f, (mtime, mtime))
+
+    # batch 0: two rows in [10:00,11:00) + one in [12:00,13:00);
+    # after it the watermark is 12:30 - 1h = 11:30
+    write_file("f1.parquet",
+               [("2024-01-01 10:10", 1.0), ("2024-01-01 10:40", 3.0),
+                ("2024-01-01 12:30", 5.0)], 1_000_000)
+    # batch 1 runs with wm 11:30 -> evicts+emits [10,11) (n=2);
+    # its row advances the watermark to 13:30
+    write_file("f2.parquet", [("2024-01-01 14:30", 7.0)], 1_000_010)
+    # batch 2 runs with wm 13:30: the 10:20 row is behind an evicted
+    # window -> DROPPED; [12,13) evicted+emits; [14,15) never finalizes
+    write_file("f3.parquet",
+               [("2024-01-01 10:20", 100.0), ("2024-01-01 14:40", 9.0)], 1_000_020)
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    out = windowed_quality_metrics(
+        stream, ts_col="ts", window="1 hour", watermark="1 hour",
+        numeric_cols=["value"],
+    )
+    q = run_stream_to_memory(out, "late_metrics", output_mode="append")
+    got = {
+        (r["n_rows"], r["avg_value"]) for r in spark.table("late_metrics").collect()
+    }
+    # [10,11) emitted ONCE with n=2 avg=2.0 (no 100.0, no duplicate
+    # re-emission); [12,13) n=1 avg=5.0; [14,15) withheld.
+    assert got == {(2, 2.0), (1, 5.0)}, got
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"exactly the one late row must be dropped, got {dropped}"
