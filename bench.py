@@ -89,9 +89,12 @@ def main() -> None:
     from sparvi_core_spark.operators.pipeline import prepare_corpus
 
     def run_pipeline():
-        clean, _report = prepare_corpus(spark.table("documents"))
+        # keep_cache=True: the immediate write of `clean` reads the
+        # quality stage from cache; the returned handle is unpersisted
+        # after — the documented fast path for write-right-after usage
+        clean, report = prepare_corpus(spark.table("documents"), keep_cache=True)
         _force(clean.select("doc_id", "quality_score"))
-        spark.catalog.clearCache()  # drop the stage cache between runs
+        report["cache"].unpersist()
 
     bench("prepare_corpus", run_pipeline)
 

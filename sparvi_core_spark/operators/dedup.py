@@ -230,6 +230,10 @@ def ngram_jaccard_pairs(
     - ``candidates``: an (id_a, id_b) frame (e.g. from
       ``lsh_candidate_pairs``) to verify instead of self-joining at
       all — the 100 TB path.
+
+    Note: the capped path is mildly eager — it materializes the (small)
+    stop-shingle list and checks its emptiness so benign corpora pay
+    zero rescue overhead; the other paths stay fully lazy.
     """
     sh = shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -269,7 +273,16 @@ def ngram_jaccard_pairs(
         # add-back join fans out by that small factor only — so
         # reported jaccard stays exact over the full shingle sets.
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
+        # stop is small by construction (df > cap) and consumed by up to
+        # three broadcasts below — materialize it once; the emptiness
+        # check (one driver action over the checkpointed frame) lets a
+        # benign corpus skip the whole rescue sub-plan
+        stop = (
+            dfreq.filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+            .localCheckpoint()
+        )
+        has_stop = not stop.isEmpty()
         rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
         a = rare.alias("a")
         b = rare.alias("b")
@@ -313,29 +326,31 @@ def ngram_jaccard_pairs(
         # by an order-insensitive signature of the full shingle set and
         # star-pair each to the group's min-id representative: identical
         # sets → shared = |set| → jaccard exactly 1.0. collect_list is
-        # bounded per doc (its own shingles), never per corpus.
-        all_stop = sizes.join(rare.select("id"), "id", "left_anti")
-        setsigs = (
-            sh.join(all_stop.select("id"), "id", "left_semi")
-            .groupBy("id")
-            .agg(
-                F.md5(
-                    F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))
-                ).alias("setsig"),
-                F.count(F.lit(1)).alias("set_n"),
+        # bounded per doc (its own shingles), never per corpus. The
+        # whole sub-plan only exists when stop-shingles do.
+        if has_stop:
+            all_stop = sizes.join(rare.select("id"), "id", "left_anti")
+            setsigs = (
+                sh.join(all_stop.select("id"), "id", "left_semi")
+                .groupBy("id")
+                .agg(
+                    F.md5(
+                        F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))
+                    ).alias("setsig"),
+                    F.count(F.lit(1)).alias("set_n"),
+                )
             )
-        )
-        reps = setsigs.groupBy("setsig").agg(F.min("id").alias("rep"))
-        rescue = (
-            setsigs.join(reps, "setsig")
-            .filter(F.col("id") != F.col("rep"))
-            .select(
-                F.col("rep").alias("id_a"),
-                F.col("id").alias("id_b"),
-                F.col("set_n").alias("shared"),
+            reps = setsigs.groupBy("setsig").agg(F.min("id").alias("rep"))
+            rescue = (
+                setsigs.join(reps, "setsig")
+                .filter(F.col("id") != F.col("rep"))
+                .select(
+                    F.col("rep").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.col("set_n").alias("shared"),
+                )
             )
-        )
-        inter = inter.unionByName(rescue)
+            inter = inter.unionByName(rescue)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

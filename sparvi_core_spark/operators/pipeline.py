@@ -26,6 +26,7 @@ def prepare_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     keep_cache: bool = False,
+    broadcast_losers_max: int = 4_000_000,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (clean_df, report).
 
@@ -37,11 +38,14 @@ def prepare_corpus(
     output_docs, near_dup_clusters}.
 
     All heavy stages are the scale-hardened operators (LSH candidate
-    join, CC label propagation). The survivor anti-join carries no
-    broadcast hint: ``losers`` is every near-dup non-survivor, which on
-    a duplicate-heavy corpus is a large fraction of all documents — a
-    forced broadcast would OOM the driver at scale. AQE broadcasts it
-    at runtime when (and only when) it is actually small.
+    join, CC label propagation). The survivor anti-join's broadcast is
+    SIZE-GATED, never assumed: ``losers`` is every near-dup
+    non-survivor, which on a duplicate-heavy corpus is a large fraction
+    of all documents — an unconditional broadcast hint would OOM the
+    driver at scale. ``losers`` is counted first (cheap: it derives
+    from the checkpointed cluster labels) and hinted only when at most
+    ``broadcast_losers_max`` rows; above that the anti-join shuffles
+    ids and AQE picks the strategy.
 
     ``keep_cache=True`` leaves the intermediate quality-filtered frame
     persisted so the caller's immediate write of ``clean`` is a cache
@@ -79,13 +83,15 @@ def prepare_corpus(
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
     n_clusters = clusters.select("cluster").distinct().count()
+    n_losers = losers.count()
 
-    # No broadcast hint: losers can be corpus-sized (20-50% of docs on a
-    # duplicate-heavy corpus). The anti-join shuffles ids only — cheap —
-    # and AQE converts it to a broadcast join at runtime when losers is
-    # genuinely small, without risking a forced-broadcast OOM.
+    # losers can be corpus-sized (20-50% of docs on a duplicate-heavy
+    # corpus), so the broadcast hint is applied only under a measured
+    # row count; otherwise the anti-join shuffles ids only — cheap —
+    # and AQE still broadcasts at runtime if the size estimate allows.
+    right = F.broadcast(losers) if n_losers <= broadcast_losers_max else losers
     clean = kept_quality.join(
-        losers,
+        right,
         kept_quality[id_col] == losers["id"],
         "left_anti",
     )

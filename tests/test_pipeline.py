@@ -21,11 +21,13 @@ def test_prepare_corpus_on_driver_docs(spark, views):
     assert clean.count() == report["output_docs"]
 
 
-def test_prepare_corpus_antijoin_is_not_forced_broadcast(spark):
-    """The survivor anti-join must carry no broadcast() hint: losers can
-    be a corpus-sized fraction of all docs. With autoBroadcast disabled
-    an unhinted join plans as a shuffle join; a forced hint would
-    override the conf and broadcast regardless — the 100 TB OOM."""
+def test_prepare_corpus_antijoin_broadcast_is_size_gated(spark):
+    """The survivor anti-join broadcast must be size-gated, never
+    unconditional: losers can be a corpus-sized fraction of all docs,
+    and a forced hint overrides every size check — the 100 TB OOM.
+    Above the gate (simulated with broadcast_losers_max=0) and with
+    autoBroadcast disabled, the plan must be a shuffle join; under the
+    gate the measured-small losers frame is legitimately hinted."""
     from sparvi_core_spark.plans import (
         has_broadcast_hash_join,
         has_broadcast_nested_loop_join,
@@ -39,10 +41,17 @@ def test_prepare_corpus_antijoin_is_not_forced_broadcast(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        clean, report = prepare_corpus(df, min_quality=0.0, dedup_threshold=0.8)
+        # "large" losers: gate at 0 rows -> no hint allowed anywhere
+        clean, report = prepare_corpus(
+            df, min_quality=0.0, dedup_threshold=0.8, broadcast_losers_max=0
+        )
         assert not has_broadcast_hash_join(clean)
         assert not has_broadcast_nested_loop_join(clean)
         assert report["near_dup_dropped"] == 5
+        # measured-small losers: the gate applies the hint even with
+        # auto-broadcast off (that is the point of measuring)
+        clean2, _ = prepare_corpus(df, min_quality=0.0, dedup_threshold=0.8)
+        assert has_broadcast_hash_join(clean2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
