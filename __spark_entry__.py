@@ -443,17 +443,6 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
-def q_sample_rows(spark, sf_dir):
-    """S6 — deterministic display sample (ORDER BY key LIMIT 10; the
-    reference's LIMIT-without-order made deterministic for parity)."""
-    t = _views(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(10)
-    )
-
 
 def q_numeric_correlations(spark, sf_dir):
     """Pearson correlation between measure pairs — one fused agg
@@ -588,13 +577,6 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
 # --------------------------------------------------------------------------
 
 
-def q_dedup_exact(spark, sf_dir):
-    from sparvi_core_spark.operators.dedup import exact_dedup_stats
-
-    t = _views(spark, sf_dir)
-    return exact_dedup_stats(t["documents"], ["text"])
-
-
 def q_dedup_exact_normalized(spark, sf_dir):
     """Exact dedup over the normalized text form — catches duplicates
     that differ only in case/punctuation/whitespace."""
@@ -671,6 +653,20 @@ def q_simhash(spark, sf_dir):
 
     t = _views(spark, sf_dir)
     return simhash(t["documents"].filter(F.col("doc_id") < 50), bits=64)
+
+
+def q_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 8) via pigeonhole chunk
+    blocking. The oracle computes ALL-pairs Hamming directly, so parity
+    additionally proves the blocking loses no true pair (pigeonhole:
+    ≤ k differing bits cannot touch all k+1 chunks)."""
+    from sparvi_core_spark.operators.dedup import simhash_near_pairs
+
+    t = _views(spark, sf_dir)
+    pairs = simhash_near_pairs(
+        t["documents"].filter(F.col("doc_id") < 200), bits=64, max_hamming=8
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -861,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
-        "sample_rows": q_sample_rows,
         "numeric_correlations": q_numeric_correlations,
         "column_entropy": q_column_entropy,
         "systematic_sample": q_systematic_sample,
@@ -873,7 +868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "asof_purchase_click": q_asof_purchase_click,
         "events_hourly": q_events_hourly,
-        "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash": q_dedup_minhash,
@@ -881,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_bucketed": q_embedding_topk_bucketed,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1170,10 +1165,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24"""
 
-    o["sample_rows"] = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"""
-
     o["numeric_correlations"] = """
 SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
        ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
@@ -1243,13 +1234,6 @@ SELECT
     CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
     CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
-
-    o["dedup_exact"] = """
-SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
-       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
-       CAST(SUM(cnt - 1) AS BIGINT) AS surplus_rows,
-       CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS duplicated_groups
-FROM (SELECT text, COUNT(*) AS cnt FROM documents GROUP BY text) g"""
 
     o["dedup_exact_normalized"] = """
 WITH norm AS (
@@ -1389,6 +1373,36 @@ SELECT id, CAST(SUM(CASE WHEN s > 0 THEN
                 ELSE CAST(pow(2, bit) AS BIGINT) END
            ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY id"""
+
+    o["simhash_near"] = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+),
+hashed AS (
+    SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+    SELECT id, b.bit,
+           ((strpos('0123456789abcdef', substr(h, 16 - (b.bit // 4), 1)) - 1)
+            // CAST(pow(2, b.bit % 4) AS INT)) % 2 AS bitval
+    FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
+),
+sums AS (
+    SELECT id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY id, bit
+),
+sim AS (
+    SELECT id, CAST(SUM(CASE WHEN s > 0 THEN
+               CASE WHEN bit = 63 THEN -9223372036854775808
+                    ELSE CAST(pow(2, bit) AS BIGINT) END
+               ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
 
     topk_base = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),

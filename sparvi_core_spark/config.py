@@ -16,6 +16,12 @@ DEFAULTS: dict[str, dict[str, Any]] = {
     "profiling": {
         # reference: sparvi/config.py:19 (sample_row_limit)
         "sample_row_limit": 10,
+        # "limit": first rows (deterministic, the reference's plain
+        # LIMIT). "random": TABLESAMPLE-equivalent via df.sample —
+        # restores the reference's dialect SAMPLE/TABLESAMPLE display
+        # sampling (adapters.py:121-132); seeded for reproducibility.
+        "sample_method": "limit",
+        "sample_seed": 42,
         # reference: profile_engine.py:295-297 (skip frequent values > 1e6 rows)
         "frequent_values_row_threshold": 1_000_000,
         # skip top-1 frequency for near-unique columns (top-1 of a ~unique

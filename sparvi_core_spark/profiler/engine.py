@@ -398,9 +398,22 @@ def profile_table(
             return out
 
         def j5_samples() -> list:
+            # S6 — display sample. "limit" is the reference's plain
+            # LIMIT; "random" is the TABLESAMPLE path: df.sample with an
+            # oversampled fraction (sample() cannot guarantee exact
+            # counts) then limit. Scans stop early either way — no full
+            # pass at 100 TB.
             if not include_samples:
                 return []
-            return [r.asDict() for r in df.limit(p["sample_row_limit"]).collect()]
+            n = p["sample_row_limit"]
+            if p["sample_method"] == "random" and row_count > n:
+                frac = min(1.0, (n * 5.0) / row_count)
+                picked = df.sample(
+                    withReplacement=False, fraction=frac, seed=p["sample_seed"]
+                ).limit(n)
+            else:
+                picked = df.limit(n)
+            return [r.asDict() for r in picked.collect()]
 
         # Per-metric error isolation (the reference wraps each metric
         # block in try/except and degrades gracefully — same contract):

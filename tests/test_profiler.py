@@ -259,3 +259,27 @@ def test_hash_duplicate_mode_field_boundaries(spark):
         config={"profiling": {"duplicate_check_mode": "hash"}},
     )
     assert p["duplicate_count"] == 1
+
+
+def test_random_sample_method(spark, views):
+    """S6 TABLESAMPLE parity: sample_method="random" draws a seeded
+    random display sample of the configured size; default stays the
+    deterministic LIMIT."""
+    p = profile_table(
+        spark, "orders",
+        config={"profiling": {"sample_method": "random", "sample_seed": 7}},
+    )
+    assert len(p["samples"]) == 10
+    # seeded -> reproducible
+    p2 = profile_table(
+        spark, "orders",
+        config={"profiling": {"sample_method": "random", "sample_seed": 7}},
+    )
+    assert [r["o_orderkey"] for r in p["samples"]] == [
+        r["o_orderkey"] for r in p2["samples"]
+    ]
+    # random differs from the head-of-table default sample
+    head = profile_table(spark, "orders")
+    assert [r["o_orderkey"] for r in p["samples"]] != [
+        r["o_orderkey"] for r in head["samples"]
+    ]
