@@ -76,3 +76,21 @@ def test_prepare_corpus_survivor_is_min_id(spark):
     ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert ids == {3, 99}, "min-id survivor keeps 3, drops 10"
     assert report["near_dup_dropped"] == 1
+
+
+def test_prepare_corpus_empty_and_all_filtered(spark):
+    """Degenerate inputs must not crash: empty corpus, and a corpus
+    where the quality filter drops everything."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    clean, report = prepare_corpus(empty, min_quality=0.0)
+    assert report == {
+        "input_docs": 0, "low_quality_dropped": 0, "near_dup_dropped": 0,
+        "near_dup_clusters": 0, "output_docs": 0,
+    }
+    assert clean.count() == 0
+
+    rows = [(1, "some words here for one document"), (2, "other words in another")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean2, report2 = prepare_corpus(df, min_quality=1.1)
+    assert report2["output_docs"] == 0
+    assert report2["low_quality_dropped"] == 2
