@@ -12,7 +12,7 @@ Determinism note: event-time arithmetic is done on integer microseconds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def sessionize(
@@ -91,27 +91,40 @@ def asof_join(
     groupBy-collect (unbounded per-key memory). Equal timestamps match
     (right sorts before left at ties).
 
+    The whole right payload travels as ONE struct: a struct whose
+    fields are NULL is itself non-NULL, so a genuine NULL inside the
+    matched right row is preserved instead of being backfilled from an
+    older right row (which per-column ``last(ignorenulls)`` would do).
+
     DuckDB's native ``ASOF JOIN`` is the oracle for this operator.
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, right_ts)
     ]
     lcols = [c for c in left.columns]
+    rrow_type = T.StructType(
+        [
+            T.StructField(c + suffix, right.schema[c].dataType)
+            for c in right_payload
+        ]
+        + [T.StructField("matched_ts_us", T.LongType())]
+    )
     l = left.select(
         F.col(key).alias("__k"),
         F.unix_micros(F.col(left_ts)).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_payload],
-        F.lit(None).cast("bigint").alias("__rt"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     r = right.select(
         F.col(key).alias("__k"),
         F.unix_micros(F.col(right_ts)).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(c + suffix) for c in right_payload],
-        F.unix_micros(F.col(right_ts)).alias("__rt"),
+        F.struct(
+            *[F.col(c).alias(c + suffix) for c in right_payload],
+            F.unix_micros(F.col(right_ts)).alias("matched_ts_us"),
+        ).alias("__rrow"),
     )
     u = l.unionByName(r)
     w = (
@@ -120,19 +133,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "__k",
-        "__t",
         "__is_left",
         "__lrow",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in right_payload
-        ],
-        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__matched_ts_us"),
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
     )
     out = carried.filter(F.col("__is_left") == 1)
     return out.select(
         *[F.col("__lrow." + c).alias(c) for c in lcols],
-        *[F.col(c + suffix) for c in right_payload],
-        F.col("__matched_ts_us").alias("matched_ts_us"),
+        *[F.col("__rrow." + c + suffix).alias(c + suffix) for c in right_payload],
+        F.col("__rrow.matched_ts_us").alias("matched_ts_us"),
     )

@@ -98,6 +98,22 @@ def percentile_exprs(
     ]
 
 
+def mode_exprs(cols: list[str]) -> list[Column]:
+    """A11's value-only twin — per-column modal value
+    (profile_engine.py:290-335).
+
+    ``F.mode(deterministic=True)`` returns the LOWEST value among
+    equally-frequent candidates, so the result is stable and
+    oracle-comparable (DuckDB twin: GROUP BY value ORDER BY count DESC,
+    value ASC LIMIT 1). Like percentiles this is an object-hash
+    aggregate (per-value hashmap, knocks the fused agg out of
+    whole-stage codegen), so callers should run it alongside the
+    percentile job rather than the streaming-agg pass; partials are
+    mergeable maps, so it scales like any hash aggregate.
+    """
+    return [F.mode(F.col(c), deterministic=True).alias(a("mode", c)) for c in cols]
+
+
 def text_stats_exprs(cols: list[str]) -> list[Column]:
     """A8 — min/max/avg length per text column (profile_engine.py:178-204)."""
     exprs: list[Column] = []

@@ -85,6 +85,79 @@ def test_oracle_parity(spark, duck, name):
     _assert_frames_match(name, spark_pdf, duck_pdf)
 
 
+# ---------------------------------------------------------------------------
+# Local-only oracle pairs — shapes that left the driver's 50-query pin
+# (mode, set-ops, HLL) keep full oracle coverage here, where there is no
+# query-count cap.
+# ---------------------------------------------------------------------------
+
+
+def test_local_mode_parity(spark, duck):
+    """F.mode(deterministic=True) vs DuckDB's deterministic-mode twin
+    (lowest value among the most frequent)."""
+    from sparvi_core_spark.profiler.metrics import mode_exprs
+
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"]
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark_pdf = df.agg(*mode_exprs(cols)).toPandas()
+    sub = ", ".join(
+        f'(SELECT {c} FROM lineitem WHERE {c} IS NOT NULL '
+        f'GROUP BY {c} ORDER BY count(*) DESC, {c} ASC LIMIT 1) AS "mode//{c}"'
+        for c in cols
+    )
+    duck_pdf = duck.execute(f"SELECT {sub}").df()
+    _assert_frames_match("mode", spark_pdf, duck_pdf)
+
+
+def test_local_setops_parity(spark, duck):
+    """INTERSECT / EXCEPT (distinct set semantics) vs DuckDB."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        pd_col("c_nationkey", "nationkey")
+    )
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select(
+        pd_col("s_nationkey", "nationkey")
+    )
+    inter_pdf = cust.intersect(supp).toPandas()
+    duck_inter = duck.execute(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier"
+    ).df()
+    _assert_frames_match("intersect", inter_pdf, duck_inter)
+
+    exc_pdf = cust.subtract(supp).toPandas()  # EXCEPT (distinct) semantics
+    duck_exc = duck.execute(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "EXCEPT SELECT s_nationkey FROM supplier"
+    ).df()
+    _assert_frames_match("except", exc_pdf, duck_exc)
+
+
+def test_local_hll_tolerance(spark, duck):
+    """approx_count_distinct (HLL++) within tolerance of the exact
+    count. Sketches differ across engines, so the oracle is the exact
+    DuckDB count with a 4·rsd relative band."""
+    from sparvi_core_spark.profiler.metrics import distinct_count_exprs
+
+    rsd = 0.02
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority"]
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    row = df.agg(*distinct_count_exprs(cols, approx=True, rsd=rsd)).collect()[0]
+    exact = duck.execute(
+        "SELECT " + ", ".join(f"count(DISTINCT {c})" for c in cols) + " FROM orders"
+    ).fetchone()
+    for c, ex in zip(cols, exact):
+        approx = row[f"distinct//{c}"]
+        assert abs(approx - ex) <= max(1, 4 * rsd * ex), (
+            f"{c}: approx {approx} vs exact {ex} outside 4*rsd"
+        )
+
+
+def pd_col(src, dst):
+    from pyspark.sql import functions as F
+
+    return F.col(src).alias(dst)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -62,6 +62,28 @@ def test_asof_backward_with_ties_and_missing(spark):
     assert out.count() == 4    # left join preserves all left rows
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A genuine NULL in the matched right row must survive — not be
+    stitched from an older right row (per-column last(ignorenulls)
+    would do that; the struct carry must not)."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "p1"), (1, _ts(40), "p2")],
+        "user_id long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), "c1", 100),
+            (1, _ts(15), None, 200),  # matched for p1: cid is genuinely NULL
+            (1, _ts(30), "c3", None), # matched for p2: amount is genuinely NULL
+        ],
+        "user_id long, ts timestamp, cid string, amount long",
+    )
+    out = asof_join(left, right, key="user_id", right_payload=["cid", "amount"])
+    got = {r["pid"]: (r["cid_right"], r["amount_right"]) for r in out.collect()}
+    assert got["p1"] == (None, 200)  # NOT ("c1", 200)
+    assert got["p2"] == ("c3", None)  # NOT ("c3", 200)
+
+
 def test_asof_one_shuffle_plan(spark):
     left = spark.createDataFrame([(1, _ts(1), "x")], "user_id long, ts timestamp, pid string")
     right = spark.createDataFrame([(1, _ts(0), "y")], "user_id long, ts timestamp, cid string")
