@@ -55,6 +55,28 @@ def predicted_language(text_col: str = "text") -> F.Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
+def quality_score_expr(text_col: str = "text") -> F.Column:
+    """The composite quality score as a single column expression:
+    0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·(1 − punct_ratio),
+    rounded to 4. Shared by ``quality_features`` and
+    ``operators.pipeline.prepare_corpus`` (which attaches it with
+    ``withColumn`` — a projection, no join)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_PATTERN), F.lit(0))
+    )
+    stop_hits = _stop_hits(toks, STOPWORDS["en"])
+    tok_d = F.greatest(n_tokens, F.lit(1))
+    chr_d = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    return F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (stop_hits / tok_d)
+        + 0.3 * (1 - punct / chr_d),
+        4,
+    )
+
+
 def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score (rounded, deterministic):
 
@@ -79,12 +101,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     avg_token_len = F.round(no_space / tok_d, 4)
     punct_ratio = F.round(punct / chr_d, 4)
     stop_ratio = F.round(stop_hits / tok_d, 4)
-    score = F.round(
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.3 * (stop_hits / tok_d)
-        + 0.3 * (1 - punct / chr_d),
-        4,
-    )
+    score = quality_score_expr(text_col)
     return df.select(
         F.col(id_col).alias("id"),
         n_tokens.cast("bigint").alias("n_tokens"),

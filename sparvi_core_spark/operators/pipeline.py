@@ -5,16 +5,99 @@ composed into the standard LLM-data pipeline shape:
 
 One call produces the cleaned corpus plus a per-stage attrition report —
 the numbers a data curator actually monitors.
+
+Report accounting rides the passes that already run (``df.observe()``
+metrics + one small agg over the checkpointed cluster labels) instead of
+issuing its own corpus-scale count jobs; see ``prepare_corpus``.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
-from sparvi_core_spark.functions.text import quality_features
+from sparvi_core_spark.functions.text import quality_score_expr
 from sparvi_core_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+
+class CorpusReport(dict):
+    """Attrition report for :func:`prepare_corpus`.
+
+    Behaves as a plain dict. ``input_docs``, ``low_quality_dropped`` and
+    ``near_dup_clusters`` are present eagerly; ``output_docs`` and
+    ``near_dup_dropped`` resolve lazily from an ``observe()`` metric
+    attached to the returned ``clean`` frame, so they ride the CALLER's
+    first action (typically the write) instead of costing a dedicated
+    corpus-scale count. If they are read before any action ran, one
+    ``count()`` is issued to fill the metric — never more.
+    """
+
+    _LAZY = ("output_docs", "near_dup_dropped")
+
+    def __init__(self, eager: dict[str, Any], clean: DataFrame, obs: Observation, n_quality: int):
+        super().__init__(eager)
+        self._clean = clean
+        self._obs: Observation | None = obs
+        self._n_quality = n_quality
+
+    def _resolve(self) -> None:
+        if self._obs is None:
+            return
+        try:
+            # non-blocking probe: filled iff the caller already ran an
+            # action over the observed frame (throws/empty otherwise)
+            filled = not self._obs._jo.getOrEmpty().isEmpty()
+        except Exception:
+            filled = False
+        if not filled:
+            self._clean.count()  # one action fills the metric
+        n_output = int(self._obs.get["n_output"])
+        dict.__setitem__(self, "output_docs", n_output)
+        dict.__setitem__(self, "near_dup_dropped", self._n_quality - n_output)
+        self._obs = None
+
+    # every read surface resolves first, so the lazy keys are invisible
+    # to callers — the report always looks complete
+    def __getitem__(self, key):
+        if key in self._LAZY:
+            self._resolve()
+        return dict.__getitem__(self, key)
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or (
+            key in self._LAZY and self._obs is not None
+        )
+
+    def __eq__(self, other):
+        self._resolve()
+        return dict.__eq__(self, other)
+
+    __hash__ = None  # type: ignore[assignment]
+
+    def __iter__(self):
+        self._resolve()
+        return dict.__iter__(self)
+
+    def __len__(self):
+        self._resolve()
+        return dict.__len__(self)
+
+    def keys(self):
+        self._resolve()
+        return dict.keys(self)
+
+    def items(self):
+        self._resolve()
+        return dict.items(self)
+
+    def values(self):
+        self._resolve()
+        return dict.values(self)
+
+    def __repr__(self):
+        self._resolve()
+        return dict.__repr__(self)
 
 
 def prepare_corpus(
@@ -26,51 +109,59 @@ def prepare_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     keep_cache: bool = False,
-    broadcast_losers_max: int = 4_000_000,
+    broadcast_losers_max_bytes: int = 8 << 20,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (clean_df, report).
 
     clean_df: surviving rows of ``docs`` plus a ``quality_score``
-    column. Near-dup clusters keep their minimum-id member (the
-    deterministic survivor from ``dedup_clusters``).
+    column (attached as a projection — no join). Near-dup clusters keep
+    their minimum-id member (the deterministic survivor from
+    ``dedup_clusters``).
 
     report: {input_docs, low_quality_dropped, near_dup_dropped,
-    output_docs, near_dup_clusters}.
+    output_docs, near_dup_clusters} — a :class:`CorpusReport`.
+    Exactly TWO driver actions run inside this function, both needed
+    anyway: the persist-materializing count of the quality-filtered
+    frame (which also fills the ``input_docs`` observe() metric) and
+    one small agg over the checkpointed cluster labels (cluster count +
+    loser count for the broadcast gate). ``output_docs`` /
+    ``near_dup_dropped`` ride the caller's first action on ``clean``
+    via a second observe() metric.
 
     All heavy stages are the scale-hardened operators (LSH candidate
     join, CC label propagation). The survivor anti-join's broadcast is
-    SIZE-GATED, never assumed: ``losers`` is every near-dup
+    SIZE-GATED in BYTES, never assumed: ``losers`` is every near-dup
     non-survivor, which on a duplicate-heavy corpus is a large fraction
     of all documents — an unconditional broadcast hint would OOM the
-    driver at scale. ``losers`` is counted first (cheap: it derives
-    from the checkpointed cluster labels) and hinted only when at most
-    ``broadcast_losers_max`` rows; above that the anti-join shuffles
-    ids and AQE picks the strategy.
+    driver at scale. The loser count is measured (cheap: it derives
+    from the checkpointed cluster labels), multiplied by a conservative
+    16 bytes/id estimate, and hinted only when at most
+    ``broadcast_losers_max_bytes`` (default 8 MiB — in line with
+    Spark's 10 MB ``autoBroadcastJoinThreshold`` convention); above
+    that the anti-join shuffles ids and AQE picks the strategy.
 
     ``keep_cache=True`` leaves the intermediate quality-filtered frame
     persisted so the caller's immediate write of ``clean`` is a cache
     scan; the handle is returned as ``report["cache"]`` — unpersist it
     (not ``spark.catalog.clearCache()``) when done. With the default
     ``False`` the cache is released before returning and the caller's
-    first action recomputes the quality join once.
+    first action recomputes the quality projection once.
     """
-    n_input = docs.count()
-
-    q = quality_features(docs, id_col, text_col).select(
-        F.col("id"), F.col("quality_score")
-    )
-    scored = docs.join(
-        q, docs[id_col] == q["id"], "left"
-    ).drop("id")
+    obs_in = Observation()
+    scored = docs.observe(
+        obs_in, F.count(F.lit(1)).alias("n_input")
+    ).withColumn("quality_score", quality_score_expr(text_col))
     kept_quality = scored.filter(
         F.coalesce(F.col("quality_score"), F.lit(0.0)) >= min_quality
     )
-    # consumed by the count, the MinHash+LSH stage, and the final
-    # anti-join — materialize ONCE instead of recomputing the quality
-    # join three times (persist, not localCheckpoint: spillable to disk
-    # and evictable, which is what you want for a corpus-sized frame)
+    # consumed by the MinHash+LSH stage and the final anti-join —
+    # materialize ONCE instead of recomputing the quality projection
+    # (persist, not localCheckpoint: spillable to disk and evictable,
+    # which is what you want for a corpus-sized frame). This count also
+    # fills the n_input metric — one pass, two report numbers.
     kept_quality = kept_quality.persist()
     n_quality = kept_quality.count()
+    n_input = int(obs_in.get["n_input"])
 
     pairs = minhash_dedup_pairs(
         kept_quality,
@@ -82,28 +173,42 @@ def prepare_corpus(
     )
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
-    n_clusters = clusters.select("cluster").distinct().count()
-    n_losers = losers.count()
+    # one agg fills both label-derived numbers (cluster count + loser
+    # count for the gate) — clusters is checkpointed, so this is cheap
+    label_stats = clusters.agg(
+        F.count_distinct("cluster").alias("n_clusters"),
+        F.coalesce(
+            F.sum((F.col("id") != F.col("cluster")).cast("long")), F.lit(0)
+        ).alias("n_losers"),
+    ).collect()[0]
+    n_clusters, n_losers = int(label_stats["n_clusters"]), int(label_stats["n_losers"])
 
     # losers can be corpus-sized (20-50% of docs on a duplicate-heavy
     # corpus), so the broadcast hint is applied only under a measured
-    # row count; otherwise the anti-join shuffles ids only — cheap —
-    # and AQE still broadcasts at runtime if the size estimate allows.
-    right = F.broadcast(losers) if n_losers <= broadcast_losers_max else losers
+    # BYTE estimate (16 B/id covers a bigint plus row overhead);
+    # otherwise the anti-join shuffles ids only — cheap — and AQE still
+    # broadcasts at runtime if its own size estimate allows.
+    losers_bytes = n_losers * 16
+    right = (
+        F.broadcast(losers) if losers_bytes <= broadcast_losers_max_bytes else losers
+    )
+    obs_out = Observation()
     clean = kept_quality.join(
         right,
         kept_quality[id_col] == losers["id"],
         "left_anti",
-    )
-    n_output = clean.count()
+    ).observe(obs_out, F.count(F.lit(1)).alias("n_output"))
 
-    report = {
-        "input_docs": n_input,
-        "low_quality_dropped": n_input - n_quality,
-        "near_dup_dropped": n_quality - n_output,
-        "near_dup_clusters": n_clusters,
-        "output_docs": n_output,
-    }
+    report = CorpusReport(
+        {
+            "input_docs": n_input,
+            "low_quality_dropped": n_input - n_quality,
+            "near_dup_clusters": n_clusters,
+        },
+        clean,
+        obs_out,
+        n_quality,
+    )
     if keep_cache:
         report["cache"] = kept_quality
     else:

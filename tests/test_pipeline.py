@@ -25,9 +25,10 @@ def test_prepare_corpus_antijoin_broadcast_is_size_gated(spark):
     """The survivor anti-join broadcast must be size-gated, never
     unconditional: losers can be a corpus-sized fraction of all docs,
     and a forced hint overrides every size check — the 100 TB OOM.
-    Above the gate (simulated with broadcast_losers_max=0) and with
-    autoBroadcast disabled, the plan must be a shuffle join; under the
-    gate the measured-small losers frame is legitimately hinted."""
+    Above the byte gate (simulated with broadcast_losers_max_bytes=0)
+    and with autoBroadcast disabled, the plan must be a shuffle join;
+    under the gate the measured-small losers frame is legitimately
+    hinted."""
     from sparvi_core_spark.plans import (
         has_broadcast_hash_join,
         has_broadcast_nested_loop_join,
@@ -43,7 +44,7 @@ def test_prepare_corpus_antijoin_broadcast_is_size_gated(spark):
     try:
         # "large" losers: gate at 0 rows -> no hint allowed anywhere
         clean, report = prepare_corpus(
-            df, min_quality=0.0, dedup_threshold=0.8, broadcast_losers_max=0
+            df, min_quality=0.0, dedup_threshold=0.8, broadcast_losers_max_bytes=0
         )
         assert not has_broadcast_hash_join(clean)
         assert not has_broadcast_nested_loop_join(clean)
@@ -76,6 +77,20 @@ def test_prepare_corpus_survivor_is_min_id(spark):
     ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert ids == {3, 99}, "min-id survivor keeps 3, drops 10"
     assert report["near_dup_dropped"] == 1
+
+
+def test_prepare_corpus_report_rides_caller_action(spark):
+    """output_docs/near_dup_dropped resolve from the observe() metric
+    filled by the caller's own action — and agree with it."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, report = prepare_corpus(df, min_quality=0.0)
+    n = clean.count()  # the caller's action fills the metric
+    assert report["output_docs"] == n
+    assert report["near_dup_dropped"] == report["input_docs"] - report[
+        "low_quality_dropped"
+    ] - report["output_docs"]
 
 
 def test_prepare_corpus_empty_and_all_filtered(spark):
