@@ -247,16 +247,20 @@ def validate(source, table, rules_file, generate_defaults, save_defaults,
     source, table = _resolve_source(source, table)
     spark = _session(cpus)
     table = _register_source(spark, source, table)
+    # parse/validate --max-length unconditionally: malformed specs are
+    # rejected even when defaults are not generated, and hints that
+    # would be silently ignored (rules came solely from --rules-file)
+    # get an explicit warning instead
+    length_hints = {}
+    for spec in max_length:
+        col, _, n = spec.partition("=")
+        if not n.isdigit():
+            raise click.UsageError(f"--max-length expects col=N, got {spec!r}")
+        length_hints[col] = int(n)
     rules = []
     if rules_file:
         rules += load_rules_from_file(rules_file)
     if generate_defaults or not rules:
-        length_hints = {}
-        for spec in max_length:
-            col, _, n = spec.partition("=")
-            if not n.isdigit():
-                raise click.UsageError(f"--max-length expects col=N, got {spec!r}")
-            length_hints[col] = int(n)
         generated = get_default_validations(
             spark, table, primary_keys=list(primary_key) or None,
             column_length_hints=length_hints or None,
@@ -267,6 +271,13 @@ def validate(source, table, rules_file, generate_defaults, save_defaults,
             fmt = "json" if save_defaults.endswith(".json") else "yaml"
             export_rules(generated, save_defaults, fmt)
             click.echo(f"Default rules saved to {save_defaults}")
+    elif length_hints:
+        click.echo(
+            "Warning: --max-length only applies to generated default rules; "
+            "hints ignored because rules came from --rules-file "
+            "(add --generate-defaults to apply them)",
+            err=True,
+        )
     results = run_validations(spark, rules)
     n_pass = sum(1 for r in results if r["is_valid"])
     n_fail = len(results) - n_pass

@@ -276,7 +276,15 @@ def ngram_jaccard_pairs(
         # stop is small by construction (df > cap) and consumed by up to
         # three broadcasts below — materialize it once; the emptiness
         # check (one driver action over the checkpointed frame) lets a
-        # benign corpus skip the whole rescue sub-plan
+        # benign corpus skip the whole rescue sub-plan.
+        # Cost, accepted deliberately: the capped path is EAGER — the
+        # localCheckpoint + isEmpty below run a full shingle scan and
+        # doc-frequency groupBy at DataFrame-CONSTRUCTION time, and the
+        # checkpointed blocks are retained for the session (release via
+        # SparkContext cleaner / session stop). The alternative — gating
+        # the rescue purely in the plan — keeps construction lazy but
+        # pays the rescue sub-plan's joins on every benign corpus;
+        # measured, the eager probe is the cheaper trade (SCALE.md).
         stop = (
             dfreq.filter(F.col("df") > max_doc_freq)
             .select("shingle")
@@ -473,7 +481,9 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, raise_on_nonconverged: bool = True
+) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster), where
     cluster = min doc id reachable through the pair graph (the survivor
     every other member dedups onto).
@@ -484,6 +494,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     join + one agg; ``localCheckpoint`` truncates lineage so plans don't
     grow across iterations. This is the standard Spark CC shape without
     a graph library dependency.
+
+    Labels propagate one hop per round, so a component whose diameter
+    exceeds ``max_iter`` (a pathological near-dup CHAIN, not a clique)
+    would exit the loop with wrong, unconverged labels. That is never
+    returned silently: by default a ``RuntimeError`` tells the caller to
+    raise ``max_iter``; ``raise_on_nonconverged=False`` downgrades to a
+    ``RuntimeWarning`` for callers that prefer best-effort labels.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
@@ -499,6 +516,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -528,7 +546,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = stepped.select("id", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds: a component's diameter exceeds the round budget and "
+            "the returned labels would be wrong. Raise max_iter (rounds "
+            "needed = longest chain in the pair graph)."
+        )
+        if raise_on_nonconverged:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster"))
 
 

@@ -135,6 +135,12 @@ def profile_table(
     """
     cfg = get_config(config)
     p = cfg["profiling"]
+    # fail fast on a bad knob — inside the per-metric isolation it would
+    # silently degrade to an errors[] entry instead of rejecting
+    if p["sample_method"] not in ("limit", "random"):
+        raise ValueError(
+            f"sample_method must be 'limit' or 'random', got {p['sample_method']!r}"
+        )
     if df is None:
         df = read_table(spark, table)
     b = bucket_columns(df.schema)
@@ -402,7 +408,12 @@ def profile_table(
             # LIMIT; "random" is the TABLESAMPLE path: df.sample with an
             # oversampled fraction (sample() cannot guarantee exact
             # counts) then limit. Scans stop early either way — no full
-            # pass at 100 TB.
+            # pass at 100 TB. Known bias, accepted for early-stop: the
+            # limit takes the FIRST n sampled rows in partition order,
+            # skewing the display sample toward early partitions; a
+            # uniform n-row draw would need orderBy(rand(seed)) on the
+            # sampled frame, forcing a full sample materialization —
+            # the wrong trade for a 10-row display sample at 100 TB.
             if not include_samples:
                 return []
             n = p["sample_row_limit"]

@@ -7,8 +7,10 @@ state: the state store holds one (last_ts_us, session_seq) pair per
 user, so memory is O(active users), not O(events). Arrow-batched
 per-group pandas processing keeps the Python boundary vectorized.
 
-Within a micro-batch, a group's rows are sorted by event time before
-assignment; cross-batch correctness relies on per-key event-time order
+Within a micro-batch, a group's rows are buffered across Arrow chunk
+boundaries and sorted by event time ONCE before assignment (chunk
+order carries no guarantee); cross-batch correctness relies on
+per-key event-time order
 across batches (guaranteed under availableNow backfill of ordered
 files; for out-of-order live streams pair with a watermark upstream and
 treat session ids as append-only).
@@ -69,10 +71,15 @@ def sessionize_stream(
             last_ts_us, seq = state.get
         else:
             last_ts_us, seq = None, 0
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(ts_col)
+        # a key's rows within a micro-batch may arrive as SEVERAL Arrow
+        # chunks with no cross-chunk ordering guarantee — buffer and
+        # sort ONCE per key, else a late chunk's earlier timestamps
+        # would mis-assign sessions (negative deltas never open one and
+        # last_ts_us would move backward). Memory is one key's rows for
+        # one micro-batch — the same bound applyInPandas itself implies.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             ts_us = pdf[ts_col].astype("int64") // 1000  # ns → µs
             seqs = []
             for t in ts_us:
@@ -130,10 +137,11 @@ def sessionize_stream_tws(
                 last_ts_us, seq = self._state.get()
             else:
                 last_ts_us, seq = None, 0
-            for pdf in rows:
-                if pdf.empty:
-                    continue
-                pdf = pdf.sort_values(ts_col)
+            # buffer + single sort per key — see sessionize_stream's
+            # assign(): Arrow chunk boundaries carry no ordering
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
                 ts_us = pdf[ts_col].astype("int64") // 1000  # ns → µs
                 seqs = []
                 for t in ts_us:

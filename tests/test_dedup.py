@@ -103,6 +103,29 @@ def test_dedup_clusters_chain(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_nonconvergence_is_never_silent(spark):
+    """A chain longer than max_iter cannot converge (labels move one hop
+    per round) — must raise by default, warn when asked, and converge
+    once max_iter covers the diameter."""
+    import warnings
+
+    import pytest
+
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=3).collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_clusters(chain, max_iter=3, raise_on_nonconverged=False)
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(chain, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(11)}
+
+
 def test_simhash_64bit_collisions_10k(spark):
     """64-bit simhash on 10k synthetic distinct docs: collisions should
     be (essentially) absent — the reason the default moved off 32-bit."""

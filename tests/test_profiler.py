@@ -283,3 +283,15 @@ def test_random_sample_method(spark, views):
     assert [r["o_orderkey"] for r in p["samples"]] != [
         r["o_orderkey"] for r in head["samples"]
     ]
+
+
+def test_unknown_sample_method_rejected(spark, views):
+    """A typo'd sample_method must fail fast, not silently fall back to
+    the LIMIT path (or vanish into the per-metric errors dict)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_method"):
+        profile_table(
+            spark, "region",
+            config={"profiling": {"sample_method": "reservoir"}},
+        )
