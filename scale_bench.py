@@ -1,0 +1,134 @@
+"""Scaling-curve bench: the top-5 most expensive headline queries at
+sf0.1 AND a 10×-replicated sf1-equivalent, proving the plans' scaling
+CURVE, not just their shape (SCALE.md records the numbers).
+
+The sf1 input is generated once under ``.scale/sf1`` (gitignored) by
+replicating sf0.1 ``factor`` times:
+
+- lineitem: keys offset per replica (value distributions unchanged)
+- documents: doc_id offset per replica AND every token suffixed with a
+  replica tag (regexp backreference + concat, pure JVM expressions), so
+  cross-replica texts share NO shingles — the duplicate/near-dup
+  fraction stays constant as the corpus grows, which is the organic
+  growth model. A corpus where duplication grows WITH scale is the
+  hostile case, covered separately by stress_bench.py.
+
+Usage: python scale_bench.py  → one JSON line
+{"metric": "...", "queries": {q: {"sf0.1": s, "sf1": s, "ratio": r}}, "factor": 10}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_scaled(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.session import read_parquet_table
+
+    if os.path.exists(os.path.join(dst, "_DONE")):
+        return
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+
+    li = read_parquet_table(spark, os.path.join(src, "lineitem.parquet"))
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    li_big = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    li_big.write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet"))
+
+    docs = read_parquet_table(spark, os.path.join(src, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    tag = F.concat(F.lit("$1r"), F.col("rep").cast("string"))
+    docs_big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * max_id).alias("doc_id"),
+        F.regexp_replace(F.col("text"), F.lit(r"(\S+)"), tag).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    docs_big.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
+    with open(os.path.join(dst, "_DONE"), "w") as f:
+        f.write("ok\n")
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from sparvi_core_spark import get_spark, profile_table, register_views
+    from sparvi_core_spark.operators.pipeline import prepare_corpus
+
+    spark = get_spark(
+        app_name="sparvi-scale-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, SRC, DST, FACTOR)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def timed(fn) -> float:
+        fn()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    from sparvi_core_spark.operators.dedup import simhash
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        views = register_views(spark, sf_dir)
+
+        def run_pipeline():
+            clean, report = prepare_corpus(spark.table("documents"), keep_cache=True)
+            _force(clean.select("doc_id", "quality_score"))
+            report["cache"].unpersist()
+
+        cases = {
+            "profile_lineitem": lambda: profile_table(spark, "lineitem"),
+            "prepare_corpus": run_pipeline,
+            "ngram_jaccard": lambda: _force(qs["ngram_jaccard"](spark, sf_dir)),
+            "dedup_minhash": lambda: _force(qs["dedup_minhash"](spark, sf_dir)),
+            # the FULL corpus, not the oracle query's doc_id<50 slice —
+            # the pinned query is constant work at any scale
+            "simhash": lambda: _force(simhash(views["documents"], bits=64)),
+        }
+        for name, fn in cases.items():
+            results.setdefault(name, {})[sf_name] = timed(fn)
+
+    for name, r in results.items():
+        r["ratio"] = round(r["sf1"] / r["sf0.1"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "sparvi_core_spark scaling curve (10x data)",
+                "queries": results,
+                "factor": FACTOR,
+                "unit": "sec",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
