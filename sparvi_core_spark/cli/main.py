@@ -85,6 +85,29 @@ def _register_source(spark, source: str, table: str | None) -> str | None:
     return table
 
 
+# Severity → ANSI color, mirroring the reference's rich-library severity
+# styling (reference: sparvi/cli/profile.py:122-455) without the rich
+# dependency. click strips styles automatically when stdout is not a
+# terminal, so piped/captured output stays plain.
+_SEVERITY_COLORS = {
+    "high": "red", "error": "red", "critical": "red",
+    "medium": "yellow", "warning": "yellow",
+    "low": "cyan", "info": "cyan",
+}
+
+
+def _sev(severity) -> str:
+    return click.style(
+        str(severity),
+        fg=_SEVERITY_COLORS.get(str(severity).lower(), "white"),
+        bold=True,
+    )
+
+
+def _header(text: str) -> str:
+    return click.style(text, bold=True)
+
+
 def _render_table(headers: list[str], rows: list[list]) -> str:
     """Dependency-free aligned table (the reference renders these
     sections with rich tables; content is identical)."""
@@ -165,7 +188,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
     )
     if fmt == "minimal":
         return
-    click.echo("\nCompleteness:")
+    click.echo(_header("\nCompleteness:"))
     click.echo(_render_table(
         ["column", "nulls", "null %", "distinct", "distinct %"],
         [
@@ -175,7 +198,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
         ],
     ))
     if prof["numeric_stats"]:
-        click.echo("\nNumeric stats:")
+        click.echo(_header("\nNumeric stats:"))
         click.echo(_render_table(
             ["column", "min", "max", "avg", "stdev", "q1", "median", "q3"],
             [
@@ -185,7 +208,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
             ],
         ))
     if prof["text_length_stats"]:
-        click.echo("\nText length stats:")
+        click.echo(_header("\nText length stats:"))
         click.echo(_render_table(
             ["column", "min len", "max len", "avg len"],
             [
@@ -194,7 +217,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
             ],
         ))
     if prof["date_stats"]:
-        click.echo("\nDate stats:")
+        click.echo(_header("\nDate stats:"))
         click.echo(_render_table(
             ["column", "min", "max", "range days"],
             [
@@ -203,7 +226,7 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
             ],
         ))
     if prof["frequent_values"]:
-        click.echo("\nMost frequent values:")
+        click.echo(_header("\nMost frequent values:"))
         click.echo(_render_table(
             ["column", "value", "frequency", "%"],
             [
@@ -214,13 +237,13 @@ def profile(source, table, fmt, output, compare, history_dir, no_samples, approx
             ],
         ))
     if prof.get("anomalies"):
-        click.echo("\nAnomalies:")
+        click.echo(_header("\nAnomalies:"))
         for a in prof["anomalies"]:
-            click.echo(f"  [{a['severity']}] {a['type']}: {a['description']}")
+            click.echo(f"  [{_sev(a['severity'])}] {a['type']}: {a['description']}")
     if prof.get("schema_shifts"):
-        click.echo("\nSchema shifts:")
+        click.echo(_header("\nSchema shifts:"))
         for s in prof["schema_shifts"]:
-            click.echo(f"  [{s['severity']}] {s['type']}: {s['description']}")
+            click.echo(f"  [{_sev(s['severity'])}] {s['type']}: {s['description']}")
     rc_trend = (prof.get("trends") or {}).get("row_counts") or []
     if len(rc_trend) > 1:
         series = " -> ".join(str(x["value"]) for x in rc_trend[-10:])
@@ -282,7 +305,8 @@ def validate(source, table, rules_file, generate_defaults, save_defaults,
     n_pass = sum(1 for r in results if r["is_valid"])
     n_fail = len(results) - n_pass
     for r in results:
-        status = "PASS" if r["is_valid"] else "FAIL"
+        status = (click.style("PASS", fg="green") if r["is_valid"]
+                  else click.style("FAIL", fg="red", bold=True))
         detail = (
             f"actual={r.get('actual_value')!r} expected={r.get('expected_value')!r}"
             if "error" not in r
