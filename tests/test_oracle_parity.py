@@ -158,6 +158,95 @@ def pd_col(src, dst):
     return F.col(src).alias(dst)
 
 
+def test_local_q5_local_supplier_volume(spark, duck):
+    """Full TPC-H-Q5 shape — 6-table join incl. the local-supplier
+    condition (c_nationkey = s_nationkey), revenue per nation. The
+    50-query pin carries the 4-table region_revenue variant; this keeps
+    the full shape oracle-covered locally. Dims broadcast; the fact
+    side shuffles once for the agg."""
+    from pyspark.sql import functions as F
+
+    t = {
+        n: spark.read.parquet(f"{SF_DIR}/{n}.parquet")
+        for n in ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    }
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    spark_pdf = (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toPandas()
+    )
+    duck_pdf = duck.execute("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """).df()
+    _assert_frames_match("q5_local_supplier_volume", spark_pdf, duck_pdf)
+
+
+def test_local_q10_returned_items(spark, duck):
+    """TPC-H-Q10 shape: top-20 customers by revenue on returned items
+    (l_returnflag = 'R'). Ordering on the ROUNDED revenue with custkey
+    tie-break so the top-20 cut is engine-stable."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    spark_pdf = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .toPandas()
+    )
+    duck_pdf = duck.execute("""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """).df()
+    _assert_frames_match("q10_returned_items", spark_pdf, duck_pdf)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
