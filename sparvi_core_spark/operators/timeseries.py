@@ -89,7 +89,9 @@ def asof_join(
     filter back to left rows. Exactly ONE shuffle on the key — the
     scale-correct alternative to a range join (quadratic per key) or a
     groupBy-collect (unbounded per-key memory). Equal timestamps match
-    (right sorts before left at ties).
+    (right sorts before left at ties). Among DUPLICATE right rows
+    sharing the same (key, timestamp) the surviving payload is
+    unspecified — the same contract as DuckDB's ASOF JOIN.
 
     The whole right payload travels as ONE struct: a struct whose
     fields are NULL is itself non-NULL, so a genuine NULL inside the

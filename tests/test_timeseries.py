@@ -84,6 +84,52 @@ def test_asof_null_payload_not_backfilled(spark):
     assert got["p2"] == ("c3", None)  # NOT ("c3", 200)
 
 
+def test_asof_null_payload_matches_duckdb_asof(spark):
+    """Same NULL-payload scenario directly against DuckDB's native
+    ASOF LEFT JOIN — the operator's declared oracle."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [(1, _ts(20), "p1"), (1, _ts(40), "p2"), (2, _ts(10), "p3")],
+        "k long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), "c1", 100),
+            (1, _ts(15), None, 200),
+            (1, _ts(30), "c3", None),
+        ],
+        "k long, ts timestamp, cid string, amount long",
+    )
+    got = {
+        r["pid"]: (r["cid_right"], r["amount_right"])
+        for r in asof_join(left, right, key="k", right_payload=["cid", "amount"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 12:20:00', 'p1'),"
+        "(1, TIMESTAMP '2024-01-01 12:40:00', 'p2'),"
+        "(2, TIMESTAMP '2024-01-01 12:10:00', 'p3')) t(k, ts, pid)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 12:05:00', 'c1', 100),"
+        "(1, TIMESTAMP '2024-01-01 12:15:00', NULL, 200),"
+        "(1, TIMESTAMP '2024-01-01 12:30:00', 'c3', NULL)) t(k, ts, cid, amount)"
+    )
+    oracle = {
+        pid: (cid, amount)
+        for pid, cid, amount in con.execute(
+            "SELECT l.pid, r.cid, r.amount FROM l "
+            "ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert got == oracle == {
+        "p1": (None, 200), "p2": ("c3", None), "p3": (None, None)
+    }
+
+
 def test_asof_one_shuffle_plan(spark):
     left = spark.createDataFrame([(1, _ts(1), "x")], "user_id long, ts timestamp, pid string")
     right = spark.createDataFrame([(1, _ts(0), "y")], "user_id long, ts timestamp, cid string")
