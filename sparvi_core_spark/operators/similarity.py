@@ -184,6 +184,46 @@ def ivf_assign(
     )
 
 
+def random_hyperplane_buckets(
+    vectors: DataFrame,
+    planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-LSH (signed random projections): bucket id = the bit-string
+    of ``sign(v · h_i)`` over ``planes`` seeded Gaussian hyperplanes —
+    the embedding-space analog of SimHash. Two vectors at cosine angle
+    θ agree on each bit with probability 1 − θ/π, so cosine-near
+    vectors collide; use the result as ``bucket_col`` for
+    ``embedding_near_duplicates`` (or a pre-filter for
+    ``cosine_topk_bucketed``) when no trained IVF assignment exists —
+    unlike IVF it needs NO build pass over the corpus.
+
+    Plan: ``planes`` dot products per row, all JVM expressions inside
+    one projection — no shuffle, no Python. The hyperplanes are
+    driver-generated literals (seeded → deterministic across runs and
+    engines). Recall knob: fewer planes → bigger buckets → higher
+    recall and cost; 2^planes buckets at 16 planes. Near-dups straddling
+    a boundary land in different buckets (multi-probe or a second seed
+    recovers them) — same trade-off documented for IVF nprobe=1.
+    """
+    import random as _random
+
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col))).first()[0]
+    rnd = _random.Random(seed)
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i in range(planes):
+        h = F.array(*[F.lit(rnd.gauss(0.0, 1.0)) for _ in range(dim)])
+        bucket = bucket + F.when(_dot(v, h) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return vectors.withColumn(out, bucket)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -65,6 +65,38 @@ def test_near_duplicates(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
+def test_random_hyperplane_buckets(vectors):
+    """SRP-LSH: deterministic across calls; a planted near-duplicate
+    (cosine > 0.999) collides with its source; scaled copies of a
+    vector (cosine 1) collide exactly."""
+    from sparvi_core_spark.operators.similarity import random_hyperplane_buckets
+
+    df, _ = vectors
+    b1 = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(df).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(df).collect()}
+    assert b1 == b2, "seeded hyperplanes must be deterministic"
+    assert b1[0] == b1[100], "near-duplicate must share its source's bucket"
+    # sign-LSH is scale-invariant: v and 3v bucket identically
+    scaled = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(3.0))
+    )
+    b3 = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(scaled).collect()}
+    assert b3 == b1
+
+
+def test_near_duplicates_via_srp_buckets(vectors):
+    """The full no-build scale path: SRP buckets as bucket_col for the
+    near-dup join finds the planted pair without the label column."""
+    from sparvi_core_spark.operators.similarity import random_hyperplane_buckets
+
+    df, _ = vectors
+    bucketed = random_hyperplane_buckets(df, planes=8)
+    pairs = embedding_near_duplicates(
+        bucketed, threshold=0.99, bucket_col="bucket"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
 def test_with_norm(vectors):
     df, rows = vectors
     got = {r["vec_id"]: r["norm"] for r in with_norm(df).collect()}

@@ -50,6 +50,33 @@ def test_watermark_applied_to_stream_only(spark, sf_dir):
     assert "window_start" in out.columns and "window_end" in out.columns
 
 
+def test_dedup_stream_exact_batch_stream_equivalence(spark, sf_dir):
+    """Ingest-time exact dedup: the streaming path
+    (dropDuplicatesWithinWatermark — bounded state) must keep the same
+    KEY SET as the batch path on a single-trigger backfill. Row choice
+    per key is engine-arbitrary, so keys are compared, not payloads."""
+    from sparvi_core_spark.session import read_parquet_table
+    from sparvi_core_spark.streaming.dedup_stream import dedup_stream_exact
+
+    path = f"{sf_dir}/events.parquet"
+    keys = ["user_id", "event_type"]
+    batch = read_parquet_table(spark, path)
+    n_raw = batch.count()
+    batch_out = dedup_stream_exact(batch, keys)
+    assert not batch_out.isStreaming
+    batch_keys = {(r["user_id"], r["event_type"]) for r in batch_out.collect()}
+    assert len(batch_keys) < n_raw, "fixture must contain duplicate keys"
+
+    stream = stream_events(spark, path)
+    stream_out = dedup_stream_exact(stream, keys, ts_col="ts", delay="1 hour")
+    assert stream_out.isStreaming
+    run_stream_to_memory(stream_out, "stream_dedup", output_mode="append")
+    stream_rows = spark.table("stream_dedup").collect()
+    stream_keys = {(r["user_id"], r["event_type"]) for r in stream_rows}
+    assert stream_keys == batch_keys
+    assert len(stream_rows) == len(stream_keys), "exactly one row per key"
+
+
 def test_late_data_dropped_after_watermark(spark, tmp_path):
     """Multi-trigger availableNow run with out-of-order files: a row
     arriving AFTER the watermark already evicted its window's state must
