@@ -109,6 +109,58 @@ def media_quality_summary(decoded: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    decoder: str = "metadata",
+) -> DataFrame:
+    """Resize plumbing via mapInPandas — same Arrow-batched shape as
+    ``decode_media``; schema is unchanged (the payload column is
+    replaced).
+
+    ``decoder="metadata"``: rewrites the synthetic header to the target
+    dimensions and truncates/pads the body to the new ``width*height %
+    4096`` length — deterministic, so a decode round-trip shows the new
+    dims. ``"real"`` is the seam where an actual pixel resample
+    (PIL.Image.resize / ffmpeg scale) plugs into the same batch loop.
+    Corrupt payloads (bad magic) pass through untouched so the
+    downstream ``valid`` accounting still sees them.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "plug PIL/pyav into _resize_batches and pass "
+            "decoder='metadata' for the deterministic stub"
+        )
+    if decoder != "metadata":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    body_len = width * height % 4096
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[payload_col]:
+                b = bytes(raw) if raw is not None else b""
+                if len(b) >= 8 and b[:4] == MAGIC:
+                    body = b[8:][:body_len].ljust(body_len, b"\0")
+                    out.append(
+                        MAGIC
+                        + width.to_bytes(2, "big")
+                        + height.to_bytes(2, "big")
+                        + body
+                    )
+                else:
+                    out.append(b)  # corrupt: pass through for accounting
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_resize_batches, schema=df.schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -7,6 +7,7 @@ from sparvi_core_spark.operators.multimodal import (
     decode_media,
     make_synthetic_payload,
     media_quality_summary,
+    resize_media,
     sample_frames,
 )
 
@@ -48,6 +49,24 @@ def test_real_decoder_is_explicit_stub(media):
         decode_media(media, decoder="real")
     with pytest.raises(ValueError):
         decode_media(media, decoder="nope")
+
+
+def test_resize_roundtrip(media):
+    """Resize then decode: valid payloads carry the new dims, schema is
+    unchanged, corrupt payloads pass through for accounting."""
+    resized = resize_media(media, 320, 240)
+    assert resized.schema == media.schema
+    got = {r["media_id"]: r for r in decode_media(resized).collect()}
+    for mid in (0, 1, 2):
+        assert (got[mid]["width"], got[mid]["height"]) == (320, 240)
+        assert got[mid]["valid"] == "ok"
+    assert got[3]["valid"] == "corrupt"  # untouched
+    assert got[4]["valid"] == "corrupt"
+
+
+def test_resize_real_decoder_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 320, 240, decoder="real")
 
 
 def test_sample_frames(media):
