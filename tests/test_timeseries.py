@@ -130,6 +130,54 @@ def test_asof_null_payload_matches_duckdb_asof(spark):
     }
 
 
+def test_asof_randomized_vs_bruteforce(spark):
+    """Seeded randomized check against a brute-force reference: 300
+    left rows x 200 right rows over 8 keys with equal-timestamp ties
+    and ~25% NULL payload fields. Ties among right rows at the same
+    (key, ts) are avoided by construction (the survivor is unspecified
+    there, matching DuckDB)."""
+    import random
+
+    rnd = random.Random(1234)
+    lrows = [
+        (rnd.randrange(8), _ts(rnd.randrange(60), rnd.randrange(60)), f"p{i}")
+        for i in range(300)
+    ]
+    seen = set()
+    rrows = []
+    for i in range(200):
+        k, ts = rnd.randrange(8), _ts(rnd.randrange(60), rnd.randrange(60))
+        if (k, ts) in seen:  # keep right (key, ts) unique
+            continue
+        seen.add((k, ts))
+        rrows.append(
+            (k, ts,
+             None if rnd.random() < 0.25 else f"c{i}",
+             None if rnd.random() < 0.25 else i * 10)
+        )
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, pid string")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, cid string, amount long")
+    got = {
+        r["pid"]: (r["cid_right"], r["amount_right"])
+        for r in asof_join(left, right, key="k", right_payload=["cid", "amount"]).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, ts, cid, amount in rrows:
+        by_key.setdefault(k, []).append((ts, cid, amount))
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r[0])
+    expected = {}
+    for k, ts, pid in lrows:
+        match = (None, None)
+        for rts, cid, amount in by_key.get(k, []):
+            if rts <= ts:
+                match = (cid, amount)  # latest-so-far wins
+            else:
+                break
+        expected[pid] = match
+    assert got == expected
+
+
 def test_asof_one_shuffle_plan(spark):
     left = spark.createDataFrame([(1, _ts(1), "x")], "user_id long, ts timestamp, pid string")
     right = spark.createDataFrame([(1, _ts(0), "y")], "user_id long, ts timestamp, cid string")
