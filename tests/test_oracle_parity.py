@@ -132,6 +132,25 @@ def test_local_setops_parity(spark, duck):
     _assert_frames_match("except", exc_pdf, duck_exc)
 
 
+def test_local_approx_percentile_tolerance(spark, duck):
+    """percentile_approx (the auto-flip scale path) within rank
+    tolerance of the exact DuckDB percentile_cont: at accuracy=10000
+    the sketch's rank error is ~1/accuracy, so the approx value must
+    fall inside the exact [p-0.01, p+0.01] quantile envelope."""
+    from sparvi_core_spark.profiler.metrics import percentile_exprs
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = df.agg(*percentile_exprs(["l_extendedprice"], approx=True)).collect()[0]
+    approx_q = row["quartiles//l_extendedprice"]
+    for p, got in zip((0.25, 0.5, 0.75), approx_q):
+        lo, hi = duck.execute(
+            f"SELECT percentile_cont({max(p - 0.01, 0)}) WITHIN GROUP (ORDER BY l_extendedprice), "
+            f"percentile_cont({min(p + 0.01, 1)}) WITHIN GROUP (ORDER BY l_extendedprice) "
+            "FROM lineitem"
+        ).fetchone()
+        assert lo <= got <= hi, f"p{p}: {got} outside exact envelope [{lo}, {hi}]"
+
+
 def test_local_hll_tolerance(spark, duck):
     """approx_count_distinct (HLL++) within tolerance of the exact
     count. Sketches differ across engines, so the oracle is the exact

@@ -178,6 +178,39 @@ def test_asof_randomized_vs_bruteforce(spark):
     assert got == expected
 
 
+def test_sessionize_randomized_vs_bruteforce(spark):
+    """Seeded randomized check: 500 events over 6 users vs a per-user
+    sorted scan applying the same gap rule."""
+    import random
+
+    rnd = random.Random(99)
+    rows = [
+        (rnd.randrange(6), _ts(rnd.randrange(60), rnd.randrange(60), rnd.randrange(1000) * 1000))
+        for _ in range(500)
+    ]
+    rows = list(dict.fromkeys(rows))  # unique (user, ts): lag-order is
+    # unspecified among exact-duplicate events
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    gap = 120
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    by_user: dict[int, list] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    expected = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        seq, last = 0, None
+        for ts in tss:
+            if last is None or (ts - last).total_seconds() > gap:
+                seq += 1
+            expected[(u, ts)] = seq
+            last = ts
+    assert got == expected
+
+
 def test_asof_one_shuffle_plan(spark):
     left = spark.createDataFrame([(1, _ts(1), "x")], "user_id long, ts timestamp, pid string")
     right = spark.createDataFrame([(1, _ts(0), "y")], "user_id long, ts timestamp, cid string")
