@@ -1,0 +1,71 @@
+"""Hash splits / deterministic sampling: stability, disjointness,
+append-invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, views):
+    return views["documents"]
+
+
+def test_hash_split_disjoint_and_complete(docs):
+    splits = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {name: {r["doc_id"] for r in s.select("doc_id").collect()} for name, s in splits.items()}
+    n_total = docs.count()
+    assert sum(len(v) for v in ids.values()) == n_total, "splits must partition the input"
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"]) and not (ids["val"] & ids["test"])
+    # fractions approximately honored (500 docs, generous band)
+    assert 0.7 <= len(ids["train"]) / n_total <= 0.9
+
+
+def test_hash_split_is_repartition_invariant(docs):
+    """The core contract randomSplit lacks: membership is a pure
+    function of the id, so a repartition must not move any row."""
+    a = {r["doc_id"] for r in hash_split(docs, {"train": 0.8, "val": 0.2})["val"].collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_split(docs.repartition(17, "text"), {"train": 0.8, "val": 0.2})["val"].collect()
+    }
+    assert a == b
+
+
+def test_hash_split_append_invariant(docs):
+    """Old rows keep their split when new rows arrive."""
+    half = docs.filter(F.col("doc_id") < 250)
+    full_val = {r["doc_id"] for r in hash_split(docs, {"train": 0.8, "val": 0.2})["val"].collect()}
+    half_val = {r["doc_id"] for r in hash_split(half, {"train": 0.8, "val": 0.2})["val"].collect()}
+    assert half_val == {i for i in full_val if i < 250}
+
+
+def test_hash_split_bad_weights(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, 0.2).collect()}
+    assert s1 == s2
+    assert 0.1 <= len(s1) / docs.count() <= 0.3
+    # independent draw under a different salt
+    s3 = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="other").collect()}
+    assert s3 != s1
+
+
+def test_stratified_sample_rebalances(docs):
+    langs = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    top = max(langs, key=langs.get)
+    out = stratified_sample(docs, "lang", {top: 0.1}, default_fraction=1.0)
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got[top] < langs[top] * 0.4, "dominant stratum downsampled"
+    for lang, n in langs.items():
+        if lang != top:
+            assert got.get(lang) == n, "other strata kept whole"
