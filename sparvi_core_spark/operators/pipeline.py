@@ -64,6 +64,13 @@ class CorpusReport(dict):
             self._resolve()
         return dict.__getitem__(self, key)
 
+    def get(self, key, default=None):
+        # dict.get bypasses __getitem__ — route it through resolution
+        # so report.get("output_docs") never silently returns default
+        if key in self._LAZY:
+            self._resolve()
+        return dict.get(self, key, default)
+
     def __contains__(self, key):
         return dict.__contains__(self, key) or (
             key in self._LAZY and self._obs is not None

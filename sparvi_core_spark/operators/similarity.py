@@ -211,6 +211,9 @@ def random_hyperplane_buckets(
     """
     import random as _random
 
+    if not 1 <= planes <= 62:
+        # bucket bits live in one signed 64-bit long
+        raise ValueError(f"planes must be in [1, 62], got {planes}")
     if dim is None:
         dim = vectors.select(F.size(F.col(vec_col))).first()[0]
     rnd = _random.Random(seed)

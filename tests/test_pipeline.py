@@ -87,6 +87,7 @@ def test_prepare_corpus_report_rides_caller_action(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     clean, report = prepare_corpus(df, min_quality=0.0)
     n = clean.count()  # the caller's action fills the metric
+    assert report.get("output_docs") == n  # .get() must resolve too
     assert report["output_docs"] == n
     assert report["near_dup_dropped"] == report["input_docs"] - report[
         "low_quality_dropped"

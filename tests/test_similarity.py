@@ -84,6 +84,14 @@ def test_random_hyperplane_buckets(vectors):
     assert b3 == b1
 
 
+def test_srp_planes_bounded(vectors):
+    from sparvi_core_spark.operators.similarity import random_hyperplane_buckets
+
+    df, _ = vectors
+    with pytest.raises(ValueError, match="planes"):
+        random_hyperplane_buckets(df, planes=63)
+
+
 def test_near_duplicates_via_srp_buckets(vectors):
     """The full no-build scale path: SRP buckets as bucket_col for the
     near-dup join finds the planted pair without the label column."""
