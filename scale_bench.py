@@ -24,8 +24,10 @@ import os
 import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
 FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+# sf0.1 × factor → sf label (factor 10 → sf1, factor 100 → sf10)
+SF_LABEL = f"sf{0.1 * FACTOR:g}"
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", SF_LABEL)
 
 
 def _force(df):
@@ -96,7 +98,7 @@ def main() -> None:
     from sparvi_core_spark.operators.dedup import simhash
 
     results: dict[str, dict[str, float]] = {}
-    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+    for sf_name, sf_dir in (("sf0.1", SRC), (SF_LABEL, DST)):
         views = register_views(spark, sf_dir)
 
         def run_pipeline():
@@ -117,7 +119,7 @@ def main() -> None:
             results.setdefault(name, {})[sf_name] = timed(fn)
 
     for name, r in results.items():
-        r["ratio"] = round(r["sf1"] / r["sf0.1"], 2)
+        r["ratio"] = round(r[SF_LABEL] / r["sf0.1"], 2)
     print(
         json.dumps(
             {
