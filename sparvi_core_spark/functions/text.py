@@ -144,6 +144,153 @@ def fingerprints(
     )
 
 
+# Ordered PII redaction rules. Patterns are kept in the common subset of
+# Java regex (Spark) and RE2 (DuckDB/Go): no lookaround, no
+# backreferences — which is what makes redaction oracle-checkable and
+# portable to other engines. Order matters: emails first (so their
+# digit runs are never half-eaten by the phone rules), then the
+# dotted/dashed numeric shapes from most to least specific.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # E.164-style international numbers, then separator-style local ones
+    ("phone_intl", r"\+\d{7,15}\b", "<PHONE>"),
+    ("phone_us", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: str = "text") -> F.Column:
+    """Replace common PII shapes (emails, IPv4s, SSNs, phone numbers)
+    with typed placeholder tokens — the standard scrubbing pass before
+    corpus text is used for training.
+
+    A chain of ``regexp_replace`` calls (one per :data:`PII_PATTERNS`
+    rule, applied in order) — a single codegen projection, no shuffle,
+    no Python. Heuristic by design: it redacts the unambiguous textual
+    shapes; entity-level NER is out of scope for an expression.
+    """
+    c = F.col(text_col)
+    for _, pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
+def redact_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc redacted text: (id, text) with :func:`redact_pii` applied."""
+    return df.select(
+        F.col(id_col).alias("id"), redact_pii(text_col).alias("text")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals, per the published quality
+    filters for LLM training corpora (duplicate-line and top-n-gram
+    character fractions, as used by the Gopher/MassiveText and C4
+    cleaning rules):
+
+    - ``n_lines``: non-empty (after trim) newline-separated lines.
+    - ``dup_line_frac``: line occurrences beyond the first occurrence
+      of their text, over all line occurrences.
+    - ``dup_line_char_frac``: characters in those beyond-first
+      occurrences, over characters in all line occurrences.
+    - ``top_gram``: the most frequent word ``gram_n``-gram (ties break
+      to the lexicographically greatest gram — deterministic).
+    - ``top_gram_count``: its occurrence count.
+    - ``top_gram_char_frac``: count × len(gram) over total text chars —
+      the fraction of the document spent repeating its favourite
+      phrase.
+
+    High values of any fraction mark boilerplate/spam for the quality
+    filter. All ratios are rounded to 4 for engine-portable comparison.
+
+    Plan shape (scales linearly — no per-doc quadratic work, no
+    all-pairs): two explodes (lines, grams) each followed by a
+    two-level aggregation with map-side partials, then one equi-join on
+    the doc id. Docs with no qualifying lines/grams keep a row with
+    zeroed fractions (left joins from the id spine).
+    """
+    from sparvi_core_spark.operators.dedup import shingles
+
+    ids = df.select(F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("__chars"))
+
+    # NB: the explicit lambda matters — F.trim has an optional second
+    # parameter, so passing it bare makes transform() feed the element
+    # INDEX into it as the trim-character set
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    line_stats = (
+        df.select(F.col(id_col).alias("id"), F.explode(lines).alias("line"))
+        .groupBy("id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("len", F.length("line"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.col("cnt") - 1).alias("dup_occ"),
+            F.sum((F.col("cnt") - 1) * F.col("len")).alias("dup_chars"),
+            F.sum(F.col("cnt") * F.col("len")).alias("line_chars"),
+        )
+    )
+
+    gram_counts = (
+        shingles(df, id_col, text_col, gram_n)
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    gram_stats = gram_counts.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"),
+                (F.col("cnt") * F.length("shingle")).alias("chars"),
+                F.col("shingle").alias("g"),
+            )
+        ).alias("top")
+    )
+
+    out = (
+        ids.join(line_stats, "id", "left")
+        .join(gram_stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_occ") / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_chars") / F.greatest(F.col("line_chars"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("dup_line_char_frac"),
+            F.col("top.g").alias("top_gram"),
+            F.coalesce(F.col("top.c"), F.lit(0)).cast("bigint").alias("top_gram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top.chars") / F.greatest(F.col("__chars"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("top_gram_char_frac"),
+        )
+    )
+    return out
+
+
 def normalize_text(text_col: str = "text") -> F.Column:
     """Canonical text form for exact-dup detection across formatting
     noise: lowercase, punctuation stripped, whitespace collapsed+trimmed.

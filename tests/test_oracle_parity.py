@@ -271,3 +271,139 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_local_redact_pii_parity(spark, duck):
+    """redact_pii vs the identical regexp_replace chain in DuckDB.
+    PII_PATTERNS is kept in the Java-regex ∩ RE2 subset precisely so
+    both engines produce byte-identical redactions; plus a
+    no-false-positive check over the real documents table."""
+    import pandas as pd
+
+    from sparvi_core_spark.functions.text import PII_PATTERNS, redact_documents
+
+    fixture = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "mail jane.doe+x@example.co.uk and BOB@SUB.EXAMPLE.ORG now",
+                "hosts 192.168.0.1 and 10.0.255.254 and 1.2.3.4",
+                "ssn 123-45-6789 vs phone 555-123-4567 / 555.123.4567 / +4915112345678",
+                "clean: 3.14, v1.2.3 is a tag, a-b-c, x@y (not an email), 12-34",
+                "",
+            ],
+        }
+    )
+    sdf = redact_documents(spark.createDataFrame(fixture))
+    duck.register("pii_fixture", fixture)
+    expr, params = "text", []
+    for _, pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, ?, ?, 'g')"
+        params.extend([pat, rep])
+    duck_pdf = duck.execute(
+        f"SELECT doc_id AS id, {expr} AS text FROM pii_fixture", params
+    ).df()
+    _assert_frames_match("redact_pii", sdf.toPandas(), duck_pdf)
+
+    # the synthetic corpus contains no PII shapes: redaction must be a
+    # no-op there (false-positive guard over 500 real rows)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    red = redact_documents(docs).withColumnRenamed("text", "redacted")
+    changed = (
+        red.join(docs, red["id"] == docs["doc_id"])
+        .filter(F.col("redacted") != F.col("text"))
+        .count()
+    )
+    assert changed == 0
+
+
+def test_local_repetition_stats_parity(spark, duck):
+    """repetition_stats (Gopher/C4-style duplicate-line and top-n-gram
+    fractions) vs a DuckDB reimplementation from first principles
+    (string_split + unnest + struct-max), on a fixture exercising
+    repeated lines, blank/whitespace lines, repeated grams, short docs
+    and the empty doc."""
+    import pandas as pd
+
+    from sparvi_core_spark.functions.text import repetition_stats
+
+    fixture = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam",
+                "a b\nc d\na b\n\n  \nc d\na b",
+                "unique words only here",
+                "one",
+                "",
+            ],
+        }
+    )
+    sdf = repetition_stats(spark.createDataFrame(fixture))
+    duck.register("rep_fixture", fixture)
+    duck_pdf = duck.execute("""
+        WITH lines AS (
+          SELECT doc_id, trim(l) AS line
+          FROM rep_fixture, unnest(string_split(text, chr(10))) AS u(l)
+          WHERE trim(l) <> ''
+        ), lc AS (
+          SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+          FROM lines GROUP BY 1, 2
+        ), ls AS (
+          SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_occ,
+                 sum((cnt - 1) * len) AS dup_chars, sum(cnt * len) AS line_chars
+          FROM lc GROUP BY 1
+        ), grams AS (
+          SELECT doc_id, unnest(gl) AS gram FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS gl
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rep_fixture)
+            WHERE len(t) >= 2
+          )
+        ), gc AS (
+          SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+        ), gs AS (
+          SELECT doc_id,
+                 max(struct_pack(c := cnt, chars := cnt * length(gram), g := gram)) AS top
+          FROM gc GROUP BY 1
+        )
+        SELECT f.doc_id AS id,
+               coalesce(ls.n_lines, 0) AS n_lines,
+               round(coalesce(ls.dup_occ * 1.0 / greatest(ls.n_lines, 1), 0), 4) AS dup_line_frac,
+               round(coalesce(ls.dup_chars * 1.0 / greatest(ls.line_chars, 1), 0), 4) AS dup_line_char_frac,
+               gs.top.g AS top_gram,
+               coalesce(gs.top.c, 0) AS top_gram_count,
+               round(coalesce(gs.top.chars * 1.0 / greatest(length(f.text), 1), 0), 4) AS top_gram_char_frac
+        FROM rep_fixture f
+        LEFT JOIN ls ON f.doc_id = ls.doc_id
+        LEFT JOIN gs ON f.doc_id = gs.doc_id
+    """).df()
+    _assert_frames_match("repetition_stats", sdf.toPandas(), duck_pdf)
+
+    # and on the real documents table (space-joined words: line stats
+    # trivial, gram stats load-bearing) — full 500-doc parity
+    sdf2 = repetition_stats(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    duck_pdf2 = duck.execute("""
+        WITH grams AS (
+          SELECT doc_id, unnest(gl) AS gram FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS gl
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 2
+          )
+        ), gc AS (
+          SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+        ), gs AS (
+          SELECT doc_id,
+                 max(struct_pack(c := cnt, chars := cnt * length(gram), g := gram)) AS top
+          FROM gc GROUP BY 1
+        )
+        SELECT d.doc_id AS id, 1 AS n_lines, 0.0 AS dup_line_frac,
+               0.0 AS dup_line_char_frac, gs.top.g AS top_gram,
+               gs.top.c AS top_gram_count,
+               round(gs.top.chars * 1.0 / greatest(length(d.text), 1), 4) AS top_gram_char_frac
+        FROM documents d JOIN gs ON d.doc_id = gs.doc_id
+    """).df()
+    _assert_frames_match("repetition_stats_documents", sdf2.toPandas(), duck_pdf2)

@@ -91,3 +91,55 @@ def test_histogram_empty_input(spark):
 
     allnull = spark.createDataFrame([(None,), (None,)], "x double")
     assert histogram(allnull, "x", bins=5).count() == 0
+
+
+def test_redact_pii(spark):
+    from sparvi_core_spark.functions.text import redact_documents
+
+    rows = [
+        (0, "mail me at jane.doe+spam@example.co.uk or call +15551234567"),
+        (1, "server 192.168.0.1 failed; backup at 10.0.255.254 ok"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 and 555.123.4567"),
+        (3, "no pii here, just 3.14 and v1.2 and a-b-c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["text"] for r in redact_documents(df).collect()}
+    assert got[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[1] == "server <IP> failed; backup at <IP> ok"
+    assert got[2] == "ssn <SSN> phone <PHONE> and <PHONE>"
+    assert got[3] == rows[3][1]  # untouched
+
+
+def test_repetition_stats(spark):
+    from sparvi_core_spark.functions.text import repetition_stats
+
+    doc0 = "spam spam spam spam"                      # one line, top gram "spam spam" x3
+    doc1 = "a b\nc d\na b\n\n  \nc d\na b"            # 5 non-empty lines: a b x3, c d x2
+    doc2 = "unique words only here"                   # no repetition
+    doc3 = ""                                         # empty
+    df = spark.createDataFrame(
+        list(enumerate([doc0, doc1, doc2, doc3])), "doc_id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert len(got) == 4
+
+    assert got[0]["n_lines"] == 1
+    assert got[0]["dup_line_frac"] == 0.0
+    assert got[0]["top_gram"] == "spam spam"
+    assert got[0]["top_gram_count"] == 3
+    # 3 occurrences x 9 chars / 19 chars total
+    assert got[0]["top_gram_char_frac"] == round(27 / 19, 4)
+
+    # doc1: 5 line occurrences, 2 distinct -> 3 beyond-first
+    assert got[1]["n_lines"] == 5
+    assert got[1]["dup_line_frac"] == round(3 / 5, 4)
+    # beyond-first chars: 2x"a b" + 1x"c d" = 9 of 15 line chars
+    assert got[1]["dup_line_char_frac"] == round(9 / 15, 4)
+
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_gram_count"] == 1
+
+    assert got[3]["n_lines"] == 0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_gram"] is None
+    assert got[3]["top_gram_char_frac"] == 0.0
