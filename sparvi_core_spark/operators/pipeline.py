@@ -117,6 +117,8 @@ def prepare_corpus(
     bands: int = 4,
     keep_cache: bool = False,
     broadcast_losers_max_bytes: int = 8 << 20,
+    max_dup_line_frac: float | None = None,
+    max_top_gram_char_frac: float | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (clean_df, report).
 
@@ -147,6 +149,16 @@ def prepare_corpus(
     Spark's 10 MB ``autoBroadcastJoinThreshold`` convention); above
     that the anti-join shuffles ids and AQE picks the strategy.
 
+    ``max_dup_line_frac`` / ``max_top_gram_char_frac`` (both off by
+    default) extend the quality gate with the published repetition
+    filters (Gopher's rules drop docs whose duplicate-line fraction
+    exceeds ~0.3 or whose top-2-gram character fraction exceeds ~0.2):
+    :func:`~sparvi_core_spark.functions.text.repetition_stats` is
+    joined on the doc id and the thresholds become part of the same
+    filter pass, so ``low_quality_dropped`` counts the COMBINED
+    quality+repetition attrition (one stage, no extra report action).
+    When both are ``None`` the join is never built.
+
     ``keep_cache=True`` leaves the intermediate quality-filtered frame
     persisted so the caller's immediate write of ``clean`` is a cache
     scan; the handle is returned as ``report["cache"]`` — unpersist it
@@ -161,6 +173,19 @@ def prepare_corpus(
     kept_quality = scored.filter(
         F.coalesce(F.col("quality_score"), F.lit(0.0)) >= min_quality
     )
+    if max_dup_line_frac is not None or max_top_gram_char_frac is not None:
+        from sparvi_core_spark.functions.text import repetition_stats
+
+        rep = repetition_stats(docs, id_col=id_col, text_col=text_col)
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond &= F.col("dup_line_frac") <= max_dup_line_frac
+        if max_top_gram_char_frac is not None:
+            cond &= F.col("top_gram_char_frac") <= max_top_gram_char_frac
+        keep_ids = rep.filter(cond).select(F.col("id").alias("__rep_ok_id"))
+        kept_quality = kept_quality.join(
+            keep_ids, kept_quality[id_col] == F.col("__rep_ok_id"), "left_semi"
+        )
     # consumed by the MinHash+LSH stage and the final anti-join —
     # materialize ONCE instead of recomputing the quality projection
     # (persist, not localCheckpoint: spillable to disk and evictable,

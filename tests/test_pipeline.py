@@ -110,3 +110,30 @@ def test_prepare_corpus_empty_and_all_filtered(spark):
     clean2, report2 = prepare_corpus(df, min_quality=1.1)
     assert report2["output_docs"] == 0
     assert report2["low_quality_dropped"] == 2
+
+
+def test_prepare_corpus_repetition_gate(spark):
+    """Optional Gopher-style repetition thresholds extend the quality
+    gate: a boilerplate doc (high top-gram char fraction) is dropped
+    only when the threshold is set, and its attrition is counted in
+    low_quality_dropped (combined gate, same stage)."""
+    rows = [
+        (1, "the cat sat on the mat and then the dog sat down too"),
+        (2, "buy now buy now buy now buy now buy now buy now buy now"),
+        (3, "line one\nline one\nline one\nline one\nsomething else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    clean_off, rep_off = prepare_corpus(df, min_quality=0.0)
+    assert {r["doc_id"] for r in clean_off.select("doc_id").collect()} == {1, 2, 3}
+    assert rep_off["low_quality_dropped"] == 0
+
+    clean_on, rep_on = prepare_corpus(
+        df, min_quality=0.0,
+        max_dup_line_frac=0.3, max_top_gram_char_frac=0.2,
+    )
+    survivors = {r["doc_id"] for r in clean_on.select("doc_id").collect()}
+    assert survivors == {1}  # 2: top-gram spam; 3: duplicate lines
+    assert rep_on["input_docs"] == 3
+    assert rep_on["low_quality_dropped"] == 2
+    assert rep_on["output_docs"] == 1
