@@ -70,6 +70,62 @@ def hash_sample(
     return df.filter(_hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
 
 
+def cross_split_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Eval-set docs that are near-duplicates of train-set docs —
+    the leakage a held-out split must be screened for before its
+    scores mean anything (splitting by hash prevents EXACT-row
+    contamination; near-duplicate text still crosses splits freely).
+
+    Returns (eval_id, train_id, est_jaccard): one row per contaminated
+    pair at estimated Jaccard ≥ ``threshold``.
+
+    Plan: tag each side, union, and run the scale-hardened
+    MinHash+LSH pair generator
+    (:func:`~sparvi_core_spark.operators.dedup.minhash_dedup_pairs` —
+    banded candidates, capped buckets, never all-pairs), then keep only
+    pairs whose members straddle the split via two equi-joins of the
+    (small) pair frame against the (id → split) map. Ids must be
+    unique ACROSS both frames (true for any two splits of one corpus,
+    e.g. from :func:`hash_split`).
+    """
+    from sparvi_core_spark.operators.dedup import minhash_dedup_pairs
+
+    t = train.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__split"))
+    e = eval_df.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__split"))
+    both = t.unionByName(e)
+    pairs = minhash_dedup_pairs(
+        both,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    splits = both.select(F.col(id_col).alias("__sid"), "__split")
+    sa = splits.select(F.col("__sid").alias("__ida"), F.col("__split").alias("__spa"))
+    sb = splits.select(F.col("__sid").alias("__idb"), F.col("__split").alias("__spb"))
+    tagged = (
+        pairs.join(sa, pairs["id_a"] == F.col("__ida"))
+        .join(sb, pairs["id_b"] == F.col("__idb"))
+        .filter(F.col("__spa") != F.col("__spb"))
+    )
+    return tagged.select(
+        F.when(F.col("__spa") == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        F.when(F.col("__spa") == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+        "est_jaccard",
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

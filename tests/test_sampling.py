@@ -69,3 +69,33 @@ def test_stratified_sample_rebalances(docs):
     for lang, n in langs.items():
         if lang != top:
             assert got.get(lang) == n, "other strata kept whole"
+
+
+def test_cross_split_contamination(spark):
+    """Near-dup pairs straddling the split are reported (eval_id,
+    train_id); near-dups WITHIN one split are not contamination."""
+    from sparvi_core_spark.operators.sampling import cross_split_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, base),                                # near-dup of eval 10
+            (2, base + " lambda"),                    # near-dup of train 1 (same split: ignored)
+            (3, "totally different words entirely here now okay then"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (10, base),                               # contaminated
+            (11, "unrelated held out document text with fresh tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = cross_split_contamination(train, eval_df, threshold=0.8).collect()
+    assert {(r["eval_id"], r["train_id"]) for r in got} >= {(10, 1)}
+    for r in got:
+        assert r["eval_id"] in (10, 11) and r["train_id"] in (1, 2, 3)
+        assert r["est_jaccard"] >= 0.8
+    # the within-split pair (1,2) must not appear
+    assert all(not (r["train_id"] in (1, 2) and r["eval_id"] in (1, 2)) for r in got)
