@@ -319,6 +319,40 @@ def test_local_redact_pii_parity(spark, duck):
     assert changed == 0
 
 
+def test_local_ngram_collisions_parity(spark, duck):
+    """ngram_collisions (Spark: xxhash64 keys + broadcast membership)
+    vs a DuckDB first-principles reimplementation joining raw trigram
+    strings, screening the first 400 documents against the last 50 —
+    identical results prove the hashed-key plan loses nothing."""
+    from sparvi_core_spark.operators.decontamination import ngram_collisions
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter("doc_id < 400")
+    reference = docs.filter("doc_id >= 450")
+    spark_pdf = ngram_collisions(corpus, reference, n=3).toPandas()
+    duck_pdf = duck.execute("""
+        WITH grams AS (
+          SELECT doc_id, unnest(gl) AS gram FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS gl
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 3
+          )
+        ), ref AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id >= 450
+        ), corp AS (
+          SELECT g.doc_id, g.gram, (r.gram IS NOT NULL)::int AS hit
+          FROM grams g LEFT JOIN ref r USING (gram)
+          WHERE g.doc_id < 400
+        )
+        SELECT doc_id AS id, count(*) AS n_ngrams, sum(hit) AS n_collisions,
+               round(sum(hit) * 1.0 / count(*), 4) AS collision_frac
+        FROM corp GROUP BY doc_id HAVING sum(hit) > 0
+    """).df()
+    _assert_frames_match("ngram_collisions", spark_pdf, duck_pdf)
+
+
 def test_local_repetition_stats_parity(spark, duck):
     """repetition_stats (Gopher/C4-style duplicate-line and top-n-gram
     fractions) vs a DuckDB reimplementation from first principles
