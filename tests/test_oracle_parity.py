@@ -353,6 +353,47 @@ def test_local_ngram_collisions_parity(spark, duck):
     _assert_frames_match("ngram_collisions", spark_pdf, duck_pdf)
 
 
+def test_local_pack_chunked_parity(spark, duck):
+    """pack_chunked (window cumsum + sequence explode) vs a DuckDB
+    window-function reimplementation: one group, corpus order, so the
+    whole chunk layout — spans, pack ids, per-pack token splits — must
+    be byte-identical."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.functions.text import token_counts
+    from sparvi_core_spark.operators.packing import pack_chunked
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 200")
+    toks = token_counts(docs).select(
+        F.col("id").alias("doc_id"), F.col("ws_tokens").alias("n_tokens")
+    )
+    spark_pdf = pack_chunked(toks, 500, num_groups=1, order="id").toPandas()
+    duck_pdf = duck.execute("""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      AS BIGINT) AS eff
+          FROM documents WHERE doc_id < 200
+        ), spans AS (
+          SELECT id, 0 AS pack_group,
+                 CAST(sum(eff) OVER w - eff AS BIGINT) AS begin_token,
+                 CAST(sum(eff) OVER w AS BIGINT) AS end_token
+          FROM toks WHERE eff > 0
+          WINDOW w AS (ORDER BY id ROWS UNBOUNDED PRECEDING)
+        ), ex AS (
+          SELECT *, unnest(range(begin_token // 500,
+                                 (end_token - 1) // 500 + 1)) AS pack_id
+          FROM spans
+        )
+        SELECT id, end_token - begin_token AS tokens, pack_group, pack_id,
+               begin_token, end_token,
+               least(end_token, (pack_id + 1) * 500)
+                 - greatest(begin_token, pack_id * 500) AS tokens_in_pack
+        FROM ex
+    """).df()
+    _assert_frames_match("pack_chunked", spark_pdf, duck_pdf)
+
+
 def test_local_repetition_stats_parity(spark, duck):
     """repetition_stats (Gopher/C4-style duplicate-line and top-n-gram
     fractions) vs a DuckDB reimplementation from first principles
