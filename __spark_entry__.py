@@ -756,7 +756,7 @@ def q_sessionization(spark, sf_dir):
 def q_asof_purchase_click(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent
     prior (or same-instant) click. Oracle = DuckDB's native ASOF JOIN."""
-    from sparvi_core_spark.operators.timeseries import asof_join
+    from sparvi_core_spark.operators.timeseries import asof_join, event_micros
 
     t = _views(spark, sf_dir)
     ev = t["events"]
@@ -772,7 +772,7 @@ def q_asof_purchase_click(spark, sf_dir):
     return joined.select(
         "user_id",
         F.col("event_id").alias("purchase_event_id"),
-        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        event_micros(joined, "ts").alias("purchase_us"),
         F.col("click_event_id_right").alias("click_event_id"),
         F.col("matched_ts_us").alias("click_us"),
     )

@@ -12,7 +12,30 @@ Determinism note: event-time arithmetic is done on integer microseconds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+
+def event_micros(df: DataFrame, ts_col: str) -> Column:
+    """Integer microseconds for a timestamp column, NTZ-safe.
+
+    Parquet written with ``isAdjustedToUTC=false`` (e.g. plain
+    pandas/pyarrow writers) reads back as ``TIMESTAMP_NTZ`` in Spark 4,
+    which ``unix_micros`` rejects. For NTZ we compute epoch-style
+    microseconds arithmetically from the wall-clock fields — no
+    session-timezone interpretation, so the result is deterministic and
+    matches how DuckDB (which reads the same parquet as wall-clock
+    timestamps) orders and differences the values.
+    """
+    dt = df.schema[ts_col].dataType
+    c = F.col(ts_col)
+    if isinstance(dt, T.TimestampNTZType):
+        return (
+            F.unix_date(c.cast("date")) * F.lit(86_400_000_000)
+            + (F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60)
+            * F.lit(1_000_000)
+            + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        )
+    return F.unix_micros(c)
 
 
 def sessionize(
@@ -33,7 +56,7 @@ def sessionize(
     ``streaming`` (``applyInPandasWithState``-style), where the state
     store holds one (last_ts, session_seq) pair per user.
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = event_micros(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(us)
     prev = F.lag(us).over(w)
     new_session = (
@@ -56,7 +79,7 @@ def session_stats(
     """Per-session rollup: (user, session_seq, n_events, start/end µs,
     duration_seconds)."""
     s = sessionize(df, user_col, ts_col, gap_seconds)
-    us = F.unix_micros(F.col(ts_col))
+    us = event_micros(df, ts_col)
     return (
         s.groupBy(user_col, "session_seq")
         .agg(
@@ -113,19 +136,19 @@ def asof_join(
     )
     l = left.select(
         F.col(key).alias("__k"),
-        F.unix_micros(F.col(left_ts)).alias("__t"),
+        event_micros(left, left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__lrow"),
         F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     r = right.select(
         F.col(key).alias("__k"),
-        F.unix_micros(F.col(right_ts)).alias("__t"),
+        event_micros(right, right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
         F.struct(
             *[F.col(c).alias(c + suffix) for c in right_payload],
-            F.unix_micros(F.col(right_ts)).alias("matched_ts_us"),
+            event_micros(right, right_ts).alias("matched_ts_us"),
         ).alias("__rrow"),
     )
     u = l.unionByName(r)

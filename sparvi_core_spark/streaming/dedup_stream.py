@@ -32,6 +32,9 @@ def dedup_stream_exact(
     batch), so the same function serves live ingest and backfill — the
     engine's standard batch/stream unification contract.
     """
+    from sparvi_core_spark.streaming.profile_stream import ensure_event_time
+
+    events = ensure_event_time(events, ts_col)
     if not events.isStreaming:
         return events.dropDuplicates(subset)
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(

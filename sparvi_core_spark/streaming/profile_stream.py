@@ -13,7 +13,24 @@ via the ``availableNow`` trigger.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce a ``TIMESTAMP_NTZ`` event-time column to ``TIMESTAMP``.
+
+    Watermarks and stateful streaming operators require ``TIMESTAMP``
+    event time; parquet written without UTC adjustment (plain
+    pandas/pyarrow writers) reads back as NTZ in Spark 4. The cast
+    reinterprets the wall clock in the session timezone — the engine
+    pins ``spark.sql.session.timeZone=UTC`` (session.py), so it is an
+    exact, DST-free relabeling. Applied to batch AND streaming inputs so
+    the batch/stream unification contract (identical output schemas)
+    holds.
+    """
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_quality_metrics(
@@ -32,6 +49,7 @@ def windowed_quality_metrics(
     """
     numeric_cols = numeric_cols or []
     group_cols = group_cols or []
+    df = ensure_event_time(df, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     aggs = [F.count(F.lit(1)).alias("n_rows")]

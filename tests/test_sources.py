@@ -64,12 +64,27 @@ def test_duplicate_modes_agree_with_dups(spark):
 def test_nanos_columns_directory_dataset(tmp_path, sf_dir):
     """Directory datasets (multi-file stream sources) must detect nanos
     timestamp columns the same way single files do, so the stream
-    schema matches the batch reader."""
+    schema matches the batch reader. Uses a self-written TIMESTAMP(NANOS)
+    file — the driver testdata is microsecond-unit and must NOT be
+    flagged."""
     import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from sparvi_core_spark.session import _nanos_timestamp_columns
 
-    single = os.path.join(sf_dir, "events.parquet")
+    # micros-unit driver data: nothing to restore
+    assert _nanos_timestamp_columns(os.path.join(sf_dir, "events.parquet")) == []
+
+    single = str(tmp_path / "nanos.parquet")
+    tbl = pa.table(
+        {
+            "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+            "v": pa.array([1.5], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, single)
     assert _nanos_timestamp_columns(single) == ["ts"]
     d = tmp_path / "events_dir"
     d.mkdir()
