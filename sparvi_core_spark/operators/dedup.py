@@ -563,6 +563,47 @@ def dedup_clusters(
     return labels.select("id", F.col("label").alias("cluster"))
 
 
+def select_cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: keep the HIGHEST-``score_col``
+    document of each near-dup cluster (ties → smallest id), instead of
+    the min-id member that :func:`dedup_clusters`' label implies.
+
+    ``clusters`` is a ``dedup_clusters`` result ``(id, cluster)``;
+    documents absent from it are singletons and survive unconditionally
+    (left join, label = own id). One hash shuffle on the cluster label;
+    the argmax is ``min_by`` over ``(-score, id)`` with map-side
+    partials — no window, no per-cluster sort. NULL scores rank below
+    every real score. Output columns = ``docs``'s columns (one row per
+    cluster).
+
+    The reference's dedup surface stops at duplicate-group counts
+    (profile_engine.py:100-123); survivor choice by quality is the
+    training-pipeline extension (dedup docs, keep the best-written
+    copy).
+    """
+    label = F.coalesce(F.col("__c.cluster"), F.col("__d." + id_col))
+    rank = F.struct(
+        (-F.coalesce(F.col("__d." + score_col).cast("double"), F.lit(float("-inf")))).alias("neg_score"),
+        F.col("__d." + id_col).alias("id"),
+    )
+    joined = docs.alias("__d").join(
+        clusters.alias("__c"),
+        F.col("__d." + id_col) == F.col("__c.id"),
+        "left",
+    )
+    best = joined.groupBy(label.alias("__cluster")).agg(
+        F.min_by(F.struct(*[F.col("__d." + c) for c in docs.columns]), rank).alias(
+            "__row"
+        )
+    )
+    return best.select(*[F.col("__row." + c).alias(c) for c in docs.columns])
+
+
 def exact_dedup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact duplicate summary over ``cols``: total rows, distinct keys,
     surplus rows, duplicated groups (A4's group semantics preserved)."""

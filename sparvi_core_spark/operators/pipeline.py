@@ -107,6 +107,41 @@ class CorpusReport(dict):
         return dict.__repr__(self)
 
 
+def calibrate_quality_threshold(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    keep_frac: float = 0.5,
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> tuple[float, DataFrame]:
+    """Find the score cutoff that keeps ~``keep_frac`` of the rows and
+    return ``(threshold, df.filter(score >= threshold))``.
+
+    The reference hard-codes its quality thresholds; a real corpus run
+    calibrates them against the score DISTRIBUTION ("keep the best 40%
+    of documents by quality") because absolute scores drift with the
+    domain mix. Threshold = the ``(1 - keep_frac)`` quantile of
+    ``score_col`` — one tiny aggregate job, a single scalar collected.
+    ``approx=True`` (default) uses ``percentile_approx`` (a
+    Greenwald-Khanna sketch, one pass, no sort — the 100 TB path; the
+    kept fraction is then accurate to ~1/``accuracy``); ``approx=False``
+    uses exact interpolated ``percentile`` for small/oracle-checked
+    runs. NULL scores are excluded by both the quantile and the filter.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    q = 1.0 - keep_frac
+    c = F.col(score_col).cast("double")
+    expr = (
+        F.percentile_approx(c, F.lit(q), F.lit(int(accuracy)))
+        if approx
+        else F.percentile(c, F.lit(q))
+    )
+    row = df.agg(expr.alias("t")).first()
+    threshold = float(row["t"]) if row["t"] is not None else float("-inf")
+    return threshold, df.filter(F.col(score_col) >= F.lit(threshold))
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -119,13 +154,18 @@ def prepare_corpus(
     broadcast_losers_max_bytes: int = 8 << 20,
     max_dup_line_frac: float | None = None,
     max_top_gram_char_frac: float | None = None,
+    survivor: str = "min_id",
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (clean_df, report).
 
     clean_df: surviving rows of ``docs`` plus a ``quality_score``
     column (attached as a projection — no join). Near-dup clusters keep
-    their minimum-id member (the deterministic survivor from
-    ``dedup_clusters``).
+    their minimum-id member by default (the deterministic survivor from
+    ``dedup_clusters``); ``survivor="best_quality"`` keeps each
+    cluster's highest-``quality_score`` member instead (ties → smallest
+    id) — one extra join + argmax agg over the CLUSTER MEMBERS only
+    (near-dup docs, not the corpus), so the attrition numbers are
+    identical either way (same member count minus cluster count).
 
     report: {input_docs, low_quality_dropped, near_dup_dropped,
     output_docs, near_dup_clusters} — a :class:`CorpusReport`.
@@ -203,8 +243,34 @@ def prepare_corpus(
         bands=bands,
         threshold=dedup_threshold,
     )
+    if survivor not in ("min_id", "best_quality"):
+        raise ValueError(
+            f"survivor must be 'min_id' or 'best_quality', got {survivor!r}"
+        )
     clusters = dedup_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    if survivor == "best_quality":
+        member_scores = clusters.join(
+            kept_quality.select(
+                F.col(id_col).alias("__mid"), F.col("quality_score").alias("__q")
+            ),
+            clusters["id"] == F.col("__mid"),
+        )
+        winners = member_scores.groupBy("cluster").agg(
+            F.min_by(
+                "id",
+                F.struct(
+                    (-F.coalesce(F.col("__q"), F.lit(float("-inf")))).alias("nq"),
+                    F.col("id").alias("i"),
+                ),
+            ).alias("__winner")
+        )
+        losers = (
+            member_scores.join(winners, on="cluster")
+            .filter(F.col("id") != F.col("__winner"))
+            .select("id")
+        )
+    else:
+        losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
     # one agg fills both label-derived numbers (cluster count + loser
     # count for the gate) — clusters is checkpointed, so this is cheap
     label_stats = clusters.agg(

@@ -1,0 +1,176 @@
+"""Corpus mixture selection: two-path equality, budget contract,
+determinism, and the quality-aware cluster survivor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.mixing import (
+    domain_budgets,
+    mix_corpora,
+    mixture_report,
+)
+
+WEIGHTS = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 300 docs across 3 domains with deterministic token counts
+    rows = []
+    for i in range(300):
+        domain = ("web", "code", "wiki")[i % 3]
+        rows.append((i, domain, 50 + (i * 37) % 400))
+    return spark.createDataFrame(
+        rows, "doc_id long, domain string, n_tokens long"
+    )
+
+
+def _keyset(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_exact_and_bucketed_paths_identical(spark, corpus):
+    total = 15_000
+    exact = mix_corpora(corpus, WEIGHTS, total, exact=True)
+    bucketed = mix_corpora(corpus, WEIGHTS, total, exact=False, n_buckets=16)
+    assert _keyset(exact) == _keyset(bucketed)
+    # also at a bucket count big enough that many buckets are empty
+    bucketed_hi = mix_corpora(corpus, WEIGHTS, total, exact=False, n_buckets=1024)
+    assert _keyset(exact) == _keyset(bucketed_hi)
+
+
+def test_budget_met_with_bounded_overshoot(spark, corpus):
+    total = 15_000
+    sel = mix_corpora(corpus, WEIGHTS, total, exact=True)
+    per = {
+        r["domain"]: r["kept"]
+        for r in sel.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("kept"))
+        .collect()
+    }
+    supply = {
+        r["domain"]: r["s"]
+        for r in corpus.groupBy("domain").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    max_doc = corpus.agg(F.max("n_tokens")).first()[0]
+    for d, budget in domain_budgets(WEIGHTS, total).items():
+        if supply[d] >= budget:
+            # kept-iff-starts-within-budget: met, overshoot < one doc
+            assert budget <= per[d] < budget + max_doc, d
+        else:
+            assert per[d] == supply[d], d
+
+
+def test_selection_stable_under_repartition(spark, corpus):
+    a = mix_corpora(corpus, WEIGHTS, 10_000)
+    b = mix_corpora(corpus.repartition(13), WEIGHTS, 10_000)
+    assert _keyset(a) == _keyset(b)
+
+
+def test_unlisted_domain_dropped_and_zero_weight_empty(spark, corpus):
+    sel = mix_corpora(corpus, {"web": 0.5, "code": 0.0}, 10_000, exact=True)
+    domains = {r["domain"] for r in sel.select("domain").distinct().collect()}
+    assert domains == {"web"}  # wiki unlisted, code zero-budget
+
+
+def test_mixture_report_shares(spark, corpus):
+    total = 15_000
+    sel = mix_corpora(corpus, WEIGHTS, total, exact=True)
+    rep = {r["domain"]: r.asDict() for r in mixture_report(sel, WEIGHTS, total).collect()}
+    assert set(rep) == set(WEIGHTS)
+    kept_total = sum(v["kept_tokens"] for v in rep.values())
+    for d, v in rep.items():
+        assert v["target_tokens"] == int(WEIGHTS[d] * total)
+        assert v["share"] == pytest.approx(v["kept_tokens"] / kept_total, abs=1e-5)
+        if v["target_tokens"] > 0:
+            assert v["fill_frac"] >= 1.0  # supply is ample in this fixture
+
+
+def test_validation_errors(spark, corpus):
+    with pytest.raises(ValueError, match="order"):
+        mix_corpora(corpus, WEIGHTS, 1000, order="nope")
+    with pytest.raises(ValueError, match="total_tokens"):
+        mix_corpora(corpus, WEIGHTS, 0)
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora(corpus, {"web": -0.1}, 1000)
+
+
+def test_select_cluster_representatives(spark):
+    from sparvi_core_spark.operators.dedup import select_cluster_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.9),   # cluster 1 member (loses: lower score than 3)
+            (2, None),  # singleton with NULL score — survives
+            (3, 0.95),  # cluster 1 winner
+            (4, 0.5),   # cluster 4 winner (tie broken by id vs 5)
+            (5, 0.5),
+            (6, 0.1),   # singleton
+        ],
+        "doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (3, 1), (4, 4), (5, 4)], "id long, cluster long"
+    )
+    out = select_cluster_representatives(docs, clusters, "score")
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4, 6}
+    assert out.columns == docs.columns
+
+
+def test_prepare_corpus_best_quality_survivor(spark):
+    from sparvi_core_spark.operators.pipeline import prepare_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet field while the morning light slowly rises"
+    )
+    rows = [
+        # near-dup pair: doc 10 is degraded (punctuation spam, which the
+        # quality score penalizes), doc 11 clean
+        (10, base + " !!! ??? !!! ??? !!! ??? !!!"),
+        (11, base),
+        # unrelated doc
+        (20, "completely different text about spark catalyst optimizer plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparvi_core_spark.functions.text import quality_score_expr
+
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in docs.withColumn("q", quality_score_expr("text")).collect()
+    }
+    assert scores[11] > scores[10], "fixture must make the clean copy score higher"
+    clean_min, _ = prepare_corpus(
+        docs, min_quality=0.0, dedup_threshold=0.5, survivor="min_id"
+    )
+    clean_best, rep = prepare_corpus(
+        docs, min_quality=0.0, dedup_threshold=0.5, survivor="best_quality"
+    )
+    ids_min = {r["doc_id"] for r in clean_min.select("doc_id").collect()}
+    ids_best = {r["doc_id"] for r in clean_best.select("doc_id").collect()}
+    # the pair must have been detected for the scenario to be meaningful
+    assert rep["near_dup_dropped"] == 1
+    assert ids_min == {10, 20}  # min-id keeps the degraded copy
+    assert ids_best == {11, 20}  # quality-aware keeps the clean copy
+    with pytest.raises(ValueError, match="survivor"):
+        prepare_corpus(docs, survivor="wat")
+
+
+def test_calibrate_quality_threshold(spark):
+    from sparvi_core_spark.operators.pipeline import calibrate_quality_threshold
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None)],
+        "id long, score double",
+    )
+    t, kept = calibrate_quality_threshold(
+        df, "score", keep_frac=0.25, approx=False
+    )
+    n = kept.count()
+    assert n == 25  # exactly the top quarter; NULL excluded
+    assert kept.agg(F.min("score")).first()[0] >= t
+    # approx path: within sketch tolerance
+    t2, kept2 = calibrate_quality_threshold(df, "score", keep_frac=0.25)
+    assert abs(kept2.count() - 25) <= 2
+    with pytest.raises(ValueError, match="keep_frac"):
+        calibrate_quality_threshold(df, "score", keep_frac=0.0)

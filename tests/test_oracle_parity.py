@@ -482,3 +482,96 @@ def test_local_repetition_stats_parity(spark, duck):
         FROM documents d JOIN gs ON d.doc_id = gs.doc_id
     """).df()
     _assert_frames_match("repetition_stats_documents", sdf2.toPandas(), duck_pdf2)
+
+
+def test_local_mix_corpora_parity(spark, duck):
+    """mix_corpora (exact path, corpus order) vs a DuckDB window-cumsum
+    reimplementation of the kept-iff-starts-within-budget contract,
+    using `source` as the domain and `n_chars` as the token weight."""
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 0.0}
+    total = 9_000
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    spark_pdf = mix_corpora(
+        docs, weights, total,
+        domain_col="source", tokens_col="n_chars",
+        order="id", exact=True,
+    ).toPandas()
+    values = ", ".join(
+        f"('{d}', {int(f * total)})" for d, f in weights.items()
+    )
+    duck_pdf = duck.execute(f"""
+        WITH b(source, budget) AS (VALUES {values}),
+        g AS (
+          SELECT d.doc_id, d.source, d.n_chars, b.budget,
+                 sum(d.n_chars) OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents d JOIN b USING (source))
+        SELECT doc_id, source, n_chars
+        FROM g WHERE cum - n_chars < budget
+    """).df()
+    assert len(spark_pdf) > 0
+    _assert_frames_match("mix_corpora", spark_pdf, duck_pdf)
+
+
+def test_local_cluster_representatives_parity(spark, duck):
+    """select_cluster_representatives (min_by argmax, no window) vs a
+    DuckDB row_number reimplementation: synthetic clusters of 5 over
+    doc_id < 100, singletons elsewhere, quality = n_chars."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.dedup import select_cluster_representatives
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    clusters = (
+        docs.filter("doc_id < 100")
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") - F.col("doc_id") % 5).alias("cluster"),
+        )
+    )
+    spark_pdf = select_cluster_representatives(
+        docs, clusters, score_col="n_chars"
+    ).toPandas()
+    duck_pdf = duck.execute("""
+        WITH cl AS (
+          SELECT doc_id AS id, doc_id - doc_id % 5 AS cluster
+          FROM documents WHERE doc_id < 100),
+        j AS (
+          SELECT d.doc_id, d.source, d.n_chars,
+                 coalesce(cl.cluster, d.doc_id) AS label
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM j)
+        SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+    """).df()
+    _assert_frames_match("cluster_representatives", spark_pdf, duck_pdf)
+
+
+def test_local_calibrate_threshold_parity(spark, duck):
+    """calibrate_quality_threshold (exact interpolated percentile) vs
+    DuckDB quantile_cont: same threshold, same kept set."""
+    from sparvi_core_spark.operators.pipeline import calibrate_quality_threshold
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    t, kept = calibrate_quality_threshold(
+        docs, "n_chars", keep_frac=0.4, approx=False
+    )
+    oracle_t = duck.execute(
+        "SELECT quantile_cont(n_chars, 0.6) FROM documents"
+    ).fetchone()[0]
+    assert t == pytest.approx(float(oracle_t), rel=1e-12)
+    duck_pdf = duck.execute(f"""
+        SELECT doc_id, n_chars FROM documents WHERE n_chars >= {oracle_t!r}
+    """).df()
+    _assert_frames_match("calibrate_threshold", kept.toPandas(), duck_pdf)
