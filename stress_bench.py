@@ -16,6 +16,11 @@ hostile corpora:
 - ``session``: one user owning half of all events — the inherent
   single-task straggler of per-user ordering, measured against the
   uniform baseline to quantify (not hide) the skew cost.
+- ``mix``: millions of documents in a handful of domains — the
+  one-reducer-per-domain hazard of a naive
+  ``Window.partitionBy(domain)`` cumulative sum. The two-phase plan
+  (bucket pre-agg + boundary-bucket window) is measured against the
+  exact single-window plan on identical data, with identical output.
 
 Prints ONE JSON line: {"metric": ..., "entries": {name: sec|rows, ...}}.
 Run: ``python stress_bench.py`` (env: SPARK_GRAFT_CPUS).
@@ -132,6 +137,40 @@ def main() -> None:
     ).localCheckpoint()
     bench("session_uniform_sec", lambda: _force(session_stats(uniform)))
     bench("session_hot_user_sec", lambda: _force(session_stats(hot)))
+
+    # --- corpus mixture: 8M docs, 4 domains (2M docs per window
+    # partition in the exact plan — the single-reducer sort hazard)
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    n_docs = 8_000_000
+    domains = F.concat(F.lit("d"), (F.col("id") % 4).cast("string"))
+    mix_corpus = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            domains.alias("domain"),
+            (100 + (F.col("id") * 37) % 900).alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    mix_weights = {f"d{i}": 0.25 for i in range(4)}
+    # ~half the total supply: the cutoff lands mid-domain everywhere
+    mix_total = 8_000_000 * 550 // 2
+    entries["mix_exact_rows"] = bench(
+        "mix_exact_sec",
+        lambda: mix_corpora(
+            mix_corpus, mix_weights, mix_total, exact=True
+        ).count(),
+    )
+    entries["mix_bucketed_rows"] = bench(
+        "mix_bucketed_sec",
+        lambda: mix_corpora(
+            mix_corpus, mix_weights, mix_total, exact=False
+        ).count(),
+    )
+    assert entries["mix_exact_rows"] == entries["mix_bucketed_rows"], (
+        "two-phase mixture must select the identical set"
+    )
 
     print(
         json.dumps(
