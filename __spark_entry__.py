@@ -588,13 +588,26 @@ def q_dedup_exact_normalized(spark, sf_dir):
     return exact_dedup_stats(normalized, ["norm_text"])
 
 
-def q_minhash_signatures(spark, sf_dir):
-    from sparvi_core_spark.operators.dedup import minhash_signatures
+def q_novelty_screen(spark, sf_dir):
+    """Incremental dedup: a simulated re-crawl batch (100 relabeled
+    copies of existing docs + 100 unseen docs) screened against the
+    existing corpus; returns the verified (new_id, ref_id, est_jaccard)
+    match evidence. The day-to-day 100 TB pipeline operation — new data
+    deduped against everything already ingested, never corpus×corpus."""
+    from sparvi_core_spark.operators.dedup import novelty_filter
 
     t = _views(spark, sf_dir)
-    return minhash_signatures(
-        t["documents"].filter(F.col("doc_id") < 50), num_hashes=4
+    docs = t["documents"].select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") < 400)
+    newb = (
+        docs.filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        .unionByName(docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)))
     )
+    _novel, matches = novelty_filter(
+        newb, reference, num_hashes=8, bands=4, threshold=0.5
+    )
+    return matches
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -869,7 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "events_hourly": q_events_hourly,
         "dedup_exact_normalized": q_dedup_exact_normalized,
-        "minhash_signatures": q_minhash_signatures,
+        "novelty_screen": q_novelty_screen,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1247,14 +1260,44 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
        CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS duplicated_groups
 FROM (SELECT norm_text, COUNT(*) AS cnt FROM norm GROUP BY norm_text) g"""
 
-    o["minhash_signatures"] = f"""
-WITH sh AS (
+    _nov_sig = """
+        SELECT id,
+               min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+               min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+               min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+               min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        FROM {src}_sh GROUP BY id"""
+    _nov_bands = """
+        SELECT id, b.band, CASE b.band
+            WHEN 0 THEN md5(h0 || '|' || h1) WHEN 1 THEN md5(h2 || '|' || h3)
+            WHEN 2 THEN md5(h4 || '|' || h5) ELSE md5(h6 || '|' || h7) END AS bkey
+        FROM {src}_sig, (SELECT unnest([0, 1, 2, 3]) AS band) b"""
+    _nov_agree = " + ".join(f"(sa.h{k} = sb.h{k})::INT" for k in range(8))
+    o["novelty_screen"] = f"""
+WITH newdocs AS (
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 500
+),
+refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+new_sh AS (
     SELECT doc_id AS id, unnest({_SHINGLE3}) AS shingle
-    FROM documents WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 3
-)
-SELECT id, min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-       min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
-FROM sh GROUP BY id"""
+    FROM newdocs WHERE len(string_split(text, ' ')) >= 3),
+ref_sh AS (
+    SELECT doc_id AS id, unnest({_SHINGLE3}) AS shingle
+    FROM refdocs WHERE len(string_split(text, ' ')) >= 3),
+new_sig AS ({_nov_sig.format(src='new')}),
+ref_sig AS ({_nov_sig.format(src='ref')}),
+new_bands AS ({_nov_bands.format(src='new')}),
+ref_bands AS ({_nov_bands.format(src='ref')}),
+cands AS (
+    SELECT DISTINCT a.id AS new_id, b.id AS ref_id
+    FROM new_bands a JOIN ref_bands b ON a.band = b.band AND a.bkey = b.bkey)
+SELECT c.new_id, c.ref_id, ({_nov_agree}) / 8.0 AS est_jaccard
+FROM cands c
+JOIN new_sig sa ON c.new_id = sa.id
+JOIN ref_sig sb ON c.ref_id = sb.id
+WHERE ({_nov_agree}) / 8.0 >= 0.5"""
 
     o["dedup_minhash"] = f"""
 WITH {_MINHASH_SIG_CTE},

@@ -105,6 +105,24 @@ def solve_lsh_bands(
     return best[1], best[2]
 
 
+def _band_hashes(signatures: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bkey) rows: md5 over each band's signature slice."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_cols[b].alias("bkey"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -118,21 +136,7 @@ def lsh_candidate_pairs(
     (banding a skewed corpus can produce a bucket holding a large
     fraction of all docs — a quadratic blow-up at scale).
     """
-    rows = num_hashes // bands
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_cols[b].alias("bkey"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-
+    banded = _band_hashes(signatures, num_hashes, bands)
     counts = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
     banded = banded.join(
         F.broadcast(counts.filter(F.col("n") > max_bucket)),
@@ -561,6 +565,99 @@ def dedup_clusters(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def novelty_filter(
+    new_docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    reference_signatures: DataFrame | None = None,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup: screen a NEW batch against an EXISTING corpus
+    and keep only the novel documents.
+
+    The operation a 100 TB pipeline actually runs day-to-day — a fresh
+    crawl is deduped against everything already ingested, not against
+    itself (use ``minhash_dedup_pairs`` for within-batch dedup; the two
+    compose). Returns ``(novel, matches)``:
+
+    - ``novel``: rows of ``new_docs`` with no reference match at
+      ``est_jaccard >= threshold`` (exact copies match at 1.0).
+    - ``matches``: ``(new_id, ref_id, est_jaccard)`` — the evidence
+      trail, one row per flagged (new, reference) candidate pair.
+
+    Plan: MinHash signatures on both sides, banded LSH keyed by
+    (band, band-hash), but the join is strictly NEW × REFERENCE — the
+    reference side never self-joins, so cost is driven by the (small)
+    new batch, not the (huge) corpus. Degenerate buckets on EITHER side
+    are capped at ``max_bucket`` ids (boilerplate that floods a band
+    bucket would otherwise make the bucket product quadratic).
+
+    At scale, pass ``reference_signatures=`` (the ``id, h0..h{K-1}``
+    frame from :func:`minhash_signatures`, stored when the corpus was
+    ingested) so the reference text is never re-read — the incremental
+    contract. The same ``num_hashes``/``shingle_n`` must have produced
+    them. Documents too short to shingle (< ``shingle_n`` words) have
+    no signature and are kept as novel — screen them with an exact
+    fingerprint anti-join if that matters.
+    """
+    if reference is None and reference_signatures is None:
+        raise ValueError("pass reference docs or reference_signatures")
+    if bands is None:
+        bands, _rows = solve_lsh_bands(threshold, num_hashes)
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint()
+    sig_ref = (
+        reference_signatures
+        if reference_signatures is not None
+        else minhash_signatures(reference, id_col, text_col, num_hashes, shingle_n)
+    )
+    bn = _band_hashes(sig_new, num_hashes, bands)
+    br = _band_hashes(sig_ref, num_hashes, bands)
+    for side in ("n", "r"):
+        frame = bn if side == "n" else br
+        counts = frame.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+        hot = F.broadcast(counts.filter(F.col("n") > max_bucket))
+        if side == "n":
+            bn = bn.join(hot, ["band", "bkey"], "left_anti")
+        else:
+            br = br.join(hot, ["band", "bkey"], "left_anti")
+    cands = (
+        bn.alias("a")
+        .join(
+            br.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("ref_id"))
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    matches = (
+        cands.join(sig_new.alias("sa"), cands.new_id == F.col("sa.id"))
+        .join(sig_ref.alias("sb"), cands.ref_id == F.col("sb.id"))
+        .select(
+            "new_id",
+            "ref_id",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    flagged = matches.select(F.col("new_id").alias("__flagged")).distinct()
+    novel = new_docs.join(
+        flagged, new_docs[id_col] == F.col("__flagged"), "left_anti"
+    )
+    return novel, matches
 
 
 def select_cluster_representatives(

@@ -1,0 +1,98 @@
+"""Incremental dedup (novelty_filter): new batch vs existing corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.operators.dedup import minhash_signatures, novelty_filter
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    base = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    ]
+    reference = spark.createDataFrame(base, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            # exact copy of ref 1 → matched at 1.0
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # near copy of ref 2 (one word changed) → matched
+            (102, "one two three four five six seven eight nine ten twelve"),
+            # genuinely new
+            (103, "completely novel content about distributed shuffle services"),
+            # too short to shingle → novel by contract
+            (104, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    return reference, batch
+
+
+def test_novelty_filter_basic(spark, corpus_and_batch):
+    reference, batch = corpus_and_batch
+    novel, matches = novelty_filter(batch, reference, threshold=0.5)
+    novel_ids = {r["doc_id"] for r in novel.collect()}
+    assert novel_ids == {103, 104}
+    m = {(r["new_id"], r["ref_id"]): r["est_jaccard"] for r in matches.collect()}
+    assert m[(101, 1)] == 1.0
+    assert (102, 2) in m
+    assert all(j >= 0.5 for j in m.values())
+    assert novel.columns == batch.columns
+
+
+def test_novelty_filter_precomputed_signatures(spark, corpus_and_batch):
+    """The incremental contract: stored reference signatures give the
+    same answer as re-reading the reference text."""
+    reference, batch = corpus_and_batch
+    sig_ref = minhash_signatures(reference)
+    novel_a, _ = novelty_filter(batch, reference, threshold=0.5)
+    novel_b, _ = novelty_filter(
+        batch, reference_signatures=sig_ref, threshold=0.5
+    )
+    assert {r["doc_id"] for r in novel_a.collect()} == {
+        r["doc_id"] for r in novel_b.collect()
+    }
+    with pytest.raises(ValueError, match="reference"):
+        novelty_filter(batch)
+
+
+def test_novelty_filter_no_reference_self_pairs(spark, corpus_and_batch):
+    """Two identical docs WITHIN the new batch must both survive when
+    neither matches the reference — the screen is new-vs-ref only."""
+    reference, _ = corpus_and_batch
+    batch = spark.createDataFrame(
+        [
+            (201, "entirely fresh text about columnar execution engines today"),
+            (202, "entirely fresh text about columnar execution engines today"),
+        ],
+        "doc_id long, text string",
+    )
+    novel, matches = novelty_filter(batch, reference, threshold=0.5)
+    assert {r["doc_id"] for r in novel.collect()} == {201, 202}
+    assert matches.count() == 0
+
+
+def test_novelty_filter_bucket_cap(spark):
+    """A reference flooded with identical boilerplate collapses into one
+    band bucket; the cap drops that bucket instead of joining the new
+    batch against every copy."""
+    boiler = "click here to unsubscribe from this mailing list right now"
+    reference = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    batch = spark.createDataFrame(
+        [(9001, boiler), (9002, "some actually new material worth keeping here")],
+        "doc_id long, text string",
+    )
+    novel, matches = novelty_filter(batch, reference, threshold=0.5, max_bucket=100)
+    # the boilerplate bucket was dropped: no candidate explosion...
+    assert matches.count() == 0
+    # ...and the caller sees the trade-off: the boilerplate copy passes
+    # (document: cap trades recall on mass-duplicated boilerplate for a
+    # bounded join; screen such docs with an exact fingerprint pass)
+    assert {r["doc_id"] for r in novel.collect()} == {9001, 9002}
+    # uncapped: the match is found
+    _, m2 = novelty_filter(batch, reference, threshold=0.5, max_bucket=10_000)
+    assert m2.filter("new_id = 9001").count() == 500

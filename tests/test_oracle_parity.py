@@ -575,3 +575,84 @@ def test_local_calibrate_threshold_parity(spark, duck):
         SELECT doc_id, n_chars FROM documents WHERE n_chars >= {oracle_t!r}
     """).df()
     _assert_frames_match("calibrate_threshold", kept.toPandas(), duck_pdf)
+
+
+def test_local_novelty_filter_parity(spark, duck):
+    """novelty_filter (new-batch-vs-reference LSH screen) vs a DuckDB
+    reimplementation of the full route (shingles → 8 minhashes → 4-band
+    LSH new×ref join → agreement-fraction verify). The new batch mixes
+    re-crawled copies of reference docs (relabeled ids) with genuinely
+    unseen docs."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.dedup import novelty_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    reference = docs.filter("doc_id < 400")
+    newb = docs.filter("doc_id < 100").select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    ).unionByName(docs.filter("doc_id >= 400 AND doc_id < 500"))
+    novel, matches = novelty_filter(
+        newb, reference, num_hashes=8, bands=4, threshold=0.5
+    )
+    spark_matches = matches.toPandas()
+    spark_novel = novel.select("doc_id").toPandas()
+
+    shingle3 = (
+        "list_transform(range(1, len(string_split(text, ' ')) - 1), i -> "
+        "string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+        "|| ' ' || string_split(text, ' ')[i+2])"
+    )
+    sig = """
+        SELECT id,
+               min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+               min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+               min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+               min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        FROM {src}_sh GROUP BY id
+    """
+    bands = """
+        SELECT id, b.band, CASE b.band
+            WHEN 0 THEN md5(h0 || '|' || h1) WHEN 1 THEN md5(h2 || '|' || h3)
+            WHEN 2 THEN md5(h4 || '|' || h5) ELSE md5(h6 || '|' || h7) END AS bkey
+        FROM {src}_sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    """
+    agree = " + ".join(f"(sa.h{k} = sb.h{k})::INT" for k in range(8))
+    base = f"""
+        WITH newdocs AS (
+            SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 500
+        ),
+        refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        new_sh AS (
+            SELECT doc_id AS id, unnest({shingle3}) AS shingle
+            FROM newdocs WHERE len(string_split(text, ' ')) >= 3),
+        ref_sh AS (
+            SELECT doc_id AS id, unnest({shingle3}) AS shingle
+            FROM refdocs WHERE len(string_split(text, ' ')) >= 3),
+        new_sig AS ({sig.format(src='new')}),
+        ref_sig AS ({sig.format(src='ref')}),
+        new_bands AS ({bands.format(src='new')}),
+        ref_bands AS ({bands.format(src='ref')}),
+        cands AS (
+            SELECT DISTINCT a.id AS new_id, b.id AS ref_id
+            FROM new_bands a JOIN ref_bands b
+              ON a.band = b.band AND a.bkey = b.bkey),
+        verified AS (
+            SELECT c.new_id, c.ref_id, ({agree}) / 8.0 AS est_jaccard
+            FROM cands c
+            JOIN new_sig sa ON c.new_id = sa.id
+            JOIN ref_sig sb ON c.ref_id = sb.id
+            WHERE ({agree}) / 8.0 >= 0.5)
+    """
+    duck_matches = duck.execute(base + "SELECT * FROM verified").df()
+    duck_novel = duck.execute(base + """
+        SELECT doc_id FROM newdocs
+        WHERE doc_id NOT IN (SELECT new_id FROM verified)
+    """).df()
+    assert len(spark_matches) >= 100  # the 100 re-crawled copies at 1.0
+    _assert_frames_match("novelty_matches", spark_matches, duck_matches)
+    _assert_frames_match("novelty_novel", spark_novel, duck_novel)
