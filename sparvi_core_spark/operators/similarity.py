@@ -184,6 +184,84 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """Lloyd k-means over an embedding column — the IVF BUILD step
+    (``compute_centroids`` + ``ivf_assign`` refine a labeling; this
+    creates one from scratch). Returns ``(centroids, info)`` where
+    ``centroids`` is the ``(bucket, centroid)`` frame ``ivf_assign``
+    consumes and ``info = {"iterations", "converged", "movement"}``.
+
+    Init: the k seed vectors are the corpus's k smallest
+    ``xxhash64(id, seed)`` values — deterministic across runs,
+    partitionings, and appends-with-new-ids, and a uniform draw (the
+    same argument as ``sampling.hash_sample``). Each iteration is one
+    assign (broadcast centroids, ``min_by`` argmin — no window) and one
+    centroid rebuild (posexplode + map-side-combined avg): two shuffles
+    of O(N × dim) per round, the canonical distributed-Lloyd shape
+    (Spark MLlib's KMeans does the same reduce-collect per step).
+    Driver state is k × dim doubles — broadcast-sized by construction.
+
+    Empty clusters keep their previous centroid (documented standard
+    fallback; reseeding would break determinism). Convergence = max
+    centroid L2 movement ≤ ``tol``. Iterative fixpoint → no SQL oracle
+    (same class as ``dedup_clusters``); correctness is pinned by
+    recovering planted separable clusters in tests.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(k)  # TakeOrderedAndProject: no global sort materialized
+        .collect()
+    )
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r["v"]] for i, r in enumerate(seeds)
+    }
+    info = {"iterations": 0, "converged": False, "movement": None}
+
+    def _cent_df():
+        return F.broadcast(
+            spark.createDataFrame(
+                [(b, c) for b, c in cents.items()],
+                "bucket int, centroid array<double>",
+            )
+        )
+
+    for it in range(max_iter):
+        assigned = ivf_assign(vectors, _cent_df(), id_col=id_col, vec_col=vec_col)
+        labeled = vectors.join(
+            assigned, vectors[id_col] == assigned["id"]
+        ).select(assigned["bucket"].alias("label"), vectors[vec_col])
+        new_rows = compute_centroids(
+            labeled, bucket_col="label", vec_col=vec_col
+        ).collect()  # bounded: k rows x dim doubles
+        movement = 0.0
+        for r in new_rows:
+            old = cents[r["bucket"]]
+            new = [float(x) for x in r["centroid"]]
+            movement = max(
+                movement,
+                sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5,
+            )
+            cents[r["bucket"]] = new
+        info["iterations"] = it + 1
+        info["movement"] = movement
+        if movement <= tol:
+            info["converged"] = True
+            break
+    return _cent_df(), info
+
+
 def random_hyperplane_buckets(
     vectors: DataFrame,
     planes: int = 16,

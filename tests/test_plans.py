@@ -89,3 +89,24 @@ def test_forecast_revenue_fully_pushed(spark):
     assert scan_columns(df) == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
     }
+
+
+def test_mix_corpora_bucketed_broadcasts_control_frames(spark):
+    """The two-phase mixture plan must broadcast the (tiny) budget and
+    cutoff frames — a shuffle join against them would defeat the point."""
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id",
+        "concat('d', CAST(id % 3 AS STRING)) AS domain",
+        "100 + id % 50 AS n_tokens",
+    )
+    out = mix_corpora(df, {"d0": 0.5, "d1": 0.5}, 20_000, n_buckets=16)
+    assert has_broadcast_hash_join(out)
+
+
+def test_novelty_screen_no_reference_self_join(spark):
+    """novelty_screen joins new x reference band hashes; the bucket-cap
+    anti-joins must be broadcast (the cap frame is tiny by construction)."""
+    df = entrymod.q_novelty_screen(spark, SF)
+    assert has_broadcast_hash_join(df)

@@ -110,3 +110,51 @@ def test_with_norm(vectors):
     got = {r["vec_id"]: r["norm"] for r in with_norm(df).collect()}
     for i, v, _ in rows[:5]:
         assert abs(got[i] - float(np.linalg.norm(np.array(v, dtype=np.float32).astype(np.float64)))) < 1e-6
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters: Lloyd iterations must
+    converge and the final assignment must match the ground truth."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    rnd = random.Random(7)
+    centers = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    rows = []
+    for i in range(90):
+        cx = centers[i % 3]
+        rows.append((i, [c + rnd.gauss(0, 0.3) for c in cx]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents, info = kmeans_fit(df, k=3, max_iter=15, tol=1e-6, seed=1)
+    assert info["converged"], info
+    assigned = ivf_assign(df, cents)
+    got = {r["id"]: r["bucket"] for r in assigned.collect()}
+    # every planted cluster maps to exactly one learned bucket
+    for g in range(3):
+        buckets = {got[i] for i in range(90) if i % 3 == g}
+        assert len(buckets) == 1, (g, buckets)
+    assert len({got[i] for i in (0, 1, 2)}) == 3  # and they differ
+
+
+def test_kmeans_fit_deterministic(spark):
+    import random
+
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, i1 = kmeans_fit(df, k=4, max_iter=5, seed=9)
+    c2, i2 = kmeans_fit(df.repartition(7), k=4, max_iter=5, seed=9)
+    assert i1 == i2
+    p1 = {r["bucket"]: r["centroid"] for r in c1.collect()}
+    p2 = {r["bucket"]: r["centroid"] for r in c2.collect()}
+    assert p1.keys() == p2.keys()
+    for b in p1:
+        assert p1[b] == pytest.approx(p2[b], abs=1e-9)
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_fit(df, k=0)
