@@ -656,3 +656,48 @@ def test_local_novelty_filter_parity(spark, duck):
     assert len(spark_matches) >= 100  # the 100 re-crawled copies at 1.0
     _assert_frames_match("novelty_matches", spark_matches, duck_matches)
     _assert_frames_match("novelty_novel", spark_novel, duck_novel)
+
+
+def test_local_boilerplate_removal_parity(spark, duck):
+    """remove_boilerplate_lines (corpus-level line dedup) vs a DuckDB
+    reimplementation: line doc-frequency over trimmed lines, threshold
+    strip, order-preserving reassembly, empty-doc restoration."""
+    import pandas as pd
+
+    from sparvi_core_spark.operators.boilerplate import remove_boilerplate_lines
+
+    footer = "copyright 2024 example corp"
+    nav = "home | products | about"
+    rows = []
+    for i in range(12):
+        rows.append((i, f"{nav}\nunique body {i} text\n\n{footer}"))
+    rows.append((100, f"{nav}\n{footer}"))          # fully boilerplate
+    rows.append((101, "original page\nsecond line"))  # untouched
+    fixture = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = remove_boilerplate_lines(
+        spark.createDataFrame(fixture), min_docs=10
+    )
+    duck.register("bp_fixture", fixture)
+    duck_pdf = duck.execute("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp_fixture),
+        ex0 AS (
+          SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM t),
+        ex AS (
+          SELECT doc_id, pos, ls[pos] AS line FROM ex0),
+        flagged AS (
+          SELECT md5(trim(line)) AS k
+          FROM ex WHERE length(trim(line)) >= 1
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+        surv AS (
+          SELECT doc_id, pos, line FROM ex
+          WHERE length(trim(line)) < 1
+             OR md5(trim(line)) NOT IN (SELECT k FROM flagged)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM surv GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(r.text, '') AS text
+        FROM (SELECT DISTINCT doc_id FROM bp_fixture) d
+        LEFT JOIN rebuilt r USING (doc_id)
+    """).df()
+    _assert_frames_match("boilerplate_removal", sdf.toPandas(), duck_pdf)
