@@ -1,0 +1,120 @@
+"""End-to-end training-corpus preparation: every pipeline stage this
+engine ships, composed in the order a production run uses them.
+
+    raw docs
+      → boilerplate line removal        (corpus-level line dedup)
+      → quality filter + repetition     (prepare_corpus: Gopher gates)
+      → near-dup dedup, best survivor   (MinHash LSH → CC → argmax)
+      → eval-set decontamination        (13-gram collision screen)
+      → novelty screen vs prior corpus  (incremental ingest)
+      → contamination-safe splits       (xxhash64, append-invariant)
+      → domain mixture                  (token-budget reweighting)
+      → sequence packing                (chunked, budget windows)
+
+Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
+Prints one JSON report of per-stage attrition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from sparvi_core_spark import get_spark
+    from sparvi_core_spark.functions.text import token_counts
+    from sparvi_core_spark.operators.boilerplate import remove_boilerplate_lines
+    from sparvi_core_spark.operators.decontamination import (
+        filter_ngram_contaminated,
+    )
+    from sparvi_core_spark.operators.dedup import novelty_filter
+    from sparvi_core_spark.operators.mixing import mix_corpora, mixture_report
+    from sparvi_core_spark.operators.packing import pack_chunked, packing_stats
+    from sparvi_core_spark.operators.pipeline import prepare_corpus
+    from sparvi_core_spark.operators.sampling import hash_split
+
+    spark = get_spark(app_name="corpus-pipeline-example", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"sf_dir": sf_dir}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    report["raw_docs"] = docs.count()
+
+    # 1. corpus-level boilerplate lines (row-count invariant)
+    docs = remove_boilerplate_lines(docs, min_docs=2, min_frac=0.3)
+
+    # 2-3. quality + repetition gates, near-dup dedup keeping the
+    #      best-quality copy of each cluster
+    clean, prep = prepare_corpus(
+        docs,
+        min_quality=0.2,
+        dedup_threshold=0.6,
+        max_dup_line_frac=0.5,
+        survivor="best_quality",
+    )
+    report["prepare_corpus"] = {
+        k: v for k, v in prep.items() if isinstance(v, int)
+    }
+
+    # 4. decontaminate against a (simulated) eval set
+    evalset = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    decon = filter_ngram_contaminated(clean, evalset, n=13)
+    report["decontaminated_docs"] = decon.count()
+
+    # 5. novelty screen vs a (simulated) previously-ingested corpus
+    prior = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    novel, matches = novelty_filter(decon, prior, threshold=0.8)
+    report["novel_docs"] = novel.count()
+    report["recrawl_matches"] = matches.count()
+
+    # 6. contamination-safe splits
+    splits = hash_split(novel, {"train": 0.9, "val": 0.05, "test": 0.05})
+    report["splits"] = {k: v.count() for k, v in splits.items()}
+
+    # 7. domain mixture over the train split, weighted by source
+    train = splits["train"]
+    toks = token_counts(train).select(
+        F.col("id").alias("doc_id"), F.col("ws_tokens").alias("n_tokens")
+    )
+    train_tok = train.join(toks, on="doc_id")
+    sources = [r["source"] for r in train_tok.select("source").distinct().collect()]
+    weights = {s: 1.0 / len(sources) for s in sources}
+    total_budget = int(
+        train_tok.agg(F.sum("n_tokens")).first()[0] * 0.8
+    )
+    mixed = mix_corpora(
+        train_tok, weights, total_budget,
+        domain_col="source", tokens_col="n_tokens",
+    )
+    report["mixture"] = [
+        r.asDict()
+        for r in mixture_report(
+            mixed, weights, total_budget,
+            domain_col="source", tokens_col="n_tokens",
+        ).collect()
+    ]
+
+    # 8. pack into 2048-token context windows (num_groups sets shuffle
+    #    parallelism — scale it to the corpus; every pack except each
+    #    group's last is exactly full)
+    packed = pack_chunked(mixed, budget=2048, sep_tokens=1, num_groups=2)
+    report["packing"] = packing_stats(packed, budget=2048).first().asDict()
+
+    print(json.dumps(report, default=str))
+
+
+if __name__ == "__main__":
+    main()
