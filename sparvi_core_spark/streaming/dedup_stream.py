@@ -13,7 +13,7 @@ at-least-once sources) and a key recurring days later is a new record.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def dedup_stream_exact(
@@ -40,3 +40,48 @@ def dedup_stream_exact(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         subset
     )
+
+
+def corpus_fingerprints(
+    docs: DataFrame, text_col: str = "text", fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Distinct exact-content fingerprints (md5 over normalized text) of
+    an existing corpus — the static side for
+    :func:`novelty_stream_exact`. Compute once at ingest time and store
+    next to the corpus; 16 bytes/distinct doc."""
+    from sparvi_core_spark.functions.text import normalize_text
+
+    return docs.select(
+        F.md5(normalize_text(text_col)).alias(fp_col)
+    ).distinct()
+
+
+def novelty_stream_exact(
+    events: DataFrame,
+    reference_fingerprints: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming ingest novelty screen: drop records whose normalized
+    text already exists in the reference corpus.
+
+    The streaming counterpart of
+    :func:`~sparvi_core_spark.operators.dedup.novelty_filter`'s exact
+    tier: the fingerprint is a PURE PROJECTION (md5 of normalized text
+    — no shingle aggregation, so no streaming state), and the screen is
+    a stream-static LEFT ANTI join against the stored fingerprint
+    frame — natively supported by Structured Streaming, no watermark
+    required, state-free. Near-dup screening of a stream needs the
+    batch ``novelty_filter`` on micro-batch landings (``foreachBatch``)
+    instead, because MinHash signatures are a per-doc aggregation.
+    Batch inputs take the same path (the join is identical), so one
+    function serves live ingest and backfill.
+    """
+    from sparvi_core_spark.functions.text import normalize_text
+
+    keyed = events.withColumn("__fp", F.md5(normalize_text(text_col)))
+    return keyed.join(
+        reference_fingerprints,
+        keyed["__fp"] == reference_fingerprints[fp_col],
+        "left_anti",
+    ).drop("__fp")

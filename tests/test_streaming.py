@@ -144,3 +144,53 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         for so in p.get("stateOperators", [])
     )
     assert dropped == 1, f"exactly the one late row must be dropped, got {dropped}"
+
+
+def test_novelty_stream_exact_batch_stream_equivalence(spark, tmp_path):
+    """Stream-static anti-join novelty screen: a streaming backfill must
+    keep exactly the batch path's novel records (state-free — no
+    watermark involved)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparvi_core_spark.streaming.dedup_stream import (
+        corpus_fingerprints,
+        novelty_stream_exact,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "Existing Document ALPHA with some words"),
+            (2, "existing document beta with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    ref_fp = corpus_fingerprints(corpus)
+
+    batch_rows = [
+        # normalization-equal copy of corpus doc 1 (case differs) → dropped
+        (10, "existing document alpha with some words"),
+        (11, "a genuinely new page about structured streaming joins"),
+        (12, "another new page that survives the screen"),
+    ]
+    d = tmp_path / "novelty_stream"
+    d.mkdir()
+    pdf = pd.DataFrame(batch_rows, columns=["doc_id", "text"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(d / "part-0.parquet"))
+
+    batch = spark.read.parquet(str(d))
+    batch_ids = {
+        r["doc_id"] for r in novelty_stream_exact(batch, ref_fp).collect()
+    }
+    assert batch_ids == {11, 12}
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = novelty_stream_exact(stream, ref_fp)
+    assert out.isStreaming
+    run_stream_to_memory(out, "novelty_stream_t", output_mode="append")
+    stream_ids = {
+        r["doc_id"] for r in spark.table("novelty_stream_t").collect()
+    }
+    assert stream_ids == batch_ids
