@@ -9,8 +9,9 @@ extension surface, alongside ``operators.sampling`` (splits) and
 ``operators.packing`` (sequence packing).
 
 Selection is deterministic: each document gets a priority that is a
-pure function of its id (``order="hash"``: ``xxhash64(id, salt)`` — an
-unbiased pseudo-random draw; ``order="id"``: the corpus's own order),
+pure function of the row (``order="hash"``: ``xxhash64(id, salt)`` — an
+unbiased pseudo-random draw; ``order="id"``: the corpus's own order;
+``order="quality"``: highest ``order_col`` score first — curation),
 and each domain keeps its lowest-priority documents until the domain's
 token budget is reached. Re-runs, repartitions, and appends cannot
 reshuffle the selection (the same contamination-safety argument as
@@ -49,17 +50,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-_ORDERINGS = ("hash", "id")
-# priority lives in [0, 2^20): top bits give the phase-1 bucket, the
-# full value orders documents within a domain (ties broken by id)
+_ORDERINGS = ("hash", "id", "quality")
+# hash priorities live in [0, 2^20): top bits give the phase-1 bucket,
+# the full value orders documents within a domain (ties broken by id)
 _PRIORITY_BITS = 20
+# NULL quality scores rank last: max finite double as the sentinel
+# (±inf would poison the phase-1 percentile sketch)
+_WORST = 1.7976931348623157e308
 
 
-def _priority(id_col: str, salt: str, order: str) -> F.Column:
+def _priority(id_col: str, salt: str, order: str, order_col: str | None) -> F.Column:
+    """Ascending selection priority: lowest priority is kept first."""
     if order == "hash":
         return F.pmod(
             F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(1 << _PRIORITY_BITS)
         )
+    if order == "quality":
+        # highest score first → priority = −score; NULL ranks last
+        return -F.coalesce(F.col(order_col).cast("double"), F.lit(-_WORST))
     return F.col(id_col).cast("long")
 
 
@@ -86,6 +94,7 @@ def mix_corpora(
     id_col: str = "doc_id",
     salt: str = "mix",
     order: str = "hash",
+    order_col: str | None = None,
     n_buckets: int = 1024,
     exact: bool = False,
 ) -> DataFrame:
@@ -93,14 +102,25 @@ def mix_corpora(
     total_tokens`` tokens. Returns the selected rows with the input's
     columns (plus nothing — join any dropped metadata back by id).
 
+    ``order`` sets WHICH documents fill each budget: ``"hash"`` an
+    unbiased pseudo-random draw, ``"id"`` the corpus's own order,
+    ``"quality"`` highest-``order_col`` first (curation: keep each
+    domain's best documents up to its budget; NULL scores rank last).
+
     See the module docstring for the selection contract and the
     two-phase scale plan (``exact=True`` forces the single-window
-    plan; both produce identical rows).
+    plan; both produce identical rows). Hash priorities bucket by
+    fixed ranges (free); id/quality priorities bucket by a per-domain
+    ``percentile_approx`` sketch — one extra map-side-combined pass,
+    still no full-domain sort. Skewed sketch splits only grow the
+    boundary bucket (efficiency), never change the selection.
     """
     if order not in _ORDERINGS:
         raise ValueError(f"order must be one of {_ORDERINGS}, got {order!r}")
-    if not (0 < n_buckets <= (1 << _PRIORITY_BITS)):
-        raise ValueError(f"n_buckets must be in (0, 2^20], got {n_buckets}")
+    if order == "quality" and order_col is None:
+        raise ValueError("order='quality' requires order_col")
+    if not (1 < n_buckets <= (1 << _PRIORITY_BITS)):
+        raise ValueError(f"n_buckets must be in (1, 2^20], got {n_buckets}")
     budgets = domain_budgets(weights, total_tokens)
     spark = df.sparkSession
     in_cols = df.columns
@@ -111,7 +131,7 @@ def mix_corpora(
             f"{domain_col} string, __budget long",
         )
     )
-    pri = _priority(id_col, salt, order)
+    pri = _priority(id_col, salt, order, order_col)
     g = df.join(budget_df, on=domain_col).withColumn("__pri", pri)
 
     w = (
@@ -130,22 +150,30 @@ def mix_corpora(
         )
 
     # ---- phase 1: (domain, bucket) token sums -> driver-side cutoffs
-    shift = _PRIORITY_BITS - (n_buckets - 1).bit_length()
-    bucket = F.shiftright(F.col("__pri"), shift) if order == "hash" else (
-        # id priorities are unbounded, so bucket by modulus-free ranges
-        # is impossible without quantiles; hash the id into uniform
-        # buckets is wrong (breaks ordering) — fall back to the exact
-        # plan for id order (small/oracle corpora by construction).
-        None
-    )
-    if bucket is None:
-        cum = F.sum(tok).over(w)
-        return (
-            g.withColumn("__cum", cum)
-            .filter(F.col("__cum") - tok < F.col("__budget"))
-            .select(*in_cols)
+    if order == "hash":
+        shift = _PRIORITY_BITS - (n_buckets - 1).bit_length()
+        g = g.withColumn("__bkt", F.shiftright(F.col("__pri"), shift))
+    else:
+        # unbounded priorities (ids, scores): bucket boundaries from a
+        # per-domain quantile sketch. Bucket = #splits ≤ priority —
+        # monotonic in priority, so keep-all/boundary/drop-all bucket
+        # classes respect the exact ordering no matter where the
+        # (approximate) splits land.
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        splits = g.groupBy(domain_col).agg(
+            F.percentile_approx(
+                F.col("__pri").cast("double"), F.lit(qs), F.lit(10_000)
+            ).alias("__splits")
         )
-    g = g.withColumn("__bkt", bucket)
+        g = g.join(F.broadcast(splits), on=domain_col).withColumn(
+            "__bkt",
+            F.aggregate(
+                "__splits",
+                F.lit(0),
+                lambda acc, s: acc
+                + F.when(s <= F.col("__pri").cast("double"), 1).otherwise(0),
+            ).cast("long"),
+        )
     sums = (
         g.groupBy(domain_col, "__bkt")
         .agg(F.sum(tok).alias("__toks"))

@@ -174,3 +174,55 @@ def test_calibrate_quality_threshold(spark):
     assert abs(kept2.count() - 25) <= 2
     with pytest.raises(ValueError, match="keep_frac"):
         calibrate_quality_threshold(df, "score", keep_frac=0.0)
+
+
+def test_quality_order_selects_best_docs(spark):
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    rows = [(i, "d0", 100, float(i)) for i in range(100)]  # score == id
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, n_tokens long, score double"
+    )
+    sel = mix_corpora(
+        df, {"d0": 1.0}, 2_000, order="quality", order_col="score", exact=True
+    )
+    # budget = 2000 tokens = 20 docs; quality-first → the top-20 scores
+    assert {r["doc_id"] for r in sel.collect()} == set(range(80, 100))
+    with pytest.raises(ValueError, match="order_col"):
+        mix_corpora(df, {"d0": 1.0}, 2_000, order="quality")
+
+
+def test_quality_order_two_phase_identical(spark):
+    import random
+
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            i,
+            ("a", "b")[i % 2],
+            50 + rnd.randrange(400),
+            rnd.gauss(0, 1) if i % 17 else None,  # some NULL scores
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, n_tokens long, score double"
+    )
+    w = {"a": 0.6, "b": 0.4}
+    exact = mix_corpora(df, w, 100_000, order="quality", order_col="score",
+                        exact=True)
+    two = mix_corpora(df, w, 100_000, order="quality", order_col="score",
+                      n_buckets=32)
+    assert {r["doc_id"] for r in exact.collect()} == {
+        r["doc_id"] for r in two.collect()
+    }
+
+
+def test_id_order_two_phase_identical(spark, corpus):
+    from sparvi_core_spark.operators.mixing import mix_corpora
+
+    exact = mix_corpora(corpus, WEIGHTS, 12_000, order="id", exact=True)
+    two = mix_corpora(corpus, WEIGHTS, 12_000, order="id", n_buckets=8)
+    assert _keyset(exact) == _keyset(two)
