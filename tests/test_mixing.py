@@ -226,3 +226,57 @@ def test_id_order_two_phase_identical(spark, corpus):
     exact = mix_corpora(corpus, WEIGHTS, 12_000, order="id", exact=True)
     two = mix_corpora(corpus, WEIGHTS, 12_000, order="id", n_buckets=8)
     assert _keyset(exact) == _keyset(two)
+
+
+def test_randomized_two_phase_equality_and_budget_contract(spark):
+    """Randomized sweep: for random corpora, weights, and bucket counts,
+    the two-phase plan equals the exact plan and the kept-iff-starts-
+    within-budget contract holds, including edge budgets."""
+    import random
+
+    from sparvi_core_spark.operators.mixing import domain_budgets, mix_corpora
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        n_domains = rnd.randint(1, 5)
+        domains = [f"dom{j}" for j in range(n_domains)]
+        rows = [
+            (i, rnd.choice(domains), rnd.randint(1, 500))
+            for i in range(rnd.randint(50, 800))
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, domain string, n_tokens long"
+        )
+        weights = {d: rnd.random() for d in domains}
+        # include a zero-weight domain and an absent domain
+        weights[domains[0]] = 0.0
+        weights["ghost_domain"] = 0.3
+        total = rnd.choice([1, 100, 10_000, 10**9])
+        exact = mix_corpora(df, weights, total, exact=True)
+        two = mix_corpora(
+            df, weights, total, n_buckets=rnd.choice([2, 8, 64, 1024])
+        )
+        assert _keyset(exact) == _keyset(two), (seed, total)
+
+        budgets = domain_budgets(weights, total)
+        supply = {
+            r["domain"]: (r["s"], r["m"])
+            for r in df.groupBy("domain")
+            .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m"))
+            .collect()
+        }
+        kept = {
+            r["domain"]: r["k"]
+            for r in exact.groupBy("domain").agg(F.sum("n_tokens").alias("k")).collect()
+        }
+        for d, b in budgets.items():
+            if d not in supply:
+                continue
+            s, m = supply[d]
+            got = kept.get(d, 0)
+            if b == 0:
+                assert got == 0, (seed, d)
+            elif s < b:
+                assert got == s, (seed, d)
+            else:
+                assert b <= got < b + m, (seed, d, b, got)
