@@ -1,0 +1,142 @@
+"""Cross-document duplicated-span detection (exact substring dedup).
+
+The published result (Lee et al., "Deduplicating Training Data Makes
+Language Models Better") deduplicates at the SUBSTRING level: a ~50
+token span appearing in more than one document is memorization fuel
+even when the documents as wholes are unrelated — whole-doc near-dup
+(MinHash) and doc-local repetition (``repetition_stats``) both miss it.
+The reference engine has nothing in this family; this is part of the
+training-data-pipeline extension surface.
+
+The suffix-array construction of the paper is single-machine; the
+distributable equivalent is rolling token windows: every W-token
+window, hashed, grouped for document frequency. That is what this
+module implements, Spark-first:
+
+- **Linear, never doc×doc**: windows explode to O(total tokens) rows
+  (the inherent cost of substring-level screening — the same as the
+  paper's suffix array input), but the shuffle carries 32-byte md5
+  keys, the doc-frequency groupBy gets map-side partial aggregation,
+  and flagged windows come back to documents via a LEFT SEMI join on
+  the hash — no pair enumeration anywhere, so a window shared by 10⁶
+  docs costs 10⁶ rows, not 10¹² pairs.
+- **Exact coverage, one per-doc window pass**: overlapping flagged
+  windows are merged into maximal spans with a running-max-end interval
+  sweep partitioned by doc — per-task memory is bounded by one
+  document's windows, the same bound as reading the doc.
+- md5 (not a faster hash) keeps the operator oracle-checkable across
+  engines — the module-wide convention from ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sparvi_core_spark.operators.dedup import tokens_col
+
+
+def _windows(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, whash) for every ``window``-token span; pos is the
+    0-based start token index. Docs shorter than ``window`` emit
+    nothing."""
+    toks = tokens_col(text_col)
+    m = F.size(toks) - (window - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, window + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return (
+        docs.filter(F.size(toks) >= window)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(acc).alias("pos", "__w"),
+        )
+        .select("id", "pos", F.md5(F.col("__w")).alias("whash"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans per document: ``(id, span_start,
+    span_end)`` in token offsets (end exclusive), where every
+    ``window``-token window inside the span appears in ≥ ``min_docs``
+    documents. Overlapping flagged windows are merged.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    w = _windows(docs, id_col, text_col, window)
+    flagged_hashes = (
+        w.groupBy("whash")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("whash")
+    )
+    flagged = w.join(flagged_hashes, on="whash", how="left_semi").select(
+        "id", "pos", (F.col("pos") + window).alias("end")
+    )
+    ww = Window.partitionBy("id").orderBy("pos")
+    # a new maximal span starts when this window begins past the
+    # furthest end seen so far (two projections: a window expression
+    # cannot nest inside another window function's argument)
+    prev_end = F.max("end").over(ww.rowsBetween(Window.unboundedPreceding, -1))
+    marked = flagged.withColumn(
+        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("long")
+    )
+    seg = F.sum("__new").over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("__seg", seg)
+        .groupBy("id", "__seg")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span report — the filterable score:
+    ``(id, n_tokens, dup_spans, dup_tokens, dup_token_frac)``. Every
+    input document appears (zero rows of coverage → zeros), so the
+    result joins back 1:1 for threshold filtering (the paper's
+    train-time policy: drop or trim documents dominated by duplicated
+    spans)."""
+    spans = duplicated_spans(docs, window, min_docs, id_col, text_col)
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, on="id", how="left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

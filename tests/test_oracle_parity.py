@@ -701,3 +701,86 @@ def test_local_boilerplate_removal_parity(spark, duck):
         LEFT JOIN rebuilt r USING (doc_id)
     """).df()
     _assert_frames_match("boilerplate_removal", sdf.toPandas(), duck_pdf)
+
+
+def test_local_substring_spans_parity(spark, duck):
+    """duplicated_spans / substring_dup_stats vs a DuckDB
+    reimplementation (rolling 6-token windows → doc frequency →
+    gaps-and-islands span merge → per-doc coverage)."""
+    import pandas as pd
+
+    from sparvi_core_spark.operators.substring import (
+        duplicated_spans,
+        substring_dup_stats,
+    )
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    shared_a = words("s", 10)
+    shared_b = words("t", 7)
+    rows = [
+        (1, words("a", 4) + " " + shared_a + " " + words("b", 3)),
+        (2, shared_a + " " + words("c", 12) + " " + shared_b),
+        (3, words("d", 5) + " " + shared_b + " " + words("e", 2)),
+        (4, words("f", 30)),
+        (5, "short doc"),
+    ]
+    fixture = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf_spans = duplicated_spans(
+        spark.createDataFrame(fixture), window=6, min_docs=2
+    )
+    sdf_stats = substring_dup_stats(
+        spark.createDataFrame(fixture), window=6, min_docs=2
+    )
+    duck.register("ss_fixture", fixture)
+    base = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM ss_fixture),
+        w0 AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - 4)) AS p1
+          FROM t WHERE len(toks) >= 6),
+        w AS (
+          SELECT doc_id AS id, p1 - 1 AS pos,
+                 md5(array_to_string(list_slice(toks, p1, p1 + 5), ' ')) AS whash
+          FROM w0),
+        flagged_hashes AS (
+          SELECT whash FROM w GROUP BY whash
+          HAVING count(DISTINCT id) >= 2),
+        flagged AS (
+          SELECT id, pos, pos + 6 AS e FROM w
+          WHERE whash IN (SELECT whash FROM flagged_hashes)),
+        marked AS (
+          SELECT id, pos, e,
+                 CASE WHEN pos > coalesce(max(e) OVER (
+                     PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_seg
+          FROM flagged),
+        segs AS (
+          SELECT id, pos, e,
+                 sum(new_seg) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          FROM marked),
+        spans AS (
+          SELECT id, min(pos) AS span_start, max(e) AS span_end
+          FROM segs GROUP BY id, seg)
+    """
+    duck_spans = duck.execute(base + "SELECT * FROM spans").df()
+    _assert_frames_match("substring_spans", sdf_spans.toPandas(), duck_spans)
+    duck_stats = duck.execute(base + """
+        , per_doc AS (
+          SELECT id, count(*) AS dup_spans,
+                 sum(span_end - span_start) AS dup_tokens
+          FROM spans GROUP BY id)
+        SELECT f.doc_id AS id,
+               CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(p.dup_tokens, 0)
+                     / greatest(len(string_split(f.text, ' ')), 1), 6)
+                 AS dup_token_frac
+        FROM ss_fixture f LEFT JOIN per_doc p ON f.doc_id = p.id
+    """).df()
+    _assert_frames_match("substring_stats", sdf_stats.toPandas(), duck_stats)
