@@ -3,6 +3,7 @@ engine ships, composed in the order a production run uses them.
 
     raw docs
       → boilerplate line removal        (corpus-level line dedup)
+      → duplicated-span screen          (exact substring dedup)
       → quality filter + repetition     (prepare_corpus: Gopher gates)
       → near-dup dedup, best survivor   (MinHash LSH → CC → argmax)
       → eval-set decontamination        (13-gram collision screen)
@@ -49,8 +50,25 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     report["raw_docs"] = docs.count()
 
-    # 1. corpus-level boilerplate lines (row-count invariant)
-    docs = remove_boilerplate_lines(docs, min_docs=2, min_frac=0.3)
+    # 1. corpus-level boilerplate lines (row-count invariant).
+    #    Each stage's output feeds several downstream consumers — cut
+    #    the lineage between stages (in production: write each stage to
+    #    the lake and read it back; localCheckpoint is the in-session
+    #    equivalent) so later actions don't recompute the whole chain.
+    docs = remove_boilerplate_lines(docs, min_docs=2, min_frac=0.3).localCheckpoint()
+
+    # 1b. drop docs dominated by cross-document duplicated spans
+    from sparvi_core_spark.operators.substring import substring_dup_stats
+
+    heavy = substring_dup_stats(docs, window=20, min_docs=2).filter(
+        F.col("dup_token_frac") > 0.8
+    )
+    docs = docs.join(
+        heavy.select(F.col("id").alias("__heavy")),
+        docs["doc_id"] == F.col("__heavy"),
+        "left_anti",
+    ).localCheckpoint()
+    report["after_span_screen"] = docs.count()
 
     # 2-3. quality + repetition gates, near-dup dedup keeping the
     #      best-quality copy of each cluster
