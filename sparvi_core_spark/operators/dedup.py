@@ -578,6 +578,7 @@ def novelty_filter(
     threshold: float = 0.8,
     reference_signatures: DataFrame | None = None,
     max_bucket: int = 1000,
+    exact_prescreen: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental dedup: screen a NEW batch against an EXISTING corpus
     and keep only the novel documents.
@@ -606,13 +607,48 @@ def novelty_filter(
     them. Documents too short to shingle (< ``shingle_n`` words) have
     no signature and are kept as novel — screen them with an exact
     fingerprint anti-join if that matters.
+
+    ``exact_prescreen=True`` adds an exact tier BEFORE the LSH tier:
+    new docs whose normalized-text md5 equals a reference doc's are
+    matched outright (``est_jaccard`` 1.0) and skip MinHash entirely.
+    This closes the two LSH blind spots — docs too short to shingle,
+    and exact copies of mass-duplicated boilerplate whose band bucket
+    ``max_bucket`` dropped — and cheapens re-crawl-heavy batches (the
+    join is one shuffle on 32-byte keys). Requires ``reference`` docs
+    (the tier needs reference ids + text).
     """
     if reference is None and reference_signatures is None:
         raise ValueError("pass reference docs or reference_signatures")
+    if exact_prescreen and reference is None:
+        raise ValueError("exact_prescreen requires reference docs")
     if bands is None:
         bands, _rows = solve_lsh_bands(threshold, num_hashes)
+
+    exact_matches = None
+    screened = new_docs
+    if exact_prescreen:
+        from sparvi_core_spark.functions.text import normalize_text
+
+        nfp = new_docs.select(
+            F.col(id_col).alias("new_id"),
+            F.md5(normalize_text(text_col)).alias("__fp"),
+        )
+        rfp = reference.select(
+            F.col(id_col).alias("ref_id"),
+            F.md5(normalize_text(text_col)).alias("__rfp"),
+        )
+        exact_matches = nfp.join(rfp, nfp["__fp"] == rfp["__rfp"]).select(
+            "new_id", "ref_id", F.lit(1.0).alias("est_jaccard")
+        )
+        exact_ids = exact_matches.select(
+            F.col("new_id").alias("__eid")
+        ).distinct()
+        screened = new_docs.join(
+            exact_ids, new_docs[id_col] == F.col("__eid"), "left_anti"
+        )
+
     sig_new = minhash_signatures(
-        new_docs, id_col, text_col, num_hashes, shingle_n
+        screened, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint()
     sig_ref = (
         reference_signatures
@@ -653,6 +689,8 @@ def novelty_filter(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    if exact_matches is not None:
+        matches = exact_matches.unionByName(matches)
     flagged = matches.select(F.col("new_id").alias("__flagged")).distinct()
     novel = new_docs.join(
         flagged, new_docs[id_col] == F.col("__flagged"), "left_anti"

@@ -90,9 +90,45 @@ def test_novelty_filter_bucket_cap(spark):
     # the boilerplate bucket was dropped: no candidate explosion...
     assert matches.count() == 0
     # ...and the caller sees the trade-off: the boilerplate copy passes
-    # (document: cap trades recall on mass-duplicated boilerplate for a
-    # bounded join; screen such docs with an exact fingerprint pass)
+    # (the cap trades recall on mass-duplicated boilerplate for a
+    # bounded join)
     assert {r["doc_id"] for r in novel.collect()} == {9001, 9002}
     # uncapped: the match is found
     _, m2 = novelty_filter(batch, reference, threshold=0.5, max_bucket=10_000)
     assert m2.filter("new_id = 9001").count() == 500
+    # exact_prescreen closes the capped-bucket blind spot without
+    # uncapping: the exact copy is matched at 1.0, the new doc survives
+    novel3, m3 = novelty_filter(
+        batch, reference, threshold=0.5, max_bucket=100, exact_prescreen=True
+    )
+    assert {r["doc_id"] for r in novel3.collect()} == {9002}
+    assert m3.filter("new_id = 9001 AND est_jaccard = 1.0").count() == 500
+
+
+def test_exact_prescreen_catches_short_docs(spark):
+    """Docs too short to shingle are invisible to MinHash; the exact
+    tier still matches their verbatim copies."""
+    reference = spark.createDataFrame(
+        [(1, "hi"), (2, "some normal length reference document here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "hi"), (11, "ok")], "doc_id long, text string"
+    )
+    novel_off, _ = novelty_filter(batch, reference, threshold=0.5)
+    assert {r["doc_id"] for r in novel_off.collect()} == {10, 11}
+    novel_on, m = novelty_filter(
+        batch, reference, threshold=0.5, exact_prescreen=True
+    )
+    assert {r["doc_id"] for r in novel_on.collect()} == {11}
+    assert [(r["new_id"], r["ref_id"]) for r in m.collect()] == [(10, 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact_prescreen"):
+        from sparvi_core_spark.operators.dedup import minhash_signatures
+
+        novelty_filter(
+            batch,
+            reference_signatures=minhash_signatures(reference),
+            exact_prescreen=True,
+        )
