@@ -37,3 +37,53 @@ def test_bucketed_join_has_no_shuffle(spark, views):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_training_shards_layout_and_determinism(spark, tmp_path):
+    """write_training_shards: exactly one file per shard directory,
+    shard membership and within-shard order identical across re-exports
+    and input repartitionings."""
+    import glob
+    import os
+
+    from sparvi_core_spark.sources.writers import write_training_shards
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "concat('text ', CAST(id AS STRING)) AS text"
+    )
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(df, p1, n_shards=8)
+    write_training_shards(df.repartition(13), p2, n_shards=8)
+
+    for p in (p1, p2):
+        dirs = sorted(os.path.basename(d) for d in glob.glob(f"{p}/shard=*"))
+        assert dirs == [f"shard={k}" for k in range(8)]
+        for d in glob.glob(f"{p}/shard=*"):
+            assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    assert r1.count() == 500
+    m1 = {r["shard"]: set() for r in r1.select("shard").distinct().collect()}
+    for r in r1.collect():
+        m1[r["shard"]].add(r["doc_id"])
+    m2 = {k: set() for k in m1}
+    for r in r2.collect():
+        m2[r["shard"]].add(r["doc_id"])
+    assert m1 == m2
+
+    # within-shard row order identical across the two exports (read the
+    # single part file directly: parquet preserves write order)
+    import pyarrow.parquet as pq
+
+    for k in range(8):
+        f1 = glob.glob(f"{p1}/shard={k}/part-*.parquet")[0]
+        f2 = glob.glob(f"{p2}/shard={k}/part-*.parquet")[0]
+        ids1 = pq.read_table(f1, columns=["doc_id"])["doc_id"].to_pylist()
+        ids2 = pq.read_table(f2, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids1 == ids2 and len(ids1) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, str(tmp_path / "bad"), n_shards=0)
