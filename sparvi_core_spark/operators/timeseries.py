@@ -1,9 +1,13 @@
-"""Time-series operators Spark lacks as builtins: as-of join and
-gap-based sessionization.
+"""Time-series operators Spark lacks as builtins: as-of join,
+gap-based sessionization, and a bucketed range (point-in-interval)
+join.
 
-Both are implemented as single-shuffle window plans (partition by key,
-order by time) — NOT range joins, whose candidate space explodes
-quadratically per key at scale.
+The as-of join and sessionizer are single-shuffle window plans
+(partition by key, order by time). The range join — where a window
+plan cannot apply because matches are many-to-many — uses fixed-width
+time-bucket blocking so Catalyst plans an equi-join instead of the
+cartesian/broadcast-nested-loop plan it would otherwise pick for a
+pure inequality predicate.
 
 Determinism note: event-time arithmetic is done on integer microseconds
 (``unix_micros``) so results are exact and portable across engines
@@ -92,6 +96,115 @@ def session_stats(
             ((F.col("end_us") - F.col("start_us")) / 1_000_000.0),
         )
     )
+
+
+def _floordiv_us(c: Column, width_us: int) -> Column:
+    """Exact floor division for microsecond longs (negative-safe).
+
+    ``c - pmod(c, w)`` is exactly divisible by ``w`` and stays below
+    2^53, so the double division is exact; the cast back to long is
+    therefore boundary-safe (no FP off-by-one at bucket edges).
+    """
+    w = F.lit(width_us)
+    return ((c - F.pmod(c, w)) / w).cast("long")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+    key: str | None = None,
+    how: str = "inner",
+    max_interval_buckets: int = 10_000,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-interval join: each left row pairs with every right
+    interval where ``right_start <= left_ts <= right_end`` (inclusive
+    both ends; optional equi-``key`` must also match). Many-to-many: a
+    left row inside k intervals yields k rows; ``how="left"`` keeps
+    unmatched left rows with NULL right columns.
+
+    Spark has no range-join optimization for a pure inequality
+    predicate — Catalyst plans a broadcast-nested-loop or cartesian
+    product, which is O(|L|·|R|) and unrunnable at scale. This uses
+    the standard time-bucket blocking instead: every interval is
+    exploded into the fixed-width buckets it overlaps, every left
+    timestamp lands in exactly ONE bucket, and the join becomes a hash
+    equi-join on (bucket[, key]) with the exact BETWEEN predicate as a
+    post-filter. Each matching pair meets in exactly one bucket (the
+    left row's), so no dedup pass is needed — including under
+    ``how="left"``.
+
+    Scale properties: the only shuffle is the equi-join's hash
+    exchange; right-side fan-out is bounded by
+    ceil(interval_len / bucket) + 1 per interval, runtime-guarded by
+    ``max_interval_buckets`` (``raise_error`` inside the live bucket
+    expression, so column pruning can't silently drop the check).
+    Choose ``bucket_seconds`` near the typical interval length: wider
+    buckets mean fewer right copies but more same-bucket candidates to
+    post-filter. Intervals with ``start > end`` match nothing (SQL
+    BETWEEN semantics) and are pruned before the explode.
+
+    Oracle: a plain ``JOIN ... ON l.ts BETWEEN r.start AND r.end``
+    (DuckDB plans its own IEJoin for this; we compare results, not
+    plans). Reference anchor: sparvi-core has no range join — this is
+    part of the training-data-pipeline extension surface (SURVEY.md
+    §2.8).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    w_us = bucket_seconds * 1_000_000
+    lt = event_micros(left, left_ts)
+    rs = event_micros(right, right_start)
+    re = event_micros(right, right_end)
+
+    rename = {
+        c: c + suffix for c in right.columns if c in set(left.columns)
+    }
+    r = right.filter(rs <= re)
+    startb = _floordiv_us(rs, w_us)
+    endb = _floordiv_us(re, w_us)
+    nb = endb - startb + F.lit(1)
+    # the guard lives INSIDE the sequence bound so it can't be pruned
+    guarded_end = F.when(
+        nb > F.lit(max_interval_buckets),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join: interval spans more than "
+                    f"{max_interval_buckets} buckets of {bucket_seconds}s "
+                    "(raise bucket_seconds or max_interval_buckets); "
+                    "interval start µs = "
+                ),
+                rs.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(endb)
+    r = r.select(
+        *[F.col(c).alias(rename.get(c, c)) for c in right.columns],
+        rs.alias("__rs"),
+        re.alias("__re"),
+        F.explode(F.sequence(startb, guarded_end)).alias("__bucket"),
+    )
+    l = left.withColumn("__bucket", _floordiv_us(lt, w_us)).withColumn(
+        "__lt", lt
+    )
+    cond = (
+        (l["__bucket"] == r["__bucket"])
+        & (l["__lt"] >= r["__rs"])
+        & (l["__lt"] <= r["__re"])
+    )
+    if key is not None:
+        cond = cond & (l[key] == r[rename.get(key, key)])
+    out = l.join(r, cond, how)
+    keep = [l[c] for c in left.columns] + [
+        r[rename.get(c, c)] for c in right.columns
+        if not (key is not None and c == key)
+    ]
+    return out.select(*keep)
 
 
 def asof_join(

@@ -784,3 +784,42 @@ def test_local_substring_spans_parity(spark, duck):
         FROM ss_fixture f LEFT JOIN per_doc p ON f.doc_id = p.id
     """).df()
     _assert_frames_match("substring_stats", sdf_stats.toPandas(), duck_stats)
+
+
+def test_local_range_join_parity(spark, duck):
+    """Bucketed point-in-interval join vs DuckDB's native IEJoin plan
+    for the same BETWEEN predicate. Windows are 90 minutes starting at
+    each distinct event hour, so every window straddles a 3600s bucket
+    boundary — the blocking path is exercised, not just the trivial
+    one-bucket case."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.timeseries import range_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    win = (
+        events.select(F.date_trunc("hour", "ts").alias("window_start"))
+        .distinct()
+        .withColumn("window_end", F.expr("window_start + INTERVAL 90 MINUTES"))
+    )
+    joined = range_join(
+        events, win, "ts", "window_start", "window_end", bucket_seconds=3600
+    )
+    spark_pdf = (
+        joined.groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    duck_pdf = duck.execute(
+        """
+        WITH w AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS window_start,
+                 date_trunc('hour', ts) + INTERVAL 90 MINUTE AS window_end
+          FROM events
+        )
+        SELECT w.window_start, count(*) AS n_events
+        FROM events l JOIN w ON l.ts BETWEEN w.window_start AND w.window_end
+        GROUP BY 1
+        """
+    ).df()
+    _assert_frames_match("range_join", spark_pdf, duck_pdf)

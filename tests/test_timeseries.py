@@ -217,3 +217,106 @@ def test_asof_one_shuffle_plan(spark):
     plan = asof_join(left, right, key="user_id")._jdf.queryExecution().optimizedPlan().toString()
     # no Join node at all: union + window
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketed point-in-interval)
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.operators.timeseries import range_join  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def windows(spark):
+    # w1: 12:05-12:15 (inside one bucket at 3600s, straddles at 600s)
+    # w2: 12:10-13:30 (longer than a 3600s bucket; crosses its boundary)
+    # w3: 12:00-12:00 (degenerate point interval)
+    # w4: 14:00-13:00 (invalid: start > end, must match nothing)
+    rows = [
+        ("w1", _ts(5), _ts(15)),
+        ("w2", dt.datetime(2024, 1, 1, 12, 10), dt.datetime(2024, 1, 1, 13, 30)),
+        ("w3", _ts(0), _ts(0)),
+        ("w4", dt.datetime(2024, 1, 1, 14, 0), dt.datetime(2024, 1, 1, 13, 0)),
+    ]
+    return spark.createDataFrame(rows, "wid string, start_ts timestamp, end_ts timestamp")
+
+
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 86400])
+def test_range_join_inclusive_many_to_many(spark, events, windows, bucket_seconds):
+    """Same pairs at every bucket width: blocking is a plan choice, not
+    a semantics choice. Bounds inclusive; overlapping windows both match;
+    invalid interval matches nothing; each pair appears exactly once."""
+    out = range_join(events, windows, "ts", "start_ts", "end_ts",
+                     bucket_seconds=bucket_seconds)
+    got = sorted((r["user_id"], r["ts"].minute, r["wid"]) for r in out.collect())
+    assert got == [
+        (1, 0, "w3"),     # 12:00 == w3 point interval (inclusive both ends)
+        (1, 10, "w1"),    # 12:10 in w1
+        (1, 10, "w2"),    # ... and in w2 (many-to-many)
+        (1, 50, "w2"),    # 12:50 in w2 only
+        (2, 5, "w1"),     # 12:05 == w1 start (inclusive)
+    ]
+
+
+def test_range_join_left_keeps_unmatched(spark, events, windows):
+    out = range_join(events, windows, bucket_seconds=600, how="left")
+    rows = out.collect()
+    # the 5 matches above, plus nothing lost: every left row present
+    assert len(rows) == 5  # all 4 events match at least one window? no:
+    # (1,0)->w3, (1,10)->w1+w2, (1,50)->w2, (2,5)->w1 — all matched, 5 rows
+    unmatched_probe = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 23, 0))], "user_id long, ts timestamp"
+    )
+    out2 = range_join(unmatched_probe, windows, bucket_seconds=600, how="left")
+    r = out2.collect()
+    assert len(r) == 1 and r[0]["wid"] is None
+
+
+def test_range_join_equi_key(spark, windows):
+    left = spark.createDataFrame(
+        [(1, "w1", _ts(10)), (2, "w2", _ts(10)), (3, "w9", _ts(10))],
+        "id long, wid string, ts timestamp",
+    )
+    out = range_join(left, windows, key="wid", bucket_seconds=600)
+    got = sorted((r["id"], r["wid"]) for r in out.collect())
+    # key must match AND point must be inside that key's interval
+    assert got == [(1, "w1"), (2, "w2")]
+    # right's colliding key column is dropped, not duplicated
+    assert out.columns.count("wid") == 1
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(77)
+    base = dt.datetime(2024, 3, 1)
+    pts = [(i, base + dt.timedelta(seconds=rng.randrange(0, 200_000)))
+           for i in range(120)]
+    ivs = []
+    for j in range(40):
+        s = rng.randrange(0, 200_000)
+        e = s + rng.randrange(0, 30_000)  # up to ~8h, bucket=1h → multi-bucket
+        ivs.append((j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=e)))
+    L = spark.createDataFrame(pts, "pid long, ts timestamp")
+    R = spark.createDataFrame(ivs, "iid long, start_ts timestamp, end_ts timestamp")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join(L, R, bucket_seconds=3600).collect())
+    want = sorted(
+        (p, i) for p, t in pts for i, s, e in ivs if s <= t <= e
+    )
+    assert got == want and len(got) > 50
+
+
+def test_range_join_guard_raises(spark, events):
+    huge = spark.createDataFrame(
+        [("h", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3))],
+        "wid string, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(events, huge, bucket_seconds=60, max_interval_buckets=100).collect()
+
+
+def test_range_join_plan_is_equi_join(spark, events, windows):
+    plan = range_join(events, windows, bucket_seconds=3600)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
