@@ -207,6 +207,90 @@ def range_join(
     return out.select(*keep)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+    key: str | None = None,
+    max_interval_buckets: int = 10_000,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval × interval overlap join (inner): pairs where
+    ``left_start <= right_end AND right_start <= left_end`` (touching
+    endpoints count as overlap, matching SQL's closed-interval
+    BETWEEN-style semantics), optionally also requiring an equi-``key``.
+
+    Blocking: BOTH sides explode into the fixed-width buckets they
+    cover. Overlapping intervals both contain the intersection start
+    ``greatest(left_start, right_start)``, so both carry a copy in that
+    point's bucket — the join keeps a pair ONLY in that one bucket
+    (``__bucket == floordiv(greatest(ls, rs))`` rides the join
+    condition), so each overlapping pair appears exactly once with no
+    dedup/distinct shuffle afterwards.
+
+    Inner-only by design: the exploded left side means unmatched-left
+    semantics would need a per-row identity to restore; compose
+    left/semi/anti variants with your own id column
+    (``left.join(pairs.select(id_col).distinct(), on=id_col,
+    how="left_anti")``).
+
+    Same scale contract as ``range_join``: one hash-equi-join shuffle,
+    per-interval fan-out bounded by ``max_interval_buckets`` with the
+    ``raise_error`` guard inside the live bucket expression.
+    """
+    w_us = bucket_seconds * 1_000_000
+
+    def _explode_side(df: DataFrame, s_col: str, e_col: str,
+                      out_names: dict[str, str], s_alias: str, e_alias: str):
+        s_us = event_micros(df, s_col)
+        e_us = event_micros(df, e_col)
+        startb = _floordiv_us(s_us, w_us)
+        endb = _floordiv_us(e_us, w_us)
+        nb = endb - startb + F.lit(1)
+        guarded_end = F.when(
+            nb > F.lit(max_interval_buckets),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans more than "
+                        f"{max_interval_buckets} buckets of "
+                        f"{bucket_seconds}s; interval start µs = "
+                    ),
+                    s_us.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(endb)
+        return df.filter(s_us <= e_us).select(
+            *[F.col(c).alias(out_names.get(c, c)) for c in df.columns],
+            s_us.alias(s_alias),
+            e_us.alias(e_alias),
+            F.explode(F.sequence(startb, guarded_end)).alias("__bucket"),
+        )
+
+    rename = {c: c + suffix for c in right.columns if c in set(left.columns)}
+    l = _explode_side(left, left_start, left_end, {}, "__ls", "__le")
+    r = _explode_side(right, right_start, right_end, rename, "__rs", "__re")
+    meet_bucket = _floordiv_us(F.greatest(l["__ls"], r["__rs"]), w_us)
+    cond = (
+        (l["__bucket"] == r["__bucket"])
+        & (l["__bucket"] == meet_bucket)
+        & (l["__ls"] <= r["__re"])
+        & (r["__rs"] <= l["__le"])
+    )
+    if key is not None:
+        cond = cond & (l[key] == r[rename.get(key, key)])
+    out = l.join(r, cond, "inner")
+    keep = [l[c] for c in left.columns] + [
+        r[rename.get(c, c)] for c in right.columns
+        if not (key is not None and c == key)
+    ]
+    return out.select(*keep)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -823,3 +823,51 @@ def test_local_range_join_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("range_join", spark_pdf, duck_pdf)
+
+
+def test_local_interval_overlap_join_parity(spark, duck):
+    """Interval×interval overlap join vs DuckDB's inequality join.
+    Left: 50-min windows at each distinct event hour; right: 40-min
+    windows at each distinct half-hour — asymmetric widths so pairs
+    overlap partially, nested, and touching."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.timeseries import interval_overlap_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lwin = (
+        events.select(F.date_trunc("hour", "ts").alias("l_start")).distinct()
+        .withColumn("l_end", F.expr("l_start + INTERVAL 50 MINUTES"))
+    )
+    rwin = (
+        events.select(F.expr(
+            "timestampadd(MINUTE, 30 * (minute(ts) div 30), date_trunc('hour', ts))"
+        ).alias("r_start")).distinct()
+        .withColumn("r_end", F.expr("r_start + INTERVAL 40 MINUTES"))
+    )
+    pairs = interval_overlap_join(
+        lwin, rwin, "l_start", "l_end", "r_start", "r_end", bucket_seconds=3600
+    )
+    spark_pdf = (
+        pairs.groupBy("l_start").agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .toPandas()
+    )
+    duck_pdf = duck.execute(
+        """
+        WITH l AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS l_start,
+                 date_trunc('hour', ts) + INTERVAL 50 MINUTE AS l_end
+          FROM events
+        ), r AS (
+          SELECT DISTINCT date_trunc('hour', ts)
+                   + INTERVAL (30 * (minute(ts) // 30)) MINUTE AS r_start,
+                 date_trunc('hour', ts)
+                   + INTERVAL (30 * (minute(ts) // 30) + 40) MINUTE AS r_end
+          FROM events
+        )
+        SELECT l.l_start, count(*) AS n_overlaps
+        FROM l JOIN r ON l.l_start <= r.r_end AND r.r_start <= l.l_end
+        GROUP BY 1
+        """
+    ).df()
+    _assert_frames_match("interval_overlap_join", spark_pdf, duck_pdf)

@@ -320,3 +320,97 @@ def test_range_join_plan_is_equi_join(spark, events, windows):
     plan = range_join(events, windows, bucket_seconds=3600)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (interval × interval, bucketed)
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.operators.timeseries import interval_overlap_join  # noqa: E402
+
+
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 86400])
+def test_overlap_join_semantics_bucket_invariant(spark, bucket_seconds):
+    H = dt.datetime(2024, 1, 1, 12, 0)
+
+    def m(minutes):
+        return H + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [("a", m(0), m(30)),     # overlaps x (touching end), y (nested)
+         ("b", m(45), m(400)),   # long: crosses many 600s buckets; overlaps z
+         ("c", m(31), m(40))],   # disjoint from everything but y? y=[10,20] no; z=[300,360]? no → only vs x? x=[30,50]: c=[31,40] overlaps x
+        "lid string, start_ts timestamp, end_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("x", m(30), m(50)),    # touches a at minute 30 (inclusive)
+         ("y", m(10), m(20)),    # nested inside a
+         ("z", m(300), m(360))], # inside b
+        "rid string, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_overlap_join(left, right, bucket_seconds=bucket_seconds)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z"), ("c", "x")]
+
+
+def test_overlap_join_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 5, 1)
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            s = rng.randrange(0, 150_000)
+            e = s + rng.randrange(0, 20_000)
+            rows.append((i, base + dt.timedelta(seconds=s),
+                         base + dt.timedelta(seconds=e)))
+        return rows
+
+    lrows, rrows = mk(60), mk(60)
+    L = spark.createDataFrame(lrows, "lid long, start_ts timestamp, end_ts timestamp")
+    R = spark.createDataFrame(rrows, "rid long, start_ts timestamp, end_ts timestamp")
+    got = sorted((r["lid"], r["rid"]) for r in
+                 interval_overlap_join(L, R, bucket_seconds=3600).collect())
+    want = sorted(
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls <= re and rs <= le
+    )
+    assert got == want and len(got) > 30
+    # exactly-once: no pair duplicated despite multi-bucket intervals
+    assert len(got) == len(set(got))
+
+
+def test_overlap_join_equi_key_and_plan(spark):
+    H = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, "u", H, H + dt.timedelta(hours=2)),
+         (2, "v", H, H + dt.timedelta(hours=2))],
+        "lid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(10, "u", H + dt.timedelta(hours=1), H + dt.timedelta(hours=3))],
+        "rid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_overlap_join(L, R, key="k", bucket_seconds=3600)
+    rows = out.collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
+    assert out.columns.count("k") == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_overlap_join_guard_raises(spark):
+    H = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, H, H + dt.timedelta(days=30))],
+        "lid long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(L, L.select(
+            F.col("lid").alias("rid"), "start_ts", "end_ts"
+        ), bucket_seconds=60, max_interval_buckets=1000).collect()
