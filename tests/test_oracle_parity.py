@@ -871,3 +871,31 @@ def test_local_interval_overlap_join_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("interval_overlap_join", spark_pdf, duck_pdf)
+
+
+def test_local_sliding_window_parity(spark, duck):
+    """F.window(ts, '1 hour', slide='30 minutes') vs DuckDB: a 1h/30min
+    sliding window is exactly the union of two 1h tumbling grids offset
+    by 0 and 30 minutes — each event lands in two windows."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spark_pdf = (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .toPandas()
+    )
+    duck_pdf = duck.execute(
+        """
+        WITH grids AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 1 HOUR, ts - INTERVAL 30 MINUTE)
+                   + INTERVAL 30 MINUTE
+          FROM events
+        )
+        SELECT window_start, count(*) AS n_events FROM grids GROUP BY 1
+        """
+    ).df()
+    _assert_frames_match("sliding_window", spark_pdf, duck_pdf)

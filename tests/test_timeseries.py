@@ -414,3 +414,31 @@ def test_overlap_join_guard_raises(spark):
         interval_overlap_join(L, L.select(
             F.col("lid").alias("rid"), "start_ts", "end_ts"
         ), bucket_seconds=60, max_interval_buckets=1000).collect()
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Cross-engine pin: the custom gap sessionizer must agree with
+    Spark's own F.session_window on real event data (session counts and
+    sizes per user). Boundary semantics differ only when a gap is
+    EXACTLY gap_seconds (we keep, session_window splits); real
+    microsecond timestamps never land there."""
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 50)
+    )
+    ours = (
+        session_stats(events, gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n_events").alias("n_events"))
+    )
+    builtin = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("cnt").alias("n_events"))
+    )
+    a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ours.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in builtin.collect()}
+    assert a == b and len(a) > 10
