@@ -64,6 +64,28 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
         f.write("ok\n")
 
 
+def build_scaled_events(spark, src: str, dst: str, factor: int) -> None:
+    """Events replicated separately (added after the original _DONE
+    marker): user_id offset per replica, timestamps unchanged — the
+    time windows stay constant while the points grow ×factor, the
+    organic-growth model for a range join."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.session import read_parquet_table
+
+    out = os.path.join(dst, "events.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    ev = read_parquet_table(spark, os.path.join(src, "events.parquet"))
+    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_big = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("user_id") + F.col("rep") * max_uid).alias("user_id"),
+        *[c for c in ev.columns if c != "user_id"],
+    )
+    ev_big.write.mode("overwrite").parquet(out)
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from sparvi_core_spark import get_spark, profile_table, register_views
@@ -81,6 +103,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, SRC, DST, FACTOR)
+    build_scaled_events(spark, SRC, DST, FACTOR)
 
     import __spark_entry__ as entrymod
 
@@ -95,7 +118,31 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    from pyspark.sql import functions as F
+
     from sparvi_core_spark.operators.dedup import simhash
+    from sparvi_core_spark.operators.frequent import heavy_hitters
+    from sparvi_core_spark.operators.timeseries import range_join
+
+    def run_range_join(events):
+        win = (
+            events.select(F.date_trunc("hour", "ts").alias("window_start"))
+            .distinct()
+            .withColumn("window_end", F.expr("window_start + INTERVAL 90 MINUTES"))
+        )
+        _force(
+            range_join(
+                events, win, "ts", "window_start", "window_end", bucket_seconds=3600
+            ).select("user_id", "window_start")
+        )
+
+    def run_heavy_hitters(docs):
+        toks = docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        ).filter(F.col("term") != "")
+        hh = heavy_hitters(toks, "term", k=20, capacity=4096)
+        rows = hh.topk.collect()
+        assert hh.is_exact(rows[-1]["n"]), "top-k not certified at scale"
 
     results: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), (SF_LABEL, DST)):
@@ -114,6 +161,8 @@ def main() -> None:
             # the FULL corpus, not the oracle query's doc_id<50 slice —
             # the pinned query is constant work at any scale
             "simhash": lambda: _force(simhash(views["documents"], bits=64)),
+            "range_join": lambda: run_range_join(views["events"]),
+            "heavy_hitters": lambda: run_heavy_hitters(views["documents"]),
         }
         for name, fn in cases.items():
             results.setdefault(name, {})[sf_name] = timed(fn)

@@ -899,3 +899,30 @@ def test_local_sliding_window_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("sliding_window", spark_pdf, duck_pdf)
+
+
+def test_local_equi_height_histogram_parity(spark, duck):
+    """Quantile-bucketed histogram vs DuckDB: identical bin rule
+    (count of exceeded boundaries, right-closed bins) over exact
+    interpolated quantiles on both sides."""
+    from sparvi_core_spark.functions.stats import equi_height_histogram
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark_pdf = (
+        equi_height_histogram(df, "l_extendedprice", bins=8)
+        .select("bin", "count")
+        .toPandas()
+    )
+    duck_pdf = duck.execute(
+        """
+        WITH b AS (
+          SELECT quantile_cont(l_extendedprice,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+          FROM lineitem
+        )
+        SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+               count(*) AS count
+        FROM lineitem l, b GROUP BY 1
+        """
+    ).df()
+    _assert_frames_match("equi_height_histogram", spark_pdf, duck_pdf)

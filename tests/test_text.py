@@ -143,3 +143,34 @@ def test_repetition_stats(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["top_gram"] is None
     assert got[3]["top_gram_char_frac"] == 0.0
+
+
+def test_equi_height_histogram_crafted(spark):
+    """Heavy-tailed data: equal-width would put ~all mass in bin 0;
+    equi-height must spread it evenly. Exact counts pinned."""
+    from sparvi_core_spark.functions.stats import equi_height_histogram
+
+    # 1..80 plus 4 extreme outliers
+    vals = list(range(1, 81)) + [10_000, 20_000, 30_000, 40_000]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = equi_height_histogram(df, "x", bins=4).orderBy("bin").collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert sum(r["count"] for r in out) == 84
+    assert max(r["count"] for r in out) - min(r["count"] for r in out) <= 1
+    assert out[0]["bin_lo"] is None and out[-1]["bin_hi"] is None
+    # boundaries ascend and interior edges agree between adjacent bins
+    assert out[1]["bin_lo"] == out[0]["bin_hi"]
+    assert out[2]["bin_lo"] == out[1]["bin_hi"]
+
+
+def test_equi_height_histogram_empty_and_approx(spark):
+    from sparvi_core_spark.functions.stats import equi_height_histogram
+
+    allnull = spark.createDataFrame([(None,)], "x double")
+    assert equi_height_histogram(allnull, "x", bins=5).count() == 0
+
+    df = spark.range(10_000).selectExpr("cast(id as double) as x")
+    out = equi_height_histogram(df, "x", bins=10, approx=True).collect()
+    assert sum(r["count"] for r in out) == 10_000
+    # GK sketch rank error ~1/accuracy → each bin within a tight band
+    assert all(abs(r["count"] - 1000) <= 50 for r in out)
