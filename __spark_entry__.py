@@ -705,12 +705,29 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_duplicates(t["embeddings"], threshold=0.4)
 
 
-def q_histogram(spark, sf_dir):
-    """Equal-width histogram (10 bins) over l_extendedprice."""
-    from sparvi_core_spark.functions.stats import histogram
+def q_range_join_events(spark, sf_dir):
+    """Bucketed range join (point-in-interval) pinned end-to-end:
+    events × 90-minute windows anchored at each distinct event hour
+    (windows deliberately straddle the 3600 s bucket boundary), counted
+    per window. The blocking turns Catalyst's would-be
+    cartesian/BNLJ into a hash equi-join; DuckDB's IEJoin computes the
+    same BETWEEN predicate natively as the oracle."""
+    from sparvi_core_spark.operators.timeseries import range_join
 
     t = _views(spark, sf_dir)
-    return histogram(t["lineitem"], "l_extendedprice", bins=10)
+    events = t["events"]
+    win = (
+        events.select(F.date_trunc("hour", "ts").alias("window_start"))
+        .distinct()
+        .withColumn("window_end", F.expr("window_start + INTERVAL 90 MINUTES"))
+    )
+    return (
+        range_join(
+            events, win, "ts", "window_start", "window_end", bucket_seconds=3600
+        )
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
 
 
 def q_ivf_assign(spark, sf_dir):
@@ -892,7 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_bucketed": q_embedding_topk_bucketed,
         "embedding_near_dups": q_embedding_near_dups,
-        "histogram": q_histogram,
+        "range_join_events": q_range_join_events,
         "ivf_assign": q_ivf_assign,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -1486,19 +1503,15 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_COS}, 4) >= 0.4"""
 
-    o["histogram"] = """
-WITH bounds AS (
-    SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
-),
-binned AS (
-    SELECT LEAST(CAST(FLOOR((l_extendedprice - bounds.lo) / ((bounds.hi - bounds.lo) / 10)) AS INT), 9) AS bin
-    FROM lineitem, bounds WHERE l_extendedprice IS NOT NULL
+    o["range_join_events"] = """
+WITH w AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 90 MINUTE AS window_end
+    FROM events
 )
-SELECT bin,
-       ROUND((SELECT lo FROM bounds) + bin * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_lo,
-       ROUND((SELECT lo FROM bounds) + (bin + 1) * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_hi,
-       CAST(COUNT(*) AS BIGINT) AS count
-FROM binned GROUP BY bin"""
+SELECT w.window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events l JOIN w ON l.ts BETWEEN w.window_start AND w.window_end
+GROUP BY 1"""
 
     o["ivf_assign"] = """
 WITH ex AS (

@@ -926,3 +926,30 @@ def test_local_equi_height_histogram_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("equi_height_histogram", spark_pdf, duck_pdf)
+
+
+def test_local_histogram_parity(spark, duck):
+    """Equal-width histogram — left the 50-query pin for
+    range_join_events (round 4); identical oracle coverage lives on
+    here (same SQL the driver ran in rounds 1-3)."""
+    from sparvi_core_spark.functions.stats import histogram
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark_pdf = histogram(df, "l_extendedprice", bins=10).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH bounds AS (
+            SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+        ),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR((l_extendedprice - bounds.lo) / ((bounds.hi - bounds.lo) / 10)) AS INT), 9) AS bin
+            FROM lineitem, bounds WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bin,
+               ROUND((SELECT lo FROM bounds) + bin * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_lo,
+               ROUND((SELECT lo FROM bounds) + (bin + 1) * (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 10), 6) AS bin_hi,
+               CAST(COUNT(*) AS BIGINT) AS count
+        FROM binned GROUP BY bin
+        """
+    ).df()
+    _assert_frames_match("histogram", spark_pdf, duck_pdf)
