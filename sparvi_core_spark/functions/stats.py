@@ -1,10 +1,14 @@
-"""Statistical helpers beyond the reference's stats block: histograms.
+"""Statistical helpers beyond the reference's stats block: histograms
+and distribution drift.
 
 Equal-width histograms as a single groupBy over a computed bin id —
 the profiling extension most dashboards want next to min/max/quartiles
 — plus the equi-height (quantile-bucketed) variant, which stays
 readable on heavy-tailed columns where equal-width puts everything in
-bin 0.
+bin 0, and PSI drift between two snapshots (the distribution-level
+companion to ``profiler.compare``'s stat-level anomaly detection —
+reference anchor: sparvi-core's anomaly stub compares scalar stats
+only, profile_engine.py drift section).
 """
 
 from __future__ import annotations
@@ -112,5 +116,77 @@ def equi_height_histogram(
                 6,
             ).alias("bin_hi"),
             "count",
+        )
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10_000,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one: one row ``(psi, n_ref, n_cur)``.
+
+    Bins come from the REFERENCE quantiles (same right-closed rule as
+    ``equi_height_histogram``), so each reference bin holds ~1/bins of
+    the mass and the index is scale-free. Current-side values outside
+    the reference range clamp into the edge bins. Empty-bin fractions
+    floor at ``eps`` (the standard smoothing, keeps the log finite).
+
+    PSI = Σ_i (c_i − r_i) · ln(c_i / r_i) over bin fractions.
+    Conventional reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted.
+
+    Cost: one quantile pass over the reference, then one scan + tiny
+    (≤ bins rows) agg per side — the same shape as the profiler's
+    other two-snapshot comparisons, so it composes into scheduled
+    drift checks at any scale. ``approx=True`` flips the boundary pass
+    to the GK sketch for the 100 TB path.
+    """
+    ps = [i / bins for i in range(1, bins)]
+    agg = (
+        F.percentile_approx(col, ps, accuracy) if approx else F.percentile(col, ps)
+    )
+    row = ref.filter(F.col(col).isNotNull()).agg(agg.alias("qs")).first()
+    if row is None or row["qs"] is None:
+        return ref.sparkSession.createDataFrame(
+            [], "psi double, n_ref bigint, n_cur bigint"
+        )
+    bounds = [float(b) for b in row["qs"]]
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        bin_id = sum(
+            ((F.col(col) > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+        ).alias("bin")
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(bin_id)
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    r, c = binned(ref, "ref"), binned(cur, "cur")
+    per_bin = r.join(c, "bin", "full_outer").select(
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    fr = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    fc = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(((fc - fr) * F.log(fc / fr)).alias("term"), "t_ref", "t_cur")
+        .groupBy("t_ref", "t_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "psi",
+            F.col("t_ref").alias("n_ref"),
+            F.col("t_cur").alias("n_cur"),
         )
     )

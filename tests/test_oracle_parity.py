@@ -953,3 +953,46 @@ def test_local_histogram_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("histogram", spark_pdf, duck_pdf)
+
+
+def test_local_psi_drift_parity(spark, duck):
+    """PSI drift vs the same arithmetic in DuckDB SQL: reference-side
+    deciles, right-closed bin rule, eps smoothing, Σ(c−r)·ln(c/r)."""
+    from sparvi_core_spark.functions.stats import psi_drift
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ref = li
+    cur = li.filter("l_discount > 0.05")
+    spark_pdf = psi_drift(ref, cur, "l_extendedprice", bins=10).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH b AS (
+          SELECT quantile_cont(l_extendedprice,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+          FROM lineitem
+        ),
+        rb AS (
+          SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+                 count(*) AS n_ref
+          FROM lineitem l, b GROUP BY 1
+        ),
+        cb AS (
+          SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+                 count(*) AS n_cur
+          FROM lineitem l, b WHERE l.l_discount > 0.05 GROUP BY 1
+        ),
+        j AS (
+          SELECT COALESCE(rb.n_ref, 0) AS n_ref, COALESCE(cb.n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb USING (bin)
+        ),
+        t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+        SELECT ROUND(SUM((GREATEST(n_cur * 1.0 / t.t_cur, 1e-6)
+                          - GREATEST(n_ref * 1.0 / t.t_ref, 1e-6))
+                     * LN(GREATEST(n_cur * 1.0 / t.t_cur, 1e-6)
+                          / GREATEST(n_ref * 1.0 / t.t_ref, 1e-6))), 6) AS psi,
+               CAST(t.t_ref AS BIGINT) AS n_ref,
+               CAST(t.t_cur AS BIGINT) AS n_cur
+        FROM j, t GROUP BY t.t_ref, t.t_cur
+        """
+    ).df()
+    _assert_frames_match("psi_drift", spark_pdf, duck_pdf)

@@ -174,3 +174,20 @@ def test_equi_height_histogram_empty_and_approx(spark):
     assert sum(r["count"] for r in out) == 10_000
     # GK sketch rank error ~1/accuracy → each bin within a tight band
     assert all(abs(r["count"] - 1000) <= 50 for r in out)
+
+
+def test_psi_drift_semantics(spark):
+    from sparvi_core_spark.functions.stats import psi_drift
+
+    ref = spark.range(10_000).selectExpr("cast(id % 1000 as double) as x")
+    same = spark.range(5_000).selectExpr("cast(id % 1000 as double) as x")
+    shifted = spark.range(10_000).selectExpr(
+        "cast(500 + (id % 1000) * 2 as double) as x"
+    )
+    stable = psi_drift(ref, same, "x", bins=10).first()
+    assert stable["psi"] < 0.01 and stable["n_ref"] == 10_000 and stable["n_cur"] == 5_000
+    drifted = psi_drift(ref, shifted, "x", bins=10).first()
+    assert drifted["psi"] > 0.25
+
+    allnull = spark.createDataFrame([(None,)], "x double")
+    assert psi_drift(allnull, ref, "x").count() == 0
