@@ -190,3 +190,104 @@ def psi_drift(
             F.col("t_cur").alias("n_cur"),
         )
     )
+
+
+def psi_drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str] | None = None,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10_000,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-column PSI drift for many columns at once: one row
+    ``(column, psi, n_ref, n_cur)`` per numeric column.
+
+    Identical math to ``psi_drift`` per column, but batched the way the
+    profiler batches its stats: ONE boundary pass over the reference
+    (all columns' quantiles in a single agg), then ONE scan per side —
+    each row explodes into (column, bin) structs, so C columns cost two
+    scans + one small shuffle, not 3·C jobs. A column whose value is
+    NULL in a row contributes no struct for that row (the bin
+    expression is NULL and filtered), preserving per-column null
+    exclusion.
+    """
+    from pyspark.sql import types as T
+
+    if columns is None:
+        columns = [
+            f.name
+            for f in ref.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    if not columns:
+        return ref.sparkSession.createDataFrame(
+            [], "column string, psi double, n_ref bigint, n_cur bigint"
+        )
+    ps = [i / bins for i in range(1, bins)]
+
+    def qexpr(c: str):
+        e = (
+            F.percentile_approx(c, ps, accuracy)
+            if approx
+            else F.percentile(c, ps)
+        )
+        return e.alias(c)
+
+    brow = ref.agg(*[qexpr(c) for c in columns]).first()
+    bounds = {c: brow[c] for c in columns if brow[c] is not None}
+    if not bounds:
+        return ref.sparkSession.createDataFrame(
+            [], "column string, psi double, n_ref bigint, n_cur bigint"
+        )
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                sum(
+                    ((F.col(c) > F.lit(float(b))).cast("int") for b in bs),
+                    F.lit(0),
+                ).alias("bin"),
+            )
+            for c, bs in bounds.items()
+        ]
+        return (
+            df.select(F.explode(F.array(*structs)).alias("cb"))
+            .filter(F.col("cb.bin").isNotNull())
+            .groupBy(F.col("cb.column").alias("column"), F.col("cb.bin").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    per_bin = (
+        binned(ref, "ref")
+        .join(binned(cur, "cur"), ["column", "bin"], "full_outer")
+        .select(
+            "column",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = per_bin.groupBy("column").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    fr = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    fc = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return (
+        per_bin.join(tot, "column")
+        .select(
+            "column",
+            ((fc - fr) * F.log(fc / fr)).alias("term"),
+            "t_ref",
+            "t_cur",
+        )
+        .groupBy("column", "t_ref", "t_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "column",
+            "psi",
+            F.col("t_ref").alias("n_ref"),
+            F.col("t_cur").alias("n_cur"),
+        )
+    )

@@ -191,3 +191,33 @@ def test_psi_drift_semantics(spark):
 
     allnull = spark.createDataFrame([(None,)], "x double")
     assert psi_drift(allnull, ref, "x").count() == 0
+
+
+def test_psi_drift_report_matches_per_column(spark):
+    """The batched multi-column report must equal per-column psi_drift
+    exactly (same boundaries, same smoothing, same rounding)."""
+    from sparvi_core_spark.functions.stats import psi_drift, psi_drift_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cur = li.filter("l_discount > 0.05")
+    cols = ["l_extendedprice", "l_quantity", "l_discount"]
+    report = {
+        r["column"]: (r["psi"], r["n_ref"], r["n_cur"])
+        for r in psi_drift_report(li, cur, columns=cols, bins=8).collect()
+    }
+    assert set(report) == set(cols)
+    for c in cols:
+        single = psi_drift(li, cur, c, bins=8).first()
+        assert report[c] == (single["psi"], single["n_ref"], single["n_cur"]), c
+
+
+def test_psi_drift_report_defaults_and_empty(spark):
+    from sparvi_core_spark.functions.stats import psi_drift_report
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "s string, x double")
+    rep = psi_drift_report(df, df).collect()
+    assert [r["column"] for r in rep] == ["x"]  # string col skipped
+    assert rep[0]["psi"] == 0.0
+
+    strings_only = df.select("s")
+    assert psi_drift_report(strings_only, strings_only).count() == 0
