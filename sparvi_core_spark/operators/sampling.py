@@ -142,3 +142,48 @@ def stratified_sample(
         keys = [r[0] for r in df.select(strata_col).distinct().collect()]
         fractions = {k: fractions.get(k, default_fraction) for k in keys}
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    drawn with probability proportional to ``weight_col`` (the standard
+    quality-weighted corpus subsample), reproducible across runs,
+    partitionings, and cluster sizes.
+
+    Efraimidis-Spirakis A-ES keys: each row gets
+    ``key = -ln(u) / w`` with ``u`` uniform in (0,1); the k SMALLEST
+    keys are exactly a weight-proportional without-replacement draw.
+    Instead of ``rand()`` (per-partition RNG streams — a repartition
+    changes the sample), ``u`` is derived from ``xxhash64(id, salt)``,
+    so the draw is a pure function of (id, salt): append-stable,
+    layout-invariant, and re-runnable — the same properties
+    ``hash_split`` guarantees for splits. Vary ``salt`` to get an
+    independent redraw.
+
+    Rows with NULL, zero, or negative weight are excluded (zero weight
+    means "never sample"; negative weights have no sampling meaning).
+
+    Scale: the selection is Spark's ``TakeOrderedAndProject`` — each
+    partition keeps its local top-k, only k·partitions candidate rows
+    move — no full sort, no global shuffle of the data. ``k`` is
+    driver-bounded by construction, same contract as the profiler's
+    outlier listing.
+    """
+    # u in (0,1): fold the hash into ppm buckets and center, so u is
+    # never exactly 0 or 1 and -ln(u) stays finite
+    u = (_hash_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__aes_key", key)
+        .orderBy("__aes_key")
+        .limit(k)
+        .drop("__aes_key")
+    )

@@ -99,3 +99,65 @@ def test_cross_split_contamination(spark):
         assert r["est_jaccard"] >= 0.8
     # the within-split pair (1,2) must not appear
     assert all(not (r["train_id"] in (1, 2) and r["eval_id"] in (1, 2)) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# weighted_hash_sample (A-ES weighted draw, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_layout_invariant(spark):
+    from sparvi_core_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(1000).selectExpr(
+        "id as doc_id", "cast(1 + id % 10 as double) as w"
+    )
+    a = sorted(r["doc_id"] for r in
+               weighted_hash_sample(df.repartition(4), "w", k=100).collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_hash_sample(df.repartition(17), "w", k=100).collect())
+    assert a == b and len(a) == 100
+    # different salt → a different (but equally deterministic) draw
+    c = sorted(r["doc_id"] for r in
+               weighted_hash_sample(df, "w", k=100, salt="v2").collect())
+    assert c != a
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """Rows with weight 9 must be drawn ~9x as often as weight 1; check
+    aggregate representation over one large draw."""
+    from sparvi_core_spark.operators.sampling import weighted_hash_sample
+    from pyspark.sql import functions as F
+
+    # 5000 light rows (w=1) + 5000 heavy rows (w=9): heavy mass = 90%
+    df = spark.range(10_000).selectExpr(
+        "id as doc_id",
+        "cast(case when id < 5000 then 1 else 9 end as double) as w",
+    )
+    s = weighted_hash_sample(df, "w", k=1000)
+    heavy = s.filter(F.col("doc_id") >= 5000).count()
+    # expected ~885 (WOR slightly below the 90% with-replacement share);
+    # generous band to stay deterministic-robust
+    assert 800 <= heavy <= 950, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    from sparvi_core_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(r["doc_id"] for r in
+                 weighted_hash_sample(df, "w", k=10).collect())
+    assert got == [1, 5]
+
+
+def test_weighted_sample_takeordered_plan(spark):
+    """The selection must be per-partition top-k (TakeOrderedAndProject),
+    not a global sort shuffle."""
+    from sparvi_core_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(1000).selectExpr("id as doc_id", "cast(1 as double) as w")
+    plan = weighted_hash_sample(df, "w", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
