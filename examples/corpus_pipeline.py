@@ -9,6 +9,8 @@ engine ships, composed in the order a production run uses them.
       → eval-set decontamination        (13-gram collision screen)
       → novelty screen vs prior corpus  (incremental ingest)
       → contamination-safe splits       (xxhash64, append-invariant)
+      → split drift check               (PSI: train vs val distribution)
+      → corpus stats                    (certified-exact heavy hitters)
       → domain mixture                  (token-budget reweighting)
       → sequence packing                (chunked, budget windows)
 
@@ -101,6 +103,28 @@ def main() -> None:
     # 6. contamination-safe splits
     splits = hash_split(novel, {"train": 0.9, "val": 0.05, "test": 0.05})
     report["splits"] = {k: v.count() for k, v in splits.items()}
+
+    # 6b. split integrity: a hash split must NOT change the data
+    #     distribution — PSI of the train split against its parent
+    #     corpus must read "stable" (< 0.1). (Against the tiny val
+    #     split the index would be dominated by small-sample noise at
+    #     this toy scale; compare like-sized populations.)
+    from sparvi_core_spark.functions.stats import psi_drift
+
+    drift = psi_drift(novel, splits["train"], "n_chars", bins=10).first()
+    report["split_drift_psi_n_chars"] = drift["psi"]
+
+    # 6c. corpus stats: exact top terms WITHOUT shuffling the full
+    #     distinct-token space (certified by the Misra-Gries bound)
+    from sparvi_core_spark.operators.frequent import heavy_hitters
+
+    tok_stream = splits["train"].select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    ).filter(F.col("term") != "")
+    hh = heavy_hitters(tok_stream, "term", k=10, capacity=1024)
+    hh_rows = hh.topk.collect()
+    report["top_terms"] = [(r["value"], r["n"]) for r in hh_rows[:5]]
+    report["top_terms_certified_exact"] = hh.is_exact(hh_rows[-1]["n"])
 
     # 7. domain mixture over the train split, weighted by source
     train = splits["train"]
