@@ -87,8 +87,26 @@ def main() -> None:
         "embedding_topk",
         "quality_scores",
         "events_hourly",
+        "range_join_events",
     ):
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    # certified-exact heavy hitters over the full token space (round 4)
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.frequent import heavy_hitters
+
+    def run_heavy_hitters():
+        toks = (
+            spark.table("documents")
+            .select(F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+            .filter(F.col("term") != "")
+        )
+        hh = heavy_hitters(toks, "term", k=20, capacity=4096)
+        rows = hh.topk.collect()
+        assert hh.is_exact(rows[-1]["n"])
+
+    bench("heavy_hitters", run_heavy_hitters)
 
     # end-to-end corpus prep (quality filter → LSH dedup → survivors)
     from sparvi_core_spark.operators.pipeline import prepare_corpus
