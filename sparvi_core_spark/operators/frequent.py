@@ -143,3 +143,122 @@ def heavy_hitters(
         undercount_bound=undercount_bound,
         candidate_floor=candidate_floor,
     )
+
+
+@dataclass
+class GroupedHeavyHittersResult:
+    """Per-group exact top-k. ``topk``: (group, value, n) with at most
+    k rows per group, ordered (n desc, value asc) within each.
+    ``group_info``: group → (total_rows, undercount_bound,
+    candidate_floor) for per-group certification."""
+
+    topk: DataFrame
+    k: int
+    group_info: dict[str, tuple[int, int, int]]
+
+    def is_exact(self, group: str, kth_exact_count: int) -> bool:
+        n, under, floor = self.group_info[group]
+        return kth_exact_count > floor + under
+
+
+def _grouped_mg_summaries(pair_iter: Iterator[pd.DataFrame], capacity: int):
+    """Per-partition Misra-Gries, one counter table per group. Yields
+    (g, v, w, rows): ≤ capacity counter rows per group seen in this
+    partition, plus one meta row per group (v=None, rows=group count).
+    Memory: groups-per-partition × capacity counters — intended for
+    LOW-cardinality group columns (language, source, split)."""
+    counters: dict[str, dict[str, int]] = {}
+    n_rows: dict[str, int] = {}
+    for pdf in pair_iter:
+        sub = pdf.dropna(subset=["g", "v"])
+        vc = sub.groupby(["g", "v"], sort=False).size()
+        for (g, v), c in vc.items():
+            grp = counters.setdefault(g, {})
+            grp[v] = grp.get(v, 0) + int(c)
+            n_rows[g] = n_rows.get(g, 0) + int(c)
+        for g, grp in counters.items():
+            if len(grp) > capacity:
+                d = sorted(grp.values(), reverse=True)[capacity]
+                counters[g] = {v: c - d for v, c in grp.items() if c - d > 0}
+    gs, vs, ws, rs = [], [], [], []
+    for g, grp in counters.items():
+        for v, c in grp.items():
+            gs.append(g); vs.append(v); ws.append(c); rs.append(0)
+    for g, n in n_rows.items():
+        gs.append(g); vs.append(None); ws.append(0); rs.append(n)
+    yield pd.DataFrame({"g": gs, "v": vs, "w": ws, "rows": rs})
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 1024,
+) -> GroupedHeavyHittersResult:
+    """Exact top-``k`` values per group (both cast to string, NULLs in
+    either excluded) — the per-domain / per-language corpus-stats shape
+    — with the same bounded-shuffle contract as ``heavy_hitters``:
+    per-partition Misra-Gries candidates (one counter table per group),
+    a ≤ groups×capacity candidate broadcast, one exact rescore scan.
+
+    The full-shuffle alternative (groupBy(group, value) then a window
+    rank — the pinned ``group_topk`` query shape) shuffles every
+    distinct (group, value) pair; this shuffles only the summaries.
+    Intended for low-cardinality groups: the driver and each executor
+    hold groups × capacity counters.
+
+    Eager like ``heavy_hitters`` (phase 1 must run to build the rescore
+    plan); per-group certification via ``is_exact(group, kth_count)``.
+    """
+    if k > capacity:
+        raise ValueError(f"k={k} must be <= capacity={capacity}")
+    pairs = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+    summaries = pairs.mapInPandas(
+        lambda it: _grouped_mg_summaries(it, capacity),
+        "g string, v string, w long, rows long",
+    )
+    merged = (
+        summaries.groupBy("g", "v")
+        .agg(F.sum("w").alias("lb"), F.sum("rows").alias("rows"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    cands: dict[str, list[tuple[str, int]]] = {}
+    for r in merged:
+        if r["v"] is None:
+            totals[r["g"]] = totals.get(r["g"], 0) + r["rows"]
+        else:
+            cands.setdefault(r["g"], []).append((r["v"], r["lb"]))
+    group_info: dict[str, tuple[int, int, int]] = {}
+    kept_rows: list[tuple[str, str]] = []
+    for g, lst in cands.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        floor = lst[capacity][1] if len(lst) > capacity else 0
+        group_info[g] = (totals[g], totals[g] // (capacity + 1), floor)
+        kept_rows.extend((g, v) for v, _ in lst[:capacity])
+    if not kept_rows:
+        empty = df.sparkSession.createDataFrame(
+            [], "group string, value string, n long"
+        )
+        return GroupedHeavyHittersResult(topk=empty, k=k, group_info={})
+    cand_df = df.sparkSession.createDataFrame(kept_rows, "g string, v string")
+    from pyspark.sql import Window
+
+    exact = (
+        pairs.join(F.broadcast(cand_df), ["g", "v"])
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.asc("v"))
+    topk = (
+        exact.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("g").alias("group"), F.col("v").alias("value"), "n"
+        )
+    )
+    return GroupedHeavyHittersResult(topk=topk, k=k, group_info=group_info)
