@@ -996,3 +996,46 @@ def test_local_psi_drift_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("psi_drift", spark_pdf, duck_pdf)
+
+
+def test_local_ks_drift_parity(spark, duck):
+    """Binned KS vs the same cumulative arithmetic in DuckDB (20
+    reference-quantile bins, right-closed rule, max |CDF gap|)."""
+    from sparvi_core_spark.functions.stats import ks_drift
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cur = li.filter("l_quantity <= 25")
+    spark_pdf = ks_drift(li, cur, "l_extendedprice", bins=20).toPandas()
+    qs = ", ".join(str(i / 20) for i in range(1, 20))
+    duck_pdf = duck.execute(
+        f"""
+        WITH b AS (
+          SELECT quantile_cont(l_extendedprice, [{qs}]) AS qs FROM lineitem
+        ),
+        rb AS (
+          SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+                 count(*) AS n_ref
+          FROM lineitem l, b GROUP BY 1
+        ),
+        cb AS (
+          SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+                 count(*) AS n_cur
+          FROM lineitem l, b WHERE l.l_quantity <= 25 GROUP BY 1
+        ),
+        j AS (
+          SELECT bin, COALESCE(rb.n_ref, 0) AS n_ref, COALESCE(cb.n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb USING (bin)
+        ),
+        t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j),
+        c AS (
+          SELECT SUM(n_ref) OVER (ORDER BY bin) * 1.0 / t.t_ref AS cr,
+                 SUM(n_cur) OVER (ORDER BY bin) * 1.0 / t.t_cur AS cc,
+                 t.t_ref, t.t_cur
+          FROM j, t
+        )
+        SELECT ROUND(MAX(ABS(cr - cc)), 6) AS ks,
+               CAST(t_ref AS BIGINT) AS n_ref, CAST(t_cur AS BIGINT) AS n_cur
+        FROM c GROUP BY t_ref, t_cur
+        """
+    ).df()
+    _assert_frames_match("ks_drift", spark_pdf, duck_pdf)

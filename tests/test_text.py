@@ -221,3 +221,22 @@ def test_psi_drift_report_defaults_and_empty(spark):
 
     strings_only = df.select("s")
     assert psi_drift_report(strings_only, strings_only).count() == 0
+
+
+def test_ks_drift_semantics(spark):
+    from sparvi_core_spark.functions.stats import ks_drift
+
+    ref = spark.range(20_000).selectExpr("cast(id % 1000 as double) as x")
+    same = spark.range(10_000).selectExpr("cast(id % 1000 as double) as x")
+    stable = ks_drift(ref, same, "x", bins=100).first()
+    assert stable["ks"] < 0.02
+
+    # shift by half the range: exact KS = 0.5; binned reads ~0.5
+    shifted = spark.range(10_000).selectExpr(
+        "cast(500 + id % 1000 as double) as x"
+    )
+    moved = ks_drift(ref, shifted, "x", bins=100).first()
+    assert 0.45 <= moved["ks"] <= 0.52, moved["ks"]
+
+    allnull = spark.createDataFrame([(None,)], "x double")
+    assert ks_drift(allnull, ref, "x").count() == 0
