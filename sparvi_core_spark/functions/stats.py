@@ -374,3 +374,62 @@ def ks_drift(
             "ks", F.col("t_ref").alias("n_ref"), F.col("t_cur").alias("n_cur")
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the marginal entropies for normalization: one row
+    ``(mi, h_x, h_y, n)``. Rows where either side is NULL are
+    excluded. NMI variants are one division away
+    (``mi / sqrt(h_x · h_y)`` or ``mi / min(h_x, h_y)``).
+
+    The profiler's dependency-discovery companion to per-column
+    entropy (Q ``column_entropy``): MI ≈ 0 reads "independent",
+    MI ≈ min(H) reads "functionally determined" — the signal behind FK
+    candidates and redundant-column detection, which the reference's
+    scalar stats cannot see.
+
+    Plan: ONE groupBy shuffle on (x, y); every other quantity —
+    marginals via per-x / per-y window sums, total via a broadcast
+    1-row agg, both entropies and the MI sum — is computed on the
+    joint-DISTINCT frame, whose size is bounded by |X|·|Y| distinct
+    pairs, not by the data. Intended for categorical columns (flags,
+    codes, labels); identity-like columns make the joint frame as big
+    as the data and the estimate meaningless (MI of unique ids is
+    degenerate), same caveat every MI estimator carries.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(
+            F.col(col_x).cast("string").alias("x"),
+            F.col(col_y).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nx = F.sum("n").over(Window.partitionBy("x")).alias("nx")
+    ny = F.sum("n").over(Window.partitionBy("y")).alias("ny")
+    tot = joint.agg(F.sum("n").alias("grand_total"))
+    with_m = joint.select("n", nx, ny).crossJoin(F.broadcast(tot))
+    p = F.col("n") / F.col("grand_total")
+    return (
+        with_m.select(
+            (p * F.log(F.col("n") * F.col("grand_total") / (F.col("nx") * F.col("ny"))))
+            .alias("mi_term"),
+            (-p * F.log(F.col("nx") / F.col("grand_total"))).alias("hx_term"),
+            (-p * F.log(F.col("ny") / F.col("grand_total"))).alias("hy_term"),
+            "grand_total",
+        )
+        .groupBy("grand_total")
+        .agg(
+            F.round(F.sum("mi_term"), 6).alias("mi"),
+            F.round(F.sum("hx_term"), 6).alias("h_x"),
+            F.round(F.sum("hy_term"), 6).alias("h_y"),
+        )
+        .select("mi", "h_x", "h_y", F.col("grand_total").alias("n"))
+    )

@@ -757,3 +757,54 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     would be needed for stable survivor choice; for pure dedup semantics
     ``dropDuplicates`` (hash-based, single shuffle) is the scale path."""
     return df.dropDuplicates(cols)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Diff two corpus versions by document identity AND content: one
+    row per doc in either version, labeled
+
+    - ``added``     — id only in ``new``
+    - ``removed``   — id only in ``old``
+    - ``changed``   — id in both, normalized-content md5 differs
+    - ``unchanged`` — id in both, content identical
+
+    The day-to-day ingest question ("what did this recrawl actually
+    change?") answered with ONE full-outer hash join on the id — the
+    content comparison rides the join as an md5 equality, so text never
+    shuffles twice and no side is collected. ``normalize=True`` applies
+    the same text normalization the exact-dedup path uses
+    (``functions.text.normalize_text``), so cosmetic
+    whitespace/case-only recrawl churn reads as ``unchanged``.
+
+    Output: (id, status, old_md5, new_md5) — join either side back on
+    the id for full rows. At 100 TB: one shuffle per side on the id;
+    md5 is computed in the scan projection (codegen), 32 bytes per row
+    through the shuffle instead of the document text.
+    """
+    from sparvi_core_spark.functions.text import normalize_text
+
+    content = (
+        normalize_text(text_col) if normalize else F.col(text_col)
+    )
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(content).alias("old_md5")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(content).alias("new_md5")
+    )
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )

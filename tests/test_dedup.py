@@ -234,3 +234,28 @@ def test_solve_lsh_bands():
     assert b * r == 16 and (1.0 / b) ** (1.0 / r) == pytest.approx(0.9, abs=0.15)
     with pytest.raises(ValueError):
         solve_lsh_bands(1.5, 8)
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from sparvi_core_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  SAME")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma CHANGED"), (3, "kept same"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # doc 3 differs only by case/whitespace → unchanged under normalize
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+    raw = {r["id"]: r["status"]
+           for r in corpus_diff(old, new, normalize=False).collect()}
+    assert raw[3] == "changed"  # without normalization the case diff counts

@@ -1039,3 +1039,92 @@ def test_local_ks_drift_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("ks_drift", spark_pdf, duck_pdf)
+
+
+def test_local_corpus_diff_parity(spark, duck):
+    """corpus_diff status counts vs a DuckDB full-outer md5 diff over a
+    simulated recrawl of the documents table (drop doc_id%7, mutate
+    doc_id%5, add shifted ids)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" MUT"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.limit(50).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    spark_pdf = (
+        corpus_diff(docs, new, normalize=False)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    duck_pdf = duck.execute(
+        """
+        WITH new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' MUT' ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM (
+            SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+          )
+        ),
+        o AS (SELECT doc_id AS id, md5(text) AS old_md5 FROM documents),
+        n AS (SELECT doc_id AS id, md5(text) AS new_md5 FROM new),
+        j AS (
+          SELECT CASE WHEN o.old_md5 IS NULL THEN 'added'
+                      WHEN n.new_md5 IS NULL THEN 'removed'
+                      WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n USING (id)
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY status
+        """
+    ).df()
+    _assert_frames_match("corpus_diff", spark_pdf, duck_pdf)
+
+
+def test_local_mutual_information_parity(spark, duck):
+    """MI + marginal entropies vs the same arithmetic in DuckDB over a
+    genuinely dependent pair (l_returnflag is determined by receipt
+    date vs a fixed cutoff, l_linestatus by ship date — correlated)."""
+    from sparvi_core_spark.functions.stats import mutual_information
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark_pdf = mutual_information(li, "l_returnflag", "l_linestatus").toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH joint AS (
+          SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS n
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT n,
+                 SUM(n) OVER (PARTITION BY x) AS nx,
+                 SUM(n) OVER (PARTITION BY y) AS ny,
+                 SUM(n) OVER () AS grand_total
+          FROM joint
+        )
+        SELECT ROUND(SUM((n * 1.0 / grand_total)
+                     * LN(n * grand_total * 1.0 / (nx * ny))), 6) AS mi,
+               ROUND(SUM(-(n * 1.0 / grand_total) * LN(nx * 1.0 / grand_total)), 6) AS h_x,
+               ROUND(SUM(-(n * 1.0 / grand_total) * LN(ny * 1.0 / grand_total)), 6) AS h_y,
+               CAST(grand_total AS BIGINT) AS n
+        FROM m GROUP BY grand_total
+        """
+    ).df()
+    _assert_frames_match("mutual_information", spark_pdf, duck_pdf)

@@ -240,3 +240,30 @@ def test_ks_drift_semantics(spark):
 
     allnull = spark.createDataFrame([(None,)], "x double")
     assert ks_drift(allnull, ref, "x").count() == 0
+
+
+def test_mutual_information_semantics(spark):
+    from sparvi_core_spark.functions.stats import mutual_information
+    import math
+
+    # independent: x = id%4, y = (id//4)%4 over a full factorial grid
+    ind = spark.range(1600).selectExpr(
+        "cast(id % 4 as string) as x", "cast((id div 4) % 4 as string) as y"
+    )
+    r = mutual_information(ind, "x", "y").first()
+    assert abs(r["mi"]) < 1e-9
+    assert abs(r["h_x"] - math.log(4)) < 1e-6
+
+    # functional: y = f(x) → MI = H(x) = H(y)
+    fn = spark.range(1000).selectExpr(
+        "cast(id % 5 as string) as x", "cast((id % 5) * 2 as string) as y"
+    )
+    r2 = mutual_information(fn, "x", "y").first()
+    assert abs(r2["mi"] - r2["h_x"]) < 1e-6
+    assert abs(r2["mi"] - math.log(5)) < 1e-6
+
+    # nulls on either side excluded
+    withnull = spark.createDataFrame(
+        [("a", "p"), ("a", None), (None, "q"), ("b", "q")], "x string, y string"
+    )
+    assert mutual_information(withnull, "x", "y").first()["n"] == 2
