@@ -433,3 +433,69 @@ def mutual_information(
         )
         .select("mi", "h_x", "h_y", F.col("grand_total").alias("n"))
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Pearson chi-squared statistic for independence of two
+    categorical columns: one row ``(chi2, dof, n)`` with
+    dof = (|X|−1)·(|Y|−1).
+
+    The hypothesis-test companion to ``mutual_information`` (same ONE
+    (x,y) groupBy; everything else on the joint-distinct frame):
+    chi2 = Σ over the FULL |X|×|Y| grid of (observed − expected)² /
+    expected with expected = nx·ny/N. Cells absent from the joint frame
+    (observed = 0) still contribute expected = nx·ny/N each; their
+    total Σ nx·ny/N over missing cells equals N − Σ_present nx·ny/N,
+    which is how the implementation accounts for them without
+    materializing the grid. Same categorical-columns caveat as MI.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(
+            F.col(col_x).cast("string").alias("x"),
+            F.col(col_y).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nx = F.sum("n").over(Window.partitionBy("x")).alias("nx")
+    ny = F.sum("n").over(Window.partitionBy("y")).alias("ny")
+    tot = joint.agg(
+        F.sum("n").alias("grand_total"),
+        F.countDistinct("x").alias("card_x"),
+        F.countDistinct("y").alias("card_y"),
+    )
+    e = F.col("nx") * F.col("ny") / F.col("grand_total")
+    return (
+        joint.select("x", "y", "n", nx, ny)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            # present cells: (o-e)^2/e; the "+ e" term books each
+            # present cell's expected mass so the missing-cell total
+            # can be recovered as grand_total - sum(e_present)
+            (((F.col("n") - e) * (F.col("n") - e)) / e).alias("present_term"),
+            e.alias("e_present"),
+            "grand_total",
+            "card_x",
+            "card_y",
+        )
+        .groupBy("grand_total", "card_x", "card_y")
+        .agg(
+            F.sum("present_term").alias("sum_present"),
+            F.sum("e_present").alias("sum_e_present"),
+        )
+        .select(
+            F.round(
+                F.col("sum_present")
+                + (F.col("grand_total") - F.col("sum_e_present")),
+                6,
+            ).alias("chi2"),
+            ((F.col("card_x") - 1) * (F.col("card_y") - 1)).alias("dof"),
+            F.col("grand_total").alias("n"),
+        )
+    )

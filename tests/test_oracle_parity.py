@@ -1128,3 +1128,44 @@ def test_local_mutual_information_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("mutual_information", spark_pdf, duck_pdf)
+
+
+def test_local_chi2_independence_parity(spark, duck):
+    """Chi-squared vs the same grid arithmetic in DuckDB (present cells
+    + the recovered missing-cell expected mass)."""
+    from sparvi_core_spark.functions.stats import chi2_independence
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark_pdf = chi2_independence(li, "l_linenumber", "l_returnflag").toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH joint AS (
+          SELECT CAST(l_linenumber AS VARCHAR) AS x, l_returnflag AS y, COUNT(*) AS n
+          FROM lineitem
+          WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT n,
+                 SUM(n) OVER (PARTITION BY x) AS nx,
+                 SUM(n) OVER (PARTITION BY y) AS ny,
+                 SUM(n) OVER () AS grand_total
+          FROM joint
+        ),
+        agg AS (
+          SELECT grand_total,
+                 SUM((n - nx*ny*1.0/grand_total) * (n - nx*ny*1.0/grand_total)
+                     / (nx*ny*1.0/grand_total)) AS sum_present,
+                 SUM(nx*ny*1.0/grand_total) AS sum_e_present
+          FROM m GROUP BY grand_total
+        ),
+        cards AS (
+          SELECT COUNT(DISTINCT x) AS cx, COUNT(DISTINCT y) AS cy FROM joint
+        )
+        SELECT ROUND(sum_present + (grand_total - sum_e_present), 6) AS chi2,
+               (cards.cx - 1) * (cards.cy - 1) AS dof,
+               CAST(grand_total AS BIGINT) AS n
+        FROM agg, cards
+        """
+    ).df()
+    _assert_frames_match("chi2_independence", spark_pdf, duck_pdf)

@@ -267,3 +267,22 @@ def test_mutual_information_semantics(spark):
         [("a", "p"), ("a", None), (None, "q"), ("b", "q")], "x string, y string"
     )
     assert mutual_information(withnull, "x", "y").first()["n"] == 2
+
+
+def test_chi2_independence_semantics(spark):
+    from sparvi_core_spark.functions.stats import chi2_independence
+
+    # perfectly independent factorial grid → chi2 exactly 0
+    ind = spark.range(1600).selectExpr(
+        "cast(id % 4 as string) as x", "cast((id div 4) % 4 as string) as y"
+    )
+    r = chi2_independence(ind, "x", "y").first()
+    assert r["chi2"] == 0.0 and r["dof"] == 9 and r["n"] == 1600
+
+    # y = x (perfect association): chi2 = n * (k-1); includes the
+    # zero-observed off-diagonal cells (missing-cell accounting)
+    fn = spark.range(900).selectExpr(
+        "cast(id % 3 as string) as x", "cast(id % 3 as string) as y"
+    )
+    r2 = chi2_independence(fn, "x", "y").first()
+    assert abs(r2["chi2"] - 900 * 2) < 1e-6 and r2["dof"] == 4
