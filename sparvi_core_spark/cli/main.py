@@ -108,17 +108,30 @@ def _header(text: str) -> str:
     return click.style(text, bold=True)
 
 
+_ANSI_RE = re.compile(r"\x1b\[[0-9;]*m")
+
+
 def _render_table(headers: list[str], rows: list[list]) -> str:
     """Dependency-free aligned table (the reference renders these
-    sections with rich tables; content is identical)."""
+    sections with rich tables; content is identical). Widths are
+    measured on ANSI-stripped text so styled cells (severity colors)
+    keep the columns aligned."""
     cells = [["" if v is None else str(v) for v in r] for r in rows]
+
+    def vis(s: str) -> int:
+        return len(_ANSI_RE.sub("", s))
+
     widths = [
-        max([len(h)] + [len(r[i]) for r in cells]) for i, h in enumerate(headers)
+        max([len(h)] + [vis(r[i]) for r in cells]) for i, h in enumerate(headers)
     ]
     rule = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
 
     def fmt(vals):
-        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+        return (
+            "| "
+            + " | ".join(v + " " * (w - vis(v)) for v, w in zip(vals, widths))
+            + " |"
+        )
 
     lines = [rule, fmt(headers), rule]
     lines += [fmt(r) for r in cells]
@@ -320,6 +333,77 @@ def validate(source, table, rules_file, generate_defaults, save_defaults,
         click.echo(f"Results written to {output}")
     if fail_on_error and n_fail:
         sys.exit(1)
+
+
+def _load_table_df(spark, source: str, table: str):
+    """One table from one source as a DataFrame (no temp view — the
+    drift command loads the SAME table name from TWO sources, so view
+    names would collide)."""
+    import os
+
+    if source.startswith("jdbc:"):
+        from sparvi_core_spark.session import read_jdbc
+
+        return read_jdbc(spark, source, table)
+    if os.path.isdir(source) and not source.rstrip("/").endswith(".parquet"):
+        return read_table(spark, os.path.join(source, f"{table}.parquet"))
+    return read_table(spark, source)
+
+
+@cli.command()
+@click.argument("source_ref")
+@click.argument("source_cur")
+@click.argument("table")
+@click.option("--columns", multiple=True,
+              help="Numeric columns to check (repeatable; default: all)")
+@click.option("--bins", default=10, show_default=True,
+              help="Reference-quantile bins")
+@click.option("--threshold", default=0.25, show_default=True,
+              help="PSI above this renders as high severity (0.1 = medium)")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--approx", is_flag=True, default=False,
+              help="GK-sketch quantile boundaries (the at-scale path)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def drift(source_ref, source_cur, table, columns, bins, threshold, fmt,
+          approx, cpus):
+    """Per-column PSI drift of TABLE between two snapshots.
+
+    SOURCE_REF is the baseline (its quantiles define the bins),
+    SOURCE_CUR the snapshot under test. Extension command — the
+    reference declares drift detection but stubs it
+    (profile_engine.py:437-443); this is the distribution-level
+    check next to ``profile --compare``'s stat-level anomalies.
+    """
+    from sparvi_core_spark.functions.stats import psi_drift_report
+
+    spark = _session(cpus)
+    ref = _load_table_df(spark, source_ref, table)
+    cur = _load_table_df(spark, source_cur, table)
+    cols = list(columns) or None
+    rows = (
+        psi_drift_report(ref, cur, columns=cols, bins=bins, approx=approx)
+        .orderBy("column")
+        .collect()
+    )
+    if fmt == "json":
+        click.echo(json.dumps(
+            {"table": table, "bins": bins,
+             "columns": [r.asDict() for r in rows]}, default=str))
+        return
+    click.echo(_header(f"Distribution drift: {table} "
+                       f"({len(rows)} columns, {bins} bins)"))
+
+    def reading(psi):
+        if psi >= threshold:
+            return "high"
+        return "medium" if psi >= 0.1 else "low"
+
+    click.echo(_render_table(
+        ["column", "psi", "n_ref", "n_cur", "severity"],
+        [[r["column"], r["psi"], r["n_ref"], r["n_cur"],
+          _sev(reading(r["psi"]))] for r in rows],
+    ))
 
 
 @cli.command()

@@ -95,3 +95,26 @@ def test_validate_max_length_hint(spark, sf_dir):
          "--max-length", "r_name"],
     )
     assert bad.exit_code != 0
+
+
+def test_drift_command_table_and_json(spark, sf_dir):
+    """drift of a table against itself reads PSI 0.0 / low everywhere;
+    json format round-trips."""
+    import json as _json
+
+    r = CliRunner().invoke(
+        cli, ["drift", sf_dir, sf_dir, "orders",
+              "--columns", "o_totalprice", "--columns", "o_custkey"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Distribution drift: orders" in r.output
+    assert "o_totalprice" in r.output and "low" in r.output
+
+    rj = CliRunner().invoke(
+        cli, ["drift", sf_dir, sf_dir, "orders", "--columns", "o_totalprice",
+              "--format", "json"]
+    )
+    assert rj.exit_code == 0, rj.output
+    payload = _json.loads(rj.output)
+    assert payload["columns"][0]["psi"] == 0.0
+    assert payload["columns"][0]["n_ref"] == payload["columns"][0]["n_cur"]
