@@ -364,9 +364,12 @@ def _load_table_df(spark, source: str, table: str):
               type=click.Choice(["table", "json"]))
 @click.option("--approx", is_flag=True, default=False,
               help="GK-sketch quantile boundaries (the at-scale path)")
+@click.option("--ks", "with_ks", is_flag=True, default=False,
+              help="Also compute the binned two-sample KS statistic "
+                   "(one extra boundary+scan pair per column)")
 @click.option("--cpus", default=None, help="local[N] cores")
 def drift(source_ref, source_cur, table, columns, bins, threshold, fmt,
-          approx, cpus):
+          approx, with_ks, cpus):
     """Per-column PSI drift of TABLE between two snapshots.
 
     SOURCE_REF is the baseline (its quantiles define the bins),
@@ -375,21 +378,26 @@ def drift(source_ref, source_cur, table, columns, bins, threshold, fmt,
     (profile_engine.py:437-443); this is the distribution-level
     check next to ``profile --compare``'s stat-level anomalies.
     """
-    from sparvi_core_spark.functions.stats import psi_drift_report
+    from sparvi_core_spark.functions.stats import ks_drift, psi_drift_report
 
     spark = _session(cpus)
     ref = _load_table_df(spark, source_ref, table)
     cur = _load_table_df(spark, source_cur, table)
     cols = list(columns) or None
-    rows = (
-        psi_drift_report(ref, cur, columns=cols, bins=bins, approx=approx)
-        .orderBy("column")
-        .collect()
-    )
+    rows = [
+        r.asDict()
+        for r in psi_drift_report(
+            ref, cur, columns=cols, bins=bins, approx=approx
+        ).orderBy("column").collect()
+    ]
+    if with_ks:
+        for r in rows:
+            k = ks_drift(ref, cur, r["column"], bins=max(bins, 20),
+                         approx=approx).first()
+            r["ks"] = k["ks"] if k is not None else None
     if fmt == "json":
         click.echo(json.dumps(
-            {"table": table, "bins": bins,
-             "columns": [r.asDict() for r in rows]}, default=str))
+            {"table": table, "bins": bins, "columns": rows}, default=str))
         return
     click.echo(_header(f"Distribution drift: {table} "
                        f"({len(rows)} columns, {bins} bins)"))
@@ -399,10 +407,12 @@ def drift(source_ref, source_cur, table, columns, bins, threshold, fmt,
             return "high"
         return "medium" if psi >= 0.1 else "low"
 
+    headers = ["column", "psi"] + (["ks"] if with_ks else []) + [
+        "n_ref", "n_cur", "severity"]
     click.echo(_render_table(
-        ["column", "psi", "n_ref", "n_cur", "severity"],
-        [[r["column"], r["psi"], r["n_ref"], r["n_cur"],
-          _sev(reading(r["psi"]))] for r in rows],
+        headers,
+        [[r["column"], r["psi"]] + ([r["ks"]] if with_ks else []) + [
+            r["n_ref"], r["n_cur"], _sev(reading(r["psi"]))] for r in rows],
     ))
 
 

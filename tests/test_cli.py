@@ -118,3 +118,15 @@ def test_drift_command_table_and_json(spark, sf_dir):
     payload = _json.loads(rj.output)
     assert payload["columns"][0]["psi"] == 0.0
     assert payload["columns"][0]["n_ref"] == payload["columns"][0]["n_cur"]
+
+
+def test_drift_command_with_ks(spark, sf_dir):
+    import json as _json
+
+    r = CliRunner().invoke(
+        cli, ["drift", sf_dir, sf_dir, "orders", "--columns", "o_totalprice",
+              "--ks", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    col = _json.loads(r.output)["columns"][0]
+    assert col["psi"] == 0.0 and col["ks"] == 0.0
