@@ -1169,3 +1169,71 @@ def test_local_chi2_independence_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("chi2_independence", spark_pdf, duck_pdf)
+
+
+def test_local_bm25_parity(spark, duck):
+    """BM25 ranking vs the identical formulation in DuckDB SQL: same
+    tokenizer regex, Lucene idf, k1=1.2 / b=0.75, round(6)."""
+    from sparvi_core_spark.operators.ranking import bm25_search
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spark_pdf = bm25_search(df, "data quality pipeline", top_n=25).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'data')) AS tf_data,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'quality')) AS tf_quality,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'pipeline')) AS tf_pipeline
+          FROM documents
+        ), stats AS (
+          SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                 sum((tf_data > 0)::BIGINT)::DOUBLE AS df_data,
+                 sum((tf_quality > 0)::BIGINT)::DOUBLE AS df_quality,
+                 sum((tf_pipeline > 0)::BIGINT)::DOUBLE AS df_pipeline
+          FROM base
+        )
+        SELECT doc_id,
+               round(
+                 ln(1 + (n - df_data + 0.5)/(df_data + 0.5))
+                   * (tf_data*2.2)/(tf_data + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+               + ln(1 + (n - df_quality + 0.5)/(df_quality + 0.5))
+                   * (tf_quality*2.2)/(tf_quality + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+               + ln(1 + (n - df_pipeline + 0.5)/(df_pipeline + 0.5))
+                   * (tf_pipeline*2.2)/(tf_pipeline + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS bm25,
+               dl, tf_data, tf_quality, tf_pipeline
+        FROM base, stats
+        WHERE tf_data + tf_quality + tf_pipeline > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 25
+        """
+    ).df()
+    _assert_frames_match("bm25_search", spark_pdf, duck_pdf)
+
+
+def test_local_tfidf_parity(spark, duck):
+    """Sparse TF-IDF (sklearn smoothed idf) vs DuckDB — full corpus,
+    min_df=2 pruning on both sides."""
+    from sparvi_core_spark.operators.ranking import tfidf_vectors
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spark_pdf = tfidf_vectors(df, min_df=2).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, dl, term, count(*) AS n FROM toks GROUP BY ALL
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2
+        ), nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.n AS tf, dfreq.df,
+               round((tf.n::DOUBLE / tf.dl)
+                     * (ln((1 + n_docs::DOUBLE)/(1 + dfreq.df::DOUBLE)) + 1), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), nd
+        """
+    ).df()
+    _assert_frames_match("tfidf_vectors", spark_pdf, duck_pdf)
