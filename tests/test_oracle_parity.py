@@ -1237,3 +1237,38 @@ def test_local_tfidf_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("tfidf_vectors", spark_pdf, duck_pdf)
+
+
+def test_local_perplexity_parity(spark, duck):
+    """Self-trained bigram LM perplexity vs the identical add-k
+    arithmetic in DuckDB (BOS-prepended contexts, V from the counts
+    frame, round(6))."""
+    from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = train_bigram_lm(df)
+    spark_pdf = score_perplexity(df, lm, broadcast_model=True).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH base AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_slice(list_prepend('<s>', l), 1, len(l))) AS w1,
+                 unnest(l) AS w2
+          FROM base WHERE len(l) > 0
+        ), counts AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY ALL),
+        ctx AS (SELECT w1, sum(n) AS c_total FROM counts GROUP BY w1),
+        v AS (SELECT count(*) AS v FROM ctx),
+        scored AS (
+          SELECT bg.doc_id,
+                 ln((coalesce(c.n, 0) + 0.1)/(coalesce(cx.c_total, 0) + 0.1*v.v)) AS logp
+          FROM bg LEFT JOIN counts c USING (w1, w2) LEFT JOIN ctx cx USING (w1), v
+        )
+        SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 6) AS avg_neg_logp,
+               round(exp(-avg(logp)), 6) AS perplexity
+        FROM scored GROUP BY doc_id
+        """
+    ).df()
+    _assert_frames_match("score_perplexity", spark_pdf, duck_pdf)
