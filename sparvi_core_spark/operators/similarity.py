@@ -337,3 +337,86 @@ def embedding_near_duplicates(
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str | None = None,
+    kmeans_iter: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates —
+    documents whose EMBEDDINGS nearly coincide even when their text
+    differs (paraphrases, re-renderings, templated rewrites that every
+    lexical dedup misses).
+
+    Composition of the module's scale-safe pieces:
+
+    1. :func:`kmeans_fit` partitions the embedding space
+       (``n_clusters`` buckets — at 100 TB use √N-ish);
+    2. :func:`ivf_assign` labels every vector (broadcast centroids,
+       no shuffle);
+    3. :func:`embedding_near_duplicates` finds cosine-≥-threshold
+       pairs BUCKET-LOCALLY — the SemDeDup trick: pair search never
+       crosses cluster boundaries, so the quadratic term is bounded by
+       the largest cluster, not the corpus;
+    4. ``dedup.dedup_clusters`` merges pairs into groups (min-id
+       label);
+    5. survivors: the min-id member of each group, or the
+       highest-``score_col`` member (quality-aware) when given —
+       ``dedup.select_cluster_representatives``.
+
+    Returns ``(survivors, report)``: survivors has the input's columns,
+    one row per semantic group plus every singleton; ``report`` carries
+    ``kmeans`` (iterations/convergence), and the lazy ``pairs`` /
+    ``clusters`` frames for inspection or persistence.
+
+    Recall caveat (inherent to SemDeDup, documented not hidden): a
+    near-dup pair split across two k-means clusters is missed.
+    Published SemDeDup accepts this (duplicates cluster together by
+    construction); raise recall by lowering ``n_clusters`` or running
+    twice with different seeds and unioning the pairs.
+    """
+    from sparvi_core_spark.operators.dedup import (
+        dedup_clusters,
+        select_cluster_representatives,
+    )
+
+    centroids, kinfo = kmeans_fit(
+        vectors,
+        k=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iter=kmeans_iter,
+        seed=seed,
+    )
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    labeled = vectors.join(
+        assigned.select(
+            F.col("id").alias(id_col), F.col("bucket").alias("__sem_bucket")
+        ),
+        id_col,
+    )
+    pairs = embedding_near_duplicates(
+        labeled,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="__sem_bucket",
+    )
+    clusters = dedup_clusters(pairs)
+    if score_col is not None:
+        survivors = select_cluster_representatives(
+            vectors, clusters, score_col=score_col, id_col=id_col
+        )
+    else:
+        losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+        survivors = vectors.join(losers, id_col, "left_anti")
+    report = {"kmeans": kinfo, "pairs": pairs, "clusters": clusters}
+    return survivors, report

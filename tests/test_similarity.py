@@ -158,3 +158,81 @@ def test_kmeans_fit_deterministic(spark):
         assert p1[b] == pytest.approx(p2[b], abs=1e-9)
     with pytest.raises(ValueError, match="k must"):
         kmeans_fit(df, k=0)
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Three planted semantic groups (tight copies around separated
+    centers) + noise singletons: exactly one survivor per group, every
+    singleton kept, min-id survivor by default."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(11)
+    centers = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    rows = []
+    # ids 0-14: five near-copies of each center (cosine ≈ 1 within)
+    for g, cx in enumerate(centers):
+        for j in range(5):
+            rows.append(
+                (g * 5 + j, [c + rnd.gauss(0, 0.01) for c in cx])
+            )
+    # ids 100+: well-separated singletons (mixed-sign corners)
+    for i, corner in enumerate([(7, 7, -7), (-7, 7, 7), (7, -7, 7)]):
+        rows.append((100 + i, [float(c) for c in corner]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    survivors, report = semantic_dedup(
+        df, threshold=0.999, n_clusters=3, seed=5
+    )
+    kept = sorted(r["vec_id"] for r in survivors.collect())
+    assert kept == [0, 5, 10, 100, 101, 102]
+    assert report["kmeans"]["iterations"] >= 1
+    # every planted group collapsed to its min id
+    labels = {r["id"]: r["cluster"] for r in report["clusters"].collect()}
+    for g in range(3):
+        ids = [g * 5 + j for j in range(5)]
+        assert {labels[i] for i in ids if i in labels} <= {g * 5}
+
+
+def test_semantic_dedup_quality_survivor(spark):
+    import random
+
+    from sparvi_core_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(2)
+    rows = [
+        (i, [10.0 + rnd.gauss(0, 0.01), 0.0, 0.0], float(i))
+        for i in range(4)
+    ]
+    rows.append((50, [0.0, 10.0, 0.0], 0.5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, quality double"
+    )
+    survivors, _ = semantic_dedup(
+        df, threshold=0.999, n_clusters=2, score_col="quality", seed=3
+    )
+    kept = sorted(r["vec_id"] for r in survivors.collect())
+    # highest quality in the near-dup group is id 3; singleton 50 stays
+    assert kept == [3, 50]
+
+
+def test_semantic_dedup_repartition_invariant(spark):
+    import random
+
+    from sparvi_core_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(4)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(4)]) for i in range(30)
+    ]
+    for i in range(5):  # plant copies of row 0
+        rows.append((200 + i, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s1, _ = semantic_dedup(df, threshold=0.999, n_clusters=4, seed=8)
+    s2, _ = semantic_dedup(
+        df.repartition(7), threshold=0.999, n_clusters=4, seed=8
+    )
+    assert sorted(r["vec_id"] for r in s1.collect()) == sorted(
+        r["vec_id"] for r in s2.collect()
+    )
