@@ -252,3 +252,63 @@ def mixture_report(
         )
         .withColumn("share", F.round(F.col("kept_tokens") / tot, 6))
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    temperature: float,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+    total_tokens: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled domain weights for :func:`mix_corpora`:
+    ``p_d ∝ available_d^(1/T)`` — the standard multilingual/multi-domain
+    rebalancing (T=1 keeps the natural distribution, T→∞ approaches
+    uniform; 100 is effectively uniform), with UniMax-style capping:
+    a domain never gets a budget above its supply, and a capped
+    domain's surplus re-distributes across the uncapped rest (so the
+    full ``total_tokens`` is spent whenever the corpus can cover it).
+
+    One map-side-combined groupBy produces the per-domain token totals;
+    everything after runs driver-side on that #domains-sized list (the
+    same bounded-collect contract as ``mix_corpora``'s phase-1 bucket
+    table). Without ``total_tokens`` the uncapped shares are returned
+    directly (caller picks the budget later; capping needs a budget to
+    cap against).
+
+    Returns ``{domain: fraction_of_total}`` — feed straight into
+    :func:`mix_corpora` with the same ``total_tokens``. Fractions sum
+    to ≤ 1; < 1 exactly when supply cannot cover the budget.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    rows = (
+        df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("a"))
+        .collect()
+    )
+    avail = {r["d"]: int(r["a"]) for r in rows if r["a"] and r["a"] > 0}
+    if not avail:
+        return {}
+    inv_t = 1.0 / temperature
+    if total_tokens is None:
+        s = sum(a**inv_t for a in avail.values())
+        return {d: a**inv_t / s for d, a in avail.items()}
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    assigned: dict[str, float] = {}
+    uncapped = set(avail)
+    remaining = float(total_tokens)
+    # each pass caps ≥1 domain or exits → ≤ #domains iterations
+    while uncapped and remaining > 0:
+        s = sum(avail[d] ** inv_t for d in uncapped)
+        alloc = {d: remaining * (avail[d] ** inv_t) / s for d in uncapped}
+        over = [d for d in uncapped if alloc[d] > avail[d]]
+        if not over:
+            assigned.update(alloc)
+            break
+        for d in over:
+            assigned[d] = float(avail[d])
+            remaining -= avail[d]
+            uncapped.discard(d)
+    return {d: v / total_tokens for d, v in assigned.items()}

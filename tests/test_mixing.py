@@ -280,3 +280,62 @@ def test_randomized_two_phase_equality_and_budget_contract(spark):
                 assert got == s, (seed, d)
             else:
                 assert b <= got < b + m, (seed, d, b, got)
+
+
+def test_temperature_weights_t1_proportional(spark):
+    from sparvi_core_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("web", 800), ("code", 150), ("wiki", 50)],
+        "domain string, n_tokens long",
+    )
+    w = temperature_weights(df, temperature=1.0)
+    assert w["web"] == pytest.approx(0.8)
+    assert w["code"] == pytest.approx(0.15)
+    assert w["wiki"] == pytest.approx(0.05)
+
+
+def test_temperature_weights_flattening_and_capping(spark):
+    from sparvi_core_spark.operators.mixing import (
+        domain_budgets,
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("web", 800), ("code", 150), ("wiki", 50)],
+        "domain string, n_tokens long",
+    )
+    # high temperature → near-uniform → tiny domains get capped at
+    # supply and their surplus flows to the big ones
+    w = temperature_weights(df, temperature=100.0, total_tokens=600)
+    b = domain_budgets(w, 600)
+    assert b["wiki"] == 50 and b["code"] == 150  # capped at supply
+    assert b["web"] == 400  # absorbs the redistributed surplus
+    assert sum(b.values()) == 600
+    # budget above total supply: everything capped, fractions sum < 1
+    w2 = temperature_weights(df, temperature=2.0, total_tokens=5000)
+    assert domain_budgets(w2, 5000) == {"web": 800, "code": 150, "wiki": 50}
+    assert sum(w2.values()) < 1
+
+
+def test_temperature_weights_feeds_mix_corpora(spark):
+    from sparvi_core_spark.operators.mixing import mix_corpora, temperature_weights
+
+    rows = [
+        (i, "web" if i < 80 else "wiki", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    w = temperature_weights(df, temperature=100.0, total_tokens=400)
+    picked = mix_corpora(df, w, 400)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in picked.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    # uniform-ish split: at T=100 web's share is 0.5035 (800^0.01 vs
+    # 200^0.01) → budgets floor to 201/198 tokens → 21/20 docs (wiki's
+    # 20th doc STARTS at 190 < 198; see the kept-set contract)
+    assert by_dom["wiki"] == 20
+    assert by_dom["web"] == 21
+
+    with pytest.raises(ValueError):
+        temperature_weights(df, temperature=0)
