@@ -808,25 +808,16 @@ def q_asof_purchase_click(spark, sf_dir):
     )
 
 
-def q_top_terms(spark, sf_dir):
-    """Corpus document-frequency top-20 (the TF-IDF building block):
-    distinct tokens per doc → df counts → deterministic top-k."""
+def q_bm25_search(spark, sf_dir):
+    """BM25 relevance ranking (operators.ranking.bm25_search): per-term
+    array-filter tf + ONE broadcast single-row agg for N/avgdl/df — no
+    wide shuffle, one corpus scan (replaced `top_terms` in the 50-query
+    pin, round 5; the df top-k shape lives on as the
+    `test_local_top_terms_parity` local pair)."""
+    from sparvi_core_spark.operators.ranking import bm25_search
+
     t = _views(spark, sf_dir)
-    docs = t["documents"]
-    n_docs = docs.count()
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
-    ).filter(F.col("term") != "")
-    return (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "term", "df", F.round(F.col("df") / F.lit(n_docs), 4).alias("df_frac")
-        )
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(20)
-    )
+    return bm25_search(t["documents"], "data quality pipeline", top_n=25)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -915,7 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
-        "top_terms": q_top_terms,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1582,17 +1573,33 @@ WITH sh AS (
 )
 SELECT id, min(md5('fp|' || shingle)) AS fingerprint FROM sh GROUP BY id"""
 
-    o["top_terms"] = """
-WITH pairs AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-counts AS (
-    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs
-    WHERE term <> '' GROUP BY term
+    o["bm25_search"] = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'data')) AS tf_data,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'quality')) AS tf_quality,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'pipeline')) AS tf_pipeline
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         sum((tf_data > 0)::BIGINT)::DOUBLE AS df_data,
+         sum((tf_quality > 0)::BIGINT)::DOUBLE AS df_quality,
+         sum((tf_pipeline > 0)::BIGINT)::DOUBLE AS df_pipeline
+  FROM base
 )
-SELECT term, df,
-       ROUND(df * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS df_frac
-FROM counts ORDER BY df DESC, term ASC LIMIT 20"""
+SELECT doc_id,
+       round(
+         ln(1 + (n - df_data + 0.5)/(df_data + 0.5))
+           * (tf_data*2.2)/(tf_data + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+       + ln(1 + (n - df_quality + 0.5)/(df_quality + 0.5))
+           * (tf_quality*2.2)/(tf_quality + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+       + ln(1 + (n - df_pipeline + 0.5)/(df_pipeline + 0.5))
+           * (tf_pipeline*2.2)/(tf_pipeline + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS bm25,
+       dl, tf_data, tf_quality, tf_pipeline
+FROM base, stats
+WHERE tf_data + tf_quality + tf_pipeline > 0
+ORDER BY bm25 DESC, doc_id LIMIT 25"""
 
     o["sessionization"] = """
 WITH ev AS (

@@ -1272,3 +1272,41 @@ def test_local_perplexity_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("score_perplexity", spark_pdf, duck_pdf)
+
+
+def test_local_top_terms_parity(spark, duck):
+    """Corpus df top-20 — left the 50-query pin for bm25_search
+    (round 5); identical oracle coverage lives on here (same SQL the
+    driver ran in rounds 1-4)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    ).filter(F.col("term") != "")
+    spark_pdf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term", "df", F.round(F.col("df") / F.lit(n_docs), 4).alias("df_frac")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    ).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs
+            WHERE term <> '' GROUP BY term
+        )
+        SELECT term, df,
+               ROUND(df * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS df_frac
+        FROM counts ORDER BY df DESC, term ASC LIMIT 20
+        """
+    ).df()
+    _assert_frames_match("top_terms", spark_pdf, duck_pdf)
