@@ -6,12 +6,13 @@ engine ships, composed in the order a production run uses them.
       → duplicated-span screen          (exact substring dedup)
       → quality filter + repetition     (prepare_corpus: Gopher gates)
       → near-dup dedup, best survivor   (MinHash LSH → CC → argmax)
+      → LM perplexity band filter       (CCNet-style bigram model)
       → eval-set decontamination        (13-gram collision screen)
       → novelty screen vs prior corpus  (incremental ingest)
       → contamination-safe splits       (xxhash64, append-invariant)
       → split drift check               (PSI: train vs val distribution)
       → corpus stats                    (certified-exact heavy hitters)
-      → domain mixture                  (token-budget reweighting)
+      → domain mixture                  (temperature-scaled budgets)
       → sequence packing                (chunked, budget windows)
 
 Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
@@ -85,6 +86,23 @@ def main() -> None:
         k: v for k, v in prep.items() if isinstance(v, int)
     }
 
+    # 3b. LM perplexity band filter: train a bigram model on the
+    #     cleaned corpus itself (production: a trusted reference
+    #     corpus), drop the high-perplexity tail (gibberish) — the
+    #     CCNet recipe
+    from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    lm = train_bigram_lm(clean)
+    ppl = score_perplexity(clean, lm, broadcast_model=True)
+    cutoff = ppl.agg(
+        F.percentile_approx("perplexity", 0.95).alias("p95")
+    ).first()["p95"]
+    clean = clean.join(
+        ppl.filter(F.col("perplexity") <= cutoff).select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    report["after_perplexity_filter"] = clean.count()
+    report["perplexity_p95_cutoff"] = round(float(cutoff), 2)
+
     # 4. decontaminate against a (simulated) eval set
     evalset = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 500_000).alias("doc_id"), "text"
@@ -126,16 +144,22 @@ def main() -> None:
     report["top_terms"] = [(r["value"], r["n"]) for r in hh_rows[:5]]
     report["top_terms_certified_exact"] = hh.is_exact(hh_rows[-1]["n"])
 
-    # 7. domain mixture over the train split, weighted by source
+    # 7. domain mixture over the train split: temperature-scaled
+    #    weights (T=3 flattens the source distribution toward uniform
+    #    without the hard cliff of exact-uniform; supply-capped)
+    from sparvi_core_spark.operators.mixing import temperature_weights
+
     train = splits["train"]
     toks = token_counts(train).select(
         F.col("id").alias("doc_id"), F.col("ws_tokens").alias("n_tokens")
     )
     train_tok = train.join(toks, on="doc_id")
-    sources = [r["source"] for r in train_tok.select("source").distinct().collect()]
-    weights = {s: 1.0 / len(sources) for s in sources}
     total_budget = int(
         train_tok.agg(F.sum("n_tokens")).first()[0] * 0.8
+    )
+    weights = temperature_weights(
+        train_tok, temperature=3.0, domain_col="source",
+        tokens_col="n_tokens", total_tokens=total_budget,
     )
     mixed = mix_corpora(
         train_tok, weights, total_budget,
