@@ -88,8 +88,18 @@ def main() -> None:
         "quality_scores",
         "events_hourly",
         "range_join_events",
+        "bm25_search",
     ):
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    # bigram LM perplexity: train + broadcast-model scoring (round 5)
+    from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    def run_perplexity():
+        lm = train_bigram_lm(spark.table("documents"))
+        _force(score_perplexity(spark.table("documents"), lm, broadcast_model=True))
+
+    bench("perplexity", run_perplexity)
 
     # certified-exact heavy hitters over the full token space (round 4)
     from pyspark.sql import functions as F

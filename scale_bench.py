@@ -120,8 +120,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
     from sparvi_core_spark.operators.dedup import simhash
     from sparvi_core_spark.operators.frequent import heavy_hitters
+    from sparvi_core_spark.operators.ranking import bm25_search
     from sparvi_core_spark.operators.timeseries import range_join
 
     def run_range_join(events):
@@ -163,6 +165,21 @@ def main() -> None:
             "simhash": lambda: _force(simhash(views["documents"], bits=64)),
             "range_join": lambda: run_range_join(views["events"]),
             "heavy_hitters": lambda: run_heavy_hitters(views["documents"]),
+            # scaled corpus tokens carry replica suffixes (datar0, …) —
+            # query replica-0's terms so the absolute match count stays
+            # constant while the corpus grows 10× (a realistic search)
+            "bm25": lambda q=(
+                "data quality pipeline"
+                if sf_name == "sf0.1"
+                else "datar0 qualityr0 pipeliner0"
+            ): _force(bm25_search(views["documents"], q, top_n=25)),
+            "perplexity": lambda: _force(
+                score_perplexity(
+                    views["documents"],
+                    train_bigram_lm(views["documents"]),
+                    broadcast_model=True,
+                )
+            ),
         }
         for name, fn in cases.items():
             results.setdefault(name, {})[sf_name] = timed(fn)

@@ -17,7 +17,11 @@ aggregate that is broadcast back with a 1-row cross join — the same
 agg→literals shape the profiler uses for outlier bounds (J4). The plan
 is: scan → project → one-row agg (map-side partials, tree reduction) →
 broadcast → project → ``TakeOrderedAndProject`` for the top-k. Zero
-wide shuffles, so it scales with the scan.
+wide shuffles, so it scales with the scan. Honest cost accounting: the
+corpus IS read twice — once under the stats aggregate, once for the
+scored output — both scans column-pruned to (id, text); that is the
+price of keeping the constants out of the driver (no collect) and the
+plan shuffle-free, and it matches the profiler's two-job outlier shape.
 
 That shape is right for interactive queries (Q ≲ 100s of terms — each
 term is one more array-filter pass over the token array). For scoring
