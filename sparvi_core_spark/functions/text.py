@@ -291,6 +291,53 @@ def repetition_stats(
     return out
 
 
+def strip_markup(text_col: str = "text") -> F.Column:
+    """Plain text from HTML-ish markup: drop script/style blocks whole,
+    strip tags, decode the common entities, collapse whitespace — the
+    pre-tokenization extraction step of a web-corpus pipeline.
+
+    Deliberately regex-based, not a DOM parse: a real HTML parser is a
+    per-row Python library call (the slow path, and no lxml in minimal
+    clusters); the regex chain runs inside whole-stage codegen and
+    covers the overwhelmingly common cases. Patterns stay in the
+    Java-regex ∩ RE2 ∩ POSIX subset so an identical chain runs in the
+    DuckDB oracle (same contract as ``redact_pii``). Malformed nesting
+    degrades to leaving text in place — extraction bias is "keep too
+    much", never "drop content silently".
+    """
+    c = F.col(text_col)
+    # script/style: content is code, not text — remove block + payload
+    # ((?s) so . crosses newlines; non-greedy to the matching close tag)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    # comments, then any remaining tag
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"</?[a-zA-Z][^>]*>", " ")
+    # the five XML predefined entities + nbsp + numeric code points for
+    # space-ish chars are the bulk of real-web entity mass
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def extract_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, extracted) — :func:`strip_markup` over a corpus."""
+    return df.select(
+        F.col(id_col).alias("id"), strip_markup(text_col).alias("extracted")
+    )
+
+
 def normalize_text(text_col: str = "text") -> F.Column:
     """Canonical text form for exact-dup detection across formatting
     noise: lowercase, punctuation stripped, whitespace collapsed+trimmed.

@@ -1310,3 +1310,53 @@ def test_local_top_terms_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("top_terms", spark_pdf, duck_pdf)
+
+
+def test_local_strip_markup_parity(spark, duck):
+    """Markup extraction vs the identical regex chain in DuckDB (both
+    engines' regexes are in the shared Java∩RE2 subset): documents are
+    HTML-ified identically on both sides, then stripped."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.functions.text import strip_markup
+
+    wrapped = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><style>p{x:1}</style></head><body><p id=\"a\">"),
+                F.col("text"),
+                F.lit("</p><script>var x=1;</script><!-- c --></body></html>"),
+            ).alias("text"),
+        )
+    )
+    spark_pdf = wrapped.select(
+        "doc_id", strip_markup("text").alias("extracted")
+    ).toPandas()
+    duck_pdf = duck.execute(
+        r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><style>p{x:1}</style></head><body><p id="a">'
+                 || text ||
+                 '</p><script>var x=1;</script><!-- c --></body></html>' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '</?[a-zA-Z][^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                 '\s+', ' ', 'g')) AS extracted
+        FROM wrapped
+        """
+    ).df()
+    _assert_frames_match("strip_markup", spark_pdf, duck_pdf)

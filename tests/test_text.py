@@ -286,3 +286,28 @@ def test_chi2_independence_semantics(spark):
     )
     r2 = chi2_independence(fn, "x", "y").first()
     assert abs(r2["chi2"] - 900 * 2) < 1e-6 and r2["dof"] == 4
+
+
+def test_strip_markup_hand_checked(spark):
+    from sparvi_core_spark.functions.text import extract_text
+
+    rows = [
+        (1, "<html><body><p>Hello <b>world</b></p></body></html>"),
+        (2, "before<script type=\"text/js\">var x = '<p>';\nalert(1)</script>after"),
+        (3, "<style>p { color: red; }</style>Styled"),
+        (4, "<!-- note\nspanning lines -->kept"),
+        (5, "Tom &amp; Jerry &lt;3 &quot;quotes&quot; &#39;s&nbsp;end"),
+        (6, "no markup at all"),
+        (7, "broken <tag never closes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r["extracted"] for r in extract_text(df).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "before after"
+    assert got[3] == "Styled"
+    assert got[4] == "kept"
+    assert got[5] == "Tom & Jerry <3 \"quotes\" 's end"
+    assert got[6] == "no markup at all"
+    # malformed tag: never-closed '<tag ...' has no '>' so the tag
+    # regex can't match — content kept (the documented bias)
+    assert got[7] == "broken <tag never closes"
