@@ -8,7 +8,7 @@ are DuckDB-oracle comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Order matters: ties break toward the earlier language.
@@ -352,4 +352,69 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(
         F.col(id_col).alias("id"),
         predicted_language(text_col).alias("predicted_lang"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    k_values: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: for each ``k``, what
+    fraction of ALL token occurrences the ``k`` most frequent terms
+    cover → (k, vocab_terms, covered_tokens, total_tokens, coverage).
+    The standard question before fixing a tokenizer vocab ("does 32k
+    cover 99.5%?"). ``vocab_terms`` ≤ k when the corpus has fewer
+    distinct terms.
+
+    Scale shape: term counts are one explode + map-side-combined
+    groupBy (vocab-sized output); the top-``max(k)`` selection is
+    ``orderBy(desc).limit`` — Catalyst plans TakeOrderedAndProject
+    (per-partition heaps, merge of k×partitions rows), NEVER a full
+    vocab sort; the cumulative sum then runs over a k-bounded frame
+    (one small task), and the corpus total rides a broadcast 1-row agg.
+    Driver/merge memory is O(max(k)) — fine for real vocab sizes
+    (≤ ~1M); ties broken by term for cross-engine determinism.
+    """
+    if not k_values or any(k < 1 for k in k_values):
+        raise ValueError(f"k_values must be positive ints, got {k_values}")
+    ks = sorted(set(int(k) for k in k_values))
+    toks = _tokens(text_col)
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(ks[-1])
+    w = Window.orderBy(F.desc("n"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), F.sum("n").over(w).alias("cum")
+    )
+    k_df = df.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    # per k: the largest rank ≤ k (vocab may be smaller than k)
+    per_k = (
+        F.broadcast(k_df)
+        .join(ranked, ranked["rank"] <= k_df["k"])
+        .groupBy("k")
+        .agg(
+            F.max("rank").alias("vocab_terms"),
+            F.max("cum").alias("covered_tokens"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "vocab_terms",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
     )

@@ -1360,3 +1360,37 @@ def test_local_strip_markup_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("strip_markup", spark_pdf, duck_pdf)
+
+
+def test_local_vocab_coverage_parity(spark, duck):
+    """Vocabulary coverage curve vs the window-cumsum formulation in
+    DuckDB (count-desc/term-asc tie order on both sides)."""
+    from sparvi_core_spark.functions.text import vocab_coverage
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spark_pdf = vocab_coverage(df, [10, 100, 1000]).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          FROM documents
+        ),
+        counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        total AS (SELECT sum(n) AS total_tokens FROM counts),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY n DESC, term) AS rank,
+                 sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+          FROM counts
+        ),
+        per_k AS (
+          SELECT k, CAST(max(rank) AS INT) AS vocab_terms,
+                 max(cum) AS covered_tokens
+          FROM (VALUES (10), (100), (1000)) ks(k)
+          JOIN ranked ON rank <= k GROUP BY k
+        )
+        SELECT k, vocab_terms, covered_tokens, total_tokens,
+               round(covered_tokens * 1.0 / total_tokens, 6) AS coverage
+        FROM per_k, total ORDER BY k
+        """
+    ).df()
+    _assert_frames_match("vocab_coverage", spark_pdf, duck_pdf)

@@ -311,3 +311,21 @@ def test_strip_markup_hand_checked(spark):
     # malformed tag: never-closed '<tag ...' has no '>' so the tag
     # regex can't match — content kept (the documented bias)
     assert got[7] == "broken <tag never closes"
+
+
+def test_vocab_coverage_hand_checked(spark):
+    from sparvi_core_spark.functions.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    # counts: a=4, b=3, c=1, d=1 (tie c<d) — total 9
+    rows = {r["k"]: r for r in vocab_coverage(df, [1, 2, 3, 10]).collect()}
+    assert rows[1]["covered_tokens"] == 4
+    assert rows[2]["covered_tokens"] == 7
+    assert rows[3]["covered_tokens"] == 8
+    assert rows[10]["covered_tokens"] == 9
+    assert rows[10]["vocab_terms"] == 4  # vocab smaller than k
+    assert rows[2]["coverage"] == pytest.approx(7 / 9, abs=1e-6)
+    with pytest.raises(ValueError):
+        vocab_coverage(df, [])
