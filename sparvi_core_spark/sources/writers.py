@@ -94,3 +94,153 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+#
+# Sorting a table by one column gives file-level min/max skipping on
+# THAT column only. Interleaving the bits of several columns' bucket
+# ranks (the Morton / Z-order curve — public technique, used by Delta
+# OSS `OPTIMIZE ZORDER BY`) keeps every z-column's value range narrow
+# within each file, so a parquet reader's row-group/file pruning works
+# for predicates on ANY of them. At 100 TB the write is one stats pass
+# (quantile sketch, map-side combined) + one range shuffle — the same
+# cost as a global sort, paid once, and every later scan with a
+# selective predicate on a z column skips most files.
+
+
+def interleave_bits(bucket_cols: list, bits: int):
+    """Morton code: interleave ``bits`` low bits of each int column.
+    Column j contributes bit i to output position ``i * k + j``.
+    Requires ``bits * len(cols) <= 63`` (fits a signed long)."""
+    k = len(bucket_cols)
+    if k == 0:
+        raise ValueError("need at least one column")
+    if bits * k > 63:
+        raise ValueError(f"bits*cols = {bits * k} exceeds 63")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    mode: str = "quantile",
+) -> "F.Column":
+    """Z-order key over numeric columns.
+
+    Per-column bucket ranks come from ONE stats pass over ``df``:
+    ``mode="quantile"`` uses ``approx_percentile`` boundaries (robust
+    to skew — equal-population buckets), ``mode="uniform"`` uses
+    min/max with ``width_bucket``. Ranks are then bit-interleaved.
+    NULLs rank in bucket 0. Numeric columns only — cast dates and
+    timestamps to epoch numbers first.
+    """
+    n_buckets = 1 << bits
+    if mode == "quantile":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), qs).alias(c)
+                for c in cols
+            ]
+        ).first()
+        bucket_cols = []
+        for c in cols:
+            bnds = [b for b in (row[c] or []) if b is not None]
+            arr = F.array(*[F.lit(float(b)) for b in bnds])
+            v = F.col(c).cast("double")
+            # rank = number of boundaries <= v  (0 .. n_buckets-1)
+            rank = F.size(F.filter(arr, lambda b: b <= v))
+            bucket_cols.append(F.coalesce(rank, F.lit(0)))
+    elif mode == "uniform":
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        bucket_cols = []
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                bucket_cols.append(F.lit(0))
+                continue
+            wb = (
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(mn), F.lit(mx),
+                    F.lit(n_buckets),
+                )
+                - 1
+            )
+            # width_bucket returns n_buckets+1 for v == max; clamp
+            bucket_cols.append(
+                F.coalesce(
+                    F.least(wb, F.lit(n_buckets - 1)), F.lit(0)
+                )
+            )
+    else:
+        raise ValueError(f"mode must be 'quantile' or 'uniform', got {mode!r}")
+    return interleave_bits(bucket_cols, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 64,
+    bits: int = 8,
+    mode: str = "quantile",
+    write_mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as ``n_files`` files clustered on the Z-order
+    curve of ``zorder_cols``: one stats pass + one range shuffle
+    (``repartitionByRange`` samples the z-key to build balanced
+    ranges), rows sorted by z within each file so row-group stats are
+    tight too."""
+    z = zorder_key(df, zorder_cols, bits=bits, mode=mode)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(write_mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def zone_map(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max for ``cols`` — the zone map a skipping reader
+    (parquet footer pruning) effectively sees. One column-pruned scan."""
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.min(c).alias(f"min_{c}") for c in cols],
+            *[F.max(c).alias(f"max_{c}") for c in cols],
+        )
+    )
+
+
+def skipping_ratio(zmap: DataFrame, col: str, lo, hi) -> float:
+    """Fraction of files a ``col BETWEEN lo AND hi`` scan can skip
+    outright from the zone map (file range disjoint from the query
+    range). The quantitative evidence for a layout choice."""
+    total, skipped = (
+        zmap.agg(
+            F.count(F.lit(1)),
+            F.count_if(
+                (F.col(f"max_{col}") < F.lit(lo))
+                | (F.col(f"min_{col}") > F.lit(hi))
+            ),
+        ).first()
+    )
+    return (skipped / total) if total else 0.0

@@ -87,3 +87,106 @@ def test_training_shards_layout_and_determinism(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_shards"):
         write_training_shards(df, str(tmp_path / "bad"), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_bits_python_oracle(spark):
+    """Morton code vs a pure-Python bit-interleave oracle."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.sources.writers import interleave_bits
+
+    def py_morton(vals, bits):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (170, 85)]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = df.select(
+        "a", "b", interleave_bits([F.col("a"), F.col("b")], 8).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == py_morton([r.a, r.b], 8), (r.a, r.b)
+
+
+def test_interleave_bits_validates(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.sources.writers import interleave_bits
+
+    with _pytest.raises(ValueError, match="63"):
+        interleave_bits([F.col("a")] * 8, 8)
+    with _pytest.raises(ValueError, match="at least one"):
+        interleave_bits([], 8)
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """The layout claim, measured: a z-ordered table skips files for
+    selective predicates on EITHER dimension; a linearly-sorted table
+    only skips on its leading sort column."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.sources.writers import (
+        skipping_ratio,
+        write_zordered,
+        zone_map,
+    )
+
+    n = 50_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id", F.lit("x")), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit("y")), F.lit(1000)).alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=32, bits=8)
+    (
+        df.repartitionByRange(32, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    zx = skipping_ratio(zone_map(spark, zpath, ["x", "y"]), "x", 100, 120)
+    zy = skipping_ratio(zone_map(spark, zpath, ["x", "y"]), "y", 100, 120)
+    lx = skipping_ratio(zone_map(spark, lpath, ["x", "y"]), "x", 100, 120)
+    ly = skipping_ratio(zone_map(spark, lpath, ["x", "y"]), "y", 100, 120)
+
+    assert lx > 0.8          # linear layout: leading column skips well
+    assert ly < 0.2          # ...but the other dimension barely skips
+    assert zx > 0.4 and zy > 0.4   # z-order: BOTH dimensions skip
+    # and z-order must beat linear's non-leading dimension decisively
+    assert min(zx, zy) > ly + 0.3
+
+
+def test_zorder_uniform_mode_and_nulls(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, None, 5.0), (3, 9.0, None), (4, 4.0, 4.0)],
+        "id long, x double, y double",
+    )
+    p = str(tmp_path / "u")
+    write_zordered(df, p, ["x", "y"], n_files=2, bits=4, mode="uniform")
+    back = spark.read.parquet(p)
+    assert back.count() == 4
+    assert set(back.columns) == {"id", "x", "y"}  # __z dropped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        write_zordered(df, p, ["x"], mode="nope")
