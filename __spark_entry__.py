@@ -762,6 +762,35 @@ def q_token_counts(spark, sf_dir):
     return token_counts(t["documents"].filter(F.col("doc_id") < 100))
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Bounded edit-distance self-join via symmetric-delete blocking
+    (operators/fuzzy.py). The oracle is the ALL-PAIRS levenshtein
+    join, so parity proves the deletion-key blocking is lossless
+    (complete candidate generation) as well as false-positive-free
+    (the verify step) — the fuzzy analog of `simhash_near`'s
+    blocking-losslessness proof."""
+    from sparvi_core_spark.operators.fuzzy import fuzzy_self_pairs
+
+    t = _views(spark, sf_dir)
+    return fuzzy_self_pairs(
+        t["customer"], id_col="c_custkey", text_col="c_name", max_edits=1
+    )
+
+
+def q_latest_events(spark, sf_dir):
+    """CDC-style compaction: newest event per user in ONE map-side-
+    combined `max_by(struct(...), struct(order, tie))` aggregation —
+    no window sort of raw partitions (operators/ingest.py). Oracle:
+    DuckDB QUALIFY row_number() = 1."""
+    from sparvi_core_spark.operators.ingest import latest_by_key
+
+    t = _views(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_id", "event_type", "value", "ts")
+    return latest_by_key(ev, ["user_id"], "ts", tie_col="event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     from sparvi_core_spark.functions.text import fingerprints
 
@@ -855,6 +884,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     contract is pinned at 50 oracle-checked queries (capabilities beyond
     these — F.mode, set ops, HLL approx-distinct — remain pytest-covered;
     see tests/test_profiler.py and tests/test_queries.py).
+
+    Round-4 swaps (operators keep identical oracle coverage as local
+    pairs in tests/test_oracle_parity.py, the round-3 `top_terms`
+    precedent): `simhash` → `fuzzy_name_pairs` (signature arithmetic
+    stays driver-checked via `simhash_near`, whose oracle recomputes
+    signatures from scratch), `token_counts` → `latest_events`.
     """
     return {
         "row_count": q_row_count,
@@ -895,7 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-        "simhash": q_simhash,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "simhash_near": q_simhash_near,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_bucketed": q_embedding_topk_bucketed,
@@ -904,7 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
+        "latest_events": q_latest_events,
         "fingerprints": q_fingerprints,
         "bm25_search": q_bm25_search,
     }
@@ -1401,29 +1436,11 @@ SELECT id_a, id_b,
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5"""
 
-    o["simhash"] = """
-WITH toks AS (
-    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
-    FROM documents WHERE doc_id < 50
-),
-hashed AS (
-    SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''
-),
-bits AS (
-    SELECT id, b.bit,
-           ((strpos('0123456789abcdef', substr(h, 16 - (b.bit // 4), 1)) - 1)
-            // CAST(pow(2, b.bit % 4) AS INT)) % 2 AS bitval
-    FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
-),
-sums AS (
-    SELECT id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS s
-    FROM bits GROUP BY id, bit
-)
-SELECT id, CAST(SUM(CASE WHEN s > 0 THEN
-           CASE WHEN bit = 63 THEN -9223372036854775808
-                ELSE CAST(pow(2, bit) AS BIGINT) END
-           ELSE 0 END) AS BIGINT) AS simhash
-FROM sums GROUP BY id"""
+    o["fuzzy_name_pairs"] = """
+SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+       CAST(levenshtein(x.c_name, y.c_name) AS INT) AS edit_distance
+FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+WHERE levenshtein(x.c_name, y.c_name) <= 1"""
 
     o["simhash_near"] = """
 WITH toks AS (
@@ -1560,11 +1577,10 @@ SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
              + 0.3 * (1 - punct * 1.0 / GREATEST(LENGTH(text), 1)), 4) AS quality_score
 FROM base"""
 
-    o["token_counts"] = """
-SELECT doc_id AS id,
-       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
-FROM documents WHERE doc_id < 100"""
+    o["latest_events"] = """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
 
     o["fingerprints"] = f"""
 WITH sh AS (

@@ -1394,3 +1394,53 @@ def test_local_vocab_coverage_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("vocab_coverage", spark_pdf, duck_pdf)
+
+
+def test_local_simhash_parity(spark, duck):
+    """64-bit SimHash signatures — left the 50-query pin for
+    `fuzzy_name_pairs` (round 4); identical oracle coverage lives on
+    here (same SQL the driver ran in rounds 1-4; the pinned
+    `simhash_near` oracle also recomputes signatures from scratch)."""
+    spark_pdf = entrymod.q_simhash(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 50
+        ),
+        hashed AS (
+            SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT id, b.bit,
+                   ((strpos('0123456789abcdef', substr(h, 16 - (b.bit // 4), 1)) - 1)
+                    // CAST(pow(2, b.bit % 4) AS INT)) % 2 AS bitval
+            FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
+        ),
+        sums AS (
+            SELECT id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS s
+            FROM bits GROUP BY id, bit
+        )
+        SELECT id, CAST(SUM(CASE WHEN s > 0 THEN
+                   CASE WHEN bit = 63 THEN -9223372036854775808
+                        ELSE CAST(pow(2, bit) AS BIGINT) END
+                   ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY id
+        """
+    ).df()
+    _assert_frames_match("simhash", spark_pdf, duck_pdf)
+
+
+def test_local_token_counts_parity(spark, duck):
+    """Whitespace + BPE-ish token counts — left the 50-query pin for
+    `latest_events` (round 4); same oracle SQL as rounds 1-3."""
+    spark_pdf = entrymod.q_token_counts(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(
+        r"""
+        SELECT doc_id AS id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        FROM documents WHERE doc_id < 100
+        """
+    ).df()
+    _assert_frames_match("token_counts", spark_pdf, duck_pdf)
