@@ -2,6 +2,8 @@
 engine ships, composed in the order a production run uses them.
 
     raw docs
+      → recrawl compaction              (latest fetch per URL)
+      → per-host supply cap             (no megahost dominates)
       → boilerplate line removal        (corpus-level line dedup)
       → duplicated-span screen          (exact substring dedup)
       → quality filter + repetition     (prepare_corpus: Gopher gates)
@@ -14,6 +16,7 @@ engine ships, composed in the order a production run uses them.
       → corpus stats                    (certified-exact heavy hitters)
       → domain mixture                  (temperature-scaled budgets)
       → sequence packing                (chunked, budget windows)
+      → BPE vocab + encode stats        (tokenizer induction)
 
 Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
 Prints one JSON report of per-stage attrition.
@@ -52,6 +55,37 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     report["raw_docs"] = docs.count()
+
+    # 0. recrawl compaction: a real crawl feed carries URLs and
+    #    re-fetches; simulate both (URL from source+id, a 10% refetch
+    #    batch), keep the newest fetch per URL in ONE aggregation
+    from sparvi_core_spark.functions.web import cap_per_host
+    from sparvi_core_spark.operators.ingest import latest_by_key
+
+    with_url = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 (F.col("doc_id") % 1000).cast("string")),
+    ).withColumn("fetched_at", F.lit(1))
+    refetch = with_url.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "fetched_at", F.lit(2)
+    )
+    compacted = latest_by_key(
+        with_url.unionByName(refetch), ["url"], "fetched_at",
+        tie_col="doc_id",
+    )
+    report["after_recrawl_compaction"] = compacted.count()
+
+    # 0b. per-host supply cap: no single host contributes more than
+    #     max_docs documents (unbiased hash draw; two-phase plan means
+    #     no task sorts a megahost)
+    docs = (
+        cap_per_host(compacted, max_docs=400, order="hash")
+        .drop("url", "fetched_at")
+        .localCheckpoint()
+    )
+    report["after_host_cap"] = docs.count()
 
     # 1. corpus-level boilerplate lines (row-count invariant).
     #    Each stage's output feeds several downstream consumers — cut
@@ -178,6 +212,22 @@ def main() -> None:
     #    group's last is exactly full)
     packed = pack_chunked(mixed, budget=2048, sep_tokens=1, num_groups=2)
     report["packing"] = packing_stats(packed, budget=2048).first().asDict()
+
+    # 9. tokenizer induction on the final train mix: BPE merges from
+    #    distributed word counts, then encode to measure the
+    #    tokens-per-word compression the learned vocab achieves
+    from sparvi_core_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(mixed, num_merges=200)
+    enc = bpe_encode(mixed, merges).agg(
+        F.sum("n_tokens").alias("bpe_tokens")
+    ).first()
+    ws_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
+    report["bpe"] = {
+        "merges": len(merges),
+        "bpe_tokens": int(enc["bpe_tokens"]),
+        "bpe_tokens_per_word": round(enc["bpe_tokens"] / ws_tokens, 3),
+    }
 
     print(json.dumps(report, default=str))
 
