@@ -46,6 +46,11 @@ def latest_by_key(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     payload = [c for c in df.columns if c not in key_cols]
+    if not payload:
+        raise ValueError(
+            "df needs at least one non-key column (the order column "
+            "itself must not be a key)"
+        )
     order = (
         F.struct(F.col(order_col), F.col(tie_col))
         if tie_col is not None

@@ -110,3 +110,13 @@ def test_dedup_latest_fetch(spark):
     )
     out = dedup_latest_fetch(df).toPandas().sort_values("url")
     assert out["text"].tolist() == ["v2", "w1"]
+
+
+def test_latest_by_key_requires_payload(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("k", 1)], ["key", "v"])
+    with _pytest.raises(ValueError, match="non-key"):
+        latest_by_key(df, ["key", "v"], "v")
+    with _pytest.raises(ValueError, match="non-empty"):
+        latest_by_key(df, [], "v")
