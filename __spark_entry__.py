@@ -882,8 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-1 CORRECTNESS recorded only the first 50 dict entries, so the
     contract is pinned at 50 oracle-checked queries (capabilities beyond
-    these — F.mode, set ops, HLL approx-distinct — remain pytest-covered;
-    see tests/test_profiler.py and tests/test_queries.py).
+    these — F.mode, set ops, HLL approx-distinct — keep local-only oracle
+    pairs in tests/test_oracle_parity.py, which has no query-count cap).
 
     Round-4 swaps (operators keep identical oracle coverage as local
     pairs in tests/test_oracle_parity.py, the round-3 `top_terms`
