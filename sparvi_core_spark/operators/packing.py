@@ -251,3 +251,68 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             "overflow_packs"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style chunking: split each document into overlapping
+    whitespace-token windows → ``(id, chunk_id, chunk_text,
+    n_tokens)``.
+
+    Windows start every ``stride = chunk_tokens - overlap_tokens``
+    tokens; the final window may be shorter but every token is covered
+    and consecutive chunks share exactly ``overlap_tokens`` tokens
+    (except before a short tail). Empty/whitespace-only documents
+    produce no chunks.
+
+    Scale shape: MAP-ONLY — split + ``sequence`` + ``posexplode`` +
+    ``slice``/``concat_ws``, all inside whole-stage codegen, no
+    shuffle at all; fan-out per document is ``~n/stride`` rows. This
+    is the embedding-pipeline front end: chunk → embed (vectorized
+    UDF) → index (`operators.similarity`), and the chunker is never
+    the bottleneck.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.size(toks)
+    # chunks needed to cover n tokens with the final window possibly
+    # short: 1 + ceil(max(0, n - chunk) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    with_toks = df.filter(F.trim(text_col) != "").select(
+        F.col(id_col).alias("id"), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        with_toks.select(
+            "id",
+            "__toks",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).alias("n_tokens"),
+        )
+    )

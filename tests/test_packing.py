@@ -146,3 +146,113 @@ def test_greedy_only_ids_ride_the_python_channel(docs):
     assert set(packed.columns) == {"id", "tokens", "pack_group", "pack_id"}
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("FlatMapGroupsInPandas")[0].split("Exchange")[-1]
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from sparvi_core_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = (
+        chunk_documents(df, chunk_tokens=10, overlap_tokens=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stride 7: starts at 0,7,14 cover tokens up to 24 → 1+ceil(15/7)=4
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert out[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    assert out[1].chunk_text.split() == [f"w{i}" for i in range(7, 17)]
+    # consecutive chunks share exactly overlap_tokens tokens
+    assert out[0].chunk_text.split()[-3:] == out[1].chunk_text.split()[:3]
+    # full coverage, short tail allowed
+    assert out[-1].chunk_text.split()[-1] == "w24"
+    assert out[-1].n_tokens == 25 - 3 * 7
+    assert all(r.n_tokens <= 10 for r in out)
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from sparvi_core_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, "single")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap_tokens=3).collect()
+    got = {r.id: r for r in out}
+    assert set(got) == {1, 4}  # empty/blank docs → no chunks
+    assert got[1].chunk_text == "a b c" and got[1].n_tokens == 3
+    assert got[4].chunk_id == 0
+
+
+def test_chunk_documents_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from sparvi_core_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        chunk_documents(docs, chunk_tokens=20, overlap_tokens=5)
+        .toPandas()
+        .sort_values(["id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE trim(text) <> ''
+        ),
+        n AS (
+          SELECT id, toks, len(toks) AS n,
+                 1 + CAST(ceil(greatest(len(toks) - 20, 0) / 15.0) AS INT)
+                   AS nc
+          FROM t
+        ),
+        c AS (
+          SELECT id, unnest(range(0, nc)) AS chunk_id, toks FROM n
+        )
+        SELECT id, chunk_id,
+               array_to_string(toks[chunk_id*15 + 1 : chunk_id*15 + 20], ' ')
+                 AS chunk_text,
+               CAST(len(toks[chunk_id*15 + 1 : chunk_id*15 + 20]) AS INT)
+                 AS n_tokens
+        FROM c ORDER BY id, chunk_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_chunk_documents_validates(spark):
+    import pytest as _pytest
+
+    from sparvi_core_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap_tokens=10)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from sparvi_core_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(df, chunk_tokens=3, overlap_tokens=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only
