@@ -111,3 +111,41 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
     )
     return merged
+
+
+def profile_stream_batches(
+    stream_df: DataFrame,
+    path: str,
+    cols: list[str] | None = None,
+    lg_k: int = 12,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming front end for the mergeable-profile store: every
+    micro-batch reduces to its ``partition_profile`` rows (one small
+    agg over JUST the new data) appended to a parquet summary table.
+    ``merge_profiles(spark.read.parquet(path))`` then answers
+    corpus-since-forever questions — the stream is profiled
+    continuously without any reprocessing, and the summary table grows
+    by O(columns) per micro-batch.
+
+    Returns the started ``StreamingQuery`` (``available_now=True``
+    drains the current source and stops — the test/batch-catchup
+    trigger; pass False for a continuous run).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            partition_profile(batch_df, cols, lg_k, batch_id=str(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

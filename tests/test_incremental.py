@@ -125,3 +125,48 @@ def test_non_numeric_columns_have_null_numeric_stats(spark, orders):
 def test_summary_is_tiny(spark, orders):
     parts = partition_profile(orders)
     assert parts.count() == len(orders.columns)  # one row per column
+
+
+def test_stream_profiles_merge_to_batch_equivalent(spark, tmp_path):
+    """Micro-batch profiles written by the stream merge to the same
+    stats as batch partition profiles over the same data (counts and
+    min/max exact; one micro-batch here, so even the sketch agrees)."""
+    from sparvi_core_spark.profiler.incremental import profile_stream_batches
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+
+    src = f"{SF_DIR}/events.parquet"
+    store = str(tmp_path / "profiles")
+    stream = stream_events(spark, src)
+    q = profile_stream_batches(
+        stream,
+        store,
+        cols=["user_id", "value"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = _merged_dict(merge_profiles(spark.read.parquet(store)))
+    ev = spark.read.parquet(src)
+    direct = ev.agg(
+        F.count(F.lit(1)),
+        F.min(F.col("value").cast("double")),
+        F.max(F.col("value").cast("double")),
+        F.avg("value"),
+    ).first()
+    assert got["value"]["n_rows"] == direct[0]
+    assert got["value"]["min"] == direct[1]
+    assert got["value"]["max"] == direct[2]
+    assert got["value"]["mean"] == pytest.approx(direct[3], rel=1e-9)
+    assert got["user_id"]["n_rows"] == direct[0]
+
+    # restarting the SAME source against the same checkpoint adds
+    # nothing (exactly-once summary rows)
+    q2 = profile_stream_batches(
+        stream,
+        store,
+        cols=["user_id", "value"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    again = _merged_dict(merge_profiles(spark.read.parquet(store)))
+    assert again["value"]["n_rows"] == direct[0]
