@@ -21,6 +21,18 @@ hostile corpora:
   ``Window.partitionBy(domain)`` cumulative sum. The two-phase plan
   (bucket pre-agg + boundary-bucket window) is measured against the
   exact single-window plan on identical data, with identical output.
+- ``fuzzy``: one name mass-duplicated — every copy shares every
+  deletion variant, so the uncapped variant join fans out as
+  keys × copies² while ``max_bucket`` drops the degenerate variants
+  (identical copies are exact duplicates; exact dedup owns them).
+- ``host_cap``: one megahost owning half of all documents — the
+  window plan (default) against the bucketed spill-regime plan,
+  identical kept set asserted. Honest outcome: at THIS scale the
+  window plan wins on wall clock (a 4M-row in-memory sort is cheap);
+  the bucketed plan's value is shuffle volume + straggler/spill
+  avoidance when a megagroup exceeds one reducer's memory — which a
+  local bench cannot exhibit, so the entry records the local
+  overhead rather than hiding it.
 
 Prints ONE JSON line: {"metric": ..., "entries": {name: sec|rows, ...}}.
 Run: ``python stress_bench.py`` (env: SPARK_GRAFT_CPUS).
@@ -170,6 +182,63 @@ def main() -> None:
     )
     assert entries["mix_exact_rows"] == entries["mix_bucketed_rows"], (
         "two-phase mixture must select the identical set"
+    )
+
+    # --- fuzzy matching: one mass-duplicated name. 2k identical
+    # 19-char strings share ~20 deletion keys → uncapped candidate
+    # fan-out is keys × copies²/2 (~40M before distinct); capped, the
+    # hot variants drop out and only the near-unique tail pairs up
+    from sparvi_core_spark.operators.fuzzy import fuzzy_self_pairs
+
+    n_fdup, n_funiq = 2_000, 5_000
+    fdup = spark.range(n_fdup).select(
+        F.col("id").alias("doc_id"), F.lit("Customer#000000001").alias("text")
+    )
+    funiq = spark.range(n_funiq).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("Customer#"),
+            F.lpad((F.col("id") + 10_000).cast("string"), 9, "0"),
+        ).alias("text"),
+    )
+    fuzzy_corpus = fdup.unionByName(funiq).localCheckpoint()
+    entries["fuzzy_capped_pairs"] = bench(
+        "fuzzy_capped_sec",
+        lambda: fuzzy_self_pairs(
+            fuzzy_corpus, max_edits=1, max_bucket=500
+        ).count(),
+    )
+    entries["fuzzy_uncapped_pairs"] = bench(
+        "fuzzy_uncapped_sec",
+        lambda: fuzzy_self_pairs(fuzzy_corpus, max_edits=1).count(),
+    )
+
+    # --- megahost document cap: 8M docs, half on one host
+    from sparvi_core_spark.functions.web import cap_per_group
+
+    n_cdocs = 8_000_000
+    hosts = F.when(F.col("id") % 2 == 0, F.lit("megahost.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("id") % 40_000).cast("string"))
+    )
+    cap_corpus = (
+        spark.range(n_cdocs)
+        .select(F.col("id").alias("doc_id"), hosts.alias("host"))
+        .localCheckpoint()
+    )
+    entries["host_cap_window_rows"] = bench(
+        "host_cap_window_sec",
+        lambda: cap_per_group(
+            cap_corpus, "host", 100, order="hash", plan="window"
+        ).count(),
+    )
+    entries["host_cap_bucketed_rows"] = bench(
+        "host_cap_bucketed_sec",
+        lambda: cap_per_group(
+            cap_corpus, "host", 100, order="hash", plan="bucketed"
+        ).count(),
+    )
+    assert entries["host_cap_window_rows"] == entries["host_cap_bucketed_rows"], (
+        "the two cap plans must keep the identical set"
     )
 
     print(

@@ -108,8 +108,8 @@ def skewed_df(spark):
 
 def test_two_phase_equals_single_window(skewed_df):
     df = skewed_df.withColumn("host", url_host("url"))
-    fast = cap_per_group(df, "host", 50, order="hash").toPandas()
-    slow = cap_per_group(df, "host", 50, order="hash", exact=True).toPandas()
+    fast = cap_per_group(df, "host", 50, order="hash", plan="bucketed").toPandas()
+    slow = cap_per_group(df, "host", 50, order="hash", plan="window").toPandas()
     assert sorted(fast["doc_id"]) == sorted(slow["doc_id"])
     per_host = fast.groupby("host").size()
     assert per_host.max() <= 50
@@ -157,3 +157,26 @@ def test_cap_determinism_and_salt(skewed_df):
     c = sorted(cap_per_host(skewed_df, 30, salt="other").toPandas()["doc_id"])
     assert a == b  # deterministic
     assert a != c  # salt changes the kept subset
+
+
+def test_bucketed_plan_shape(spark, skewed_df):
+    """The spill-regime plan must broadcast its tiny per-group tables
+    (no SortMergeJoin shuffling the corpus) and return the input
+    untouched when no group exceeds the cap."""
+    df = skewed_df.withColumn("host", url_host("url"))
+    out = cap_per_group(df, "host", 50, order="hash", plan="bucketed")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # cap above every host's count → input passes through unchanged
+    nocap = cap_per_group(df, "host", 10_000, order="hash", plan="bucketed")
+    assert nocap is df
+
+
+def test_plan_validation(spark, skewed_df):
+    df = skewed_df.withColumn("host", url_host("url"))
+    with pytest.raises(ValueError, match="plan"):
+        cap_per_group(df, "host", 5, plan="nope")
+    with pytest.raises(ValueError, match="hash"):
+        cap_per_group(df, "host", 5, order="id", plan="bucketed")
