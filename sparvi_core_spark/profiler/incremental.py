@@ -28,11 +28,36 @@ fine for profile display, not for metrology). Null-only batches keep
 NULL aggregates and merge cleanly.
 
 Stats carried per column: ``n_rows``, ``n_nulls``, ``distinct_sketch``
-(binary), and for numeric columns ``min/max/sum/sum_sq`` (doubles).
+(binary), ``quantile_sketch`` (Datasketches KLL, numeric columns only),
+and for numeric columns ``min/max/sum/sum_sq`` (doubles).
 Non-numeric columns carry NULL numeric stats; min/max of strings/dates
 ride separately as ``min_str``/``max_str`` (ISO-stringified, so the
 summary schema is column-type-independent and batches with drifting
 schemas still union).
+
+Quantiles are the other classically non-mergeable statistic (the
+reference computes exact ``percentile_cont`` quartiles per scan,
+profile_engine.py:340-358); they ride here as a KLL sketch
+(``kll_sketch_agg_double``, Spark >= 4.0): mergeable, bounded size
+(~<1 KB at k=200), and with a PROVEN rank-error bound (~1.65% at the
+default k — Karnin-Lang-Liberty, FOCS'16) rather than a heuristic one.
+``merge_profiles`` folds the batch sketches with
+``kll_sketch_merge_double`` and reports p25/p50/p75; rank error adds
+across merges only logarithmically (the bound holds for any merge
+tree). Older summary stores written before this column existed still
+merge — the sketch columns are simply absent from the output.
+
+``theta_summary`` / ``theta_overlap`` extend the same
+profile-once-merge-later contract to SET questions between corpus
+versions or ingest batches ("how many ids/doc-fingerprints are shared /
+new / retired?"): theta sketches (``theta_sketch_agg``) support not
+just union but INTERSECTION and DIFFERENCE estimates, which HLL cannot
+(inclusion-exclusion on HLL unions loses error control). Below ~4k
+distincts a theta sketch is in exact mode, so small-table tests pin
+exact equality; at scale the estimate carries the published theta error
+bounds. ``operators.mixing.corpus_diff`` answers the same question
+exactly with a full shuffle of both sides; this is the
+O(sketch-size) route when both sides are already profiled.
 """
 
 from __future__ import annotations
@@ -47,11 +72,13 @@ def partition_profile(
     cols: list[str] | None = None,
     lg_k: int = 12,
     batch_id: str = "",
+    kll_k: int = 200,
 ) -> DataFrame:
     """One summary row per column for ONE batch: long format
-    ``(batch_id, column, n_rows, n_nulls, distinct_sketch, min_str,
-    max_str, min, max, sum, sum_sq)``. One map-side-combined
-    aggregation over the batch; output size is O(columns)."""
+    ``(batch_id, column, n_rows, n_nulls, distinct_sketch,
+    quantile_sketch, min_str, max_str, min, max, sum, sum_sq)``. One
+    map-side-combined aggregation over the batch; output size is
+    O(columns)."""
     cols = cols or df.columns
     numeric = set(bucket_columns(df.schema).numeric)
 
@@ -67,6 +94,7 @@ def partition_profile(
                 F.hll_sketch_agg(v.cast("string"), lg_k).alias(
                     "distinct_sketch"
                 ),
+                F.kll_sketch_agg_double(d, kll_k).alias("quantile_sketch"),
                 F.min(v.cast("string")).alias("min_str"),
                 F.max(v.cast("string")).alias("max_str"),
                 F.min(d).alias("min"),
@@ -82,11 +110,20 @@ def partition_profile(
     return stacked.select(F.lit(batch_id).alias("batch_id"), "p.*")
 
 
-def merge_profiles(parts: DataFrame) -> DataFrame:
+def merge_profiles(parts: DataFrame, quantiles: list[float] | None = None) -> DataFrame:
     """Combine summary rows (any number of batches) into corpus-wide
     per-column stats: exact counts/min/max/mean/stddev plus the HLL
-    ``approx_distinct``. Input size is batches × columns — trivially
-    small next to the data; this never touches the corpus."""
+    ``approx_distinct`` and (when the store carries ``quantile_sketch``)
+    KLL-approximate ``p25/p50/p75`` — or any requested ``quantiles``,
+    emitted as ``p{100q:g}`` columns. Input size is batches × columns —
+    trivially small next to the data; this never touches the corpus.
+
+    Sketch folding: ``kll_sketch_merge_double`` is a pairwise scalar
+    function, so the batch sketches fold through ``reduce`` over a
+    ``collect_list`` — sound because the input is the SUMMARY table
+    (O(batches) tiny binaries per column), never corpus rows, and KLL
+    merge is associative with the error bound independent of the merge
+    tree shape."""
     n = F.sum("n_rows")
     nn = F.sum("n_nulls")
     s = F.sum("sum")
@@ -97,7 +134,7 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
     var = F.when(
         n_vals > 1, (ss - s * s / n_vals) / (n_vals - 1)
     )
-    merged = parts.groupBy("column").agg(
+    aggs = [
         n.alias("n_rows"),
         nn.alias("n_nulls"),
         F.hll_sketch_estimate(
@@ -109,8 +146,132 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
         F.max("max").alias("max"),
         mean.alias("mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
+    ]
+    if "quantile_sketch" in parts.columns:
+        aggs.append(
+            F.collect_list("quantile_sketch").alias("__qsketches")
+        )
+    merged = parts.groupBy("column").agg(*aggs)
+    if "quantile_sketch" not in parts.columns:
+        return merged
+    arr = F.col("__qsketches")
+    folded = F.when(
+        F.size(arr) > 0,
+        F.reduce(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ),
     )
-    return merged
+    merged = merged.withColumn("__qmerged", folded).drop("__qsketches")
+    qcols = [
+        F.when(
+            F.kll_sketch_get_n_double(F.col("__qmerged")) > 0,
+            F.kll_sketch_get_quantile_double(F.col("__qmerged"), F.lit(q)),
+        ).alias(f"p{100 * q:g}")
+        for q in (quantiles or [0.25, 0.5, 0.75])
+    ]
+    return merged.select("*", *qcols).drop("__qmerged")
+
+
+def theta_summary(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    lg_k: int = 12,
+    batch_id: str = "",
+) -> DataFrame:
+    """Per-column theta sketch of the DISTINCT value set of one batch /
+    corpus version: long format ``(batch_id, column, theta_sketch)``.
+    One aggregation pass; output is O(columns × sketch size).
+
+    Store these alongside the :func:`partition_profile` rows: unlike
+    the HLL distinct sketch, theta sketches later support intersection
+    and difference estimates (:func:`theta_overlap`), i.e. "how much of
+    version B's key set is new vs version A" without rescanning either
+    version. Values are sketched as strings (same canonicalization as
+    the HLL column) so any column type participates."""
+    cols = cols or df.columns
+    per_col = [
+        F.theta_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"__t_{c}")
+        for c in cols
+    ]
+    row = df.agg(*per_col)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__t_{c}").alias("theta_sketch"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select(F.lit(batch_id).alias("batch_id"), "p.*")
+
+
+def theta_overlap(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set-relationship estimates between two :func:`theta_summary`
+    frames (same columns; each may span many batch rows — batches are
+    first union-folded per side): per column, estimated distinct counts
+    ``n_a``, ``n_b``, ``n_union``, ``n_intersection``, ``n_only_a``
+    (A∖B), ``n_only_b`` (B∖A), and ``jaccard``.
+
+    All arithmetic happens on the SKETCHES (theta supports proper
+    intersection/difference with error bounds — the reason this column
+    exists next to the HLL one); nothing rescans data. Below the
+    sketch's nominal-entries threshold (2^lg_k) every estimate is
+    exact. Exact-counterpart oracle: ``operators.mixing.corpus_diff``
+    (full-shuffle route over the raw tables)."""
+
+    def _fold(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("column").agg(
+            F.theta_union_agg(F.col("theta_sketch")).alias(out)
+        )
+
+    fa = _fold(a, "__sa")
+    fb = _fold(b, "__sb")
+    j = fa.join(fb, "column", "inner")
+    # intersection of exactly the two per-side sketches: stack the two
+    # sketch columns and run the intersection aggregate per column
+    stacked = j.select(
+        "column",
+        F.explode(F.array(F.col("__sa"), F.col("__sb"))).alias("__s"),
+    )
+    inter = stacked.groupBy("column").agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg(F.col("__s"))
+        ).alias("n_intersection")
+    )
+    est = j.select(
+        "column",
+        F.theta_sketch_estimate(F.col("__sa")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("__sb")).alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("__sa"), F.col("__sb"))
+        ).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("__sa"), F.col("__sb"))
+        ).alias("n_only_a"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("__sb"), F.col("__sa"))
+        ).alias("n_only_b"),
+    )
+    out = est.join(inter, "column", "inner")
+    return out.select(
+        "column",
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersection",
+        "n_only_a",
+        "n_only_b",
+        F.when(
+            F.col("n_union") > 0, F.col("n_intersection") / F.col("n_union")
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
 
 
 def profile_stream_batches(

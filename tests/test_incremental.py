@@ -170,3 +170,134 @@ def test_stream_profiles_merge_to_batch_equivalent(spark, tmp_path):
     q2.awaitTermination()
     again = _merged_dict(merge_profiles(spark.read.parquet(store)))
     assert again["value"]["n_rows"] == direct[0]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantiles (KLL) and set-overlap (theta) sketches
+# ---------------------------------------------------------------------------
+
+
+def _empirical_rank(df, col, value):
+    n = df.count()
+    return df.filter(F.col(col).cast("double") <= value).count() / n
+
+
+def test_merged_quantiles_within_rank_tolerance(spark, orders):
+    """Quartiles from a 3-batch KLL merge must sit within the sketch's
+    normalized rank error of the true rank. k=200 gives ~1.65% single
+    sketch; one merge level stays under 3%."""
+    cols = ["o_totalprice"]
+    batches = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    parts = partition_profile(batches[0], cols, batch_id="b0")
+    for i, b in enumerate(batches[1:], 1):
+        parts = parts.unionByName(partition_profile(b, cols, batch_id=f"b{i}"))
+    got = _merged_dict(merge_profiles(parts))["o_totalprice"]
+    for q, key in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+        rank = _empirical_rank(orders, "o_totalprice", got[key])
+        assert abs(rank - q) < 0.03, (key, got[key], rank)
+
+
+def test_merged_quantiles_respect_requested_list(spark, orders):
+    got = _merged_dict(
+        merge_profiles(
+            partition_profile(orders, ["o_totalprice"]), quantiles=[0.1, 0.9]
+        )
+    )["o_totalprice"]
+    assert "p10" in got and "p90" in got and "p50" not in got
+    assert got["p10"] < got["p90"]
+
+
+def test_old_store_without_quantile_sketch_still_merges(spark, orders):
+    """Summary stores written before the KLL column existed keep
+    merging — no p* columns, every other stat intact."""
+    parts = partition_profile(orders, ["o_totalprice"]).drop(
+        "quantile_sketch"
+    )
+    got = _merged_dict(merge_profiles(parts))["o_totalprice"]
+    assert "p50" not in got
+    assert got["n_rows"] == orders.count()
+
+
+def test_non_numeric_columns_have_null_quantiles(spark, orders):
+    got = _merged_dict(
+        merge_profiles(partition_profile(orders, ["o_orderstatus"]))
+    )["o_orderstatus"]
+    assert got["p25"] is None and got["p50"] is None and got["p75"] is None
+
+
+def test_theta_overlap_exact_below_nominal_entries(spark, orders):
+    """Below 2^lg_k distincts a theta sketch is in exact mode: the
+    overlap report must EQUAL the exact set arithmetic."""
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap,
+        theta_summary,
+    )
+
+    da = orders.filter(F.col("o_orderkey") % 2 == 0)
+    db = orders.filter(F.col("o_orderkey") % 3 == 0)
+    rep = {
+        r["column"]: r.asDict()
+        for r in theta_overlap(
+            theta_summary(da, ["o_custkey"], batch_id="a"),
+            theta_summary(db, ["o_custkey"], batch_id="b"),
+        ).collect()
+    }["o_custkey"]
+    ea = da.select("o_custkey").distinct()
+    eb = db.select("o_custkey").distinct()
+    n_a, n_b = ea.count(), eb.count()
+    n_i = ea.intersect(eb).count()
+    n_u = ea.union(eb).distinct().count()
+    assert round(rep["n_a"]) == n_a and round(rep["n_b"]) == n_b
+    assert round(rep["n_intersection"]) == n_i
+    assert round(rep["n_union"]) == n_u
+    assert round(rep["n_only_a"]) == n_a - n_i
+    assert round(rep["n_only_b"]) == n_b - n_i
+    assert rep["jaccard"] == pytest.approx(n_i / n_u)
+
+
+def test_theta_overlap_folds_batches_per_side(spark, orders):
+    """Each side may arrive as MANY batch rows (one per ingest); the
+    overlap folds them with theta_union_agg before comparing."""
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap,
+        theta_summary,
+    )
+
+    da = orders.filter(F.col("o_orderkey") % 2 == 0)
+    a_parts = theta_summary(
+        da.filter(F.col("o_orderkey") % 4 == 0), ["o_custkey"], batch_id="a0"
+    ).unionByName(
+        theta_summary(
+            da.filter(F.col("o_orderkey") % 4 == 2),
+            ["o_custkey"],
+            batch_id="a1",
+        )
+    )
+    whole = theta_summary(da, ["o_custkey"], batch_id="a")
+    rep = {
+        r["column"]: r.asDict()
+        for r in theta_overlap(a_parts, whole).collect()
+    }["o_custkey"]
+    # batched side == whole side → perfect overlap
+    assert round(rep["n_only_a"]) == 0 and round(rep["n_only_b"]) == 0
+    assert rep["jaccard"] == pytest.approx(1.0)
+
+
+def test_theta_overlap_disjoint_sets(spark):
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap,
+        theta_summary,
+    )
+
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    b = spark.range(100, 250).withColumnRenamed("id", "k")
+    rep = {
+        r["column"]: r.asDict()
+        for r in theta_overlap(
+            theta_summary(a, ["k"], batch_id="a"),
+            theta_summary(b, ["k"], batch_id="b"),
+        ).collect()
+    }["k"]
+    assert round(rep["n_intersection"]) == 0
+    assert round(rep["n_union"]) == 250
+    assert rep["jaccard"] == 0.0
