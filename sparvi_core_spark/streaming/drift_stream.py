@@ -1,0 +1,223 @@
+"""Streaming distribution-drift monitor: continuous PSI against a
+frozen baseline, with zero reprocessing.
+
+``functions.stats.psi_drift_report`` compares two SNAPSHOTS by
+rescanning both sides. On a live 100 TB ingest that shape re-reads
+ever-growing history every time someone asks "are we drifting?". This
+module makes drift MERGEABLE, the same contract as
+``profiler.incremental``:
+
+- ``fit_drift_baseline`` runs ONCE over the reference snapshot: per
+  numeric column, equi-height bin boundaries (reference quantiles, the
+  same right-closed rule as ``psi_drift_report``) and the reference
+  bin counts. Output is O(columns × bins) — a baseline you can store
+  next to the checkpoint and reuse across job restarts.
+- ``drift_stream_batches`` reduces each micro-batch to its binned
+  counts against those FIXED boundaries (map-only bin expression + a
+  tiny groupBy over just the new rows) and appends them to a parquet
+  summary store. The stream is never rescanned; the store grows by
+  O(columns × bins) per micro-batch.
+- ``drift_report`` answers PSI-per-column for ANY batch subset (all
+  history, last N batches, a backfill range) by SUMMING stored counts
+  — binned counts are exactly mergeable, so the reported PSI over a
+  union of micro-batches is identical to a from-scratch PSI over the
+  concatenated rows, not an approximation of it (pinned in
+  tests/test_drift_stream.py against ``psi_drift_report``).
+
+Boundary freezing is what makes this sound: PSI terms from different
+micro-batches are only addable when every batch was binned against the
+SAME boundaries. That is also the operationally right semantics for
+monitoring — the question is "does live traffic still look like the
+reference?", so the reference defines the bins, not the drifting
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def fit_drift_baseline(
+    ref: DataFrame,
+    columns: list[str] | None = None,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Freeze a drift baseline from a reference snapshot: one row per
+    (column, bin) with the bin's upper boundary list and the reference
+    count. Long format ``(column, bin, n_ref, bounds array<double>)``
+    — ``bounds`` is repeated per row so the frame is self-contained
+    (write it with ``.write.parquet`` and reload with
+    ``spark.read.parquet``; it is O(columns × bins)).
+
+    ``approx=True`` uses the GK sketch for the quantile pass — the
+    100 TB path; the binning itself is exact either way.
+    """
+    from pyspark.sql import types as T
+
+    if columns is None:
+        columns = [
+            f.name
+            for f in ref.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    if not columns:
+        return ref.sparkSession.createDataFrame(
+            [], "column string, bin int, n_ref bigint, bounds array<double>"
+        )
+    ps = [i / bins for i in range(1, bins)]
+
+    def qexpr(c: str):
+        e = (
+            F.percentile_approx(c, ps, accuracy)
+            if approx
+            else F.percentile(c, ps)
+        )
+        return e.alias(c)
+
+    brow = ref.agg(*[qexpr(c) for c in columns]).first()
+    bounds = {
+        c: [float(b) for b in brow[c]]
+        for c in columns
+        if brow[c] is not None
+    }
+    if not bounds:
+        return ref.sparkSession.createDataFrame(
+            [], "column string, bin int, n_ref bigint, bounds array<double>"
+        )
+    counts = _binned_counts(ref, bounds).withColumnRenamed("n", "n_ref")
+    blit = F.create_map(
+        *[
+            x
+            for c, bs in bounds.items()
+            for x in (F.lit(c), F.array(*[F.lit(b) for b in bs]))
+        ]
+    )
+    return counts.withColumn("bounds", blit[F.col("column")])
+
+
+def _bounds_map(baseline: DataFrame) -> dict[str, list[float]]:
+    return {
+        r["column"]: list(r["bounds"])
+        for r in baseline.select("column", "bounds").distinct().collect()
+    }
+
+
+def _binned_counts(
+    df: DataFrame, bounds: dict[str, list[float]]
+) -> DataFrame:
+    """(column, bin, n) for one frame against FIXED boundaries — the
+    same right-closed bin rule as ``psi_drift_report``; NULLs in a
+    column contribute nothing to that column."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            sum(
+                ((F.col(c) > F.lit(float(b))).cast("int") for b in bs),
+                F.lit(0),
+            ).alias("bin"),
+        )
+        for c, bs in bounds.items()
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("cb"))
+        .filter(F.col("cb.bin").isNotNull())
+        .groupBy(
+            F.col("cb.column").alias("column"), F.col("cb.bin").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_stream_batches(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Reduce every micro-batch to its binned counts against the
+    frozen ``baseline`` and append them to the parquet store at
+    ``path`` as ``(batch_id, column, bin, n)``.
+
+    The bin expression is map-side only; the per-batch groupBy touches
+    just the new rows. Returns the started ``StreamingQuery``
+    (``available_now=True`` drains the current source and stops — the
+    test/backfill trigger; pass False for a continuous run).
+    """
+    bounds = _bounds_map(baseline)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _binned_counts(batch_df, bounds)
+            .select(F.lit(int(batch_id)).alias("batch_id"), "column", "bin", "n")
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def drift_report(
+    spark: SparkSession,
+    path: str,
+    baseline: DataFrame,
+    min_batch_id: int | None = None,
+    max_batch_id: int | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-column PSI of the streamed traffic (optionally restricted to
+    a ``batch_id`` range) against the baseline: ``(column, psi, n_ref,
+    n_cur)``, same reading as ``psi_drift`` (< 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted).
+
+    Exact, not approximate: summing the stored per-batch bin counts
+    reproduces precisely the counts a single scan of those batches'
+    rows would produce, so this matches ``psi_drift_report`` run on
+    the concatenated data with the same boundaries. Cost is O(store
+    size) = O(batches × columns × bins); the raw stream is never
+    touched.
+    """
+    store = spark.read.parquet(path)
+    if min_batch_id is not None:
+        store = store.filter(F.col("batch_id") >= min_batch_id)
+    if max_batch_id is not None:
+        store = store.filter(F.col("batch_id") <= max_batch_id)
+    cur = store.groupBy("column", "bin").agg(F.sum("n").alias("n_cur"))
+    ref = baseline.select("column", "bin", "n_ref")
+    per_bin = ref.join(cur, ["column", "bin"], "full_outer").select(
+        "column",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = per_bin.groupBy("column").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    fr = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    fc = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return (
+        per_bin.join(tot, "column")
+        .filter(F.col("t_cur") > 0)
+        .select(
+            "column",
+            ((fc - fr) * F.log(fc / fr)).alias("term"),
+            "t_ref",
+            "t_cur",
+        )
+        .groupBy("column", "t_ref", "t_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "column",
+            "psi",
+            F.col("t_ref").alias("n_ref"),
+            F.col("t_cur").alias("n_cur"),
+        )
+    )

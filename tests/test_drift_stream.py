@@ -1,0 +1,120 @@
+"""Streaming drift monitor: merged micro-batch bin counts must
+reproduce EXACTLY the PSI a whole-data snapshot comparison computes
+(binned counts are mergeable, so this is equality, not tolerance), and
+the report must move in the right direction on shifted traffic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.functions.stats import psi_drift_report
+from sparvi_core_spark.streaming.drift_stream import (
+    drift_report,
+    drift_stream_batches,
+    fit_drift_baseline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _run_stream(spark, src_df, tmp_path, baseline, name, files=1):
+    """Write src_df as `files` parquet files and stream them through
+    drift_stream_batches one file per trigger (→ one batch_id each)."""
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+
+    src = str(tmp_path / f"src_{name}")
+    src_df.repartition(files).write.parquet(src)
+    store = str(tmp_path / f"store_{name}")
+    stream = stream_events(
+        spark, src, max_files_per_trigger=1 if files > 1 else None
+    )
+    q = drift_stream_batches(
+        stream, baseline, store, checkpoint=str(tmp_path / f"ckpt_{name}")
+    )
+    q.awaitTermination()
+    return store
+
+
+def test_streamed_psi_equals_snapshot_psi(spark, events, tmp_path):
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    baseline = fit_drift_baseline(ref, ["value", "user_id"])
+    store = _run_stream(spark, cur, tmp_path, baseline, "eq", files=3)
+
+    got = {
+        r["column"]: r.asDict()
+        for r in drift_report(spark, store, baseline).collect()
+    }
+    want = {
+        r["column"]: r.asDict()
+        for r in psi_drift_report(ref, cur, ["value", "user_id"]).collect()
+    }
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c]["n_ref"] == want[c]["n_ref"], c
+        assert got[c]["n_cur"] == want[c]["n_cur"], c
+        # same boundaries (exact percentile both paths) + mergeable
+        # counts → identical PSI to the rounded 6th decimal
+        assert got[c]["psi"] == want[c]["psi"], c
+
+
+def test_same_distribution_is_stable_and_shift_flags(spark, events, tmp_path):
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    baseline = fit_drift_baseline(ref, ["value"])
+
+    same = events.filter(F.col("event_id") % 2 == 1)
+    store_same = _run_stream(spark, same, tmp_path, baseline, "same")
+    psi_same = drift_report(spark, store_same, baseline).first()["psi"]
+    assert psi_same < 0.1
+
+    shifted = same.withColumn("value", F.col("value") * 3 + 50)
+    store_shift = _run_stream(spark, shifted, tmp_path, baseline, "shift")
+    psi_shift = drift_report(spark, store_shift, baseline).first()["psi"]
+    assert psi_shift > 0.25
+    assert psi_shift > psi_same
+
+
+def test_batch_range_restriction(spark, events, tmp_path):
+    """Restricting to a batch_id range reports PSI over exactly those
+    batches' rows."""
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    baseline = fit_drift_baseline(ref, ["value"])
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    store = _run_stream(spark, cur, tmp_path, baseline, "range", files=4)
+
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(store)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert len(batch_ids) == 4
+    first = drift_report(
+        spark, store, baseline, max_batch_id=batch_ids[1]
+    ).first()
+    full = drift_report(spark, store, baseline).first()
+    assert first["n_cur"] < full["n_cur"]
+    assert full["n_cur"] == cur.count()
+
+
+def test_baseline_round_trips_through_parquet(spark, events, tmp_path):
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    baseline = fit_drift_baseline(ref, ["value"])
+    p = str(tmp_path / "baseline")
+    baseline.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    store = _run_stream(spark, cur, tmp_path, reloaded, "rt")
+    a = drift_report(spark, store, baseline).first()["psi"]
+    b = drift_report(spark, store, reloaded).first()["psi"]
+    assert a == b
+
+
+def test_no_numeric_columns_gives_empty_baseline(spark, events):
+    base = fit_drift_baseline(events.select(F.col("event_type")))
+    assert base.count() == 0
