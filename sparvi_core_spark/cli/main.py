@@ -156,14 +156,49 @@ def cli():
 @click.option("--no-samples", is_flag=True, default=False)
 @click.option("--approx", is_flag=True, default=False,
               help="HLL distincts + sketch percentiles (the large-scale mode)")
+@click.option("--sample-fraction", default=None, type=float,
+              help="Profile a Bernoulli sample instead of the full table; "
+                   "estimates come with 95%% bounds (profiler.approx)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def profile(source, table, fmt, output, compare, history_dir, no_samples, approx, cpus):
+def profile(source, table, fmt, output, compare, history_dir, no_samples,
+            approx, sample_fraction, cpus):
     """Profile TABLE from SOURCE (a directory of parquet files, a file
     path, or a ``jdbc:`` URL). With one argument, SOURCE falls back to
     $SPARVI_SOURCE / $DATABASE_URL."""
     source, table = _resolve_source(source, table)
     spark = _session(cpus)
     table = _register_source(spark, source, table)
+    if sample_fraction is not None:
+        from sparvi_core_spark.profiler.approx import sample_profile
+
+        prof = sample_profile(spark.table(table), fraction=sample_fraction)
+        prof = {"table": table, **prof}
+        if output:
+            with open(output, "w") as f:
+                json.dump(prof, f, indent=2, default=str)
+            click.echo(f"Profile written to {output}")
+        if fmt == "json":
+            click.echo(json.dumps(prof, indent=2, default=str))
+            return
+        click.echo(f"Table: {table} (sampled {sample_fraction:g})")
+        click.echo(
+            f"Row count: ~{prof['row_count_est']} "
+            f"(+/- {prof['row_count_ci']}, from {prof['sampled_rows']} rows)"
+        )
+        if fmt == "minimal":
+            return
+        click.echo(_header("\nColumn estimates (95% bounds):"))
+        click.echo(_render_table(
+            ["column", "null frac", "+/-", "mean", "+/-", "stdev",
+             "distinct seen (lower bound)"],
+            [
+                [c, s["null_fraction"], s["null_fraction_ci"],
+                 s.get("mean"), s.get("mean_ci"), s.get("stddev"),
+                 s["distinct_seen"]]
+                for c, s in prof["columns"].items()
+            ],
+        ))
+        return
     historical = None
     if compare:
         with open(compare) as f:

@@ -130,3 +130,27 @@ def test_drift_command_with_ks(spark, sf_dir):
     assert r.exit_code == 0, r.output
     col = _json.loads(r.output)["columns"][0]
     assert col["psi"] == 0.0 and col["ks"] == 0.0
+
+
+def test_profile_sample_fraction(spark, sf_dir, tmp_path):
+    """--sample-fraction flips to the approx profiler: estimated row
+    count with bounds, JSON round-trip, and the table renderer."""
+    out = tmp_path / "approx.json"
+    r = CliRunner().invoke(
+        cli,
+        ["profile", sf_dir, "orders", "--sample-fraction", "0.5",
+         "--format", "json", "--output", str(out)],
+    )
+    assert r.exit_code == 0, r.output
+    prof = json.loads(out.read_text())
+    assert prof["table"] == "orders"
+    assert prof["fraction"] == 0.5
+    assert abs(prof["row_count_est"] - 1500) <= 3 * prof["row_count_ci"]
+    assert "o_totalprice" in prof["columns"]
+
+    r2 = CliRunner().invoke(
+        cli, ["profile", sf_dir, "orders", "--sample-fraction", "0.5"]
+    )
+    assert r2.exit_code == 0, r2.output
+    assert "sampled 0.5" in r2.output
+    assert "distinct seen (lower bound)" in r2.output
