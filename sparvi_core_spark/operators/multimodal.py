@@ -18,7 +18,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -177,3 +179,81 @@ def sample_frames(
         df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
         .withColumn("byte_offset", F.col("frame_idx") * every_n)
     )
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    out_col: str = "features",
+    decoder: str = "metadata",
+) -> DataFrame:
+    """Feature extraction plumbing: payload → ``array<float>`` embedding
+    via Arrow-batched ``mapInPandas`` — the bridge from multimodal
+    columns into the ANN/dedup operators (``operators.similarity``
+    takes exactly this column shape, so media dedup is
+    ``extract_features`` → ``kmeans_fit``/``semantic near-dup`` with
+    no glue).
+
+    ``decoder="metadata"`` produces a DETERMINISTIC unit-norm vector
+    from the payload bytes: each component is a keyed blake2b digest of
+    the payload (salted per component), so components are independent —
+    identical payloads embed identically, distinct payloads are
+    near-orthogonal in expectation, and corrupt payloads embed to the
+    zero vector so they can't spuriously match anything.
+    ``decoder="real"`` is the seam where an actual vision/audio encoder
+    (CLIP, wav2vec, ...) plugs into the same batch loop.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media encoders are not available in this environment; "
+            "plug your model into _feature_batches and pass "
+            "decoder='metadata' for the deterministic stub"
+        )
+    if decoder != "metadata":
+        raise ValueError(f"unknown decoder: {decoder}")
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+
+    import hashlib
+
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for raw in pdf[payload_col]:
+                b = bytes(raw) if raw is not None else b""
+                if len(b) < 8 or b[:4] != MAGIC:
+                    feats.append([0.0] * dim)  # corrupt → zero vector
+                    continue
+                v = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                b,
+                                digest_size=8,
+                                salt=i.to_bytes(8, "big"),
+                            ).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        for i in range(dim)
+                    ],
+                    dtype=np.float64,
+                )
+                n = np.linalg.norm(v)
+                feats.append(
+                    (v / n).astype(np.float32).tolist()
+                    if n > 0
+                    else [0.0] * dim
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(_feature_batches, schema=out_schema)

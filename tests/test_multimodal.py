@@ -74,3 +74,72 @@ def test_sample_frames(media):
     rows = out.collect()
     assert len(rows) >= 1
     assert all(r["byte_offset"] == r["frame_idx"] * 100 for r in rows)
+
+
+def test_extract_features_deterministic_and_unit_norm(spark, media):
+    import math
+
+    from sparvi_core_spark.operators.multimodal import extract_features
+
+    out = extract_features(media, dim=8)
+    rows = {r["media_id"]: r["features"] for r in out.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    # unit norm for valid payloads, zero vector for corrupt/None
+    for mid, v in rows.items():
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == 0.0 or abs(n - 1.0) < 1e-5
+    assert rows[3] == [0.0] * 8 and rows[4] == [0.0] * 8
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=8).collect()
+    }
+    assert rows == again
+
+
+def test_extract_features_identical_payloads_embed_identically(spark):
+    from sparvi_core_spark.operators.multimodal import extract_features
+
+    p = make_synthetic_payload(7, 64, 48)
+    df = spark.createDataFrame(
+        [(1, "image", p), (2, "image", p), (3, "image", b"not-media")],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r["features"]
+        for r in extract_features(df, dim=4).collect()
+    }
+    assert rows[1] == rows[2]
+    assert rows[3] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_extract_features_feeds_similarity_operators(spark):
+    """The produced column is directly consumable by the ANN surface —
+    media near-dup = extract_features -> embedding_near_duplicates."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.multimodal import extract_features
+    from sparvi_core_spark.operators.similarity import embedding_near_duplicates
+
+    p1 = make_synthetic_payload(1, 64, 48)
+    p2 = make_synthetic_payload(2, 32, 32)
+    df = spark.createDataFrame(
+        [(1, "image", p1), (2, "image", p1), (3, "image", p2)], MEDIA_SCHEMA
+    )
+    feats = extract_features(df, dim=8).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    pairs = embedding_near_duplicates(
+        feats, threshold=0.99, bucket_col=None
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_extract_features_rejects_bad_args(spark, media):
+    from sparvi_core_spark.operators.multimodal import extract_features
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+    with pytest.raises(ValueError):
+        extract_features(media, dim=0)
