@@ -229,6 +229,43 @@ def main() -> None:
         "bpe_tokens_per_word": round(enc["bpe_tokens"] / ws_tokens, 3),
     }
 
+    # 10. mergeable release stats: profile THIS release once into
+    #     summary sketches (never rescan it later), and measure how
+    #     much of the previous release's doc set survives via theta
+    #     sketches — the O(sketch) corpus-version diff
+    from sparvi_core_spark.profiler.incremental import (
+        merge_profiles,
+        partition_profile,
+        theta_overlap,
+        theta_summary,
+    )
+
+    release = mixed.withColumn("fp", F.md5(F.col("text")))
+    summary = partition_profile(
+        release, ["n_tokens", "quality_score"], batch_id="release"
+    )
+    prof = {
+        r["column"]: r.asDict() for r in merge_profiles(summary).collect()
+    }
+    report["release_profile"] = {
+        c: {
+            "rows": p["n_rows"],
+            "mean": p["mean"],
+            "p50": p["p50"],
+        }
+        for c, p in prof.items()
+    }
+    prior = docs.withColumn("fp", F.md5(F.col("text")))  # stand-in prior
+    ov = theta_overlap(
+        theta_summary(prior, ["fp"], batch_id="prior"),
+        theta_summary(release, ["fp"], batch_id="release"),
+    ).first()
+    report["vs_prior_release"] = {
+        "docs_shared": int(ov["n_intersection"]),
+        "docs_new": int(ov["n_only_b"]),
+        "docs_dropped": int(ov["n_only_a"]),
+    }
+
     print(json.dumps(report, default=str))
 
 
