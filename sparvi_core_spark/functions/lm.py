@@ -130,6 +130,12 @@ def score_perplexity(
     """
     if add_k <= 0:
         raise ValueError(f"add_k must be positive, got {add_k}")
+    # the bigram explode + model join run before this plan's first
+    # shuffle — fan a compact corpus out so they parallelize (no-op at
+    # scale; measured sf0.1: 1.9 s → 1.5 s)
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    docs = fan_out_compact(docs)
     bgs = docs.select(
         F.col(id_col).alias("id"), F.explode(_bigrams(text_col)).alias("bg")
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))

@@ -86,14 +86,14 @@ def _keyed(
         raise ValueError(
             f"long_strategy must be 'error' or 'truncate', got {long_strategy!r}"
         )
-    # A small/compact input (one parquet file → one partition) would
-    # otherwise run the whole explode + join probe + levenshtein chain
-    # in a single task: fan the input out to the cluster's parallelism
-    # first. No-op at scale, where inputs already have more partitions
-    # (measured sf0.1: 5.4 s → 1.1 s on the self-pair bench query).
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # A compact input would otherwise run the whole explode + join
+    # probe + levenshtein chain in a single task (this plan's only
+    # join is a broadcast — no shuffle ever spreads the work). No-op
+    # at scale; measured sf0.1: 5.4 s → 1.1 s on the self-pair bench
+    # query.
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    df = fan_out_compact(df)
     s = F.col(text_col)
     if long_strategy == "error":
         # Fail loudly at execution time rather than silently losing

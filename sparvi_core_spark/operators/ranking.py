@@ -94,6 +94,12 @@ def bm25_search(
     if not terms:
         raise ValueError(f"query {query!r} contains no indexable terms")
 
+    # shuffle-free plan (1-row agg→literals + TakeOrdered): a compact
+    # input would otherwise tokenize and score in ONE task — fan out
+    # first (no-op at scale; measured sf0.1: 1.8 s → 0.8 s)
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    docs = fan_out_compact(docs)
     toks = search_tokens(text_col)
     tf_cols = [f"tf_{t}" for t in terms]
 

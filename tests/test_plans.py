@@ -110,3 +110,15 @@ def test_novelty_screen_no_reference_self_join(spark):
     anti-joins must be broadcast (the cap frame is tiny by construction)."""
     df = entrymod.q_novelty_screen(spark, SF)
     assert has_broadcast_hash_join(df)
+
+
+def test_fan_out_compact_gates_on_parallelism(spark):
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(10)], "x int").coalesce(1)
+    assert fan_out_compact(small).rdd.getNumPartitions() == par
+
+    wide = spark.range(1000).repartition(par + 4)
+    # already at/above parallelism: returned unchanged, no extra shuffle
+    assert fan_out_compact(wide) is wide
