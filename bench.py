@@ -123,6 +123,20 @@ def main() -> None:
 
     bench("heavy_hitters", run_heavy_hitters)
 
+    # mergeable profile tier (late round 4): reduce lineitem to its
+    # per-column sketch summary and merge it back to corpus stats —
+    # the profile-once-never-rescan path (KLL quantiles + HLL + moments)
+    from sparvi_core_spark.profiler.incremental import (
+        merge_profiles,
+        partition_profile,
+    )
+
+    def run_incremental_profile():
+        parts = partition_profile(spark.table("lineitem"))
+        merge_profiles(parts).collect()  # O(columns) rows
+
+    bench("incremental_profile", run_incremental_profile)
+
     # end-to-end corpus prep (quality filter → LSH dedup → survivors)
     from sparvi_core_spark.operators.pipeline import prepare_corpus
 
