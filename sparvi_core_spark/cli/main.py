@@ -452,6 +452,53 @@ def drift(source_ref, source_cur, table, columns, bins, threshold, fmt,
 
 
 @cli.command()
+@click.argument("source_a")
+@click.argument("source_b")
+@click.argument("table")
+@click.option("--columns", multiple=True,
+              help="Columns to compare (default: all)")
+@click.option("--lg-k", default=12, show_default=True,
+              help="Theta sketch nominal entries = 2^lg_k "
+                   "(exact below that; estimates with bounds above)")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None)
+def overlap(source_a, source_b, table, columns, lg_k, fmt, cpus):
+    """Per-column value-set overlap of TABLE between two snapshots:
+    shared / only-A / only-B distinct counts and jaccard, via theta
+    sketches (exact below 2^lg_k distincts — the O(sketch) corpus
+    version diff; `operators.mixing.corpus_diff` is the full-shuffle
+    exact twin). Extension command — no reference analog."""
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap,
+        theta_summary,
+    )
+
+    spark = _session(cpus)
+    a = _load_table_df(spark, source_a, table)
+    b = _load_table_df(spark, source_b, table)
+    cols = list(columns) or None
+    rows = [
+        r.asDict()
+        for r in theta_overlap(
+            theta_summary(a, cols, lg_k=lg_k, batch_id="a"),
+            theta_summary(b, cols, lg_k=lg_k, batch_id="b"),
+        ).orderBy("column").collect()
+    ]
+    if fmt == "json":
+        click.echo(json.dumps(
+            {"table": table, "lg_k": lg_k, "columns": rows}, default=str))
+        return
+    click.echo(_header(f"Value-set overlap: {table} ({len(rows)} columns)"))
+    click.echo(_render_table(
+        ["column", "n_a", "n_b", "shared", "only_a", "only_b", "jaccard"],
+        [[r["column"], round(r["n_a"]), round(r["n_b"]),
+          round(r["n_intersection"]), round(r["n_only_a"]),
+          round(r["n_only_b"]), round(r["jaccard"], 4)] for r in rows],
+    ))
+
+
+@cli.command()
 def info():
     """Version / platform info (reference: cli/main.py:39-76)."""
     import pyspark

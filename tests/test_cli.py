@@ -154,3 +154,25 @@ def test_profile_sample_fraction(spark, sf_dir, tmp_path):
     assert r2.exit_code == 0, r2.output
     assert "sampled 0.5" in r2.output
     assert "distinct seen (lower bound)" in r2.output
+
+
+def test_overlap_command(spark, sf_dir, tmp_path):
+    """theta-sketch set overlap between two snapshots of a table —
+    same table on both sides → perfect overlap; json shape checked."""
+    r = CliRunner().invoke(
+        cli, ["overlap", sf_dir, sf_dir, "nation",
+              "--columns", "n_nationkey", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    row = out["columns"][0]
+    assert row["column"] == "n_nationkey"
+    assert round(row["n_intersection"]) == 25
+    assert round(row["n_only_a"]) == 0 and round(row["n_only_b"]) == 0
+    assert row["jaccard"] == 1.0
+
+    r2 = CliRunner().invoke(
+        cli, ["overlap", sf_dir, sf_dir, "nation", "--columns", "n_name"]
+    )
+    assert r2.exit_code == 0, r2.output
+    assert "Value-set overlap" in r2.output
