@@ -167,3 +167,111 @@ def topk_from_store(
         excluded_ceiling=excluded_ceiling,
         set_certified=certified,
     )
+
+
+def grouped_topk_stream_batches(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    path: str,
+    capacity: int = 1024,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Grouped variant: one Misra-Gries summary PER GROUP per
+    micro-batch (the per-domain / per-language streaming corpus-stats
+    shape). Store rows: ``(batch_id, capacity, g, v, lb, rows)`` —
+    O(groups × capacity) per batch; intended for low-cardinality group
+    columns, same as ``operators.frequent.grouped_heavy_hitters``."""
+    from sparvi_core_spark.operators.frequent import _grouped_mg_summaries
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = batch_df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        summ = pairs.mapInPandas(
+            lambda it: _grouped_mg_summaries(it, capacity),
+            "g string, v string, w long, rows long",
+        )
+        (
+            summ.groupBy("g", "v")
+            .agg(F.sum("w").alias("lb"), F.sum("rows").alias("rows"))
+            .select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                F.lit(int(capacity)).alias("capacity"),
+                "g",
+                "v",
+                "lb",
+                "rows",
+            )
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def grouped_topk_from_store(
+    spark: SparkSession,
+    path: str,
+    k: int = 10,
+    min_batch_id: int | None = None,
+    max_batch_id: int | None = None,
+) -> dict[str, StreamTopKResult]:
+    """Per-group bounded-error top-k over the merged grouped summaries:
+    ``{group: StreamTopKResult}``, each with the same interval + set-
+    certificate semantics as :func:`topk_from_store`."""
+    store = spark.read.parquet(path)
+    if min_batch_id is not None:
+        store = store.filter(F.col("batch_id") >= min_batch_id)
+    if max_batch_id is not None:
+        store = store.filter(F.col("batch_id") <= max_batch_id)
+    caps = [r["capacity"] for r in store.select("capacity").distinct().collect()]
+    if not caps:
+        return {}
+    if len(caps) > 1:
+        raise ValueError(
+            f"store mixes capacities {sorted(caps)}; per-batch error "
+            "bounds are only addable at a single capacity"
+        )
+    capacity = caps[0]
+    merged = (
+        store.groupBy("g", "v")
+        .agg(F.sum("lb").alias("lb"), F.sum("rows").alias("rows"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    cands: dict[str, list[tuple[str, int]]] = {}
+    for r in merged:
+        if r["v"] is None:
+            totals[r["g"]] = totals.get(r["g"], 0) + r["rows"]
+        else:
+            cands.setdefault(r["g"], []).append((r["v"], r["lb"]))
+    out: dict[str, StreamTopKResult] = {}
+    for g, total_rows in totals.items():
+        lst = sorted(cands.get(g, []), key=lambda t: (-t[1], t[0]))
+        err = total_rows // (capacity + 1)
+        top = lst[:k]
+        excluded_best_lb = lst[k][1] if len(lst) > k else 0
+        excluded_ceiling = excluded_best_lb + err
+        if len(lst) >= k and k > 0:
+            certified = top[-1][1] > excluded_ceiling
+        else:
+            certified = err == 0
+        out[g] = StreamTopKResult(
+            topk=[(v, lb, lb + err) for v, lb in top],
+            k=k,
+            total_rows=total_rows,
+            error_bound=err,
+            excluded_ceiling=excluded_ceiling,
+            set_certified=certified,
+        )
+    return out

@@ -127,3 +127,54 @@ def test_empty_store_range(spark, tokens, tmp_path):
     store = _stream_tokens(spark, tokens.limit(100), tmp_path, "empty", files=1)
     res = topk_from_store(spark, store, k=5, min_batch_id=99)
     assert res.topk == [] and res.total_rows == 0 and res.set_certified
+
+
+def test_grouped_streamed_topk(spark, tmp_path):
+    """Per-group streaming top-k: skewed values per group, grouped
+    report matches the exact per-group top-k and brackets counts."""
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+    from sparvi_core_spark.streaming.topk_stream import (
+        grouped_topk_from_store,
+        grouped_topk_stream_batches,
+    )
+
+    df = (
+        spark.range(1, 21)
+        .select(
+            F.col("id"),
+            F.explode(F.array(F.lit("en"), F.lit("de"))).alias("lang"),
+        )
+        .select(
+            "lang",
+            F.col("id"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(800) / F.col("id")).cast("int"))
+            ).alias("rep"),
+        )
+        .select("lang", F.concat(F.col("lang"), F.lit("_v"), F.col("id")).alias("term"))
+    )
+    src = str(tmp_path / "gsrc")
+    df.repartition(3).write.parquet(src)
+    store = str(tmp_path / "gstore")
+    q = grouped_topk_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        "lang", "term", store, capacity=128,
+        checkpoint=str(tmp_path / "gckpt"),
+    )
+    q.awaitTermination()
+    res = grouped_topk_from_store(spark, store, k=3)
+    assert set(res) == {"en", "de"}
+
+    exact = {
+        (r["lang"], r["term"]): r["n"]
+        for r in df.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for g, r in res.items():
+        assert r.set_certified, g
+        want = sorted(
+            ((t, n) for (gg, t), n in exact.items() if gg == g),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        assert {v for v, _, _ in r.topk} == {v for v, _ in want}
+        for v, lb, ub in r.topk:
+            assert lb <= exact[(g, v)] <= ub
