@@ -222,7 +222,15 @@ def write_zordered(
     curve of ``zorder_cols``: one stats pass + one range shuffle
     (``repartitionByRange`` samples the z-key to build balanced
     ranges), rows sorted by z within each file so row-group stats are
-    tight too."""
+    tight too.
+
+    Both pre-shuffle passes (the stats agg and the range-boundary
+    sampling + z-key compute) run at the INPUT's parallelism, so a
+    compact input is fanned out first (``plans.fanout``; measured
+    sf0.1 lineitem: 7.3 s → 4.7 s; no-op at scale)."""
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    df = fan_out_compact(df)
     z = zorder_key(df, zorder_cols, bits=bits, mode=mode)
     (
         df.withColumn("__z", z)
