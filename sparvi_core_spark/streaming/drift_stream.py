@@ -43,73 +43,127 @@ def fit_drift_baseline(
     bins: int = 10,
     approx: bool = False,
     accuracy: int = 10_000,
+    categorical_cols: list[str] | None = None,
+    top_categories: int = 20,
 ) -> DataFrame:
     """Freeze a drift baseline from a reference snapshot: one row per
-    (column, bin) with the bin's upper boundary list and the reference
-    count. Long format ``(column, bin, n_ref, bounds array<double>)``
-    — ``bounds`` is repeated per row so the frame is self-contained
-    (write it with ``.write.parquet`` and reload with
-    ``spark.read.parquet``; it is O(columns × bins)).
+    (column, bin) with the binning spec and the reference count. Long
+    format ``(column, bin, n_ref, bounds array<double>,
+    categories array<string>)`` — the spec columns are repeated per
+    row so the frame is self-contained (write it with
+    ``.write.parquet`` and reload with ``spark.read.parquet``; it is
+    O(columns × bins)).
 
-    ``approx=True`` uses the GK sketch for the quantile pass — the
-    100 TB path; the binning itself is exact either way.
+    Numeric ``columns`` bin by reference quantiles (``approx=True``
+    flips the quantile pass to the GK sketch — the 100 TB path; the
+    binning itself is exact either way). ``categorical_cols`` bin by
+    the reference's ``top_categories`` most frequent values (ties
+    broken by value for determinism) with every other value — and
+    values unseen at baseline time — clamped into one OTHER bucket;
+    the analog of the numeric edge-bin clamp, so category churn shows
+    up as mass moving into OTHER rather than a schema error.
     """
     from pyspark.sql import types as T
 
+    empty_schema = (
+        "column string, bin int, n_ref bigint, "
+        "bounds array<double>, categories array<string>"
+    )
     if columns is None:
         columns = [
             f.name
             for f in ref.schema.fields
             if isinstance(f.dataType, T.NumericType)
         ]
-    if not columns:
-        return ref.sparkSession.createDataFrame(
-            [], "column string, bin int, n_ref bigint, bounds array<double>"
-        )
-    ps = [i / bins for i in range(1, bins)]
+    categorical_cols = categorical_cols or []
+    if not columns and not categorical_cols:
+        return ref.sparkSession.createDataFrame([], empty_schema)
 
-    def qexpr(c: str):
-        e = (
-            F.percentile_approx(c, ps, accuracy)
-            if approx
-            else F.percentile(c, ps)
-        )
-        return e.alias(c)
+    parts = []
+    bounds: dict[str, list[float]] = {}
+    if columns:
+        ps = [i / bins for i in range(1, bins)]
 
-    brow = ref.agg(*[qexpr(c) for c in columns]).first()
-    bounds = {
-        c: [float(b) for b in brow[c]]
-        for c in columns
-        if brow[c] is not None
-    }
-    if not bounds:
-        return ref.sparkSession.createDataFrame(
-            [], "column string, bin int, n_ref bigint, bounds array<double>"
+        def qexpr(c: str):
+            e = (
+                F.percentile_approx(c, ps, accuracy)
+                if approx
+                else F.percentile(c, ps)
+            )
+            return e.alias(c)
+
+        brow = ref.agg(*[qexpr(c) for c in columns]).first()
+        bounds = {
+            c: [float(b) for b in brow[c]]
+            for c in columns
+            if brow[c] is not None
+        }
+    cats: dict[str, list[str]] = {}
+    for c in categorical_cols:
+        top = (
+            ref.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(top_categories)
+            .collect()
         )
-    counts = _binned_counts(ref, bounds).withColumnRenamed("n", "n_ref")
-    blit = F.create_map(
-        *[
-            x
-            for c, bs in bounds.items()
-            for x in (F.lit(c), F.array(*[F.lit(b) for b in bs]))
-        ]
+        if top:
+            cats[c] = [r["v"] for r in top]
+    if not bounds and not cats:
+        return ref.sparkSession.createDataFrame([], empty_schema)
+    counts = _binned_counts(ref, bounds, cats).withColumnRenamed("n", "n_ref")
+    bmap = (
+        F.create_map(
+            *[
+                x
+                for c, bs in bounds.items()
+                for x in (F.lit(c), F.array(*[F.lit(b) for b in bs]))
+            ]
+        )
+        if bounds
+        else F.lit(None).cast("map<string,array<double>>")
     )
-    return counts.withColumn("bounds", blit[F.col("column")])
+    cmap = (
+        F.create_map(
+            *[
+                x
+                for c, vs in cats.items()
+                for x in (F.lit(c), F.array(*[F.lit(v) for v in vs]))
+            ]
+        )
+        if cats
+        else F.lit(None).cast("map<string,array<string>>")
+    )
+    return counts.withColumn("bounds", bmap[F.col("column")]).withColumn(
+        "categories", cmap[F.col("column")]
+    )
 
 
-def _bounds_map(baseline: DataFrame) -> dict[str, list[float]]:
-    return {
-        r["column"]: list(r["bounds"])
-        for r in baseline.select("column", "bounds").distinct().collect()
-    }
+def _bounds_map(baseline: DataFrame) -> tuple[dict[str, list[float]], dict[str, list[str]]]:
+    has_cats = "categories" in baseline.columns
+    sel = ["column", "bounds"] + (["categories"] if has_cats else [])
+    bounds: dict[str, list[float]] = {}
+    cats: dict[str, list[str]] = {}
+    for r in baseline.select(*sel).distinct().collect():
+        if r["bounds"] is not None:
+            bounds[r["column"]] = list(r["bounds"])
+        elif has_cats and r["categories"] is not None:
+            cats[r["column"]] = list(r["categories"])
+    return bounds, cats
 
 
 def _binned_counts(
-    df: DataFrame, bounds: dict[str, list[float]]
+    df: DataFrame,
+    bounds: dict[str, list[float]],
+    cats: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """(column, bin, n) for one frame against FIXED boundaries — the
-    same right-closed bin rule as ``psi_drift_report``; NULLs in a
-    column contribute nothing to that column."""
+    """(column, bin, n) for one frame against FIXED specs — numeric
+    columns use the same right-closed bin rule as ``psi_drift_report``;
+    categorical columns map listed values to their index and everything
+    else (incl. values unseen at baseline time) to the OTHER bucket
+    (index = len(categories)). NULLs in a column contribute nothing to
+    that column."""
     structs = [
         F.struct(
             F.lit(c).alias("column"),
@@ -120,6 +174,19 @@ def _binned_counts(
         )
         for c, bs in bounds.items()
     ]
+    for c, vs in (cats or {}).items():
+        v = F.col(c).cast("string")
+        idx = F.array_position(F.array(*[F.lit(x) for x in vs]), v)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(v.isNull(), F.lit(None).cast("int")).otherwise(
+                    F.when(idx > 0, (idx - 1).cast("int")).otherwise(
+                        F.lit(len(vs))  # OTHER bucket
+                    )
+                ).alias("bin"),
+            )
+        )
     return (
         df.select(F.explode(F.array(*structs)).alias("cb"))
         .filter(F.col("cb.bin").isNotNull())
@@ -146,13 +213,13 @@ def drift_stream_batches(
     (``available_now=True`` drains the current source and stops — the
     test/backfill trigger; pass False for a continuous run).
     """
-    bounds = _bounds_map(baseline)
+    bounds, cats = _bounds_map(baseline)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            _binned_counts(batch_df, bounds)
+            _binned_counts(batch_df, bounds, cats)
             .select(F.lit(int(batch_id)).alias("batch_id"), "column", "bin", "n")
             .write.mode("append")
             .parquet(path)

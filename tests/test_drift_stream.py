@@ -118,3 +118,65 @@ def test_baseline_round_trips_through_parquet(spark, events, tmp_path):
 def test_no_numeric_columns_gives_empty_baseline(spark, events):
     base = fit_drift_baseline(events.select(F.col("event_type")))
     assert base.count() == 0
+
+
+def test_categorical_drift(spark, events, tmp_path):
+    """Categorical columns bin by baseline top-N + OTHER; identical
+    distribution is stable, a category swap flags, and streamed PSI
+    equals a hand-computed PSI from exact counts."""
+    import math
+
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    baseline = fit_drift_baseline(
+        ref, columns=[], categorical_cols=["event_type"], top_categories=3
+    )
+
+    same = events.filter(F.col("event_id") % 2 == 1)
+    store = _run_stream(spark, same, tmp_path, baseline, "cat_same")
+    psi_same = drift_report(spark, store, baseline).first()["psi"]
+    assert psi_same < 0.1
+
+    # swap every event_type to a value the baseline never saw → all
+    # current mass lands in OTHER
+    shifted = same.withColumn(
+        "event_type", F.concat(F.lit("new_"), F.col("event_type"))
+    )
+    store2 = _run_stream(spark, shifted, tmp_path, baseline, "cat_shift")
+    row = drift_report(spark, store2, baseline).first()
+    assert row["psi"] > 0.25
+
+    # oracle: PSI from exact counts, same binning rule, pure python
+    top = [
+        r["v"]
+        for r in ref.groupBy(F.col("event_type").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(3)
+        .collect()
+    ]
+    def frac(df):
+        tot = df.count()
+        out = []
+        for i, v in enumerate(top):
+            out.append(df.filter(F.col("event_type") == v).count() / tot)
+        out.append(df.filter(~F.col("event_type").isin(top)).count() / tot)
+        return out
+    fr, fc = frac(ref), frac(same)
+    eps = 1e-6
+    want = round(sum(
+        (max(c, eps) - max(r, eps)) * math.log(max(c, eps) / max(r, eps))
+        for r, c in zip(fr, fc)
+    ), 6)
+    assert abs(psi_same - want) < 1e-6
+
+
+def test_mixed_numeric_and_categorical_baseline(spark, events, tmp_path):
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    baseline = fit_drift_baseline(
+        ref, columns=["value"], categorical_cols=["event_type"]
+    )
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    store = _run_stream(spark, cur, tmp_path, baseline, "mixed")
+    rows = {r["column"]: r for r in drift_report(spark, store, baseline).collect()}
+    assert set(rows) == {"value", "event_type"}
+    assert rows["value"]["n_cur"] == cur.count()
