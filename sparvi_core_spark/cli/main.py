@@ -499,6 +499,47 @@ def overlap(source_a, source_b, table, columns, lg_k, fmt, cpus):
 
 
 @cli.command()
+@click.argument("metrics_path")
+@click.option("--table", default=None, help="Restrict to one source table")
+@click.option("--alpha", default=0.3, show_default=True,
+              help="EWMA memory (smaller = longer memory)")
+@click.option("--limit-sigma", "l_sigma", default=3.0, show_default=True,
+              help="Control limit in sigma units")
+@click.option("--min-points", default=5, show_default=True)
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None)
+def changepoints(metrics_path, table, alpha, l_sigma, min_points, fmt, cpus):
+    """Flag metric change-points in the metrics warehouse written by
+    ``profile --history-dir`` runs / ``append_metrics`` (EWMA control
+    chart per series). Extension command — upgrades the reference's
+    one-step-back anomaly thresholds to sequential detection."""
+    from sparvi_core_spark.profiler.changepoint import (
+        detect_metric_changepoints,
+    )
+
+    spark = _session(cpus)
+    rows = [
+        r.asDict()
+        for r in detect_metric_changepoints(
+            spark, metrics_path, table=table, alpha=alpha, L=l_sigma,
+            min_points=min_points,
+        ).collect()
+    ]
+    if fmt == "json":
+        click.echo(json.dumps({"changepoints": rows}, default=str))
+        return
+    click.echo(_header(f"Metric change-points ({len(rows)})"))
+    if rows:
+        click.echo(_render_table(
+            ["table", "metric", "column", "timestamp", "value", "ewma", "resid"],
+            [[r["table"], r["metric"], r["column"], r["timestamp"],
+              r["value"], round(r["ewma"], 3), round(r["resid"], 3)]
+             for r in rows],
+        ))
+
+
+@cli.command()
 def info():
     """Version / platform info (reference: cli/main.py:39-76)."""
     import pyspark

@@ -176,3 +176,26 @@ def test_overlap_command(spark, sf_dir, tmp_path):
     )
     assert r2.exit_code == 0, r2.output
     assert "Value-set overlap" in r2.output
+
+
+def test_changepoints_command(spark, tmp_path):
+    """EWMA change-points from a metrics store via the CLI."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "metrics")
+    rows = [
+        ("orders", f"2026-01-{i+1:02d}T000000", "row_count", None, v)
+        for i, v in enumerate([100.0] * 8 + [1000.0])
+    ]
+    spark.createDataFrame(
+        rows, "table string, timestamp string, metric string, "
+              "column string, value double"
+    ).write.partitionBy("table").parquet(path)
+
+    r = CliRunner().invoke(
+        cli, ["changepoints", path, "--table", "orders", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    assert len(out["changepoints"]) == 1
+    assert out["changepoints"][0]["value"] == 1000.0
