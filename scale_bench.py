@@ -64,6 +64,31 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
         f.write("ok\n")
 
 
+def build_scaled_customers(spark, src: str, dst: str, factor: int) -> None:
+    """Customers replicated with a doubled-letter name tag per replica,
+    so cross-replica names sit >= 2 edits apart and the true fuzzy-pair
+    count grows ×factor (the organic model — duplication constant as
+    the corpus grows)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.session import read_parquet_table
+
+    out = os.path.join(dst, "customer.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    cust = read_parquet_table(spark, os.path.join(src, "customer.parquet"))
+    maxk = cust.agg(F.max("c_custkey")).first()[0] + 1
+    big = cust.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("rep") * maxk).alias("c_custkey"),
+        F.concat(
+            F.col("c_name"), F.repeat(F.chr(F.lit(97) + F.col("rep")), 2)
+        ).alias("c_name"),
+        *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+    )
+    big.write.mode("overwrite").parquet(out)
+
+
 def build_scaled_events(spark, src: str, dst: str, factor: int) -> None:
     """Events replicated separately (added after the original _DONE
     marker): user_id offset per replica, timestamps unchanged — the
@@ -104,6 +129,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, SRC, DST, FACTOR)
     build_scaled_events(spark, SRC, DST, FACTOR)
+    build_scaled_customers(spark, SRC, DST, FACTOR)
 
     import __spark_entry__ as entrymod
 
@@ -123,8 +149,13 @@ def main() -> None:
     from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
     from sparvi_core_spark.operators.dedup import simhash
     from sparvi_core_spark.operators.frequent import heavy_hitters
+    from sparvi_core_spark.operators.fuzzy import fuzzy_self_pairs
     from sparvi_core_spark.operators.ranking import bm25_search
     from sparvi_core_spark.operators.timeseries import range_join
+    from sparvi_core_spark.profiler.incremental import (
+        merge_profiles,
+        partition_profile,
+    )
 
     def run_range_join(events):
         win = (
@@ -180,6 +211,16 @@ def main() -> None:
                     broadcast_model=True,
                 )
             ),
+            # standing since late r4 (previously ad-hoc cells in SCALE.md)
+            "fuzzy_pairs": lambda: _force(
+                fuzzy_self_pairs(
+                    views["customer"], id_col="c_custkey",
+                    text_col="c_name", max_edits=1,
+                )
+            ),
+            "incremental_profile": lambda: merge_profiles(
+                partition_profile(views["lineitem"])
+            ).collect(),
         }
         for name, fn in cases.items():
             results.setdefault(name, {})[sf_name] = timed(fn)

@@ -319,3 +319,59 @@ def profile_stream_batches(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def theta_overlap_matrix(summaries: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise value-set overlap across N named corpora/versions from
+    their :func:`theta_summary` frames: one row per (column, name_a,
+    name_b) with ``n_a``, ``n_b``, ``n_intersection``, ``jaccard``
+    (names ordered ``name_a < name_b``; each side union-folded over its
+    batch rows first).
+
+    The contamination-matrix view: N corpus versions or split
+    members compare in O(N² × columns × sketch) — never a scan of any
+    corpus. Intersections use ``theta_intersection_agg`` over the
+    per-pair sketch pairs (the proper sketch intersection, not
+    inclusion-exclusion); union for jaccard is the pairwise
+    ``theta_union``. Exact below 2^lg_k per side.
+    """
+    if len(summaries) < 2:
+        raise ValueError(
+            f"need at least 2 summaries, got {len(summaries)}"
+        )
+    folded = None
+    for name, df in summaries.items():
+        f = df.groupBy("column").agg(
+            F.theta_union_agg(F.col("theta_sketch")).alias("sk")
+        ).select(F.lit(name).alias("name"), "column", "sk")
+        folded = f if folded is None else folded.unionByName(f)
+    a = folded.select(
+        F.col("name").alias("name_a"), "column", F.col("sk").alias("ska")
+    )
+    b = folded.select(
+        F.col("name").alias("name_b"), "column", F.col("sk").alias("skb")
+    )
+    pairs = a.join(b, "column").filter(F.col("name_a") < F.col("name_b"))
+    stacked = pairs.select(
+        "column", "name_a", "name_b",
+        F.explode(F.array(F.col("ska"), F.col("skb"))).alias("sk"),
+    )
+    inter = stacked.groupBy("column", "name_a", "name_b").agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg(F.col("sk"))
+        ).alias("n_intersection")
+    )
+    est = pairs.select(
+        "column", "name_a", "name_b",
+        F.theta_sketch_estimate(F.col("ska")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("skb")).alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("ska"), F.col("skb"))
+        ).alias("n_union"),
+    )
+    return est.join(inter, ["column", "name_a", "name_b"]).select(
+        "column", "name_a", "name_b", "n_a", "n_b", "n_intersection",
+        F.when(
+            F.col("n_union") > 0, F.col("n_intersection") / F.col("n_union")
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

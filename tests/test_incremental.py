@@ -301,3 +301,38 @@ def test_theta_overlap_disjoint_sets(spark):
     assert round(rep["n_intersection"]) == 0
     assert round(rep["n_union"]) == 250
     assert rep["jaccard"] == 0.0
+
+
+def test_theta_overlap_matrix(spark, orders):
+    """Pairwise matrix across 3 named subsets — exact below 2^lg_k,
+    names ordered, diagonal absent."""
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap_matrix,
+        theta_summary,
+    )
+
+    subs = {
+        name: orders.filter(F.col("o_orderkey") % 3 == i)
+        for i, name in enumerate(["a", "b", "c"])
+    }
+    mats = theta_overlap_matrix(
+        {n: theta_summary(d, ["o_custkey"], batch_id=n) for n, d in subs.items()}
+    ).collect()
+    got = {(r["name_a"], r["name_b"]): r for r in mats}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (na, nb), r in got.items():
+        ea = subs[na].select("o_custkey").distinct()
+        eb = subs[nb].select("o_custkey").distinct()
+        assert round(r["n_a"]) == ea.count()
+        assert round(r["n_b"]) == eb.count()
+        assert round(r["n_intersection"]) == ea.intersect(eb).count()
+
+
+def test_theta_overlap_matrix_needs_two(spark, orders):
+    from sparvi_core_spark.profiler.incremental import (
+        theta_overlap_matrix,
+        theta_summary,
+    )
+
+    with pytest.raises(ValueError):
+        theta_overlap_matrix({"a": theta_summary(orders, ["o_custkey"])})
