@@ -499,6 +499,50 @@ def overlap(source_a, source_b, table, columns, lg_k, fmt, cpus):
 
 
 @cli.command()
+@click.argument("store_path")
+@click.option("--quantiles", default=None,
+              help="Comma-separated quantiles (e.g. 0.1,0.5,0.9); "
+                   "default p25/p50/p75")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None)
+def summary(store_path, quantiles, fmt, cpus):
+    """Merge an incremental-profile summary store (written by
+    ``profiler.incremental.partition_profile`` /
+    ``profile_stream_batches``) into corpus-wide per-column stats —
+    counts, min/max, mean/stddev, HLL distincts, KLL quantiles — with
+    ZERO rescans of the data. Extension command."""
+    from sparvi_core_spark.profiler.incremental import merge_profiles
+
+    spark = _session(cpus)
+    qs = (
+        [float(x) for x in quantiles.split(",")] if quantiles else None
+    )
+    merged = merge_profiles(
+        spark.read.parquet(store_path), quantiles=qs
+    ).orderBy("column")
+    rows = [r.asDict() for r in merged.collect()]
+    if fmt == "json":
+        click.echo(json.dumps({"columns": rows}, default=str))
+        return
+    qcols = [c for c in (rows[0] if rows else {}) if c.startswith("p")]
+    click.echo(_header(f"Merged profile ({len(rows)} columns)"))
+    click.echo(_render_table(
+        ["column", "rows", "nulls", "~distinct", "min", "max", "mean",
+         "stddev"] + qcols,
+        [
+            [r["column"], r["n_rows"], r["n_nulls"],
+             None if r["approx_distinct"] is None else round(r["approx_distinct"]),
+             r["min"], r["max"],
+             None if r["mean"] is None else round(r["mean"], 4),
+             None if r["stddev"] is None else round(r["stddev"], 4)]
+            + [r[q] for q in qcols]
+            for r in rows
+        ],
+    ))
+
+
+@cli.command()
 @click.argument("metrics_path")
 @click.option("--table", default=None, help="Restrict to one source table")
 @click.option("--alpha", default=0.3, show_default=True,

@@ -199,3 +199,26 @@ def test_changepoints_command(spark, tmp_path):
     out = json.loads(r.output)
     assert len(out["changepoints"]) == 1
     assert out["changepoints"][0]["value"] == 1000.0
+
+
+def test_summary_command(spark, sf_dir, tmp_path):
+    """Merge an incremental summary store from the CLI."""
+    from sparvi_core_spark.profiler.incremental import partition_profile
+
+    store = str(tmp_path / "summary_store")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    partition_profile(orders, ["o_totalprice"], batch_id="b0").write.parquet(store)
+
+    r = CliRunner().invoke(
+        cli, ["summary", store, "--quantiles", "0.5", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    row = out["columns"][0]
+    assert row["column"] == "o_totalprice"
+    assert row["n_rows"] == orders.count()
+    assert float(row["p50"]) > 0
+
+    r2 = CliRunner().invoke(cli, ["summary", store])
+    assert r2.exit_code == 0, r2.output
+    assert "Merged profile" in r2.output
