@@ -118,3 +118,60 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    partitions: int | None = None,
+    k: int = 10,
+    capacity: int = 2048,
+) -> dict:
+    """Diagnose shuffle-key skew BEFORE paying for a bad join/agg:
+    ``{total_rows, approx_distinct_keys, hot_keys: [(key, n)], top_share,
+    skew_factor, recommended_salt_buckets, top_key_certified}``.
+
+    ``skew_factor`` = hottest-key rows / ideal per-partition load
+    (total/partitions): ~1 means hash partitioning already balances;
+    ``p`` means the straggler reducer does p× the ideal work, and
+    wall-clock is bounded below by the hottest key no matter how many
+    executors you add. ``recommended_salt_buckets`` is the factor
+    rounded up — salting the hot key across that many sub-keys levels
+    the load (0 = don't salt). Cost: the two bounded
+    ``heavy_hitters`` scans + one 1-row agg — no full-width shuffle of
+    the key space, so the diagnosis is safe to run on the 100 TB input
+    it protects.
+
+    ``partitions`` defaults to the session's
+    ``spark.sql.shuffle.partitions``.
+    """
+    import math
+
+    from sparvi_core_spark.operators.frequent import heavy_hitters
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hh = heavy_hitters(df, key_col, k=k, capacity=capacity)
+    rows = hh.topk.collect()
+    hot = [(r["value"], r["n"]) for r in rows]
+    total = hh.total_rows
+    distinct = df.agg(
+        F.approx_count_distinct(key_col).alias("d")
+    ).first()["d"]
+    ideal = total / partitions if partitions else float("inf")
+    top_n = hot[0][1] if hot else 0
+    factor = (top_n / ideal) if ideal > 0 else 0.0
+    return {
+        "total_rows": total,
+        "approx_distinct_keys": int(distinct),
+        "partitions": partitions,
+        "hot_keys": hot,
+        "top_share": round(top_n / total, 6) if total else 0.0,
+        "skew_factor": round(factor, 3),
+        "recommended_salt_buckets": int(math.ceil(factor)) if factor > 1 else 0,
+        # certify the claim the diagnosis rests on — that the hottest
+        # key really is the hottest (tail ranks are often uncertifiable
+        # ties among near-singleton keys, and don't matter here)
+        "top_key_certified": hh.is_exact(rows[0]["n"]) if rows else True,
+    }

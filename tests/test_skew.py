@@ -76,3 +76,34 @@ def test_salted_join_rejects_outer(spark):
             salted_join(l, r, "k", how=how)
     # left join still fine
     assert salted_join(l, r, "k", how="left").count() == 1
+
+
+def test_skew_report_flags_hot_key(spark):
+    from sparvi_core_spark.operators.skew import skew_report
+
+    # one key owns half the rows
+    hot = spark.range(5000).select(F.lit("megauser").alias("user_id"))
+    tail = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id")
+    )
+    rep = skew_report(hot.unionByName(tail), "user_id", partitions=32)
+    assert rep["total_rows"] == 10000
+    assert rep["hot_keys"][0][0] == "megauser"
+    assert rep["hot_keys"][0][1] == 5000
+    assert rep["top_share"] == 0.5
+    # ideal load = 10000/32 = 312.5 → factor = 16
+    assert rep["skew_factor"] == 16.0
+    assert rep["recommended_salt_buckets"] == 16
+    assert rep["top_key_certified"] is True
+
+
+def test_skew_report_uniform_keys_recommend_nothing(spark):
+    from sparvi_core_spark.operators.skew import skew_report
+
+    df = spark.range(6400).select(
+        (F.col("id") % 3200).cast("string").alias("k")
+    )
+    rep = skew_report(df, "k", partitions=32)
+    # every key has 2 rows; ideal = 200 → factor ≪ 1
+    assert rep["skew_factor"] < 1
+    assert rep["recommended_salt_buckets"] == 0
