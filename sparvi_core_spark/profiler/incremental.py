@@ -375,3 +375,81 @@ def theta_overlap_matrix(summaries: dict[str, DataFrame]) -> DataFrame:
             F.col("n_union") > 0, F.col("n_intersection") / F.col("n_union")
         ).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def partition_comoments(
+    df: DataFrame,
+    cols: list[str],
+    batch_id: str = "",
+) -> DataFrame:
+    """Per-batch pairwise co-moment sums for numeric ``cols``: one row
+    per unordered column pair ``(batch_id, col_x, col_y, n, sum_x,
+    sum_y, sum_xx, sum_yy, sum_xy)`` — everything a Pearson correlation
+    needs, and all of it EXACTLY mergeable by addition (no sketch, no
+    error bound). ``n`` counts rows where BOTH columns are non-null
+    (pairwise deletion, the same convention as ``F.corr``).
+
+    One aggregation over the batch; output is O(cols²) rows. The
+    batch-side cost is the same one scan ``numeric_correlations`` pays
+    — the difference is it never has to be paid again.
+    """
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols!r}")
+    df = fan_out_compact(df)
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    per_pair = []
+    for x, y in pairs:
+        cx = F.col(x).cast("double")
+        cy = F.col(y).cast("double")
+        both = cx.isNotNull() & cy.isNotNull()
+        vx = F.when(both, cx)
+        vy = F.when(both, cy)
+        per_pair.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.count(vx).alias("n"),
+                F.sum(vx).alias("sum_x"),
+                F.sum(vy).alias("sum_y"),
+                F.sum(vx * vx).alias("sum_xx"),
+                F.sum(vy * vy).alias("sum_yy"),
+                F.sum(vx * vy).alias("sum_xy"),
+            ).alias(f"__c_{x}_{y}")
+        )
+    row = df.agg(*per_pair)
+    stacked = row.select(
+        F.explode(
+            F.array(*[F.col(f"__c_{x}_{y}") for x, y in pairs])
+        ).alias("p")
+    )
+    return stacked.select(F.lit(batch_id).alias("batch_id"), "p.*")
+
+
+def merge_comoments(parts: DataFrame) -> DataFrame:
+    """Fold co-moment rows from any number of batches into corpus-wide
+    Pearson correlations: ``(col_x, col_y, n, corr)``. Plain sums —
+    the merged correlation is EXACTLY the single-scan correlation over
+    the concatenated rows (pinned in tests), modulo the usual
+    power-sum cancellation caveat documented on ``merge_profiles``."""
+    g = parts.groupBy("col_x", "col_y").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_x").alias("sx"),
+        F.sum("sum_y").alias("sy"),
+        F.sum("sum_xx").alias("sxx"),
+        F.sum("sum_yy").alias("syy"),
+        F.sum("sum_xy").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    corr = F.when(
+        (n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return g.select("col_x", "col_y", "n", corr.alias("corr"))

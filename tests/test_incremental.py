@@ -336,3 +336,53 @@ def test_theta_overlap_matrix_needs_two(spark, orders):
 
     with pytest.raises(ValueError):
         theta_overlap_matrix({"a": theta_summary(orders, ["o_custkey"])})
+
+
+def test_merged_comoments_match_single_scan_corr(spark, lineitem_or_orders=None):
+    """3-batch co-moment merge reproduces F.corr over the whole table
+    (power sums are exactly mergeable; tolerance only for float
+    summation order)."""
+    from sparvi_core_spark.profiler.incremental import (
+        merge_comoments,
+        partition_comoments,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    batches = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    parts = partition_comoments(batches[0], cols, batch_id="b0")
+    for i, b in enumerate(batches[1:], 1):
+        parts = parts.unionByName(
+            partition_comoments(b, cols, batch_id=f"b{i}")
+        )
+    got = {
+        (r["col_x"], r["col_y"]): r for r in merge_comoments(parts).collect()
+    }
+    assert len(got) == 3  # C(3,2) unordered pairs
+    for (x, y), r in got.items():
+        want = li.agg(F.corr(x, y)).first()[0]
+        assert r["corr"] == pytest.approx(want, rel=1e-9), (x, y)
+        assert r["n"] == li.count()
+
+
+def test_comoments_pairwise_null_deletion(spark):
+    from sparvi_core_spark.profiler.incremental import (
+        merge_comoments,
+        partition_comoments,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (3.0, None), (4.0, 8.0)],
+        "x double, y double",
+    )
+    r = merge_comoments(partition_comoments(df, ["x", "y"])).first()
+    assert r["n"] == 3  # rows where both present
+    assert r["corr"] == pytest.approx(1.0)
+
+
+def test_comoments_require_two_columns(spark):
+    from sparvi_core_spark.profiler.incremental import partition_comoments
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        partition_comoments(df, ["x"])
