@@ -165,6 +165,18 @@ def profile_table(
             if "duplicate_check_mode" not in explicit:
                 p["duplicate_check_mode"] = "hash"
 
+    # Parallelism floor: a compact table (one file, few row groups)
+    # would run every profile job at 1-3 task parallelism. All
+    # downstream jobs are value-deterministic under repartitioning
+    # (min_by/row_number tie-breaks are by value; sketches are
+    # order-insensitive; the display sample's partition-order bias is
+    # already documented), so the whole profile shares the fanned
+    # frame — and the persist below caches it once. Measured sf0.1
+    # lineitem: 8.5 s → 3.9 s. No-op at scale.
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    df = fan_out_compact(df)
+
     # --- J1: wide aggregation(s) ---------------------------------------
     # Plan-shape rules (each measured at sf0.1, see SCALE.md):
     # * exact count_distinct plans an Expand; exact/approx percentile is
