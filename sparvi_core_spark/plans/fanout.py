@@ -26,7 +26,15 @@ from pyspark.sql import DataFrame
 
 def fan_out_compact(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff it currently
-    has fewer partitions; otherwise return it unchanged."""
+    has fewer partitions; otherwise return it unchanged.
+
+    Streaming frames pass through untouched (their partitioning is the
+    source's business, and ``.rdd`` is undefined for them); the
+    monitors that call this do so on the materialized micro-batch
+    inside ``foreachBatch``, which is a plain batch frame.
+    """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
