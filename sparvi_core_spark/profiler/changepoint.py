@@ -111,3 +111,41 @@ def detect_metric_changepoints(
         "table", "metric", "column", "timestamp", "value",
         "ewma", "resid", "sigma",
     ).orderBy("table", "metric", "column", "timestamp")
+
+
+def batch_metric_series(summary: DataFrame) -> DataFrame:
+    """Adapt an incremental-profile summary store
+    (``profiler.incremental.partition_profile`` rows — one per batch ×
+    column) into the long metric format :func:`ewma_flags` scores:
+    ``(table, timestamp, metric, column, value)`` with the ``batch_id``
+    as the time axis and per-batch ``mean`` / ``null_fraction`` /
+    ``row_count`` derived from the stored sums.
+
+    Composition: ``ewma_flags(batch_metric_series(store))`` answers
+    "WHICH ingest batch shifted this column?" straight from the
+    summary store — per-batch granularity the snapshot-profile history
+    can't give, at zero extra scans of the data.
+    """
+    n = F.col("n_rows").cast("double")
+    rows = summary.select(
+        F.lit("").alias("table"),
+        F.col("batch_id").alias("timestamp"),
+        F.lit("mean").alias("metric"),
+        "column",
+        (F.col("sum") / (n - F.col("n_nulls"))).alias("value"),
+    ).where(F.col("value").isNotNull())
+    nulls = summary.select(
+        F.lit("").alias("table"),
+        F.col("batch_id").alias("timestamp"),
+        F.lit("null_fraction").alias("metric"),
+        "column",
+        F.when(n > 0, F.col("n_nulls") / n).alias("value"),
+    ).where(F.col("value").isNotNull())
+    counts = summary.select(
+        F.lit("").alias("table"),
+        F.col("batch_id").alias("timestamp"),
+        F.lit("row_count").alias("metric"),
+        "column",
+        n.alias("value"),
+    )
+    return rows.unionByName(nulls).unionByName(counts)

@@ -71,3 +71,34 @@ def test_invalid_params_rejected(spark):
         ewma_flags(s, alpha=0.0)
     with pytest.raises(ValueError):
         ewma_flags(s, min_points=1)
+
+
+def test_batch_series_from_summary_store_flags_shifted_batch(spark):
+    """incremental summary store → per-batch metric series → EWMA:
+    the batch whose mean shifted is identified, with no data rescans."""
+    from pyspark.sql import functions as F2
+
+    from sparvi_core_spark.profiler.changepoint import (
+        batch_metric_series,
+        ewma_flags,
+    )
+    from sparvi_core_spark.profiler.incremental import partition_profile
+
+    parts = None
+    for b in range(9):
+        base = spark.range(1000).select(
+            (F2.col("id") % 97 + (500 if b == 8 else 0))
+            .cast("double").alias("x")
+        )
+        p = partition_profile(base, ["x"], batch_id=f"b{b}")
+        parts = p if parts is None else parts.unionByName(p)
+    series = batch_metric_series(parts)
+    flagged = (
+        ewma_flags(series, min_points=5)
+        .filter("is_anomaly")
+        .collect()
+    )
+    assert any(
+        r["metric"] == "mean" and r["timestamp"] == "b8" for r in flagged
+    )
+    assert not any(r["timestamp"] != "b8" for r in flagged)
