@@ -3,12 +3,25 @@
 Pattern for image/audio/video in a 100 TB Spark pipeline: the payload
 is an opaque ``binary`` column; decode / feature-extraction runs in
 Arrow-batched ``mapInPandas`` (one Python worker per partition, vectorized
-batch transfer) — never row-at-a-time UDFs. Real codecs (PIL/ffmpeg/...)
-are NOT available in this environment, so the decode step is stubbed:
-``decoder="metadata"`` parses our deterministic synthetic header, and
-``decoder="real"`` raises NotImplementedError where the codec call
-belongs. The Spark-side plumbing — schema, batch iteration, partition
-sizing — is real and tested.
+batch transfer) — never row-at-a-time UDFs.
+
+Decoder selection (per operator, via ``decoder=``):
+
+* ``"metadata"`` — deterministic stub: parses this module's synthetic
+  ``SPV0`` header.  Always available; what the test suite pins.
+* ``"real"`` — Pillow-backed image codec (``pip install
+  sparvi-core-spark[media]``): real decode, real pixel resample, real
+  perceptual features.  Raises with an install hint if Pillow is not
+  importable.  Audio/video codecs (pyav/torchaudio) plug into the same
+  batch loops but are not bundled.
+* ``"auto"`` — ``"real"`` when Pillow imports on the driver, else the
+  ``"metadata"`` stub.  The choice is resolved driver-side and baked
+  into the serialized batch function, so a heterogeneous cluster can't
+  split-brain between executors.
+
+The Spark-side plumbing — schema, batch iteration, partition sizing —
+is identical across decoders and is what the tests pin; the real-codec
+tests are skip-gated on Pillow like the protobuf-gated streaming tests.
 """
 
 from __future__ import annotations
@@ -53,6 +66,135 @@ def make_synthetic_payload(media_id: int, width: int, height: int) -> bytes:
     return MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big") + body
 
 
+def pil_available() -> bool:
+    """True if Pillow imports (the ``[media]`` extra is installed)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_decoder(decoder: str, op: str) -> str:
+    """Resolve ``auto`` driver-side and validate the decoder name.
+
+    Resolution happens once on the driver so the serialized batch
+    function is the same on every executor regardless of what happens
+    to be pip-installed there.
+    """
+    if decoder == "auto":
+        return "real" if pil_available() else "metadata"
+    if decoder == "real":
+        if not pil_available():
+            raise NotImplementedError(
+                f"{op}(decoder='real') needs Pillow, which is not "
+                "importable here. Install the media extra "
+                "(pip install sparvi-core-spark[media]) or pass "
+                "decoder='metadata' for the deterministic stub "
+                "(decoder='auto' picks for you)."
+            )
+        return "real"
+    if decoder != "metadata":
+        raise ValueError(f"unknown decoder: {decoder}")
+    return "metadata"
+
+
+# --- per-payload codec kernels -------------------------------------------
+# Module-level (not closures) so they are unit-testable without Spark:
+# the PIL-backed ones run under a faked PIL in the test suite even when
+# the media extra isn't installed, and under real Pillow when it is.
+
+
+def _dims_real(b: bytes) -> tuple[int, int] | None:
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(b)) as im:
+            return im.width, im.height
+    except Exception:
+        return None
+
+
+def _dims_metadata(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 8 and b[:4] == MAGIC:
+        return (
+            int.from_bytes(b[4:6], "big"),
+            int.from_bytes(b[6:8], "big"),
+        )
+    return None
+
+
+def _resize_one_real(b: bytes, width: int, height: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(b)) as im:
+            resized = im.resize((width, height), Image.BILINEAR)
+    except Exception:
+        return b  # corrupt: pass through for accounting
+    buf = io.BytesIO()
+    resized.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _resize_one_metadata(b: bytes, width: int, height: int) -> bytes:
+    if len(b) >= 8 and b[:4] == MAGIC:
+        body_len = width * height % 4096
+        body = b[8:][:body_len].ljust(body_len, b"\0")
+        return MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big") + body
+    return b  # corrupt: pass through for accounting
+
+
+def _embed_one_real(b: bytes, dim: int, side: int) -> list[float]:
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(b)) as im:
+            thumb = im.convert("L").resize((side, side), Image.BILINEAR)
+    except Exception:
+        return [0.0] * dim  # corrupt → zero vector
+    v = np.asarray(thumb, dtype=np.float64).ravel()[:dim]
+    v = v - v.mean()
+    n = np.linalg.norm(v)
+    if n == 0:  # flat image: no structure to match on
+        return [0.0] * dim
+    return (v / n).astype(np.float32).tolist()
+
+
+def _embed_one_metadata(b: bytes, dim: int) -> list[float]:
+    import hashlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:4] != MAGIC:
+        return [0.0] * dim  # corrupt → zero vector
+    v = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    b, digest_size=8, salt=i.to_bytes(8, "big")
+                ).digest(),
+                "big",
+                signed=True,
+            )
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    n = np.linalg.norm(v)
+    if n == 0:
+        return [0.0] * dim
+    return (v / n).astype(np.float32).tolist()
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",
@@ -61,28 +203,24 @@ def decode_media(
     """Decode/inspect binary payloads via mapInPandas (Arrow batches).
 
     Output schema = input schema + (width, height, n_bytes, valid).
-    ``decoder="metadata"`` parses the synthetic header; ``"real"`` is
-    the seam where an actual codec (PIL / torchaudio / pyav) plugs in.
+    ``decoder="metadata"`` parses the synthetic header; ``"real"``
+    decodes actual image bytes (PNG/JPEG/...) with Pillow; ``"auto"``
+    picks real when Pillow is installed.  Undecodable payloads get
+    ``valid="corrupt"`` with zero dims in both modes.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "plug PIL/pyav into _decode_batch and pass decoder='metadata' "
-            "for the deterministic stub"
-        )
-    if decoder != "metadata":
-        raise ValueError(f"unknown decoder: {decoder}")
-
+    decoder = _resolve_decoder(decoder, "decode_media")
     out_schema = StructType(df.schema.fields + DECODED_FIELDS)
+    _dims = _dims_real if decoder == "real" else _dims_metadata
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             widths, heights, sizes, valid = [], [], [], []
             for raw in pdf[payload_col]:
                 b = bytes(raw) if raw is not None else b""
-                if len(b) >= 8 and b[:4] == MAGIC:
-                    widths.append(int.from_bytes(b[4:6], "big"))
-                    heights.append(int.from_bytes(b[6:8], "big"))
+                wh = _dims(b)
+                if wh is not None:
+                    widths.append(wh[0])
+                    heights.append(wh[1])
                     valid.append("ok")
                 else:
                     widths.append(0)
@@ -125,37 +263,20 @@ def resize_media(
     ``decoder="metadata"``: rewrites the synthetic header to the target
     dimensions and truncates/pads the body to the new ``width*height %
     4096`` length — deterministic, so a decode round-trip shows the new
-    dims. ``"real"`` is the seam where an actual pixel resample
-    (PIL.Image.resize / ffmpeg scale) plugs into the same batch loop.
-    Corrupt payloads (bad magic) pass through untouched so the
+    dims. ``"real"``: Pillow bilinear resample, re-encoded as PNG (a
+    lossless container, so resize → decode round-trips exactly).
+    Corrupt payloads pass through untouched in both modes so the
     downstream ``valid`` accounting still sees them.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "plug PIL/pyav into _resize_batches and pass "
-            "decoder='metadata' for the deterministic stub"
-        )
-    if decoder != "metadata":
-        raise ValueError(f"unknown decoder: {decoder}")
-
-    body_len = width * height % 4096
+    decoder = _resolve_decoder(decoder, "resize_media")
+    _resize_one = _resize_one_real if decoder == "real" else _resize_one_metadata
 
     def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for raw in pdf[payload_col]:
-                b = bytes(raw) if raw is not None else b""
-                if len(b) >= 8 and b[:4] == MAGIC:
-                    body = b[8:][:body_len].ljust(body_len, b"\0")
-                    out.append(
-                        MAGIC
-                        + width.to_bytes(2, "big")
-                        + height.to_bytes(2, "big")
-                        + body
-                    )
-                else:
-                    out.append(b)  # corrupt: pass through for accounting
+            out = [
+                _resize_one(bytes(raw) if raw is not None else b"", width, height)
+                for raw in pdf[payload_col]
+            ]
             pdf = pdf.copy()
             pdf[payload_col] = out
             yield pdf
@@ -201,57 +322,43 @@ def extract_features(
     identical payloads embed identically, distinct payloads are
     near-orthogonal in expectation, and corrupt payloads embed to the
     zero vector so they can't spuriously match anything.
-    ``decoder="real"`` is the seam where an actual vision/audio encoder
-    (CLIP, wav2vec, ...) plugs into the same batch loop.
+
+    ``decoder="real"`` computes mean-centered unit-norm pixel-intensity
+    features (the aHash family): grayscale → bilinear thumbnail on a
+    ``ceil(sqrt(dim))``-sided grid → first ``dim`` intensities, mean
+    subtracted, L2-normalized.  Re-encodes/resizes of the same image
+    land at cosine ≈ 1, so the vectors feed
+    ``similarity.embedding_near_duplicates`` for perceptual media
+    dedup with no glue.  A learned encoder (CLIP, wav2vec, ...) plugs
+    into the same batch loop for semantic matching.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media encoders are not available in this environment; "
-            "plug your model into _feature_batches and pass "
-            "decoder='metadata' for the deterministic stub"
-        )
-    if decoder != "metadata":
-        raise ValueError(f"unknown decoder: {decoder}")
+    decoder = _resolve_decoder(decoder, "extract_features")
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
 
-    import hashlib
-
-    import numpy as np
+    import math
 
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
     )
 
+    if decoder == "real":
+        side = math.isqrt(dim - 1) + 1  # ceil(sqrt(dim))
+
+        def _embed_one(b: bytes) -> list[float]:
+            return _embed_one_real(b, dim, side)
+
+    else:
+
+        def _embed_one(b: bytes) -> list[float]:
+            return _embed_one_metadata(b, dim)
+
     def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for raw in pdf[payload_col]:
-                b = bytes(raw) if raw is not None else b""
-                if len(b) < 8 or b[:4] != MAGIC:
-                    feats.append([0.0] * dim)  # corrupt → zero vector
-                    continue
-                v = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                b,
-                                digest_size=8,
-                                salt=i.to_bytes(8, "big"),
-                            ).digest(),
-                            "big",
-                            signed=True,
-                        )
-                        for i in range(dim)
-                    ],
-                    dtype=np.float64,
-                )
-                n = np.linalg.norm(v)
-                feats.append(
-                    (v / n).astype(np.float32).tolist()
-                    if n > 0
-                    else [0.0] * dim
-                )
+            feats = [
+                _embed_one(bytes(raw) if raw is not None else b"")
+                for raw in pdf[payload_col]
+            ]
             pdf = pdf.copy()
             pdf[out_col] = feats
             yield pdf
