@@ -132,14 +132,34 @@ def stratified_sample(
     fractions: dict,
     seed: int = 42,
     default_fraction: float | None = None,
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling via native ``sampleBy`` — one
     scan, no shuffle; strata absent from ``fractions`` default to
     ``default_fraction`` (or 0, sampleBy's own rule). The standard tool
     for rebalancing a skewed corpus (e.g. downsampling a dominant
-    language) before training."""
+    language) before training.
+
+    ``default_fraction`` needs the distinct strata on the driver; that
+    collect is bounded by ``max_strata`` (LIMIT max_strata+1), so
+    pointing it at a high-cardinality column (a doc id, a URL) fails
+    loudly instead of materializing millions of keys driver-side —
+    the intended strata are languages/domains/sources, which number
+    in the hundreds.
+    """
     if default_fraction is not None:
-        keys = [r[0] for r in df.select(strata_col).distinct().collect()]
+        keys = [
+            r[0]
+            for r in df.select(strata_col).distinct().limit(max_strata + 1).collect()
+        ]
+        if len(keys) > max_strata:
+            raise ValueError(
+                f"stratified_sample(default_fraction=...) found more than "
+                f"max_strata={max_strata} distinct values in {strata_col!r}; "
+                "this column is too high-cardinality to enumerate driver-side "
+                "— pass explicit fractions, raise max_strata, or stratify on "
+                "a coarser column"
+            )
         fractions = {k: fractions.get(k, default_fraction) for k in keys}
     return df.sampleBy(strata_col, fractions, seed=seed)
 

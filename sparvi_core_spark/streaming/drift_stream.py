@@ -69,6 +69,7 @@ def fit_drift_baseline(
         "column string, bin int, n_ref bigint, "
         "bounds array<double>, categories array<string>"
     )
+    explicit = columns is not None or categorical_cols is not None
     if columns is None:
         columns = [
             f.name
@@ -110,6 +111,23 @@ def fit_drift_baseline(
         )
         if top:
             cats[c] = [r["v"] for r in top]
+    # a column the CALLER asked to monitor but that yields no binning
+    # spec (all-NULL, or empty reference) must not silently vanish
+    # from the baseline — it would never be monitored and nobody would
+    # know. Auto-discovered columns (columns=None) may be skipped:
+    # nothing specific was requested.
+    if explicit:
+        dropped = [c for c in columns if c not in bounds] + [
+            c for c in categorical_cols if c not in cats
+        ]
+        if dropped:
+            raise ValueError(
+                f"fit_drift_baseline: no binning spec computable for "
+                f"requested column(s) {dropped} (all-NULL or empty "
+                "reference) — these columns would be silently "
+                "unmonitored. Drop them from the request or fix the "
+                "reference snapshot."
+            )
     if not bounds and not cats:
         return ref.sparkSession.createDataFrame([], empty_schema)
     counts = _binned_counts(ref, bounds, cats).withColumnRenamed("n", "n_ref")

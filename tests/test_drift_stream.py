@@ -180,3 +180,24 @@ def test_mixed_numeric_and_categorical_baseline(spark, events, tmp_path):
     rows = {r["column"]: r for r in drift_report(spark, store, baseline).collect()}
     assert set(rows) == {"value", "event_type"}
     assert rows["value"]["n_cur"] == cur.count()
+
+
+def test_baseline_raises_on_unmonitorable_requested_column(spark):
+    """An explicitly requested column with no computable bounds
+    (all-NULL) fails loudly instead of silently vanishing from the
+    baseline (it would otherwise never be monitored)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.streaming.drift_stream import fit_drift_baseline
+
+    ref = spark.range(100).select(
+        F.col("id").cast("double").alias("good"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    with pytest.raises(ValueError, match="dead"):
+        fit_drift_baseline(ref, columns=["good", "dead"])
+
+    # auto-discovery (columns=None) may skip it: nothing was requested
+    base = fit_drift_baseline(ref)
+    assert set(r["column"] for r in base.collect()) == {"good"}

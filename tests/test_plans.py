@@ -122,3 +122,59 @@ def test_fan_out_compact_gates_on_parallelism(spark):
     wide = spark.range(1000).repartition(par + 4)
     # already at/above parallelism: returned unchanged, no extra shuffle
     assert fan_out_compact(wide) is wide
+
+
+def test_fan_out_compact_estimates_without_rdd(spark, monkeypatch):
+    """File-backed frames get their partition floor from the leaf
+    files (Spark's bin-packing formula) — .rdd is never consulted, so
+    AQE can't be tricked into executing upstream stages."""
+    from pyspark.sql import DataFrame
+
+    from sparvi_core_spark.plans import fanout
+
+    def _boom(self):
+        raise AssertionError(".rdd consulted for a file-backed frame")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = fanout.fan_out_compact(docs)
+    monkeypatch.undo()
+    # compact input at sf0.01: fanned out to defaultParallelism
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_compact_passes_through_exchange_plans(spark, monkeypatch):
+    """A frame with an upstream join/aggregate and no stat-able files
+    passes through untouched instead of probing .rdd (which could run
+    its query stages under AQE)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from sparvi_core_spark.plans import fanout
+
+    left = spark.createDataFrame([(i, i % 3) for i in range(30)], "id int, k int")
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k int, v string")
+    joined = left.join(right, "k").groupBy("v").agg(F.count("*").alias("n"))
+
+    def _boom(self):
+        raise AssertionError(".rdd consulted for an exchange plan")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    assert fanout.fan_out_compact(joined) is joined
+    monkeypatch.undo()
+
+
+def test_scan_partition_estimate_matches_regime(spark):
+    """The file-size estimate lands in the right regime on both sides
+    of the gate: compact single-file inputs estimate far below
+    defaultParallelism; the estimate grows linearly with bytes."""
+    from sparvi_core_spark.plans.fanout import _estimated_scan_partitions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    est = _estimated_scan_partitions(docs)
+    assert est is not None
+    assert 1 <= est < spark.sparkContext.defaultParallelism
+
+    # in-memory frame: no input files -> None (caller falls back)
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert _estimated_scan_partitions(mem) is None

@@ -161,3 +161,17 @@ def test_weighted_sample_takeordered_plan(spark):
     df = spark.range(1000).selectExpr("id as doc_id", "cast(1 as double) as w")
     plan = weighted_hash_sample(df, "w", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_bounds_strata_enumeration(spark, docs):
+    """default_fraction on a high-cardinality column fails loudly
+    instead of collecting every distinct key driver-side."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_strata"):
+        stratified_sample(
+            docs, "doc_id", {}, default_fraction=0.5, max_strata=10
+        )
+    # under the cap: works as before
+    out = stratified_sample(docs, "lang", {}, default_fraction=1.0, max_strata=10)
+    assert out.count() == docs.count()
