@@ -184,6 +184,66 @@ def ivf_assign(
     )
 
 
+def ivf_assign_probes(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF assignment: the ``nprobe`` nearest centroids
+    (L2) per vector → (id, bucket, probe, distance), ``probe`` = 0 for
+    the nearest.
+
+    Plan: the centroid table is collected (bounded: k × dim doubles —
+    the same driver-size contract as ``kmeans_fit``) and embedded as
+    literals, so the whole top-``nprobe`` selection is ONE projection
+    (k distance expressions + ``array_sort`` + ``slice`` + explode) —
+    no shuffle at all, unlike the groupBy in ``ivf_assign``. Suited to
+    moderate k (literal expression tree grows as k × dim; hundreds of
+    centroids are fine, tens of thousands are not — at that scale use
+    ``ivf_assign`` per probe round instead).
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cents = centroids.collect()  # bounded by the centroid contract
+    if nprobe > len(cents):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the number of centroids ({len(cents)})"
+        )
+    v = F.col(vec_col)
+
+    def _d2(c):
+        arr = F.array(*[F.lit(float(x)) for x in c["centroid"]])
+        return F.aggregate(
+            F.zip_with(
+                v, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(F.sqrt(_d2(c)), 4).alias("distance"),
+                    F.lit(c["bucket"]).alias("bucket"),
+                )
+                for c in cents
+            ]
+        )
+    )
+    probes = F.slice(scored, 1, nprobe)
+    return (
+        vectors.select(
+            F.col(id_col).alias("id"), F.posexplode(probes).alias("probe", "s")
+        )
+        .select("id", F.col("s.bucket").alias("bucket"), "probe",
+                F.col("s.distance").alias("distance"))
+    )
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
@@ -348,6 +408,7 @@ def semantic_dedup(
     score_col: str | None = None,
     kmeans_iter: int = 10,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> tuple[DataFrame, dict]:
     """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates —
     documents whose EMBEDDINGS nearly coincide even when their text
@@ -375,11 +436,15 @@ def semantic_dedup(
     ``kmeans`` (iterations/convergence), and the lazy ``pairs`` /
     ``clusters`` frames for inspection or persistence.
 
-    Recall caveat (inherent to SemDeDup, documented not hidden): a
-    near-dup pair split across two k-means clusters is missed.
-    Published SemDeDup accepts this (duplicates cluster together by
-    construction); raise recall by lowering ``n_clusters`` or running
-    twice with different seeds and unioning the pairs.
+    Recall caveat (inherent to SemDeDup, documented not hidden): at
+    ``nprobe=1`` a near-dup pair split across two k-means clusters is
+    missed. Published SemDeDup accepts this (duplicates cluster
+    together by construction). ``nprobe=2`` recovers boundary pairs
+    cheaply — each vector joins the pair search in its top-2 clusters
+    (the standard IVF nprobe trade-off): candidate work roughly
+    doubles, the nprobe=1 plan is untouched when left at the default,
+    and duplicate candidate pairs from shared probes are collapsed
+    with one ``distinct``.
     """
     from sparvi_core_spark.operators.dedup import (
         dedup_clusters,
@@ -394,13 +459,23 @@ def semantic_dedup(
         max_iter=kmeans_iter,
         seed=seed,
     )
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    labeled = vectors.join(
-        assigned.select(
+    if nprobe == 1:
+        assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        probe_cols = assigned.select(
             F.col("id").alias(id_col), F.col("bucket").alias("__sem_bucket")
-        ),
-        id_col,
-    )
+        )
+    else:
+        assigned = ivf_assign_probes(
+            vectors, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+        probe_cols = assigned.select(
+            F.col("id").alias(id_col), F.col("bucket").alias("__sem_bucket")
+        )
+    # nprobe > 1: each vector appears once per probed cluster, so the
+    # bucket-local pair join sees boundary pairs in their shared
+    # second-choice cluster; shared probes produce duplicate candidate
+    # pairs, collapsed below
+    labeled = vectors.join(probe_cols, id_col)
     pairs = embedding_near_duplicates(
         labeled,
         threshold=threshold,
@@ -408,6 +483,8 @@ def semantic_dedup(
         vec_col=vec_col,
         bucket_col="__sem_bucket",
     )
+    if nprobe > 1:
+        pairs = pairs.distinct()
     clusters = dedup_clusters(pairs)
     if score_col is not None:
         survivors = select_cluster_representatives(

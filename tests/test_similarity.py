@@ -236,3 +236,75 @@ def test_semantic_dedup_repartition_invariant(spark):
     assert sorted(r["vec_id"] for r in s1.collect()) == sorted(
         r["vec_id"] for r in s2.collect()
     )
+
+
+def test_ivf_assign_probes_topn(spark):
+    """Multi-probe assignment: probe 0 matches ivf_assign's argmin,
+    probe 1 is the second-nearest centroid; plan is shuffle-free."""
+    from sparvi_core_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_probes,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])],
+        "bucket int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [9.0, 1.0]), (3, [4.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = ivf_assign_probes(vecs, cents, nprobe=2)
+    assert "Exchange" not in probes._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id"], r["probe"]): r["bucket"] for r in probes.collect()}
+    base = {r["id"]: r["bucket"] for r in ivf_assign(vecs, cents).collect()}
+    for vid in (1, 2, 3):
+        assert got[(vid, 0)] == base[vid]
+    assert got[(1, 1)] in (1, 2)  # second-nearest is a real centroid
+    assert got[(2, 1)] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_assign_probes(vecs, cents, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_assign_probes(vecs, cents, nprobe=4)
+
+
+def test_semantic_dedup_nprobe_recovers_boundary_pair(spark):
+    """A planted near-dup pair straddling the k-means boundary:
+    nprobe=1 misses it (the documented SemDeDup recall loss), nprobe=2
+    finds it via the shared second-choice cluster — and adds no
+    spurious pairs beyond the planted one."""
+    from sparvi_core_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    # blob A along e1, blob B along e2 (slight jitter keeps k-means
+    # seeds distinct); the two blobs are the natural k=2 clustering
+    for j in range(8):
+        rows.append((j, [10.0, 0.1 * j, 0.0, 0.0]))
+        rows.append((100 + j, [0.1 * j, 10.0, 0.0, 0.0]))
+    # boundary pair: nearly parallel (cosine ≈ 0.9994) but on opposite
+    # sides of the A/B midplane -> different nearest centroids
+    rows.append((500, [5.1, 4.9, 0.0, 0.0]))
+    rows.append((501, [4.9, 5.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairset(nprobe):
+        _, rep = semantic_dedup(
+            df, threshold=0.999, n_clusters=2, seed=5, nprobe=nprobe
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in rep["pairs"].collect()
+            if r["id_a"] >= 500 or r["id_b"] >= 500
+        }
+
+    assert pairset(1) == set()  # boundary pair split across clusters
+    assert pairset(2) == {(500, 501)}  # recovered, nothing spurious
+
+    survivors, _ = semantic_dedup(
+        df, threshold=0.999, n_clusters=2, seed=5, nprobe=2
+    )
+    kept = {r["vec_id"] for r in survivors.collect()}
+    assert 500 in kept and 501 not in kept  # min-id survivor
