@@ -147,15 +147,20 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+    from sparvi_core_spark.functions.web import cap_per_host
+    from sparvi_core_spark.operators.bpe import bpe_train
     from sparvi_core_spark.operators.dedup import simhash
     from sparvi_core_spark.operators.frequent import heavy_hitters
     from sparvi_core_spark.operators.fuzzy import fuzzy_self_pairs
+    from sparvi_core_spark.operators.graph import pagerank
+    from sparvi_core_spark.operators.ingest import latest_by_key
     from sparvi_core_spark.operators.ranking import bm25_search
     from sparvi_core_spark.operators.timeseries import range_join
     from sparvi_core_spark.profiler.incremental import (
         merge_profiles,
         partition_profile,
     )
+    from sparvi_core_spark.sources.writers import write_zordered
 
     def run_range_join(events):
         win = (
@@ -221,6 +226,65 @@ def main() -> None:
             "incremental_profile": lambda: merge_profiles(
                 partition_profile(views["lineitem"])
             ).collect(),
+            # standing since r5 (the remaining SCALE.md ad-hoc cells)
+            "latest_events": lambda: _force(
+                latest_by_key(
+                    views["events"].select(
+                        "user_id", "event_id", "event_type", "value", "ts"
+                    ),
+                    ["user_id"],
+                    "ts",
+                    tie_col="event_id",
+                )
+            ),
+            # synthetic but deterministic URL per doc: ~500 hosts →
+            # host cardinality constant, docs-per-host grows ×factor
+            # (the megahost regime the bucketed cap plan exists for)
+            "cap_per_host": lambda: _force(
+                cap_per_host(
+                    views["documents"].select(
+                        "doc_id",
+                        F.concat(
+                            F.lit("https://h"),
+                            F.pmod(F.xxhash64("doc_id"), F.lit(500)).cast(
+                                "string"
+                            ),
+                            F.lit(".example.com/p/"),
+                            F.col("doc_id").cast("string"),
+                        ).alias("url"),
+                    ),
+                    max_docs=100,
+                    plan="bucketed",
+                )
+            ),
+            # event-derived graph: edge count grows ×factor, node set
+            # grows with users; 10 fixed iterations (no tol) so both
+            # scales run identical work per edge
+            "pagerank": lambda: _force(
+                pagerank(
+                    views["events"].select(
+                        F.col("user_id").alias("src"),
+                        F.pmod(F.xxhash64("event_id"), F.lit(1000)).alias(
+                            "dst"
+                        ),
+                    ),
+                    max_iter=10,
+                    tol=None,
+                    on_max_iter="return",
+                )
+            ),
+            "bpe_train": lambda: bpe_train(views["documents"], num_merges=50),
+            # the 2-col Z-order layout pass: stats + range shuffle +
+            # in-file sort + real parquet write (the write IS the op)
+            "zorder_shuffle": lambda: write_zordered(
+                views["lineitem"].select(
+                    "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+                ),
+                os.path.join(DST, "_zorder_tmp"),
+                ["l_extendedprice", "l_quantity"],
+                n_files=32,
+                bits=8,
+            ),
         }
         for name, fn in cases.items():
             results.setdefault(name, {})[sf_name] = timed(fn)

@@ -105,21 +105,22 @@ def sessionize_stream(
     )
 
 
-def sessionize_stream_tws(
-    events: DataFrame,
+def make_session_processor(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
-) -> DataFrame:
-    """Same gap-sessionization on ``transformWithStateInPandas`` —
-    Spark 4's successor to ``applyInPandasWithState`` (typed per-key
-    state handles, timers, TTL; requires the RocksDB state store
-    provider). Output is row-identical to ``sessionize_stream``.
+):
+    """Build the TWS ``StatefulProcessor`` used by
+    :func:`sessionize_stream_tws`.
 
-    Runtime requirement: the TWS state protocol needs the
-    ``google.protobuf`` package on driver and executors (ships with
-    normal Spark deployments; absent in this sandbox, so the equality
-    test skips — the classic operator remains the tested default).
+    Module-level factory (not a closure inside the operator) so the
+    processor's per-key logic is drivable WITHOUT the TWS runtime: a
+    test can call ``init`` with any object exposing
+    ``getValueState(name, schema)`` → a value-state stub with
+    ``exists/get/update``, then feed ``handleInputRows`` pandas chunks
+    directly. That pins the processor's semantics against the batch
+    ``sessionize`` even where ``google.protobuf`` (required only by
+    the real TWS state protocol, not by this class) is unavailable.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -161,8 +162,29 @@ def sessionize_stream_tws(
         def close(self) -> None:
             pass
 
+    return _SessionProcessor()
+
+
+def sessionize_stream_tws(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Same gap-sessionization on ``transformWithStateInPandas`` —
+    Spark 4's successor to ``applyInPandasWithState`` (typed per-key
+    state handles, timers, TTL; requires the RocksDB state store
+    provider). Output is row-identical to ``sessionize_stream``.
+
+    Runtime requirement: the TWS state protocol needs the
+    ``google.protobuf`` package on driver and executors (ships with
+    normal Spark deployments; absent in this sandbox, so the
+    end-to-end equality test skips there — the processor's semantics
+    are still pinned by the fake-handle equivalence test, see
+    ``make_session_processor``).
+    """
     return events.groupBy(user_col).transformWithStateInPandas(
-        statefulProcessor=_SessionProcessor(),
+        statefulProcessor=make_session_processor(user_col, ts_col, gap_seconds),
         outputStructType=_output_schema(user_col, ts_col),
         outputMode="Append",
         timeMode="None",
