@@ -347,22 +347,88 @@ def random_hyperplane_buckets(
     a boundary land in different buckets (multi-probe or a second seed
     recovers them) — same trade-off documented for IVF nprobe=1.
     """
-    import random as _random
-
     if not 1 <= planes <= 62:
         # bucket bits live in one signed 64-bit long
         raise ValueError(f"planes must be in [1, 62], got {planes}")
     if dim is None:
         dim = vectors.select(F.size(F.col(vec_col))).first()[0]
-    rnd = _random.Random(seed)
     v = F.col(vec_col)
     bucket = F.lit(0).cast("long")
-    for i in range(planes):
-        h = F.array(*[F.lit(rnd.gauss(0.0, 1.0)) for _ in range(dim)])
+    for i, coeffs in enumerate(srp_planes(planes, dim, seed)):
+        h = F.array(*[F.lit(c) for c in coeffs])
         bucket = bucket + F.when(_dot(v, h) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         ).cast("long")
     return vectors.withColumn(out, bucket)
+
+
+def srp_planes(planes: int, dim: int, seed: int) -> list[list[float]]:
+    """The seeded Gaussian hyperplanes behind the SRP bucketing —
+    shared by :func:`random_hyperplane_buckets` and
+    :func:`random_hyperplane_probes` so their bit assignments agree,
+    and public so callers (and tests) can reproduce bucket membership
+    off-cluster."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def random_hyperplane_probes(
+    vectors: DataFrame,
+    planes: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH: each vector is emitted once for its base
+    SRP bucket AND once per bucket obtained by flipping each of its
+    ``nprobe - 1`` lowest-|margin| bits — the bits most likely to
+    disagree for a true near-neighbor (multi-probe LSH, Lv et al.
+    2007). Feed the exploded frame to ``embedding_near_duplicates``
+    (then ``distinct()``) to recover boundary pairs that single-bucket
+    SRP misses, at ~``nprobe``× candidate cost instead of the
+    ``2**planes``-fold cost of re-hashing with more seeds.
+
+    Output: input columns + ``out`` (long bucket id), one row per
+    probed bucket. Plan: still a single projection + explode — the
+    margin ranking is ``array_sort`` over (|dot|, bit) structs, all
+    JVM expressions, no shuffle. ``nprobe=1`` reduces to exactly
+    ``random_hyperplane_buckets``'s assignment (same planes, same
+    seed).
+    """
+    if not 1 <= planes <= 62:
+        raise ValueError(f"planes must be in [1, 62], got {planes}")
+    if not 1 <= nprobe <= planes + 1:
+        raise ValueError(f"nprobe must be in [1, planes+1], got {nprobe}")
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col))).first()[0]
+    v = F.col(vec_col)
+    dots = [
+        _dot(v, F.array(*[F.lit(c) for c in coeffs]))
+        for coeffs in srp_planes(planes, dim, seed)
+    ]
+    base = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        base = base + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(d).alias("m"), F.lit(1 << i).cast("long").alias("bit")
+            )
+            for i, d in enumerate(dots)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, nprobe - 1)
+    buckets = F.array_union(
+        F.array(base),
+        F.transform(flips, lambda s: base.bitwiseXOR(s["bit"])),
+    )
+    return vectors.withColumn(out, F.explode(buckets))
 
 
 def embedding_near_duplicates(

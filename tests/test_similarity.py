@@ -308,3 +308,99 @@ def test_semantic_dedup_nprobe_recovers_boundary_pair(spark):
     )
     kept = {r["vec_id"] for r in survivors.collect()}
     assert 500 in kept and 501 not in kept  # min-id survivor
+
+
+def test_random_hyperplane_probes_recovers_boundary_pair(spark):
+    """Multi-probe SRP: a pair reflected across its lowest-margin
+    hyperplane sits in buckets one bit apart — nprobe=1 misses it,
+    nprobe=2 probes the flipped bit and recovers it. The fixture is
+    found deterministically with the SAME seeded planes the operator
+    uses (srp_planes is public for exactly this)."""
+    from sparvi_core_spark.operators.similarity import (
+        embedding_near_duplicates,
+        random_hyperplane_buckets,
+        random_hyperplane_probes,
+        srp_planes,
+    )
+
+    PLANES, DIM, SEED = 8, 6, 42
+    planes = srp_planes(PLANES, DIM, SEED)
+
+    def py_bucket(v):
+        b = 0
+        for i, h in enumerate(planes):
+            if sum(a * c for a, c in zip(v, h)) >= 0:
+                b |= 1 << i
+        return b
+
+    import random
+
+    rnd = random.Random(7)
+    fixture = None
+    while fixture is None:
+        u = [rnd.gauss(0, 1) for _ in range(DIM)]
+        dots = [sum(a * c for a, c in zip(u, h)) for h in planes]
+        j = min(range(PLANES), key=lambda i: abs(dots[i]))
+        hj = planes[j]
+        nrm = sum(c * c for c in hj)
+        w = [a - 2 * dots[j] * c / nrm for a, c in zip(u, hj)]
+        cos = sum(a * b for a, b in zip(u, w)) / (
+            sum(a * a for a in u) ** 0.5 * sum(b * b for b in w) ** 0.5
+        )
+        if py_bucket(u) ^ py_bucket(w) == (1 << j) and cos >= 0.999:
+            fixture = (u, w)
+
+    u, w = fixture
+    df = spark.createDataFrame(
+        [(1, u), (2, w)], "vec_id long, embedding array<double>"
+    )
+
+    def pairs(frame, bucket_col):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                frame, threshold=0.999, bucket_col=bucket_col
+            )
+            .distinct()
+            .collect()
+        }
+
+    single = random_hyperplane_buckets(df, planes=PLANES, seed=SEED)
+    assert pairs(single, "bucket") == set()  # one bit apart -> missed
+
+    probed = random_hyperplane_probes(df, planes=PLANES, nprobe=2, seed=SEED)
+    assert pairs(probed, "bucket") == {(1, 2)}  # flipped-bit probe hits
+
+
+def test_random_hyperplane_probes_nprobe1_matches_base(spark):
+    from sparvi_core_spark.operators.similarity import (
+        random_hyperplane_buckets,
+        random_hyperplane_probes,
+    )
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r["vec_id"]: r["bucket"]
+        for r in random_hyperplane_buckets(df, planes=10, seed=9).collect()
+    }
+    p1 = random_hyperplane_probes(df, planes=10, nprobe=1, seed=9).collect()
+    assert len(p1) == 40  # exactly one probe per vector
+    assert {r["vec_id"]: r["bucket"] for r in p1} == base
+
+    # nprobe=3: every vector appears <= 3 times, base bucket included
+    p3 = random_hyperplane_probes(df, planes=10, nprobe=3, seed=9).collect()
+    from collections import defaultdict
+
+    got = defaultdict(set)
+    for r in p3:
+        got[r["vec_id"]].add(r["bucket"])
+    assert all(base[i] in bs and 1 <= len(bs) <= 3 for i, bs in got.items())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        random_hyperplane_probes(df, planes=10, nprobe=12)
