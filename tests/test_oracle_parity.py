@@ -1444,3 +1444,49 @@ def test_local_token_counts_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("token_counts", spark_pdf, duck_pdf)
+
+
+def test_local_ivf_probes_parity(spark, duck):
+    """Multi-probe IVF assignment (expression-only top-nprobe) vs a
+    DuckDB row_number twin over the same per-label centroids: probe
+    ranks, buckets, and rounded distances all match."""
+    from sparvi_core_spark.operators.similarity import (
+        compute_centroids,
+        ivf_assign_probes,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = compute_centroids(emb)
+    spark_pdf = ivf_assign_probes(
+        emb.filter("vec_id < 100"), cents, nprobe=2
+    ).toPandas()
+    duck_pdf = duck.execute(
+        """
+WITH ex AS (
+    SELECT label AS bucket, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT bucket, pos, AVG(CAST(val AS DOUBLE)) AS v FROM ex GROUP BY bucket, pos
+),
+centroids AS (
+    SELECT bucket, list(v ORDER BY pos) AS centroid FROM cent GROUP BY bucket
+),
+scored AS (
+    SELECT e.vec_id AS id, c.bucket,
+           ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid), 4)
+               AS distance
+    FROM embeddings e, centroids c
+    WHERE e.vec_id < 100
+),
+ranked AS (
+    SELECT id, bucket, distance,
+           row_number() OVER (PARTITION BY id ORDER BY distance, bucket) - 1
+               AS probe
+    FROM scored
+)
+SELECT id, bucket, probe, distance FROM ranked WHERE probe < 2
+"""
+    ).df()
+    _assert_frames_match("ivf_probes", spark_pdf, duck_pdf)
