@@ -17,6 +17,7 @@ engine ships, composed in the order a production run uses them.
       → domain mixture                  (temperature-scaled budgets)
       → sequence packing                (chunked, budget windows)
       → BPE vocab + encode stats        (tokenizer induction)
+      → shard export + manifest         (hash shards, loader-ready)
 
 Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
 Prints one JSON report of per-stage attrition.
@@ -264,6 +265,24 @@ def main() -> None:
         "docs_shared": int(ov["n_intersection"]),
         "docs_new": int(ov["n_only_b"]),
         "docs_dropped": int(ov["n_only_a"]),
+    }
+
+    # 11. ship it: the train split as loader-ready hash shards with a
+    #     manifest (membership is a pure function of doc_id — append
+    #     a future crawl and unchanged docs keep their shard)
+    import tempfile
+
+    from sparvi_core_spark.sources.shards import write_training_shards
+
+    shard_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_"), "shards")
+    manifest = write_training_shards(
+        mixed, shard_dir, n_shards=4, tokens_col="n_tokens"
+    )
+    report["shards"] = {
+        "n_shards": manifest["n_shards"],
+        "rows": manifest["rows"],
+        "tokens": manifest["tokens"],
+        "path": shard_dir,
     }
 
     print(json.dumps(report, default=str))
