@@ -56,6 +56,58 @@ def hash_split(
     return out
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> dict[str, DataFrame]:
+    """Leakage-safe splits: near-duplicate cluster members NEVER
+    straddle a split boundary.
+
+    ``hash_split`` keys each row on its own id, so the two halves of a
+    near-dup pair can land in train and eval — the leakage
+    ``cross_split_contamination`` exists to DETECT. This variant
+    prevents it: rows are keyed on ``coalesce(cluster, id)`` (the
+    ``(id, cluster)`` frame from ``dedup.dedup_clusters`` /
+    ``semantic_dedup``'s report), so every member of a cluster shares
+    one hash and therefore one split; singletons keep their own id
+    key, which makes the assignment identical to ``hash_split`` for
+    every non-duplicated row — appending new docs moves nobody.
+
+    Plan: one left join of the corpus against the cluster frame (only
+    duplicated ids appear there, so it is usually far smaller than the
+    corpus — AQE broadcasts it under the threshold), then the same
+    ppm-bucket filters as ``hash_split``. Fractions apply to cluster
+    KEYS; heavily duplicated corpora will see row fractions skew
+    toward whichever split the big clusters hash into (inherent to
+    group-level splitting, not a bug).
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = "__split_key"
+    keyed = df.join(
+        clusters.select(
+            F.col("id").alias(id_col), F.col("cluster").alias("__cl")
+        ),
+        id_col,
+        "left",
+    ).withColumn(key, F.coalesce(F.col("__cl"), F.col(id_col)))
+    bucket = _hash_bucket(key, salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    names = list(weights)
+    for i, name in enumerate(names):
+        hi = _BUCKETS if i == len(names) - 1 else lo + int(weights[name] * _BUCKETS)
+        out[name] = keyed.filter((bucket >= lo) & (bucket < hi)).drop(
+            "__cl", key
+        )
+        lo = hi
+    return out
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,

@@ -175,3 +175,48 @@ def test_stratified_sample_bounds_strata_enumeration(spark, docs):
     # under the cap: works as before
     out = stratified_sample(docs, "lang", {}, default_fraction=1.0, max_strata=10)
     assert out.count() == docs.count()
+
+
+def test_cluster_safe_split_keeps_near_dups_together(spark):
+    """Members of a dedup cluster always share a split; singletons get
+    exactly the hash_split assignment (append-invariance preserved)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    # planted clusters: (i, i+200) are near-dups for i < 100
+    clusters = spark.createDataFrame(
+        [(i, i) for i in range(100)] + [(i + 200, i) for i in range(100)],
+        "id long, cluster long",
+    )
+    weights = {"train": 0.7, "val": 0.3}
+    parts = cluster_safe_split(docs, clusters, weights)
+    where = {}
+    for name, frame in parts.items():
+        for r in frame.collect():
+            assert r["doc_id"] not in where, "splits must be disjoint"
+            where[r["doc_id"]] = name
+    assert len(where) == 400  # exhaustive
+    for i in range(100):
+        assert where[i] == where[i + 200], f"pair ({i},{i+200}) split apart"
+
+    # singleton rows (100..199, 300..399) match plain hash_split
+    plain = {}
+    for name, frame in hash_split(docs, weights).items():
+        for r in frame.collect():
+            plain[r["doc_id"]] = name
+    for i in list(range(100, 200)) + list(range(300, 400)):
+        assert where[i] == plain[i]
+
+    # both splits materially populated
+    names = set(where.values())
+    assert names == {"train", "val"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        cluster_safe_split(docs, clusters, {"a": 0.5})
