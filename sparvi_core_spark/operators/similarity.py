@@ -125,6 +125,47 @@ def cosine_topk_bucketed(
     )
 
 
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with QUERY-side multi-probe — the "probe adjacent
+    buckets" recall knob ``cosine_topk_bucketed`` documents:
+
+    * corpus vectors are assigned once to their single nearest
+      centroid (``ivf_assign`` — at 100 TB you precompute and store
+      this; here it is derived so the operator is one call);
+    * each query is probed into its ``nprobe`` nearest cells
+      (``ivf_assign_probes`` — queries are the small side, so the
+      ×nprobe duplication is broadcast-cheap);
+    * the bucket equi-join + per-query top-k window do the rest. A
+      (query, neighbor) pair can arise from at most one probe (every
+      corpus vector lives in exactly one cell), so no dedup is needed.
+
+    Recall rises from IVF nprobe=1's "nearest cell only" to "union of
+    the nprobe nearest cells" at ~nprobe× scan cost of the bucketed
+    search — still O(Q × N × nprobe / buckets) vs brute force's
+    O(Q × N). With precomputed corpus buckets, skip this wrapper and
+    feed ``cosine_topk_bucketed`` the probed query frame directly.
+    """
+    va = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias(id_col), "bucket"
+    )
+    v = vectors.join(va, id_col)
+    qp = ivf_assign_probes(
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias(id_col), "bucket")
+    q = queries.join(qp, id_col)
+    return cosine_topk_bucketed(
+        v, q, k=k, id_col=id_col, vec_col=vec_col, bucket_col="bucket"
+    )
+
+
 def compute_centroids(
     vectors: DataFrame,
     bucket_col: str = "label",

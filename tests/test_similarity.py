@@ -404,3 +404,54 @@ def test_random_hyperplane_probes_nprobe1_matches_base(spark):
 
     with pytest.raises(ValueError, match="nprobe"):
         random_hyperplane_probes(df, planes=10, nprobe=12)
+
+
+def test_cosine_topk_ivf_query_probes_raise_recall(spark):
+    """A query whose true cosine-nearest neighbor lives in its
+    SECOND-nearest IVF cell (large-norm vector: L2 cell assignment and
+    cosine direction disagree): single-probe bucketed search returns
+    the wrong neighbor, cosine_topk_ivf(nprobe=2) finds the true one."""
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_bucketed,
+        cosine_topk_ivf,
+        ivf_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [100.0, 0.0]), (1, [0.0, 10.0])],
+        "bucket int, centroid array<double>",
+    )
+    # id 1: exactly the query's direction, norm so large its L2 cell
+    # is cell 0; id 2: a weaker cosine match sitting in cell 1
+    vectors = spark.createDataFrame(
+        [(1, [94.5, 115.5]), (2, [1.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [9.0, 11.0])], "vec_id long, embedding array<double>"
+    )
+
+    # sanity: the fixture puts query and its true neighbor in
+    # different cells
+    cells = {
+        r["id"]: r["bucket"]
+        for r in ivf_assign(
+            vectors.unionByName(queries), cents
+        ).collect()
+    }
+    assert cells[100] == 1 and cells[1] == 0 and cells[2] == 1
+
+    va = ivf_assign(vectors, cents).select(
+        F.col("id").alias("vec_id"), F.col("bucket").alias("label")
+    )
+    qa = ivf_assign(queries, cents).select(
+        F.col("id").alias("vec_id"), F.col("bucket").alias("label")
+    )
+    single = cosine_topk_bucketed(
+        vectors.join(va, "vec_id"), queries.join(qa, "vec_id"), k=1
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in single] == [(100, 2)]
+
+    probed = cosine_topk_ivf(vectors, queries, cents, k=1, nprobe=2).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in probed] == [(100, 1)]
+    assert probed[0]["cosine"] >= 0.999  # the true (parallel) neighbor
