@@ -272,7 +272,7 @@ def main() -> None:
     #     a future crawl and unchanged docs keep their shard)
     import tempfile
 
-    from sparvi_core_spark.sources.shards import write_training_shards
+    from sparvi_core_spark.sources.writers import write_training_shards
 
     shard_dir = os.path.join(tempfile.mkdtemp(prefix="corpus_"), "shards")
     manifest = write_training_shards(

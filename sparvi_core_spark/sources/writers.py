@@ -28,26 +28,51 @@ def write_partitioned(
     df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
 
 
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    out: str = "shard",
+) -> DataFrame:
+    """Add the deterministic shard id column (no shuffle, no action):
+    ``shard = xxhash64(id, salt) mod n_shards`` — a pure function of
+    the row, reproducible off-cluster from (id, salt, n_shards)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return df.withColumn(
+        out,
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
-    n_shards: int,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     salt: str = "shard",
     mode: str = "overwrite",
     fmt: str = "parquet",
-) -> None:
+    rows_per_shard: int | None = None,
+    tokens_col: str | None = None,
+) -> dict:
     """Export a corpus as exactly ``n_shards`` shard directories
     (``shard=K/part-*``), the layout training dataloaders consume (one
-    worker per shard, resumable by shard id).
+    worker per shard, resumable by shard id). Pass ``rows_per_shard``
+    instead of ``n_shards`` to derive the count from one corpus scan
+    (``ceil(rows / rows_per_shard)``).
 
     Three properties a ``df.repartition(n).write`` does NOT give:
 
-    - **Deterministic membership**: shard = ``xxhash64(id, salt) mod
-      n_shards`` — a pure function of the row, so re-running the export
-      (or re-exporting after an upstream re-run) puts every document in
-      the same shard. Round-robin repartition depends on input
-      partitioning and is not reproducible.
+    - **Deterministic membership**: ``shard_assignment`` above — a
+      pure function of the row, so re-running the export (or
+      re-exporting after an upstream re-run) puts every document in
+      the same shard, and appending new docs moves nobody. Round-robin
+      repartition depends on input partitioning and is not
+      reproducible.
     - **Deterministic within-shard order**: rows are sorted inside each
       shard by a second keyed hash — a reproducible global shuffle,
       which is exactly what sequential shard readers need (stable
@@ -55,18 +80,37 @@ def write_training_shards(
       upstream ordering).
     - **One file per shard**: the write is repartitioned BY the shard
       column into ``n_shards`` partitions, so each directory holds a
-      single part file. Balance follows hash uniformity (CV ~
-      1/√(docs/shard)).
+      single part file (every row of shard K routes to one partition;
+      ``spark.sql.files.maxRecordsPerFile`` can split it if set).
+      Balance follows hash uniformity (CV ~ 1/√(docs/shard)).
 
     One shuffle total. ``partitionBy`` directories mean a reader can
     open shard K with partition pruning (``WHERE shard = K``).
+
+    Returns — and writes to ``<path>/_manifest.json`` — a manifest the
+    loader can trust without listing the store::
+
+        {"n_shards": N, "rows": total, "tokens": total_or_null,
+         "salt": ..., "id_col": ..., "format": ...,
+         "shards": [{"shard": k, "rows": r, "tokens": t_or_null}, ...]}
+
+    Every shard id in ``range(n_shards)`` appears (an empty shard —
+    possible only for tiny corpora — appears with ``rows=0``), and the
+    per-shard stats are one groupBy over the SAME frame that was
+    written.
     """
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(n_shards))
+    if (n_shards is None) == (rows_per_shard is None):
+        raise ValueError("pass exactly one of n_shards / rows_per_shard")
+    if rows_per_shard is not None:
+        if rows_per_shard < 1:
+            raise ValueError(
+                f"rows_per_shard must be >= 1, got {rows_per_shard}"
+            )
+        total = df.count()
+        n_shards = max(1, -(-total // rows_per_shard))
+    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
     (
-        df.withColumn("shard", shard.cast("int"))
-        .repartition(n_shards, F.col("shard"))
+        sharded.repartition(n_shards, F.col("shard"))
         # leading with the partition column satisfies FileFormatWriter's
         # required ordering — otherwise it injects its own (unstable)
         # sort by partition columns and destroys the keyed order
@@ -78,6 +122,51 @@ def write_training_shards(
         .partitionBy("shard")
         .save(path)
     )
+
+    agg = [F.count(F.lit(1)).alias("rows")]
+    if tokens_col is not None:
+        agg.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    stats = {
+        r["shard"]: r for r in sharded.groupBy("shard").agg(*agg).collect()
+    }
+    shards = [
+        {
+            "shard": k,
+            "rows": int(stats[k]["rows"]) if k in stats else 0,
+            "tokens": (
+                int(stats[k]["tokens"])
+                if tokens_col is not None and k in stats
+                else None
+            ),
+        }
+        for k in range(n_shards)
+    ]
+    manifest = {
+        "n_shards": n_shards,
+        "rows": sum(s["rows"] for s in shards),
+        "tokens": (
+            sum(s["tokens"] for s in shards) if tokens_col is not None else None
+        ),
+        "salt": salt,
+        "id_col": id_col,
+        "format": fmt,
+        "shards": shards,
+    }
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    """Load the shard manifest written by ``write_training_shards``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        return json.load(fh)
 
 
 def write_bucketed(

@@ -7,7 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from sparvi_core_spark.sources.shards import (
+from sparvi_core_spark.sources.writers import (
     read_manifest,
     shard_assignment,
     write_training_shards,
