@@ -156,3 +156,63 @@ def filter_ngram_contaminated(
         corpus[id_col] == F.col("__bad_id"),
         "left_anti",
     )
+
+
+def eval_contamination_report(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """The EVAL-side audit: per reference (benchmark) item, how much of
+    it the training corpus has seen — the report used to mark
+    benchmark items "dirty" and drop them from scoring (the complement
+    of ``ngram_collisions``, which reports per CORPUS doc).
+
+    Returns one row per reference item, including clean ones::
+
+        (id, n_ngrams, n_hit_ngrams, hit_frac, corpus_occurrences)
+
+    ``n_hit_ngrams`` = how many of the item's distinct n-grams appear
+    anywhere in the corpus; ``corpus_occurrences`` = total corpus-side
+    occurrences of those n-grams (a popularity signal: 1 hit in one
+    doc vs a boilerplate phrase in millions reads very differently).
+
+    Scale shape: the reference side is the SMALL side by definition,
+    so everything that shuffles is reference-bounded — the corpus is
+    scanned once, its shingles semi-joined against the BROADCAST
+    reference key set, and the per-key hit counts (≤ |reference
+    n-grams| rows, map-side combined) join back to the reference
+    items. The corpus never shuffles itself.
+    """
+    ref_sh = _keys(
+        shingles(reference, id_col, text_col, n), hash_ngrams
+    ).dropDuplicates(["id", "__k"])
+    ref_keys = F.broadcast(ref_sh.select("__k").distinct())
+
+    corp = _keys(shingles(corpus, id_col, text_col, n), hash_ngrams)
+    key_hits = (
+        corp.join(ref_keys, "__k")  # broadcast semi-shape: corpus scan only
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    return (
+        ref_sh.join(key_hits, "__k", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__occ").alias("n_hit_ngrams"),
+            F.coalesce(F.sum("__occ"), F.lit(0)).alias("corpus_occurrences"),
+        )
+        .select(
+            "id",
+            "n_ngrams",
+            "n_hit_ngrams",
+            F.round(F.col("n_hit_ngrams") / F.col("n_ngrams"), 4).alias(
+                "hit_frac"
+            ),
+            "corpus_occurrences",
+        )
+    )
