@@ -241,6 +241,84 @@ def main() -> None:
         "the two cap plans must keep the identical set"
     )
 
+    # --- semantic dedup: big-cluster pair-search cost. 16k vectors in
+    # 8 tight clusters of ~2k (the regime SemDeDup exists for), 160
+    # planted twin pairs. Three knobs measured on identical data:
+    # the salted pair join (big clusters otherwise evaluate their
+    # quadratic term in ONE sort-merge task each), nprobe=2 (the
+    # boundary-recall knob, ~4x candidate work at this cluster count),
+    # and max_bucket (the degenerate-fit guard) — all returning the
+    # same twin pairs.
+    from sparvi_core_spark.operators.similarity import semantic_dedup
+
+    dim, n_clusters, per_cluster = 16, 8, 2000
+    n_vec = n_clusters * per_cluster
+    vbase = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"), (F.col("id") % n_clusters).alias("c")
+    )
+
+    def _vec(idc):
+        # cluster axis * 10 + per-id pseudo-random spread: members of a
+        # cluster sit at cosine ~0.8 from each other (below threshold),
+        # planted twins at exactly 1.0
+        return F.array(
+            *[
+                (
+                    F.when(F.col("c") % dim == i, F.lit(10.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + (
+                        F.pmod(F.xxhash64(idc, F.lit(i)), F.lit(1000))
+                        / F.lit(1000.0)
+                        - F.lit(0.5)
+                    )
+                    * F.lit(4.0)
+                )
+                for i in range(dim)
+            ]
+        )
+
+    v_orig = vbase.select("vec_id", "c", _vec(F.col("vec_id")).alias("embedding"))
+    v_twin = vbase.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + n_vec).alias("vec_id"),
+        "c",
+        _vec(F.col("vec_id")).alias("embedding"),
+    )
+    emb_corpus = v_orig.unionByName(v_twin).drop("c").localCheckpoint()
+
+    sem_pairs = {}
+    for name, kwargs in (
+        # expression-join engine with the salt parallelism knob (each
+        # bucket otherwise evaluates its quadratic term in one task)
+        ("semantic_expr_salted", {"salt_buckets": 32}),
+        # BLAS engine: blocked per-bucket matmul via applyInPandas —
+        # identical pair set, the 100 TB default for dense cosine
+        ("semantic_blas", {"engine": "blas"}),
+        # nprobe=2 on FEW well-separated clusters is its own hostile
+        # case: every vector's second choice concentrates on the most
+        # central centroid (here a 12.5k-member probe bucket, ~6x the
+        # pair work, in ONE key) — the BLAS engine absorbs it
+        ("semantic_blas_nprobe2", {"engine": "blas", "nprobe": 2}),
+        ("semantic_capped", {"max_bucket": 500}),  # drops every cluster
+    ):
+        def run(kwargs=kwargs):
+            _, rep = semantic_dedup(
+                emb_corpus,
+                threshold=0.99,
+                n_clusters=n_clusters,
+                kmeans_iter=4,
+                **kwargs,
+            )
+            return rep["pairs"].count()
+
+        sem_pairs[name] = bench(f"{name}_sec", run)
+        entries[f"{name}_pairs"] = sem_pairs[name]
+    assert sem_pairs["semantic_blas"] == sem_pairs["semantic_expr_salted"], (
+        "the two engines must find the identical pair count"
+    )
+    assert sem_pairs["semantic_blas_nprobe2"] >= sem_pairs["semantic_blas"]
+    assert sem_pairs["semantic_capped"] == 0  # every bucket above the cap
+
     print(
         json.dumps(
             {

@@ -455,3 +455,93 @@ def test_cosine_topk_ivf_query_probes_raise_recall(spark):
     probed = cosine_topk_ivf(vectors, queries, cents, k=1, nprobe=2).collect()
     assert [(r["query_id"], r["neighbor_id"]) for r in probed] == [(100, 1)]
     assert probed[0]["cosine"] >= 0.999  # the true (parallel) neighbor
+
+
+def test_near_dup_salt_and_cap(spark):
+    """salt_buckets changes ONLY the plan: identical pair set at any
+    salt. max_bucket drops oversized buckets from the pair search."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rnd = random.Random(5)
+    rows = []
+    # bucket 0: 40 members incl. 3 planted twins; bucket 1: 200 members
+    # (the "mega" bucket) incl. 2 planted twins
+    for i in range(40):
+        rows.append((i, 0, [rnd.gauss(0, 1) for _ in range(6)]))
+    for j in range(3):
+        rows.append((1000 + j, 0, list(rows[j][2])))
+    for i in range(200):
+        rows.append((2000 + i, 1, [rnd.gauss(0, 1) for _ in range(6)]))
+    for j in range(2):
+        rows.append((3000 + j, 1, list(rows[43 + j][2])))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+    base = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(df, threshold=0.9999).collect()
+    }
+    assert len(base) >= 5  # all five planted twins found
+    for salt in (2, 7):
+        salted = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_duplicates(
+                df, threshold=0.9999, salt_buckets=salt
+            ).collect()
+        }
+        assert salted == base
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9999, max_bucket=100
+        ).collect()
+    }
+    # bucket 1 (202 members) dropped; bucket 0's twins remain
+    assert capped == {(a, b) for a, b, _ in base if b < 2000}
+
+
+def test_blas_engine_matches_expr(spark):
+    """engine='blas' returns the identical pair set (ids AND rounded
+    cosines, away from rounding boundaries) as the expression join,
+    handles zero vectors, and rejects unbucketed use."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rnd = random.Random(9)
+    rows = []
+    for i in range(60):
+        rows.append((i, i % 3, [rnd.gauss(0, 1) for _ in range(8)]))
+    for j in range(4):  # planted twins across buckets
+        rows.append((500 + j, j % 3, list(rows[j * 7][2])))
+    rows.append((900, 0, [0.0] * 8))  # zero vector: must match nothing
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    expr = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(df, threshold=0.999).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.999, engine="blas"
+        ).collect()
+    }
+    assert blas == expr and len(blas) >= 4
+    assert all(900 not in (a, b) for a, b, _ in blas)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        embedding_near_duplicates(df, engine="gpu")
+    with pytest.raises(ValueError, match="bucket_col"):
+        embedding_near_duplicates(df, bucket_col=None, engine="blas")
