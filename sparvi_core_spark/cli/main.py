@@ -543,6 +543,41 @@ def summary(store_path, quantiles, fmt, cpus):
 
 
 @cli.command()
+@click.argument("source")
+@click.argument("table")
+@click.argument("dest")
+@click.option("--n-shards", default=None, type=int,
+              help="Exact shard count (or use --rows-per-shard)")
+@click.option("--rows-per-shard", default=None, type=int,
+              help="Derive the count from one scan")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--tokens-col", default=None,
+              help="Sum this column per shard into the manifest")
+@click.option("--salt", default="shard", show_default=True)
+@click.option("--cpus", default=None)
+def shard(source, table, dest, n_shards, rows_per_shard, id_col,
+          tokens_col, salt, cpus):
+    """Export TABLE from SOURCE as loader-ready training shards at
+    DEST (hive `shard=K/` dirs + `_manifest.json`). Membership is a
+    pure hash of --id-col: re-exports and appends keep every existing
+    row's shard. Extension command."""
+    from sparvi_core_spark.sources.writers import write_training_shards
+
+    spark = _session(cpus)
+    register_views(spark, source)
+    if (n_shards is None) == (rows_per_shard is None):
+        raise click.UsageError(
+            "pass exactly one of --n-shards / --rows-per-shard"
+        )
+    manifest = write_training_shards(
+        spark.table(table), dest, n_shards=n_shards,
+        rows_per_shard=rows_per_shard, id_col=id_col,
+        tokens_col=tokens_col, salt=salt,
+    )
+    click.echo(json.dumps(manifest))
+
+
+@cli.command()
 @click.argument("metrics_path")
 @click.option("--table", default=None, help="Restrict to one source table")
 @click.option("--alpha", default=0.3, show_default=True,

@@ -222,3 +222,28 @@ def test_summary_command(spark, sf_dir, tmp_path):
     r2 = CliRunner().invoke(cli, ["summary", store])
     assert r2.exit_code == 0, r2.output
     assert "Merged profile" in r2.output
+
+
+def test_shard_command(tmp_path, sf_dir):
+    import json
+    import os
+
+    from click.testing import CliRunner
+
+    from sparvi_core_spark.cli.main import cli
+
+    dest = str(tmp_path / "shards")
+    r = CliRunner().invoke(
+        cli,
+        ["shard", sf_dir, "documents", dest, "--n-shards", "3",
+         "--tokens-col", "n_chars", "--cpus", "4"],
+    )
+    assert r.exit_code == 0, r.output
+    manifest = json.loads(r.output.strip().splitlines()[-1])
+    assert manifest["n_shards"] == 3
+    assert manifest["rows"] == sum(s["rows"] for s in manifest["shards"])
+    assert os.path.exists(os.path.join(dest, "_manifest.json"))
+
+    # arg validation: both/neither count flags rejected
+    r2 = CliRunner().invoke(cli, ["shard", sf_dir, "documents", dest])
+    assert r2.exit_code != 0
