@@ -61,17 +61,18 @@ def cosine_topk(
     # norms are computed ONCE per side before the join (identical math,
     # sqrt(dot(v,v)), so results are bit-equal to the inline formula) —
     # the per-pair work inside the BroadcastNestedLoopJoin is a single
-    # dot product.
+    # dot product. Zero-norm vectors have no direction to rank on and
+    # are excluded (also keeps the division ANSI-safe).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
-    )
+    ).filter(F.col("qnorm") > 0)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
-    )
+    ).filter(F.col("nnorm") > 0)
     scored = v.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -95,6 +96,7 @@ def cosine_topk_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    engine: str = "expr",
 ) -> DataFrame:
     """IVF-style top-k: search only vectors in the query's bucket
     (cluster assignment precomputed in ``bucket_col``).
@@ -105,19 +107,34 @@ def cosine_topk_bucketed(
     (neighbors outside the probed bucket are missed) — the classic IVF
     nprobe=1 trade-off; raise recall by probing adjacent buckets
     (``cosine_topk_ivf``).
+
+    ``engine="blas"``: per-bucket cogrouped ``applyInPandas`` — the
+    query block × corpus block cosine matrix as one BLAS matmul with
+    vectorized per-query top-k, then a global window over the (tiny)
+    per-bucket candidates. Same ranking contract (rounded cosine desc,
+    neighbor id asc); the float64 half-even vs half-up ±1-ulp rounding
+    boundary is the only possible difference, as with the near-dup
+    engine. Use for big query batches; ``"expr"`` (default) is the
+    decimal-exact oracle path.
     """
+    if engine not in ("expr", "blas"):
+        raise ValueError(f"engine must be 'expr' or 'blas', got {engine}")
+    if engine == "blas":
+        return _topk_bucketed_blas(
+            vectors, queries, k, id_col, vec_col, bucket_col
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(bucket_col).alias("qb"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
-    )
+    ).filter(F.col("qnorm") > 0)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         F.col(bucket_col).alias("nb"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
-    )
+    ).filter(F.col("nnorm") > 0)
     scored = v.join(F.broadcast(q), F.col("qb") == F.col("nb")).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -134,6 +151,97 @@ def cosine_topk_bucketed(
     )
 
 
+def _topk_bucketed_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Bucketed top-k candidates as a cogrouped per-bucket matmul.
+
+    Each bucket's kernel emits its LOCAL top-k per query (by rounded
+    cosine desc, neighbor id asc — the expression engine's exact
+    ordering); the global window then ranks the union, which for
+    multi-probe queries (one row per probed bucket) merges candidates
+    across cells. Local-top-k ⊇ contribution to global-top-k, so
+    nothing is lost. Zero-norm rows excluded on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+
+    def _bucket_topk(corp: "pd.DataFrame", qs: "pd.DataFrame") -> "pd.DataFrame":
+        if corp.empty or qs.empty:
+            return pd.DataFrame({c: [] for c in empty}).astype(empty)
+        nid = corp["__nid"].to_numpy()
+        V = np.stack(corp["__nv"].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(V, axis=1)
+        ok = vn > 0
+        nid, V, vn = nid[ok], V[ok], vn[ok]
+        qid = qs["__qid"].to_numpy()
+        Q = np.stack(qs["__qv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qok = qn > 0
+        qid, Q, qn = qid[qok], Q[qok], qn[qok]
+        if len(nid) == 0 or len(qid) == 0:
+            return pd.DataFrame({c: [] for c in empty}).astype(empty)
+        Vn = V / vn[:, None]
+        Qn = Q / qn[:, None]
+        out_q, out_n, out_c = [], [], []
+        for s in range(0, len(qid), _BLAS_BLOCK):
+            blk = np.round(Qn[s : s + _BLAS_BLOCK] @ Vn.T, 4)
+            for r in range(blk.shape[0]):
+                qi = qid[s + r]
+                row = blk[r]
+                mask = nid != qi  # self-match excluded
+                cand_n, cand_c = nid[mask], row[mask]
+                if len(cand_n) == 0:
+                    continue
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.append(np.full(len(order), qi))
+                out_n.append(cand_n[order])
+                out_c.append(cand_c[order])
+        if not out_q:
+            return pd.DataFrame({c: [] for c in empty}).astype(empty)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    # per-side renames: vectors/queries often derive from the SAME
+    # frame (self-search), which otherwise trips the ambiguous
+    # self-join analyzer check in the cogroup
+    corp = vectors.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        F.col(bucket_col).alias("__bk"),
+    )
+    qsf = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col(bucket_col).alias("__qbk"),
+    )
+    cand = (
+        corp.groupBy("__bk")
+        .cogroup(qsf.groupBy("__qbk"))
+        .applyInPandas(
+            _bucket_topk, "query_id long, neighbor_id long, cosine double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -142,6 +250,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "expr",
 ) -> DataFrame:
     """IVF top-k with QUERY-side multi-probe — the "probe adjacent
     buckets" recall knob ``cosine_topk_bucketed`` documents:
@@ -171,7 +280,8 @@ def cosine_topk_ivf(
     ).select(F.col("id").alias(id_col), "bucket")
     q = queries.join(qp, id_col)
     return cosine_topk_bucketed(
-        v, q, k=k, id_col=id_col, vec_col=vec_col, bucket_col="bucket"
+        v, q, k=k, id_col=id_col, vec_col=vec_col, bucket_col="bucket",
+        engine=engine,
     )
 
 

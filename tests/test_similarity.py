@@ -545,3 +545,62 @@ def test_blas_engine_matches_expr(spark):
         embedding_near_duplicates(df, engine="gpu")
     with pytest.raises(ValueError, match="bucket_col"):
         embedding_near_duplicates(df, bucket_col=None, engine="blas")
+
+
+def test_topk_blas_engine_matches_expr(spark):
+    """cosine_topk_bucketed(engine='blas') reproduces the expression
+    engine's exact ranking (ids, ranks, cosines within rounding), incl.
+    through the multi-probe cosine_topk_ivf path and with zero
+    vectors present."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_bucketed,
+        cosine_topk_ivf,
+    )
+
+    rnd = random.Random(21)
+    rows = [
+        (i, i % 4, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    rows.append((900, 0, [0.0] * 8))  # zero vector: excluded both engines
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    qs = df.filter("vec_id % 17 = 0")
+
+    def result(engine):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 3))
+            for r in cosine_topk_bucketed(df, qs, k=5, engine=engine).collect()
+        }
+
+    expr, blas = result("expr"), result("blas")
+    assert blas == expr and len(expr) > 20
+    assert all(900 not in (q, v[0]) for (q, _), v in blas.items())
+
+    # multi-probe path: same equality through cosine_topk_ivf
+    cents = spark.createDataFrame(
+        [(0, [3.0] + [0.0] * 7), (1, [0.0, 3.0] + [0.0] * 6)],
+        "bucket int, centroid array<double>",
+    )
+    clean = df.filter("vec_id < 900")
+    ivf_expr = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            clean, qs.filter("vec_id < 900"), cents, k=3, nprobe=2
+        ).collect()
+    }
+    ivf_blas = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            clean, qs.filter("vec_id < 900"), cents, k=3, nprobe=2,
+            engine="blas",
+        ).collect()
+    }
+    assert ivf_blas == ivf_expr and len(ivf_expr) > 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        cosine_topk_bucketed(df, qs, engine="gpu")
