@@ -285,6 +285,67 @@ def cosine_topk_ivf(
     )
 
 
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    weight_col: str | None = None,
+    normalize: bool = False,
+    out: str = "embedding",
+) -> DataFrame:
+    """Pool chunk-level embeddings into ONE vector per group — the
+    bridge from ``chunk_documents`` → encoder → chunk vectors back up
+    to document-level ANN/dedup (the pooled column drops straight into
+    ``cosine_topk`` / ``semantic_dedup``).
+
+    ``mode="mean"`` is element-wise average (optionally weighted by
+    ``weight_col`` — weight by the chunk's token count so short tail
+    chunks don't dominate); ``"max"`` is element-wise max. With
+    ``normalize=True`` the pooled vector is L2-normalized (all-zero
+    vectors stay zero). NULL vectors are ignored; a group with only
+    NULLs drops out.
+
+    Plan: posexplode → groupBy(group, pos) agg → rebuild ordered
+    array — one shuffle of O(rows × dim), map-side combined; the same
+    shape as ``compute_centroids`` (which is this function with
+    unweighted mean, keyed by cluster label).
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode}")
+    if weight_col is not None and mode != "mean":
+        raise ValueError("weight_col only applies to mode='mean'")
+    cols = [F.col(group_col).alias("__g"), F.posexplode(F.col(vec_col)).alias("pos", "val")]
+    if weight_col is not None:
+        cols.insert(1, F.col(weight_col).cast("double").alias("__w"))
+    ex = df.filter(F.col(vec_col).isNotNull()).select(*cols)
+    v = F.col("val").cast("double")
+    if mode == "max":
+        agg = F.max(v)
+    elif weight_col is not None:
+        agg = F.sum(v * F.col("__w")) / F.sum(F.col("__w"))
+    else:
+        agg = F.avg(v)
+    m = ex.groupBy("__g", "pos").agg(agg.alias("v"))
+    pooled = (
+        m.groupBy("__g")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.transform("pv", lambda s: s["v"]).alias(out),
+        )
+    )
+    if normalize:
+        nrm = F.sqrt(_dot(F.col(out), F.col(out)))
+        pooled = pooled.select(
+            group_col,
+            F.when(nrm > 0, F.transform(F.col(out), lambda x: x / nrm))
+            .otherwise(F.col(out))
+            .alias(out),
+        )
+    return pooled
+
+
 def compute_centroids(
     vectors: DataFrame,
     bucket_col: str = "label",
@@ -812,12 +873,18 @@ def semantic_dedup(
     Recall caveat (inherent to SemDeDup, documented not hidden): at
     ``nprobe=1`` a near-dup pair split across two k-means clusters is
     missed. Published SemDeDup accepts this (duplicates cluster
-    together by construction). ``nprobe=2`` recovers boundary pairs
-    cheaply — each vector joins the pair search in its top-2 clusters
-    (the standard IVF nprobe trade-off): candidate work roughly
-    doubles, the nprobe=1 plan is untouched when left at the default,
-    and duplicate candidate pairs from shared probes are collapsed
-    with one ``distinct``.
+    together by construction). ``nprobe=2`` recovers boundary pairs —
+    each vector joins the pair search in its top-2 clusters (the
+    standard IVF nprobe trade-off); the nprobe=1 plan is untouched at
+    the default, and duplicate candidate pairs from shared probes
+    collapse with one ``distinct``. Cost caveat (measured, not
+    guessed — stress_bench `semantic_*`): with FEW well-separated
+    clusters the second choices CONCENTRATE on the most central
+    centroid, so candidate work can grow well beyond 2× (a 16k-vector
+    / 8-cluster corpus grew ~6×, piling 12.5k vectors into one probe
+    bucket). At SemDeDup's intended √N-ish cluster counts second
+    choices spread out; either way ``engine="blas"`` absorbs the
+    density and ``max_bucket`` bounds the worst case.
 
     ``max_bucket`` (off by default) is the degenerate-fit guard: a
     k-means run that collapses most of the corpus into one cluster

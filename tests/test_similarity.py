@@ -604,3 +604,67 @@ def test_topk_blas_engine_matches_expr(spark):
 
     with pytest.raises(ValueError, match="engine"):
         cosine_topk_bucketed(df, qs, engine="gpu")
+
+
+def test_pool_embeddings(spark):
+    """Chunk → doc pooling: exact mean / weighted mean / max values,
+    unit normalization, NULL handling — and the pooled column feeds
+    the ANN surface directly."""
+    import math
+
+    import pytest
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk,
+        pool_embeddings,
+    )
+
+    rows = [
+        (1, 1.0, [2.0, 0.0]),
+        (1, 3.0, [6.0, 4.0]),
+        (2, 1.0, [0.0, 2.0]),
+        (2, 1.0, None),  # ignored
+        (3, 1.0, None),  # all-NULL group: drops out
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, w double, embedding array<double>"
+    )
+
+    mean = {r["doc_id"]: r["embedding"] for r in pool_embeddings(df).collect()}
+    assert set(mean) == {1, 2}
+    assert mean[1] == [4.0, 2.0] and mean[2] == [0.0, 2.0]
+
+    wmean = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_embeddings(df, weight_col="w").collect()
+    }
+    assert wmean[1] == [5.0, 3.0]  # (1*2 + 3*6)/4, (0 + 3*4)/4
+
+    mx = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_embeddings(df, mode="max").collect()
+    }
+    assert mx[1] == [6.0, 4.0]
+
+    unit = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_embeddings(df, normalize=True).collect()
+    }
+    for v in unit.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    # zero vectors stay zero under normalize
+    z = spark.createDataFrame(
+        [(9, 1.0, [0.0, 0.0])], "doc_id long, w double, embedding array<double>"
+    )
+    assert pool_embeddings(z, normalize=True).first()["embedding"] == [0.0, 0.0]
+
+    # pooled output feeds ANN without glue
+    pooled = pool_embeddings(df).withColumnRenamed("doc_id", "vec_id")
+    got = cosine_topk(pooled, pooled.filter("vec_id = 1"), k=1).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(1, 2)]
+
+    with pytest.raises(ValueError, match="mode"):
+        pool_embeddings(df, mode="median")
+    with pytest.raises(ValueError, match="weight_col"):
+        pool_embeddings(df, mode="max", weight_col="w")
