@@ -1490,3 +1490,38 @@ SELECT id, bucket, probe, distance FROM ranked WHERE probe < 2
 """
     ).df()
     _assert_frames_match("ivf_probes", spark_pdf, duck_pdf)
+
+
+def test_local_pool_embeddings_parity(spark, duck):
+    """Chunk→doc pooling vs a DuckDB unnest/arg twin: weighted mean
+    and element-wise max, on synthetic per-vec weights over the real
+    embeddings table (vec_id % 7 as the 'document' key)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.similarity import pool_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        (F.col("vec_id") % 7).alias("doc_id"),
+        (F.col("vec_id") % 5 + 1).cast("double").alias("w"),
+        "embedding",
+    )
+    for mode, wcol, agg_sql in (
+        ("mean", "w", "SUM(CAST(val AS DOUBLE) * w) / SUM(w)"),
+        ("max", None, "MAX(CAST(val AS DOUBLE))"),
+    ):
+        got = pool_embeddings(emb, mode=mode, weight_col=wcol)
+        spark_pdf = got.select(
+            "doc_id", F.posexplode("embedding").alias("pos", "v")
+        ).toPandas()
+        duck_pdf = duck.execute(
+            f"""
+WITH ex AS (
+    SELECT vec_id % 7 AS doc_id, vec_id % 5 + 1 AS w,
+           unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+)
+SELECT doc_id, pos, {agg_sql} AS v FROM ex GROUP BY doc_id, pos
+"""
+        ).df()
+        _assert_frames_match(f"pool_{mode}", spark_pdf, duck_pdf)
