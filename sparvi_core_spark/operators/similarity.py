@@ -151,6 +151,32 @@ def cosine_topk_bucketed(
     )
 
 
+def _blas_id_ddl(df: DataFrame, id_col: str) -> tuple[str, bool]:
+    """DDL type for the id column in BLAS kernel output, derived from
+    the INPUT schema so both engines agree (the expr engine preserves
+    the id type; hard-coding ``long`` broke string-id parity).
+    Integral and string ids supported; anything else raises — match
+    the expr engine by switching it on, or cast your ids.
+    Returns ``(ddl_type, is_string)``."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    ddl = {
+        T.ByteType: "tinyint",
+        T.ShortType: "smallint",
+        T.IntegerType: "int",
+        T.LongType: "bigint",
+        T.StringType: "string",
+    }.get(type(dt))
+    if ddl is None:
+        raise ValueError(
+            f"engine='blas' supports integral or string id columns, got "
+            f"{dt.simpleString()} for {id_col!r} — cast the ids or use "
+            "engine='expr'"
+        )
+    return ddl, isinstance(dt, T.StringType)
+
+
 def _topk_bucketed_blas(
     vectors: DataFrame,
     queries: DataFrame,
@@ -161,51 +187,92 @@ def _topk_bucketed_blas(
 ) -> DataFrame:
     """Bucketed top-k candidates as a cogrouped per-bucket matmul.
 
-    Each bucket's kernel emits its LOCAL top-k per query (by rounded
-    cosine desc, neighbor id asc — the expression engine's exact
-    ordering); the global window then ranks the union, which for
-    multi-probe queries (one row per probed bucket) merges candidates
-    across cells. Local-top-k ⊇ contribution to global-top-k, so
-    nothing is lost. Zero-norm rows excluded on both sides.
+    Each bucket's kernel emits its LOCAL top-k per query (the exact
+    value-correct set under the expression engine's ordering — rounded
+    cosine desc, neighbor id asc); the global window then ranks the
+    union, which for multi-probe queries (one row per probed bucket)
+    merges candidates across cells. Local-top-k ⊇ contribution to
+    global-top-k, so nothing is lost. NULL vectors and zero-norm rows
+    excluded on both sides (the expr engine's exclusion semantics).
+
+    The per-query selection is fully vectorized (no Python row loop):
+    per block, the kk-th-largest threshold comes from one
+    ``np.partition``, rows strictly above it are in, and boundary TIES
+    are resolved id-ascending by a cumulative-count mask over the
+    id-sorted corpus — the exact set a (cosine desc, id asc) sort
+    would pick, in O(n) per query after the O(n) partition. Output
+    order within the candidate set is irrelevant: the global window
+    does the ranking.
     """
     import numpy as np
     import pandas as pd
 
-    empty = {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+    id_ddl, id_is_str = _blas_id_ddl(vectors, id_col)
+    qid_ddl, qid_is_str = _blas_id_ddl(queries, id_col)
+    empty = {
+        "query_id": "object" if qid_is_str else "int64",
+        "neighbor_id": "object" if id_is_str else "int64",
+        "cosine": "float64",
+    }
+
+    def _empty():
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in empty.items()}
+        )
+
+    def _ids(col: "pd.Series", is_str: bool) -> "np.ndarray":
+        a = col.to_numpy()
+        # unicode dtype: vectorized ==/argsort (object arrays are not)
+        return a.astype("U") if is_str else a.astype(np.int64)
 
     def _bucket_topk(corp: "pd.DataFrame", qs: "pd.DataFrame") -> "pd.DataFrame":
+        corp = corp[corp["__nv"].notna()]
+        qs = qs[qs["__qv"].notna()]
         if corp.empty or qs.empty:
-            return pd.DataFrame({c: [] for c in empty}).astype(empty)
-        nid = corp["__nid"].to_numpy()
+            return _empty()
+        nid = _ids(corp["__nid"], id_is_str)
         V = np.stack(corp["__nv"].to_numpy()).astype(np.float64)
         vn = np.linalg.norm(V, axis=1)
         ok = vn > 0
         nid, V, vn = nid[ok], V[ok], vn[ok]
-        qid = qs["__qid"].to_numpy()
+        qid = _ids(qs["__qid"], qid_is_str)
         Q = np.stack(qs["__qv"].to_numpy()).astype(np.float64)
         qn = np.linalg.norm(Q, axis=1)
         qok = qn > 0
         qid, Q, qn = qid[qok], Q[qok], qn[qok]
-        if len(nid) == 0 or len(qid) == 0:
-            return pd.DataFrame({c: [] for c in empty}).astype(empty)
-        Vn = V / vn[:, None]
+        n = len(nid)
+        if n == 0 or len(qid) == 0:
+            return _empty()
+        # id-ascending corpus order makes "smallest ids among tied
+        # cosines" equal to "first in column order" below
+        o = np.argsort(nid, kind="stable")
+        nid = nid[o]
+        Vn = (V / vn[:, None])[o]
         Qn = Q / qn[:, None]
+        kk = min(k, n)
         out_q, out_n, out_c = [], [], []
         for s in range(0, len(qid), _BLAS_BLOCK):
-            blk = np.round(Qn[s : s + _BLAS_BLOCK] @ Vn.T, 4)
-            for r in range(blk.shape[0]):
-                qi = qid[s + r]
-                row = blk[r]
-                mask = nid != qi  # self-match excluded
-                cand_n, cand_c = nid[mask], row[mask]
-                if len(cand_n) == 0:
-                    continue
-                order = np.lexsort((cand_n, -cand_c))[:k]
-                out_q.append(np.full(len(order), qi))
-                out_n.append(cand_n[order])
-                out_c.append(cand_c[order])
+            qblk = qid[s : s + _BLAS_BLOCK]
+            vals = np.round(Qn[s : s + _BLAS_BLOCK] @ Vn.T, 4)
+            if id_is_str == qid_is_str:  # mixed types can't self-match
+                vals[nid[None, :] == qblk[:, None]] = -np.inf  # self out
+            thr = np.partition(vals, n - kk, axis=1)[:, n - kk]
+            mask_gt = vals > thr[:, None]
+            mask_eq = vals == thr[:, None]
+            # fill the remaining (kk - #gt) slots with the id-smallest
+            # ties: cumulative tie rank < need, in id-asc column order
+            need = kk - mask_gt.sum(axis=1)
+            eq_rank = np.cumsum(mask_eq, axis=1, dtype=np.int64) - 1
+            final = mask_gt | (mask_eq & (eq_rank < need[:, None]))
+            final &= np.isfinite(vals)  # rows with < kk real candidates
+            ri, ci = np.nonzero(final)
+            if len(ri) == 0:
+                continue
+            out_q.append(qblk[ri])
+            out_n.append(nid[ci])
+            out_c.append(vals[ri, ci])
         if not out_q:
-            return pd.DataFrame({c: [] for c in empty}).astype(empty)
+            return _empty()
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
@@ -231,7 +298,8 @@ def _topk_bucketed_blas(
         corp.groupBy("__bk")
         .cogroup(qsf.groupBy("__qbk"))
         .applyInPandas(
-            _bucket_topk, "query_id long, neighbor_id long, cosine double"
+            _bucket_topk,
+            f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -405,28 +473,62 @@ def ivf_assign(
     )
 
 
+LITERAL_CENTROID_MAX = 256  # auto flips to the join strategy above this
+
+
 def ivf_assign_probes(
     vectors: DataFrame,
     centroids: DataFrame,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Multi-probe IVF assignment: the ``nprobe`` nearest centroids
     (L2) per vector → (id, bucket, probe, distance), ``probe`` = 0 for
-    the nearest.
+    the nearest. Both strategies produce IDENTICAL output (distances
+    rounded to 4, ties broken by bucket).
 
-    Plan: the centroid table is collected (bounded: k × dim doubles —
-    the same driver-size contract as ``kmeans_fit``) and embedded as
-    literals, so the whole top-``nprobe`` selection is ONE projection
-    (k distance expressions + ``array_sort`` + ``slice`` + explode) —
-    no shuffle at all, unlike the groupBy in ``ivf_assign``. Suited to
-    moderate k (literal expression tree grows as k × dim; hundreds of
-    centroids are fine, tens of thousands are not — at that scale use
-    ``ivf_assign`` per probe round instead).
+    ``strategy="literal"``: centroids are collected (bounded: k × dim
+    doubles — the same driver-size contract as ``kmeans_fit``) and
+    embedded as literal expressions; the top-``nprobe`` selection is
+    ONE projection (k distance expressions + ``array_sort`` +
+    ``slice`` + explode) — no shuffle. The literal expression tree
+    grows as k × dim: fine at hundreds of centroids, pathological at
+    tens of thousands (codegen and analysis blow up).
+
+    ``strategy="join"``: the centroid table is aggregated into ONE row
+    holding ``array<struct<bucket, centroid>>`` and broadcast; each
+    vector computes all k distances via ``transform`` over that array
+    — the centroids ride as DATA, so the expression tree is constant
+    size regardless of k. Still no shuffle on the corpus (the
+    single-row side broadcasts; the tiny centroid agg is the only
+    exchange). This is the 100 TB path for k in the tens of thousands
+    (k ≈ √N): per-vector cost is k distance evals either way, but the
+    plan compiles in O(1).
+
+    ``strategy="auto"`` (default) counts the (tiny) centroid table and
+    picks ``literal`` at ≤ ``LITERAL_CENTROID_MAX`` centroids, else
+    ``join`` — callers like ``semantic_dedup`` / ``cosine_topk_ivf``
+    scale across the k regimes without a knob.
     """
+    if strategy not in ("auto", "literal", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'literal' or 'join', got {strategy}"
+        )
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if strategy == "auto":
+        n_cents = centroids.count()  # tiny: bounded by centroid contract
+        strategy = "literal" if n_cents <= LITERAL_CENTROID_MAX else "join"
+        if nprobe > n_cents:
+            raise ValueError(
+                f"nprobe={nprobe} exceeds the number of centroids ({n_cents})"
+            )
+    if strategy == "join":
+        return _ivf_assign_probes_join(
+            vectors, centroids, nprobe, id_col, vec_col
+        )
     cents = centroids.collect()  # bounded by the centroid contract
     if nprobe > len(cents):
         raise ValueError(
@@ -462,6 +564,71 @@ def ivf_assign_probes(
         )
         .select("id", F.col("s.bucket").alias("bucket"), "probe",
                 F.col("s.distance").alias("distance"))
+    )
+
+
+def _ivf_assign_probes_join(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The large-k multi-probe strategy: centroids as broadcast DATA.
+
+    ``collect_list(struct(bucket, centroid))`` packs the centroid table
+    into one row; a broadcast nested-loop join (1 row × corpus) hands
+    every vector the array, and one projection does
+    ``transform`` (k distance structs) → ``array_sort`` →
+    ``slice(nprobe)`` → ``posexplode``. No literal tree, no corpus
+    shuffle, no window. Validation (nprobe ≤ k) costs one count on the
+    tiny centroid frame."""
+    n_cents = centroids.count()
+    if nprobe > n_cents:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the number of centroids ({n_cents})"
+        )
+    packed = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket"),
+                    F.col("centroid").cast("array<double>").alias("centroid"),
+                )
+            ).alias("__cents")
+        )
+    )
+    v = F.col(vec_col)
+
+    def _score(c):
+        d2 = F.aggregate(
+            F.zip_with(
+                v,
+                c["centroid"],
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.round(F.sqrt(d2), 4).alias("distance"),
+            c["bucket"].alias("bucket"),
+        )
+
+    probes = F.slice(
+        F.array_sort(F.transform(F.col("__cents"), _score)), 1, nprobe
+    )
+    return (
+        vectors.crossJoin(packed)
+        .select(
+            F.col(id_col).alias("id"), F.posexplode(probes).alias("probe", "s")
+        )
+        .select(
+            "id",
+            F.col("s.bucket").alias("bucket"),
+            "probe",
+            F.col("s.distance").alias("distance"),
+        )
     )
 
 
@@ -782,22 +949,38 @@ def _near_dup_pairs_blas(
     comparison extracts the surviving pairs. Group memory is
     O(bucket × dim) for the matrix plus O(B × bucket) for one cosine
     block — never the full n² — so a capped bucket fits comfortably.
-    Zero vectors never match (norm 0 → excluded), matching the
-    expression engine's NULL-free semantics.
+    NULL vectors are dropped and zero vectors never match (norm 0 →
+    excluded), matching the expression engine's exclusion semantics;
+    the id output type follows the INPUT schema (integral or string),
+    matching the expr engine's type preservation.
     """
     import numpy as np
     import pandas as pd
 
+    id_ddl, id_is_str = _blas_id_ddl(vectors, id_col)
+    id_dtype = "object" if id_is_str else "int64"
+
     def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf[id_col].to_numpy()
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(V, axis=1)
-        ok = nrm > 0
-        ids, V, nrm = ids[ok], V[ok], nrm[ok]
+        pdf = pdf[pdf[vec_col].notna()]
+        if pdf.empty:
+            ids = np.array([], dtype="U1" if id_is_str else np.int64)
+        else:
+            ids = pdf[id_col].to_numpy()
+            ids = ids.astype("U") if id_is_str else ids.astype(np.int64)
         n = len(ids)
+        if n >= 2:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(V, axis=1)
+            ok = nrm > 0
+            ids, V, nrm = ids[ok], V[ok], nrm[ok]
+            n = len(ids)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=id_dtype),
+                    "id_b": pd.Series([], dtype=id_dtype),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
             )
         Vn = V / nrm[:, None]
         out_a, out_b, out_c = [], [], []
@@ -825,7 +1008,7 @@ def _near_dup_pairs_blas(
         .groupBy(bucket_col)
         .applyInPandas(
             lambda pdf: _bucket_pairs(pdf),
-            "id_a long, id_b long, cosine double",
+            f"id_a {id_ddl}, id_b {id_ddl}, cosine double",
         )
     )
 

@@ -141,10 +141,14 @@ def fan_out_compact(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
+    # exchange-freeness gates BOTH probes: a frame with upstream
+    # joins/aggregates is partitioned by its exchanges, not its leaf
+    # files, so the file-based estimate would misread it (and inject a
+    # redundant repartition) — exchanged frames pass through untouched
+    if not _is_exchange_free(df):
+        return df  # upstream exchange already spread the work
     n = _estimated_scan_partitions(df)
     if n is None:
-        if not _is_exchange_free(df):
-            return df  # upstream exchange already spread the work
         n = df.rdd.getNumPartitions()  # safe: nothing to execute
     if n < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

@@ -129,23 +129,30 @@ def write_training_shards(
     stats = {
         r["shard"]: r for r in sharded.groupBy("shard").agg(*agg).collect()
     }
+    def _tok(k):
+        # a shard whose tokens_col is all-NULL sums to NULL — report it
+        # as None (unknown), never crash on int(None)
+        if tokens_col is None or k not in stats:
+            return None
+        t = stats[k]["tokens"]
+        return int(t) if t is not None else None
+
     shards = [
         {
             "shard": k,
             "rows": int(stats[k]["rows"]) if k in stats else 0,
-            "tokens": (
-                int(stats[k]["tokens"])
-                if tokens_col is not None and k in stats
-                else None
-            ),
+            "tokens": _tok(k),
         }
         for k in range(n_shards)
     ]
     manifest = {
         "n_shards": n_shards,
         "rows": sum(s["rows"] for s in shards),
+        # total over the shards with KNOWN token counts (None = unknown)
         "tokens": (
-            sum(s["tokens"] for s in shards) if tokens_col is not None else None
+            sum(s["tokens"] for s in shards if s["tokens"] is not None)
+            if tokens_col is not None
+            else None
         ),
         "salt": salt,
         "id_col": id_col,
@@ -153,16 +160,50 @@ def write_training_shards(
         "shards": shards,
     }
     import json
-    import os
 
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh)
+    _hadoop_write_text(
+        df.sparkSession, path, "_manifest.json", json.dumps(manifest)
+    )
     return manifest
 
 
-def read_manifest(path: str) -> dict:
-    """Load the shard manifest written by ``write_training_shards``."""
+def _hadoop_write_text(spark, dir_path: str, name: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so the
+    destination can be ANY scheme the data write supports (s3a://,
+    hdfs://, file:) — a local ``open()`` would crash on remote stores
+    after the shards were already written."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, dir_path: str, name: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def read_manifest(path: str, spark=None) -> dict:
+    """Load the shard manifest written by ``write_training_shards``.
+
+    With a ``spark`` session the read goes through the Hadoop
+    FileSystem API (any scheme: s3a://, hdfs://, file:); without one it
+    falls back to the local filesystem."""
     import json
+
+    if spark is not None:
+        return json.loads(_hadoop_read_text(spark, path, "_manifest.json"))
     import os
 
     with open(os.path.join(path, "_manifest.json")) as fh:

@@ -69,7 +69,12 @@ def fit_drift_baseline(
         "column string, bin int, n_ref bigint, "
         "bounds array<double>, categories array<string>"
     )
-    explicit = columns is not None or categorical_cols is not None
+    # explicitness is tracked PER SIDE: passing only categorical_cols
+    # must not subject the auto-discovered numeric columns to the
+    # strict no-spec check (an all-NULL numeric field anywhere in the
+    # frame would spuriously raise), and vice versa
+    columns_explicit = columns is not None
+    cats_explicit = categorical_cols is not None
     if columns is None:
         columns = [
             f.name
@@ -116,18 +121,19 @@ def fit_drift_baseline(
     # from the baseline — it would never be monitored and nobody would
     # know. Auto-discovered columns (columns=None) may be skipped:
     # nothing specific was requested.
-    if explicit:
-        dropped = [c for c in columns if c not in bounds] + [
-            c for c in categorical_cols if c not in cats
-        ]
-        if dropped:
-            raise ValueError(
-                f"fit_drift_baseline: no binning spec computable for "
-                f"requested column(s) {dropped} (all-NULL or empty "
-                "reference) — these columns would be silently "
-                "unmonitored. Drop them from the request or fix the "
-                "reference snapshot."
-            )
+    dropped = (
+        [c for c in columns if c not in bounds] if columns_explicit else []
+    ) + (
+        [c for c in categorical_cols if c not in cats] if cats_explicit else []
+    )
+    if dropped:
+        raise ValueError(
+            f"fit_drift_baseline: no binning spec computable for "
+            f"requested column(s) {dropped} (all-NULL or empty "
+            "reference) — these columns would be silently "
+            "unmonitored. Drop them from the request or fix the "
+            "reference snapshot."
+        )
     if not bounds and not cats:
         return ref.sparkSession.createDataFrame([], empty_schema)
     counts = _binned_counts(ref, bounds, cats).withColumnRenamed("n", "n_ref")

@@ -201,3 +201,36 @@ def test_baseline_raises_on_unmonitorable_requested_column(spark):
     # auto-discovery (columns=None) may skip it: nothing was requested
     base = fit_drift_baseline(ref)
     assert set(r["column"] for r in base.collect()) == {"good"}
+
+
+def test_explicitness_tracked_per_side(spark):
+    """Passing only categorical_cols must NOT subject auto-discovered
+    numeric columns to the strict no-spec check: an all-NULL numeric
+    field elsewhere in the frame is skipped (nothing numeric was
+    requested), while a dead EXPLICIT categorical still raises — and
+    symmetrically for the numeric side."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.streaming.drift_stream import fit_drift_baseline
+
+    ref = spark.range(100).select(
+        F.col("id").cast("double").alias("good"),
+        F.lit(None).cast("double").alias("dead_num"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+        F.lit(None).cast("string").alias("dead_cat"),
+    )
+    # categorical-only request: dead numeric column is auto-side, skipped
+    base = fit_drift_baseline(ref, categorical_cols=["cat"])
+    cols = {r["column"] for r in base.collect()}
+    assert "cat" in cols and "dead_num" not in cols
+
+    # numeric-only request: no categorical side at all, no raise
+    base2 = fit_drift_baseline(ref, columns=["good"])
+    assert {r["column"] for r in base2.collect()} == {"good"}
+
+    # dead EXPLICIT columns still fail loudly, on either side
+    with pytest.raises(ValueError, match="dead_cat"):
+        fit_drift_baseline(ref, categorical_cols=["cat", "dead_cat"])
+    with pytest.raises(ValueError, match="dead_num"):
+        fit_drift_baseline(ref, columns=["good", "dead_num"])

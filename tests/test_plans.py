@@ -178,3 +178,24 @@ def test_scan_partition_estimate_matches_regime(spark):
     # in-memory frame: no input files -> None (caller falls back)
     mem = spark.createDataFrame([(1,)], "x int")
     assert _estimated_scan_partitions(mem) is None
+
+
+def test_fan_out_compact_passes_through_exchanged_file_frames(spark, monkeypatch):
+    """A frame with upstream joins/aggregates over LOCAL FILES is
+    partitioned by its exchanges, not its leaf scans — the file-based
+    estimate must not be consulted (it would misread the frame and
+    inject a redundant repartition). Exchanged frames pass through
+    untouched whatever their inputs."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.plans import fanout
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    agged = docs.groupBy("lang").agg(F.count("*").alias("n"))
+
+    def _boom(df):
+        raise AssertionError("file estimate consulted for an exchange plan")
+
+    monkeypatch.setattr(fanout, "_estimated_scan_partitions", _boom)
+    assert fanout.fan_out_compact(agged) is agged
+    monkeypatch.undo()

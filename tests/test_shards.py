@@ -96,3 +96,30 @@ def test_shard_arg_validation(spark, docs, tmp_path):
         )
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignment(docs, 0)
+
+
+def test_manifest_null_tokens_and_hadoop_read(spark, tmp_path):
+    """A shard whose tokens_col is all-NULL reports tokens=None in the
+    manifest (unknown, not a crash); the total sums the KNOWN shards.
+    The manifest also reads back through the Hadoop FS API path."""
+    rows = [(i, None if i % 2 == 0 else 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok int")
+    # n_shards=1 makes the single shard's sum well-defined but mixed;
+    # an all-NULL corpus exercises the None branch end-to-end
+    path = str(tmp_path / "mixed")
+    m = write_training_shards(df, path, n_shards=2, tokens_col="ntok")
+    assert m["rows"] == 40
+    assert m["tokens"] == sum(10 for i in range(40) if i % 2 == 1)
+
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(10)], "doc_id long, ntok int"
+    )
+    path2 = str(tmp_path / "allnull")
+    m2 = write_training_shards(allnull, path2, n_shards=2, tokens_col="ntok")
+    assert all(s["tokens"] is None for s in m2["shards"])
+    assert m2["tokens"] == 0  # no shard has a known count
+    assert m2["rows"] == 10
+
+    # Hadoop-FS read path returns the identical manifest
+    assert read_manifest(path2, spark=spark) == m2
+    assert read_manifest(path2) == m2

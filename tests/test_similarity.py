@@ -668,3 +668,237 @@ def test_pool_embeddings(spark):
         pool_embeddings(df, mode="median")
     with pytest.raises(ValueError, match="weight_col"):
         pool_embeddings(df, mode="max", weight_col="w")
+
+
+def test_ivf_assign_probes_join_matches_literal(spark):
+    """strategy='join' (centroids as broadcast DATA, the large-k path)
+    produces the identical (id, probe, bucket, distance) set as the
+    literal-expression path, with no shuffle on the corpus side; auto
+    resolves by centroid count."""
+    from sparvi_core_spark.operators.similarity import (
+        LITERAL_CENTROID_MAX,
+        ivf_assign_probes,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [7.0, 7.0])],
+        "bucket int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [9.0, 1.0]), (3, [4.0, 4.0]), (4, [6.9, 7.2])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(strategy, nprobe=3):
+        return {
+            (r["id"], r["probe"], r["bucket"], r["distance"])
+            for r in ivf_assign_probes(
+                vecs, cents, nprobe=nprobe, strategy=strategy
+            ).collect()
+        }
+
+    lit = rows("literal")
+    join = rows("join")
+    assert join == lit and len(lit) == 12
+    assert rows("auto") == lit  # 4 centroids <= LITERAL_CENTROID_MAX
+    assert LITERAL_CENTROID_MAX >= 4
+
+    # the corpus never shuffles under the join strategy: the only
+    # exchange is the single-row centroid pack (SinglePartition)
+    plan = (
+        ivf_assign_probes(vecs, cents, nprobe=2, strategy="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        ivf_assign_probes(vecs, cents, strategy="window")
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_assign_probes(vecs, cents, nprobe=5, strategy="join")
+
+
+def test_blas_string_ids_match_expr(spark):
+    """String doc ids flow through both BLAS kernels (pair search and
+    bucketed top-k) with results identical to the expression engine —
+    the id output type follows the input schema on both engines."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_bucketed,
+        embedding_near_duplicates,
+    )
+
+    rnd = random.Random(13)
+    rows = [
+        (f"doc-{i:03d}", i % 3, [rnd.gauss(0, 1) for _ in range(6)])
+        for i in range(40)
+    ]
+    rows.append(("doc-900", 0, list(rows[0][2])))  # planted twin
+    df = spark.createDataFrame(
+        rows, "vec_id string, label int, embedding array<double>"
+    )
+
+    expr_pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(df, threshold=0.999).collect()
+    }
+    blas_pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.999, engine="blas"
+        ).collect()
+    }
+    assert blas_pairs == expr_pairs
+    assert ("doc-000", "doc-900") in {(a, b) for a, b, _ in blas_pairs}
+
+    qs = df.limit(5)
+    expr_tk = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 3))
+        for r in cosine_topk_bucketed(df, qs, k=4).collect()
+    }
+    blas_tk = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 3))
+        for r in cosine_topk_bucketed(df, qs, k=4, engine="blas").collect()
+    }
+    assert blas_tk == expr_tk and len(expr_tk) == 20
+    out = cosine_topk_bucketed(df, qs, k=4, engine="blas")
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+
+    # unsupported id types fail loudly, not at Arrow conversion
+    import pytest
+
+    bad = df.select(
+        F.col("vec_id").cast("double").alias("vec_id"), "label", "embedding"
+    )
+    with pytest.raises(ValueError, match="blas"):
+        embedding_near_duplicates(bad, engine="blas").collect()
+
+
+def test_blas_null_vectors_match_expr(spark):
+    """NULL embeddings are excluded by both engines (the expr engine's
+    qnorm/nnorm filter semantics) instead of crashing np.stack."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_bucketed,
+        embedding_near_duplicates,
+    )
+
+    rnd = random.Random(31)
+    rows = [
+        (i, i % 2, [rnd.gauss(0, 1) for _ in range(6)]) for i in range(30)
+    ]
+    rows.append((200, 0, list(rows[0][2])))  # planted twin
+    rows.append((300, 0, None))  # NULL vector
+    rows.append((301, 1, None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+    expr = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.999).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.999, engine="blas"
+        ).collect()
+    }
+    assert blas == expr and (0, 200) in blas
+    assert all(300 not in p and 301 not in p for p in blas)
+
+    qs = df.filter("vec_id in (0, 5, 300)")
+    expr_tk = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_bucketed(df, qs, k=3).collect()
+    }
+    blas_tk = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_bucketed(df, qs, k=3, engine="blas").collect()
+    }
+    assert blas_tk == expr_tk
+    assert all(q != 300 for q, _, _ in blas_tk)  # NULL query dropped
+
+
+def test_ivf_recall_floor_clustered(spark):
+    """Regression tripwire for the ANN recall knobs: on a corpus WITH
+    cluster structure (IVF's operating assumption) recall@10 must hold
+    >= 0.9 at nprobe=2 under BOTH engines. Deterministic seed; 6
+    Gaussian blobs whose spread makes some true neighbors straddle
+    cluster boundaries, so nprobe=1 measurably loses recall and the
+    floor actually exercises the multi-probe path."""
+    import random
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        kmeans_fit,
+    )
+
+    rnd = random.Random(17)
+    dim, blobs = 16, 6
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(blobs)]
+    rows = []
+    for i in range(300):
+        c = centers[i % blobs]
+        rows.append(
+            (i, [x + rnd.gauss(0, 0.35) for x in c])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter("vec_id % 11 = 0")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vecs, queries, k=10).collect()
+    }
+    centroids, _ = kmeans_fit(vecs, k=blobs, seed=11)
+    for engine in ("expr", "blas"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(
+                vecs, queries, centroids, k=10, nprobe=2, engine=engine
+            ).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, f"recall@10 {recall:.3f} under {engine}"
+
+
+def test_ivf_recall_curve_real_fixture(spark, sf_dir):
+    """The real embeddings fixture has essentially NO cluster structure
+    for NN purposes (measured: only ~14% of true top-10 neighbors share
+    the planted label), so an absolute recall floor there would test
+    the data, not the operator. What IS invariant: recall must be
+    monotone non-decreasing in nprobe, and nprobe = k (probe every
+    cell) must reproduce brute force exactly — nothing silently
+    dropped."""
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        kmeans_fit,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = vecs.orderBy("vec_id").limit(20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vecs, queries, k=10).collect()
+    }
+    centroids, _ = kmeans_fit(vecs, k=4, seed=11)
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(
+                vecs, queries, centroids, k=10, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, "nprobe=k must equal brute force"
