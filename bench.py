@@ -136,6 +136,37 @@ def build_suite(spark, sf_dir):
 
     suite.append(("prepare_corpus", run_pipeline))
 
+    # eval-set hygiene: per-benchmark-item contamination audit against
+    # the full corpus (reference side = every 20th doc, broadcast)
+    from sparvi_core_spark.operators.decontamination import (
+        eval_contamination_report,
+    )
+
+    def run_contamination():
+        docs = spark.table("documents")
+        ref = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+        _force(eval_contamination_report(docs, ref, n=8))
+
+    suite.append(("eval_contamination", run_contamination))
+
+    # chunk→doc embedding pooling: weighted mean + L2 normalize — the
+    # chunk-vector → document-vector bridge on the ANN critical path
+    from sparvi_core_spark.operators.similarity import pool_embeddings
+
+    def run_pool_embeddings():
+        chunks = spark.table("embeddings").select(
+            (F.col("vec_id") % 1000).alias("doc_id"),
+            "embedding",
+            (F.col("vec_id") % 7 + 1).cast("double").alias("w"),
+        )
+        _force(
+            pool_embeddings(
+                chunks, group_col="doc_id", weight_col="w", normalize=True
+            )
+        )
+
+    suite.append(("pool_embeddings", run_pool_embeddings))
+
     return suite
 
 

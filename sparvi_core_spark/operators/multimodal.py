@@ -19,6 +19,14 @@ Decoder selection (per operator, via ``decoder=``):
   into the serialized batch function, so a heterogeneous cluster can't
   split-brain between executors.
 
+Audio is REAL with zero dependencies: ``decode_audio`` /
+``extract_audio_features`` parse PCM WAV payloads with stdlib
+``wave`` + NumPy (no ``audioop`` — removed in Python 3.13) — genuine
+decode, duration/sample-rate stats, and windowed-RMS energy features
+that feed the ANN/dedup surface exactly like the image features.
+Other audio containers (mp3/flac) and video plug into the same batch
+loops via the ``[media]`` extra pattern but are not bundled.
+
 The Spark-side plumbing — schema, batch iteration, partition sizing —
 is identical across decoders and is what the tests pin; the real-codec
 tests are skip-gated on Pillow like the protobuf-gated streaming tests.
@@ -193,6 +201,201 @@ def _embed_one_metadata(b: bytes, dim: int) -> list[float]:
     if n == 0:
         return [0.0] * dim
     return (v / n).astype(np.float32).tolist()
+
+
+def make_wav_payload(
+    media_id: int,
+    seconds: float = 0.25,
+    rate: int = 8000,
+    channels: int = 1,
+    sampwidth: int = 2,
+) -> bytes:
+    """Deterministic REAL WAV blob (tests / fixtures): a seeded
+    sine-plus-noise PCM signal written through stdlib ``wave`` — what
+    ``decode_audio`` parses is an actual RIFF/WAVE container, not a
+    synthetic header."""
+    import io
+    import math
+    import random
+    import wave
+
+    rnd = random.Random(media_id)
+    n = int(seconds * rate)
+    freq = 100 + (media_id % 20) * 37
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = bytearray()
+        full = (1 << (8 * sampwidth - 1)) - 1
+        for i in range(n):
+            v = 0.6 * math.sin(2 * math.pi * freq * i / rate)
+            v += 0.05 * (rnd.random() * 2 - 1)
+            s = int(max(-1.0, min(1.0, v)) * full)
+            for _ in range(channels):
+                if sampwidth == 1:
+                    frames += bytes([(s // 256) + 128 & 0xFF])
+                else:
+                    frames += s.to_bytes(sampwidth, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _audio_info_wav(b: bytes) -> tuple[int, int, int, int] | None:
+    """(rate, channels, frames, sampwidth) from a WAV header, or None."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getnframes(),
+                w.getsampwidth(),
+            )
+    except Exception:
+        return None
+
+
+def _audio_samples_wav(b: bytes):
+    """Mono-mixed float64 samples in [-1, 1], or None if undecodable.
+
+    8/16/32-bit PCM via NumPy ``frombuffer`` (no ``audioop``); 24-bit
+    and compressed WAVs return None → corrupt accounting, same
+    contract as the image codecs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            sw, nch = w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def _audio_embed_one(b: bytes, dim: int) -> list[float]:
+    """Windowed-RMS energy signature: ``dim`` equal time windows →
+    per-window RMS → mean-centered, L2-normalized. Same output
+    contract as the image features (unit norm, corrupt/silent → zero
+    vector), so the result drops straight into the ANN/dedup surface."""
+    import numpy as np
+
+    x = _audio_samples_wav(b)
+    if x is None or len(x) == 0:
+        return [0.0] * dim
+    edges = np.linspace(0, len(x), dim + 1).astype(np.int64)
+    rms = np.array(
+        [
+            np.sqrt(np.mean(x[edges[i] : edges[i + 1]] ** 2))
+            if edges[i + 1] > edges[i]
+            else 0.0
+            for i in range(dim)
+        ]
+    )
+    rms = rms - rms.mean()
+    n = np.linalg.norm(rms)
+    if n == 0:
+        return [0.0] * dim
+    return (rms / n).astype(np.float32).tolist()
+
+
+AUDIO_FIELDS = [
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_s", FloatType()),
+    StructField("n_bytes", LongType()),
+    StructField("valid", StringType()),
+]
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode via stdlib ``wave`` — no extra, no stub, no
+    skip-gate: parses actual RIFF/WAVE headers in Arrow-batched
+    ``mapInPandas`` (same plumbing shape as ``decode_media``).
+
+    Output schema = input schema + (sample_rate, n_channels, n_frames,
+    duration_s, n_bytes, valid). Undecodable payloads get zeros +
+    ``valid="corrupt"``."""
+    out_schema = StructType(df.schema.fields + AUDIO_FIELDS)
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, frames, durs, sizes, valid = [], [], [], [], [], []
+            for raw in pdf[payload_col]:
+                b = bytes(raw) if raw is not None else b""
+                info = _audio_info_wav(b)
+                if info is not None:
+                    rate, nch, nfr, _ = info
+                    rates.append(rate)
+                    chans.append(nch)
+                    frames.append(nfr)
+                    durs.append(nfr / rate if rate else 0.0)
+                    valid.append("ok")
+                else:
+                    rates.append(0)
+                    chans.append(0)
+                    frames.append(0)
+                    durs.append(0.0)
+                    valid.append("corrupt")
+                sizes.append(len(b))
+            pdf = pdf.copy()
+            pdf["sample_rate"] = pd.array(rates, dtype="int32")
+            pdf["n_channels"] = pd.array(chans, dtype="int32")
+            pdf["n_frames"] = pd.array(frames, dtype="int64")
+            pdf["duration_s"] = pd.array(durs, dtype="float32")
+            pdf["n_bytes"] = pd.array(sizes, dtype="int64")
+            pdf["valid"] = valid
+            yield pdf
+
+    return df.mapInPandas(_decode_batches, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    out_col: str = "features",
+) -> DataFrame:
+    """REAL audio features (windowed-RMS energy) via stdlib ``wave`` +
+    NumPy — the audio analog of ``extract_features``: payload →
+    unit-norm ``array<float>`` that feeds ``operators.similarity``
+    (near-dup WAVs — re-containered or level-preserved copies — land
+    at cosine ≈ 1). Corrupt or silent payloads embed to the zero
+    vector so they can't spuriously match."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _audio_embed_one(bytes(raw) if raw is not None else b"", dim)
+                for raw in pdf[payload_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(_feature_batches, schema=out_schema)
 
 
 def decode_media(

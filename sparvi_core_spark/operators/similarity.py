@@ -450,8 +450,12 @@ def ivf_assign(
 
     Centroid table broadcast; per-vector work is #buckets distance
     evaluations; ``min_by`` picks the argmin without a window sort.
+    NULL vectors get no assignment (no distance to rank on) — the
+    contract shared by every assignment strategy in this module.
     """
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     c = centroids.select("bucket", "centroid")
     dist = F.sqrt(
         F.aggregate(
@@ -507,14 +511,29 @@ def ivf_assign_probes(
     (k ≈ √N): per-vector cost is k distance evals either way, but the
     plan compiles in O(1).
 
+    ``strategy="blas"``: centroids are collected (the same driver-size
+    contract), shipped once per executor as a broadcast NumPy matrix,
+    and each Arrow batch computes ALL k distances as one blocked
+    ``V @ C.T`` matmul with a vectorized exact top-``nprobe``
+    selection (ties by bucket ascending, like the other strategies).
+    Same output modulo the documented float64 half-even vs half-up
+    ±1-ulp rounding boundary at the 4th decimal (the contract every
+    BLAS kernel in this module carries). This is the THROUGHPUT path
+    at large k: the expression strategies evaluate ~tens of millions
+    of interpreted distance terms per second, the matmul hundreds of
+    times that.
+
     ``strategy="auto"`` (default) counts the (tiny) centroid table and
     picks ``literal`` at ≤ ``LITERAL_CENTROID_MAX`` centroids, else
     ``join`` — callers like ``semantic_dedup`` / ``cosine_topk_ivf``
-    scale across the k regimes without a knob.
+    scale across the k regimes without a knob. ``blas`` is opt-in
+    (decimal-exact expression engines stay the oracle default, as
+    everywhere in this module).
     """
-    if strategy not in ("auto", "literal", "join"):
+    if strategy not in ("auto", "literal", "join", "blas"):
         raise ValueError(
-            f"strategy must be 'auto', 'literal' or 'join', got {strategy}"
+            "strategy must be 'auto', 'literal', 'join' or 'blas', "
+            f"got {strategy}"
         )
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -527,6 +546,10 @@ def ivf_assign_probes(
             )
     if strategy == "join":
         return _ivf_assign_probes_join(
+            vectors, centroids, nprobe, id_col, vec_col
+        )
+    if strategy == "blas":
+        return _ivf_assign_probes_blas(
             vectors, centroids, nprobe, id_col, vec_col
         )
     cents = centroids.collect()  # bounded by the centroid contract
@@ -559,7 +582,8 @@ def ivf_assign_probes(
     )
     probes = F.slice(scored, 1, nprobe)
     return (
-        vectors.select(
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("id"), F.posexplode(probes).alias("probe", "s")
         )
         .select("id", F.col("s.bucket").alias("bucket"), "probe",
@@ -619,7 +643,8 @@ def _ivf_assign_probes_join(
         F.array_sort(F.transform(F.col("__cents"), _score)), 1, nprobe
     )
     return (
-        vectors.crossJoin(packed)
+        vectors.filter(F.col(vec_col).isNotNull())
+        .crossJoin(packed)
         .select(
             F.col(id_col).alias("id"), F.posexplode(probes).alias("probe", "s")
         )
@@ -629,6 +654,92 @@ def _ivf_assign_probes_join(
             "probe",
             F.col("s.distance").alias("distance"),
         )
+    )
+
+
+def _ivf_assign_probes_blas(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-k multi-probe assignment as a broadcast matmul.
+
+    The centroid table is collected once (k × dim doubles — the
+    driver-size contract shared with ``kmeans_fit``) and shipped via a
+    torrent broadcast; each Arrow batch computes
+    ``d² = |v|² + |c|² − 2·V@Cᵀ`` in ``_BLAS_BLOCK``-row blocks (so
+    memory is O(block × k), never batch × k), rounds to 4, and takes
+    the exact nprobe smallest per row with ties resolved bucket-
+    ascending — the same threshold-plus-cumulative-tie-rank selection
+    as the top-k search kernel, on a bucket-sorted centroid axis.
+    Map-only: no shuffle, no window. NULL vectors get no assignment —
+    the contract shared by every assignment strategy in this module.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_ddl, id_is_str = _blas_id_ddl(vectors, id_col)
+    bucket_ddl = centroids.schema["bucket"].dataType.simpleString()
+    rows = sorted(centroids.collect(), key=lambda r: r["bucket"])
+    n_cents = len(rows)
+    if nprobe > n_cents:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the number of centroids ({n_cents})"
+        )
+    buckets = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    C = np.array(
+        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
+    )
+    bc = vectors.sparkSession.sparkContext.broadcast((buckets, C))
+
+    def kern(batches):
+        bks, Cm = bc.value
+        cn2 = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            ids = ids.astype("U") if id_is_str else ids.astype(np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for s in range(0, len(ids), _BLAS_BLOCK):
+                Vb = V[s : s + _BLAS_BLOCK]
+                vn2 = (Vb * Vb).sum(axis=1)
+                d2 = vn2[:, None] + cn2[None, :] - 2.0 * (Vb @ Cm.T)
+                d = np.round(np.sqrt(np.maximum(d2, 0.0)), 4)
+                # exact nprobe smallest, ties bucket-asc: threshold =
+                # nprobe-th smallest; strictly-below rows are in, tied
+                # slots fill in bucket order (columns are bucket-sorted)
+                thr = np.partition(d, nprobe - 1, axis=1)[:, nprobe - 1]
+                lt = d < thr[:, None]
+                eq = d == thr[:, None]
+                need = nprobe - lt.sum(axis=1)
+                eq_rank = np.cumsum(eq, axis=1, dtype=np.int64) - 1
+                final = lt | (eq & (eq_rank < need[:, None]))
+                ri, ci = np.nonzero(final)
+                dist = d[ri, ci]
+                # probe index = rank within the row's selection by
+                # (distance, bucket): stable row-major nonzero gives
+                # bucket-asc within rows; argsort by distance per row
+                order = np.lexsort((ci, dist, ri))
+                ri, ci, dist = ri[order], ci[order], dist[order]
+                probe = np.arange(len(ri)) - np.searchsorted(
+                    ri, ri, side="left"
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": ids[s + ri],
+                        "bucket": bks[ci],
+                        "probe": probe,
+                        "distance": dist,
+                    }
+                )
+
+    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kern,
+        f"id {id_ddl}, bucket {bucket_ddl}, probe int, distance double",
     )
 
 

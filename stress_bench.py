@@ -319,6 +319,45 @@ def main() -> None:
     assert sem_pairs["semantic_blas_nprobe2"] >= sem_pairs["semantic_blas"]
     assert sem_pairs["semantic_capped"] == 0  # every bucket above the cap
 
+    # --- ivf_large_k: multi-probe assignment at k >= 4096 centroids —
+    # the regime where the literal-expression strategy is documented
+    # as unusable (its expression tree grows as k × dim). The join
+    # strategy (centroids as broadcast DATA) keeps the plan O(1); the
+    # blas strategy (broadcast NumPy matrix + blocked matmul) is the
+    # throughput path. Identical assignments asserted.
+    from sparvi_core_spark.operators.similarity import ivf_assign_probes
+
+    ivf_dim, ivf_k, ivf_n = 16, 4096, 20000
+    big_cents = spark.range(ivf_k).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.array(
+            *[
+                F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1000)) / F.lit(100.0)
+                for i in range(ivf_dim)
+            ]
+        ).alias("centroid"),
+    ).localCheckpoint()
+    big_vecs = spark.range(ivf_n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.pmod(F.xxhash64("id", F.lit(1000 + i)), F.lit(1000))
+                / F.lit(100.0)
+                for i in range(ivf_dim)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+    ivf_rows = {}
+    for strat in ("join", "blas"):
+        def run_ivf(strat=strat):
+            return ivf_assign_probes(
+                big_vecs, big_cents, nprobe=2, strategy=strat
+            ).count()
+
+        ivf_rows[strat] = bench(f"ivf_large_k_{strat}_sec", run_ivf)
+        entries[f"ivf_large_k_{strat}_rows"] = ivf_rows[strat]
+    assert ivf_rows["join"] == ivf_rows["blas"] == 2 * ivf_n
+
     print(
         json.dumps(
             {

@@ -406,3 +406,119 @@ def test_real_kernels_under_fake_pil(fake_pil):
     assert _embed_one_real(b"junk", 4, 2) == [0.0] * 4
     flat = _fake_png(8, 8, data=[100] * 64)
     assert _embed_one_real(flat, 4, 2) == [0.0] * 4
+
+
+# --- REAL audio: stdlib-wave WAV decode (no skips, no extras) ----------
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio parses ACTUAL RIFF/WAVE containers generated by
+    stdlib wave — rates, channel counts, frame counts, durations all
+    exact; corrupt payloads get zeros + valid='corrupt'."""
+    from sparvi_core_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    rows = [
+        (0, "audio", make_wav_payload(0, seconds=0.25, rate=8000)),
+        (1, "audio", make_wav_payload(1, seconds=0.5, rate=16000, channels=2)),
+        (2, "audio", make_wav_payload(2, seconds=0.1, rate=8000, sampwidth=1)),
+        (3, "audio", b"not audio at all"),
+        (4, "audio", None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert (got[0]["sample_rate"], got[0]["n_channels"]) == (8000, 1)
+    assert got[0]["n_frames"] == 2000
+    assert abs(got[0]["duration_s"] - 0.25) < 1e-6
+    assert (got[1]["sample_rate"], got[1]["n_channels"]) == (16000, 2)
+    assert got[1]["n_frames"] == 8000
+    assert got[2]["sample_rate"] == 8000 and got[2]["valid"] == "ok"
+    for bad in (3, 4):
+        assert got[bad]["valid"] == "corrupt"
+        assert got[bad]["sample_rate"] == 0 and got[bad]["duration_s"] == 0.0
+    assert got[4]["n_bytes"] == 0 and got[3]["n_bytes"] == len(rows[3][2])
+
+
+def test_audio_features_real_and_feed_similarity(spark):
+    """Windowed-RMS features from REAL WAV decode: unit-norm,
+    deterministic, identical signals embed identically across
+    channel-layout re-renders, and the vectors drop straight into
+    embedding_near_duplicates — the audio analog of the perceptual
+    image dedup path. Silence and corrupt bytes embed to zero."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.multimodal import (
+        extract_audio_features,
+        make_wav_payload,
+    )
+    from sparvi_core_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    mono = make_wav_payload(5, seconds=0.25, rate=8000)
+    # the same mono signal duplicated into two channels: the mixdown
+    # reproduces it, so the energy envelope — and the features — match
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(mono)) as w:
+        frames = w.readframes(w.getnframes())
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        stereo_frames = b"".join(
+            frames[i : i + 2] * 2 for i in range(0, len(frames), 2)
+        )
+        w.writeframes(stereo_frames)
+    stereo = buf.getvalue()
+
+    import struct
+
+    silence = io.BytesIO()
+    with wave.open(silence, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<1000h", *([0] * 1000)))
+
+    rows = [
+        (0, "audio", mono),
+        (1, "audio", stereo),
+        (2, "audio", make_wav_payload(77, seconds=0.25, rate=8000)),
+        (3, "audio", silence.getvalue()),
+        (4, "audio", b"corrupt"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_audio_features(df, dim=16).collect()
+    }
+    for mid, v in feats.items():
+        n = math.sqrt(sum(x * x for x in v))
+        if mid in (3, 4):
+            assert v == [0.0] * 16  # silent / corrupt: zero vector
+        else:
+            assert abs(n - 1.0) < 1e-5
+
+    vec = extract_audio_features(df, dim=16).select(
+        F.col("media_id").alias("vec_id"), F.lit(0).alias("label"), "features"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            vec, threshold=0.98, vec_col="features", bucket_col="label"
+        ).collect()
+    }
+    assert (0, 1) in pairs  # channel-layout re-render = near-dup
+    assert all(p in ((0, 1),) or 2 not in p for p in pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        extract_audio_features(df, dim=0)

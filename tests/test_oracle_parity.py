@@ -1491,6 +1491,16 @@ SELECT id, bucket, probe, distance FROM ranked WHERE probe < 2
     ).df()
     _assert_frames_match("ivf_probes", spark_pdf, duck_pdf)
 
+    # every assignment strategy hits the SAME oracle: "join" carries
+    # the centroids as broadcast data (the large-k plan), "blas" as a
+    # broadcast NumPy matrix (the large-k kernel) — identical output
+    # is the contract, pinned against DuckDB not just against each other
+    for strategy in ("join", "blas"):
+        strat_pdf = ivf_assign_probes(
+            emb.filter("vec_id < 100"), cents, nprobe=2, strategy=strategy
+        ).toPandas()
+        _assert_frames_match(f"ivf_probes_{strategy}", strat_pdf, duck_pdf)
+
 
 def test_local_pool_embeddings_parity(spark, duck):
     """Chunk→doc pooling vs a DuckDB unnest/arg twin: weighted mean

@@ -902,3 +902,78 @@ def test_ivf_recall_curve_real_fixture(spark, sf_dir):
         recalls.append(len(got & truth) / len(truth))
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[-1] == 1.0, "nprobe=k must equal brute force"
+
+
+def test_ivf_assign_probes_blas_matches_expr_strategies(spark):
+    """strategy='blas' (broadcast NumPy centroid matrix + blocked
+    matmul) produces the identical (id, probe, bucket, distance) set
+    as the literal and join strategies — including tie resolution by
+    bucket and nprobe=1 agreement with ivf_assign's argmin; NULL
+    vectors get no assignment under ANY strategy; string ids flow
+    through."""
+    from sparvi_core_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_probes,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [7.0, 7.0])],
+        "bucket int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5]),
+            (2, [9.0, 1.0]),
+            (3, [4.0, 4.0]),
+            (4, [6.9, 7.2]),
+            (5, [5.0, 5.0]),  # equidistant-ish: exercises tie handling
+            (6, None),  # NULL vector: no assignment, no crash
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(strategy):
+        return sorted(
+            (r["id"], r["probe"], r["bucket"], r["distance"])
+            for r in ivf_assign_probes(
+                vecs, cents, nprobe=3, strategy=strategy
+            ).collect()
+        )
+
+    lit = rows("literal")
+    assert rows("join") == lit and rows("blas") == lit
+    assert len(lit) == 15  # 5 non-NULL vectors x 3 probes
+    assert all(i != 6 for i, _, _, _ in lit)
+
+    one = sorted(
+        (r["id"], r["bucket"])
+        for r in ivf_assign_probes(
+            vecs, cents, nprobe=1, strategy="blas"
+        ).collect()
+    )
+    base = sorted(
+        (r["id"], r["bucket"]) for r in ivf_assign(vecs, cents).collect()
+    )
+    assert one == base
+
+    sv = vecs.filter("embedding is not null").select(
+        F.concat(F.lit("v-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    sb = sorted(
+        (r["id"], r["probe"], r["bucket"])
+        for r in ivf_assign_probes(sv, cents, nprobe=2, strategy="blas").collect()
+    )
+    sl = sorted(
+        (r["id"], r["probe"], r["bucket"])
+        for r in ivf_assign_probes(
+            sv, cents, nprobe=2, strategy="literal"
+        ).collect()
+    )
+    assert sb == sl
+    out = ivf_assign_probes(sv, cents, nprobe=2, strategy="blas")
+    assert dict(out.dtypes)["id"] == "string"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_assign_probes(vecs, cents, nprobe=5, strategy="blas")
