@@ -522,3 +522,171 @@ def test_audio_features_real_and_feed_similarity(spark):
 
     with pytest.raises(ValueError, match="dim"):
         extract_audio_features(df, dim=0)
+
+
+# --- REAL video: stdlib-struct uncompressed-AVI decode (no skips) ------
+
+
+def test_avi_kernels_pixel_exact():
+    """The codec kernels against the generator's pinned pixel formula:
+    a genuine RIFF/AVI chunk tree round-trips through header parse and
+    per-frame DIB decode (bottom-up flip + stride unpadding) to the
+    exact pixel values — no Spark, no mocks."""
+    import numpy as np
+
+    from sparvi_core_spark.operators.multimodal import (
+        _video_frame_offsets_avi,
+        _video_frames_avi,
+        _video_info_avi,
+        make_avi_payload,
+    )
+
+    w, h, nf, fps = 13, 9, 5, 25  # w*3 = 39: stride padding exercised
+    b = make_avi_payload(7, n_frames=nf, width=w, height=h, fps=fps)
+    info = _video_info_avi(b)
+    assert info == (w, h, float(fps), nf, 24, 0)
+    assert len(_video_frame_offsets_avi(b)) == nf
+    frames = _video_frames_avi(b)
+    assert [i for i, _ in frames] == list(range(nf))
+    y, x = np.mgrid[0:h, 0:w]
+    for i, gray in frames:
+        expect = ((6 * x + 7 * y + 13 * 7 + 29 * i) % 256).astype(np.float64)
+        assert gray.shape == (h, w)
+        np.testing.assert_allclose(gray, expect)
+
+    # selective decode touches only the requested chunk indices
+    sel = _video_frames_avi(b, [0, 3])
+    assert [i for i, _ in sel] == [0, 3]
+    # non-AVI / non-RIFF / truncated-header payloads → None
+    assert _video_info_avi(b"garbage") is None
+    assert _video_info_avi(b"RIFF\x10\x00\x00\x00WAVE") is None
+    assert _video_frames_avi(b"\x00" * 64) is None
+
+
+def test_decode_video_real_avi(spark):
+    """decode_video parses ACTUAL RIFF/AVI containers: dims, fps,
+    frame counts, durations all exact; corrupt payloads get zeros +
+    valid='corrupt'. Header-only — works on any frame codec."""
+    from sparvi_core_spark.operators.multimodal import (
+        decode_video,
+        make_avi_payload,
+    )
+
+    rows = [
+        (0, "video", make_avi_payload(0, n_frames=10, width=16, height=12, fps=10)),
+        (1, "video", make_avi_payload(1, n_frames=4, width=8, height=8, fps=25)),
+        (2, "video", b"not video at all"),
+        (3, "video", None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_video(df).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (16, 12)
+    assert got[0]["n_frames"] == 10 and abs(got[0]["fps"] - 10.0) < 1e-6
+    assert abs(got[0]["duration_s"] - 1.0) < 1e-6
+    assert (got[1]["width"], got[1]["n_frames"]) == (8, 4)
+    assert abs(got[1]["duration_s"] - 0.16) < 1e-6
+    for bad in (2, 3):
+        assert got[bad]["valid"] == "corrupt"
+        assert got[bad]["width"] == 0 and got[bad]["n_frames"] == 0
+    assert got[3]["n_bytes"] == 0 and got[2]["n_bytes"] == len(rows[2][2])
+
+
+def test_sample_video_frames_real(spark):
+    """sample_video_frames decodes exactly the sampled frames: row per
+    frame index 0, n, 2n, … with exact timestamps and unit-norm
+    per-frame features; the payload column is dropped (by design —
+    exploding it would multiply corpus bytes by the frame count);
+    corrupt payloads emit zero rows."""
+    import math
+
+    from sparvi_core_spark.operators.multimodal import (
+        make_avi_payload,
+        sample_video_frames,
+    )
+
+    rows = [
+        (0, "video", make_avi_payload(0, n_frames=10, fps=10)),
+        (1, "video", b"corrupt"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_n=3, dim=9).collect()
+    assert "payload" not in out[0].asDict()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 1 not in by_id  # corrupt: zero rows
+    got = sorted(by_id[0], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in got] == [0, 3, 6, 9]
+    for r in got:
+        assert abs(r["time_s"] - r["frame_idx"] / 10.0) < 1e-6
+        n = math.sqrt(sum(v * v for v in r["features"]))
+        assert abs(n - 1.0) < 1e-5 or n == 0.0
+
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(df, every_n=0)
+
+
+def test_video_features_real_and_feed_similarity(spark):
+    """Temporally-pooled aHash features from REAL AVI decode:
+    unit-norm, deterministic, identical pixels re-muxed at a different
+    fps embed identically (frame content is what's pooled), and the
+    vectors drop straight into embedding_near_duplicates — the video
+    analog of the perceptual image/audio dedup paths. Corrupt bytes
+    embed to zero."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.operators.multimodal import (
+        extract_video_features,
+        make_avi_payload,
+    )
+    from sparvi_core_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    clip = make_avi_payload(5, n_frames=8, fps=10)
+    # re-mux: same pixels, different container timing (fps 10 → 30).
+    # the generator is deterministic, so rebuild + patch the rate
+    # fields: dwMicroSecPerFrame (avih) and dwRate (strh)
+    remux = bytearray(make_avi_payload(5, n_frames=8, fps=10))
+    pos = remux.find(b"avih") + 8
+    struct.pack_into("<I", remux, pos, 1_000_000 // 30)
+    pos = remux.find(b"strh") + 8 + 8 + 16  # fourccs + flags..initial
+    struct.pack_into("<2I", remux, pos, 1, 30)
+    remux = bytes(remux)
+    assert remux != clip
+
+    rows = [
+        (0, "video", clip),
+        (1, "video", remux),
+        (2, "video", make_avi_payload(77, n_frames=8, fps=10)),
+        (3, "video", b"corrupt"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_video_features(df, dim=16).collect()
+    }
+    assert feats[3] == [0.0] * 16
+    for mid in (0, 1, 2):
+        n = math.sqrt(sum(v * v for v in feats[mid]))
+        assert abs(n - 1.0) < 1e-5
+    assert feats[0] == feats[1]  # same pixels, different mux
+
+    vec = extract_video_features(df, dim=16).select(
+        F.col("media_id").alias("vec_id"), F.lit(0).alias("label"), "features"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            vec, threshold=0.98, vec_col="features", bucket_col="label"
+        ).collect()
+    }
+    assert (0, 1) in pairs  # re-mux = near-dup
+
+    with pytest.raises(ValueError, match="dim"):
+        extract_video_features(df, dim=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        extract_video_features(df, max_frames=0)
