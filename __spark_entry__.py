@@ -741,6 +741,50 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(emb.filter(F.col("vec_id") < 100), cents)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (operators/quantization.py) against
+    a deterministic per-label slice-mean codebook: dim 64 split into
+    m=4 subspaces of 16, code = nearest subspace centroid by rounded
+    L2, ties to the smallest code. The codebook is SQL-derivable
+    (label means of vector slices), so the full encode — slice,
+    distance, argmin, reassembly order — is DuckDB-oracled; pq_train's
+    Lloyd refinement is the only non-SQL piece (fixpoint class) and is
+    pinned separately by planted-structure recovery + the ADC
+    identity tests."""
+    from sparvi_core_spark.operators.quantization import pq_encode
+
+    t = _views(spark, sf_dir)
+    emb = t["embeddings"]
+    m, dsub = 4, 16
+    parts = []
+    for s in range(m):
+        parts.append(
+            emb.select(
+                F.col("label").alias("code"),
+                F.posexplode(
+                    F.slice("embedding", s * dsub + 1, dsub)
+                ).alias("pos", "val"),
+            )
+            .groupBy("code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .groupBy("code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda p: p["v"],
+                ).alias("centroid")
+            )
+            .select(F.lit(s).alias("subspace"), "code", "centroid")
+        )
+    cb = parts[0]
+    for p in parts[1:]:
+        cb = cb.unionByName(p)
+    codes = pq_encode(emb.filter(F.col("vec_id") < 200), cb)
+    return codes.select(
+        "id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
 def q_language_id(spark, sf_dir):
     from sparvi_core_spark.functions.text import language_id
 
@@ -937,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "range_join_events": q_range_join_events,
         "ivf_assign": q_ivf_assign,
+        "pq_codes": q_pq_codes,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "latest_events": q_latest_events,
@@ -1520,6 +1565,36 @@ WITH w AS (
 SELECT w.window_start, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events l JOIN w ON l.ts BETWEEN w.window_start AND w.window_end
 GROUP BY 1"""
+
+    o["pq_codes"] = """
+WITH ex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+),
+exd AS (
+    SELECT vec_id, label, CAST((pos - 1) // 16 AS INT) AS subspace,
+           (pos - 1) % 16 AS spos, CAST(val AS DOUBLE) AS val
+    FROM ex
+),
+cent AS (
+    SELECT label AS code, subspace, spos, AVG(val) AS cv
+    FROM exd GROUP BY label, subspace, spos
+),
+dist AS (
+    SELECT e.vec_id, e.subspace, c.code,
+           ROUND(SQRT(SUM((e.val - c.cv) * (e.val - c.cv))), 4) AS d
+    FROM exd e JOIN cent c ON e.subspace = c.subspace AND e.spos = c.spos
+    WHERE e.vec_id < 200
+    GROUP BY e.vec_id, e.subspace, c.code
+),
+best AS (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d, code) AS rn
+    FROM dist
+)
+SELECT vec_id AS id, subspace, code FROM best WHERE rn = 1"""
 
     o["ivf_assign"] = """
 WITH ex AS (

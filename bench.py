@@ -76,6 +76,7 @@ def build_suite(spark, sf_dir):
         "bm25_search",
         "fuzzy_name_pairs",
         "latest_events",
+        "pq_codes",
     ):
         suite.append((name, lambda n=name: _force(qs[n](spark, sf_dir))))
 

@@ -14,6 +14,10 @@ the way a retrieval + semantic-dedup run uses it.
                                recovery, best survivor)
       → SRP fallback          (index-free sign-LSH near-dup pass with
                                bit-flip probing — no build step)
+      → IVF-PQ                (residual product quantization: m code
+                               bytes per vector replace the floats;
+                               ADC search over probed cells only, with
+                               the same recall audit)
 
 Run: python examples/embedding_pipeline.py [sf_dir]  (default sf0.01)
 Prints one JSON report.
@@ -108,6 +112,35 @@ def main() -> None:
         .count()
     )
     report["srp_near_dups"] = srp_pairs
+
+    # 7. IVF-PQ: compress the corpus to m code bytes + a bucket id per
+    #    vector (64 floats -> 8 bytes here), then search the CODES —
+    #    the float table is never read by the probe. The recall audit
+    #    runs against the same brute-force truth as step 4.
+    from sparvi_core_spark.operators.quantization import (
+        ivf_residuals,
+        ivfpq_encode,
+        ivfpq_search,
+        pq_train,
+    )
+
+    res = ivf_residuals(emb, centroids)
+    cb, pqinfo = pq_train(
+        res, m=8, ks=64, id_col="id", vec_col="residual", max_iter=6
+    )
+    coded = ivfpq_encode(emb, centroids, cb).localCheckpoint()
+    pq_recall = {}
+    for nprobe in (2, 4, 8):
+        approx = ivfpq_search(queries, coded, centroids, cb, k=10, nprobe=nprobe)
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        pq_recall[f"nprobe={nprobe}"] = round(len(a & e) / max(len(e), 1), 4)
+    report["ivfpq"] = {
+        "m": pqinfo["m"],
+        "ks": pqinfo["ks"],
+        "code_bytes_per_vector": pqinfo["m"],
+        "float_bytes_per_vector": pqinfo["dim"] * 4,
+        "recall_at_10": pq_recall,
+    }
 
     print(json.dumps(report, default=str))
 

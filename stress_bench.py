@@ -358,6 +358,63 @@ def main() -> None:
         entries[f"ivf_large_k_{strat}_rows"] = ivf_rows[strat]
     assert ivf_rows["join"] == ivf_rows["blas"] == 2 * ivf_n
 
+    # --- pq_at_scale: product-quantization encode + ADC search over a
+    # 200k x dim-64 corpus — the embedding-compression path. Encode is
+    # measured on both engines (identical codes asserted via count +
+    # order-insensitive checksum); search runs 100 queries through the
+    # no-decode ADC scan. Codebook: m=8 x ks=256 trained briefly on a
+    # 4k hash-sample (training quality isn't what this cell measures).
+    from sparvi_core_spark.operators.quantization import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    pq_dim, pq_n = 64, 200_000
+    pq_vecs = spark.range(pq_n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.pmod(F.xxhash64("id", F.lit(5000 + i)), F.lit(1000))
+                / F.lit(100.0)
+                for i in range(pq_dim)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+    pq_cb, _ = pq_train(
+        pq_vecs.filter(F.pmod("vec_id", F.lit(50)) == 0),
+        m=8, ks=256, max_iter=2,
+    )
+    pq_cb = pq_cb.localCheckpoint()
+
+    pq_sums = {}
+    for eng in ("expr", "blas"):
+        def run_enc(eng=eng):
+            out = pq_encode(pq_vecs, pq_cb, engine=eng)
+            # bit_xor: order-insensitive fold that cannot overflow
+            # (sum of 200k xxhash64 longs trips ANSI overflow)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(
+                    F.xxhash64("id", F.col("codes").cast("string"))
+                ).alias("s"),
+            ).first()
+            pq_sums[eng] = (row["n"], row["s"])
+
+        bench(f"pq_encode_{eng}_sec", run_enc)
+    assert pq_sums["expr"] == pq_sums["blas"]
+    assert pq_sums["expr"][0] == pq_n
+    entries["pq_encode_rows"] = pq_n
+
+    pq_codes = pq_encode(pq_vecs, pq_cb, engine="blas").localCheckpoint()
+    pq_queries = pq_vecs.filter(F.pmod("vec_id", F.lit(2000)) == 0)
+
+    def run_search():
+        return pq_search(pq_queries, pq_codes, pq_cb, k=10).count()
+
+    entries["pq_search_rows"] = bench("pq_search_sec", run_search)
+    assert entries["pq_search_rows"] == 100 * 10
+
     print(
         json.dumps(
             {
