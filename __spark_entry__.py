@@ -785,6 +785,21 @@ def q_pq_codes(spark, sf_dir):
     )
 
 
+def q_sq_codes(spark, sf_dir):
+    """Scalar int8 quantization (operators/quantization.py): exact
+    per-dimension min/max bounds, then the affine uint8 encode
+    ``floor((clip(x) - lo) / (hi - lo) * 255 + 0.5)`` — the whole
+    train+encode is SQL-expressible, so unlike PQ both phases sit
+    inside the oracle."""
+    from sparvi_core_spark.operators.quantization import sq_encode, sq_train
+
+    t = _views(spark, sf_dir)
+    emb = t["embeddings"]
+    bounds = sq_train(emb)
+    codes = sq_encode(emb.filter(F.col("vec_id") < 200), bounds)
+    return codes.select("id", F.posexplode("codes").alias("dim", "code"))
+
+
 def q_language_id(spark, sf_dir):
     from sparvi_core_spark.functions.text import language_id
 
@@ -982,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "ivf_assign": q_ivf_assign,
         "pq_codes": q_pq_codes,
+        "sq_codes": q_sq_codes,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "latest_events": q_latest_events,
@@ -1565,6 +1581,23 @@ WITH w AS (
 SELECT w.window_start, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events l JOIN w ON l.ts BETWEEN w.window_start AND w.window_end
 GROUP BY 1"""
+
+    o["sq_codes"] = """
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+),
+b AS (
+    SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM ex GROUP BY pos
+)
+SELECT e.vec_id AS id, CAST(e.pos - 1 AS INT) AS dim,
+       CAST(CASE WHEN b.hi > b.lo
+                 THEN FLOOR((LEAST(GREATEST(e.val, b.lo), b.hi) - b.lo)
+                            / (b.hi - b.lo) * 255 + 0.5)
+                 ELSE 0 END AS INT) AS code
+FROM ex e JOIN b USING (pos)
+WHERE e.vec_id < 200"""
 
     o["pq_codes"] = """
 WITH ex AS (

@@ -536,6 +536,112 @@ def pq_search(
     )
 
 
+# --- Scalar (int8) quantization: the cheap tier ---------------------------
+# The compression ladder's first rung: per-dimension affine uint8
+# codes — 4x over float32 with near-exact search quality (max
+# per-dimension reconstruction error is (hi-lo)/510 by construction,
+# PROVEN in tests, not tuned). Fully SQL-expressible, so unlike PQ the
+# entire train+encode is DuckDB-oracled in the driver pin (sq_codes).
+# Use when 4x is enough and exactness audits matter; drop to PQ for
+# the 32-192x regime.
+
+
+def sq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension bounds for scalar quantization: ``(pos, lo, hi)``
+    (pos 0-based) from one map-side-combined min/max aggregation —
+    exact, deterministic, and identical to any SQL engine's MIN/MAX
+    (no float summation anywhere), which is what makes the downstream
+    encode oracle-able. Output is dim rows — broadcast-sized by
+    construction."""
+    ex = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("pos", "val")
+    )
+    return ex.groupBy("pos").agg(
+        F.min(F.col("val").cast("double")).alias("lo"),
+        F.max(F.col("val").cast("double")).alias("hi"),
+    )
+
+
+def _sq_bounds_arrays(bounds: DataFrame) -> tuple[list[float], list[float]]:
+    rows = sorted(bounds.collect(), key=lambda r: r["pos"])  # dim rows
+    if [r["pos"] for r in rows] != list(range(len(rows))):
+        raise ValueError("bounds positions are not dense 0..dim-1")
+    if not rows:
+        raise ValueError("empty bounds frame")
+    return (
+        [float(r["lo"]) for r in rows],
+        [float(r["hi"]) for r in rows],
+    )
+
+
+def sq_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Affine-quantize to uint8 codes: ``(id, codes array<int>)`` with
+    ``codes[i] = floor((clip(x, lo, hi) - lo) / (hi - lo) * 255 +
+    0.5)`` per dimension (constant dimensions code to 0). MAP-ONLY:
+    the (dim-sized) bounds ride as literal arrays inside one
+    ``transform`` expression — no join, no shuffle, whole plan is a
+    scan + project. ``floor(x + 0.5)`` instead of ``round`` because
+    banker's-vs-half-up rounding differs across engines and this
+    expression must match its SQL oracle exactly. Codes fit one byte
+    each (pack to ``binary`` at the sink if storage is the point);
+    NULL vectors get no row."""
+    lo, hi = _sq_bounds_arrays(bounds)
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+
+    def _code(x, i):
+        lo_i = F.element_at(lo_arr, i + 1)
+        hi_i = F.element_at(hi_arr, i + 1)
+        rng = hi_i - lo_i
+        clipped = F.least(F.greatest(x.cast("double"), lo_i), hi_i)
+        return (
+            F.when(rng > 0, F.floor((clipped - lo_i) / rng * 255 + 0.5))
+            .otherwise(0)
+            .cast("int")
+        )
+
+    return vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), _code).alias("codes"),
+    )
+
+
+def sq_decode(
+    codes: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "id",
+    code_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct: ``x_hat[i] = lo + codes[i] / 255 * (hi - lo)`` —
+    map-only like the encode. By construction ``|x_hat - clip(x)| <=
+    (hi - lo) / 510`` per dimension (the tests pin the bound), so
+    search over reconstructions via ``similarity.cosine_topk`` (or
+    any float-vector consumer) degrades by at most that error."""
+    lo, hi = _sq_bounds_arrays(bounds)
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+
+    def _val(c, i):
+        lo_i = F.element_at(lo_arr, i + 1)
+        hi_i = F.element_at(hi_arr, i + 1)
+        return lo_i + c.cast("double") / 255 * (hi_i - lo_i)
+
+    return codes.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(code_col), _val).alias(out_col),
+    )
+
+
 # --- IVF-PQ (IVFADC): coarse quantizer + residual PQ -----------------------
 # The composition Jegou et al. sec VI call IVFADC and FAISS ships as
 # IndexIVFPQ — the de-facto billion-scale ANN layout: a coarse

@@ -380,3 +380,113 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
         hits += len(truth & found)
         total += len(truth)
     assert total == 50 and hits / total >= 0.9
+
+
+# --- Scalar (int8) quantization ----------------------------------------
+
+
+def test_sq_error_bound_proven(spark):
+    """The load-bearing invariant: per-dimension reconstruction error
+    <= (hi - lo) / 510 for EVERY value — by construction, not tuning.
+    Endpoints reconstruct exactly; constant dimensions decode to lo."""
+    from sparvi_core_spark.operators.quantization import (
+        sq_decode,
+        sq_encode,
+        sq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bounds = sq_train(emb).localCheckpoint()
+    b = {r["pos"]: (r["lo"], r["hi"]) for r in bounds.collect()}
+    dec = {
+        r["id"]: r["embedding"]
+        for r in sq_decode(sq_encode(emb, bounds), bounds).collect()
+    }
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    assert set(dec) == set(orig)
+    worst = 0.0
+    for vid, xs in orig.items():
+        for i, x in enumerate(xs):
+            lo, hi = b[i]
+            tol = (hi - lo) / 510 + 1e-12
+            err = abs(dec[vid][i] - min(max(x, lo), hi))
+            worst = max(worst, err - (hi - lo) / 510)
+            assert err <= tol, (vid, i, err, tol)
+    assert worst <= 1e-12
+
+    # endpoints: a vector of exact per-dim lo (hi) codes to 0 (255)
+    # and reconstructs exactly
+    dim = len(b)
+    ends = spark.createDataFrame(
+        [
+            (0, [b[i][0] for i in range(dim)]),
+            (1, [b[i][1] for i in range(dim)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r["id"]: list(r["codes"]) for r in sq_encode(ends, bounds).collect()}
+    assert codes[0] == [0] * dim and codes[1] == [255] * dim
+    rec = {
+        r["id"]: r["embedding"]
+        for r in sq_decode(sq_encode(ends, bounds), bounds).collect()
+    }
+    for i in range(dim):
+        assert rec[0][i] == pytest.approx(b[i][0], abs=1e-12)
+        assert rec[1][i] == pytest.approx(b[i][1], abs=1e-12)
+
+
+def test_sq_constant_dimension_and_nulls(spark):
+    from sparvi_core_spark.operators.quantization import (
+        sq_decode,
+        sq_encode,
+        sq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = sq_train(df).localCheckpoint()
+    codes = {r["id"]: list(r["codes"]) for r in sq_encode(df, bounds).collect()}
+    assert set(codes) == {0, 1}  # NULL vector dropped
+    assert codes[0][0] == 0 and codes[1][0] == 0  # constant dim -> 0
+    dec = {
+        r["id"]: r["embedding"]
+        for r in sq_decode(sq_encode(df, bounds), bounds).collect()
+    }
+    assert dec[0][0] == 1.0 and dec[1][0] == 1.0  # decodes to lo
+
+
+def test_sq_search_recall_via_reconstruction(spark):
+    """int8 is the near-exact tier: cosine top-10 over the
+    reconstructions recalls >= 0.9 of the float top-10 on the real
+    fixture (deterministic — a tripwire)."""
+    from sparvi_core_spark.operators.quantization import (
+        sq_decode,
+        sq_encode,
+        sq_train,
+    )
+    from sparvi_core_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bounds = sq_train(emb).localCheckpoint()
+    recon = sq_decode(sq_encode(emb, bounds), bounds).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    rq = recon.join(
+        queries.select("vec_id"), "vec_id"
+    )
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(recon, rq, k=10).collect()
+    }
+    assert len(exact) > 0
+    assert len(exact & approx) / len(exact) >= 0.9
