@@ -85,6 +85,16 @@ def test_oracle_parity(spark, duck, name):
     _assert_frames_match(name, spark_pdf, duck_pdf)
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.local_pairs().keys()))
+def test_demoted_pair_parity(spark, duck, name):
+    """Pairs swapped out of the 50-entry driver pin keep the IDENTICAL
+    oracle check here (round-6: array_agg, ngram_jaccard_lsh)."""
+    fn, sql = entrymod.local_pairs()[name]
+    _assert_frames_match(
+        name, fn(spark, SF_DIR).toPandas(), duck.execute(sql).df()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Local-only oracle pairs — shapes that left the driver's 50-query pin
 # (mode, set-ops, HLL) keep full oracle coverage here, where there is no
