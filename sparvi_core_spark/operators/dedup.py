@@ -486,26 +486,47 @@ def simhash_near_pairs(
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iter: int = 20, raise_on_nonconverged: bool = True
+    pairs: DataFrame,
+    max_iter: int = 20,
+    raise_on_nonconverged: bool = True,
+    strategy: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster), where
     cluster = min doc id reachable through the pair graph (the survivor
     every other member dedups onto).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbors' labels — converges in graph-diameter
-    rounds (near-dup clusters are tiny, so a handful). Each round is one
-    join + one agg; ``localCheckpoint`` truncates lineage so plans don't
-    grow across iterations. This is the standard Spark CC shape without
-    a graph library dependency.
+    ``strategy="label"`` (default): iterative min-label propagation —
+    each round every node takes the min of its own and its neighbors'
+    labels, converging in graph-diameter rounds. Near-dup clusters are
+    almost always tiny cliques (diameter 1-2), so this is the cheapest
+    route for the common case: one join + one agg per round;
+    ``localCheckpoint`` truncates lineage so plans don't grow across
+    iterations. This is the standard Spark CC shape without a graph
+    library dependency.
 
-    Labels propagate one hop per round, so a component whose diameter
-    exceeds ``max_iter`` (a pathological near-dup CHAIN, not a clique)
-    would exit the loop with wrong, unconverged labels. That is never
-    returned silently: by default a ``RuntimeError`` tells the caller to
-    raise ``max_iter``; ``raise_on_nonconverged=False`` downgrades to a
-    ``RuntimeWarning`` for callers that prefer best-effort labels.
+    ``strategy="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — converges in O(log² n) rounds REGARDLESS of component
+    diameter, because each round rewires edges toward the component
+    minimum multiplicatively rather than one hop at a time. Use it when
+    the pair graph's shape is unknown or adversarial (transitive
+    near-dup CHAINS — template drift, shingled crawls — where diameter
+    ≈ component size and label propagation would need one round per
+    link). Identical output to ``"label"``; each round costs ~2 extra
+    shuffles, which is why it isn't the default for clique-shaped input.
+
+    Labels propagate one hop per round under ``"label"``, so a component
+    whose diameter exceeds ``max_iter`` (a pathological near-dup CHAIN,
+    not a clique) would exit the loop with wrong, unconverged labels.
+    That is never returned silently: by default a ``RuntimeError`` tells
+    the caller to raise ``max_iter`` (or switch to ``strategy="star"``);
+    ``raise_on_nonconverged=False`` downgrades to a ``RuntimeWarning``
+    for callers that prefer best-effort labels.
     """
+    if strategy == "star":
+        return _dedup_clusters_star(pairs, max_iter, raise_on_nonconverged)
+    if strategy != "label":
+        raise ValueError(f"unknown strategy {strategy!r}: 'label' or 'star'")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
         edges.unionByName(
@@ -565,6 +586,106 @@ def dedup_clusters(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def _dedup_clusters_star(
+    pairs: DataFrame, max_iter: int, raise_on_nonconverged: bool
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., SoCC 2014).
+
+    Edge state is the canonical set ``(a, b)`` with ``a > b`` — every
+    edge points from a node to a smaller one. One round:
+
+    - **large-star** (on the symmetrized neighborhoods): for each node
+      ``u`` let ``m = min({u} ∪ Γ(u))``; connect every strictly LARGER
+      neighbor ``v > u`` to ``m``. Larger neighbors skip over ``u``
+      straight to its current minimum — the multiplicative hop that
+      gives the O(log² n) bound.
+    - **small-star** (on the directed ``a → smaller b`` lists): for each
+      ``u`` let ``m = min`` of its smaller neighbors; rewire ``u`` and
+      every other smaller neighbor onto ``m`` — flattens local chains
+      into stars.
+
+    Convergence = the edge set reaches the round operator's fixed point,
+    detected by (count, Σ xxhash64(a, b)) equality — two scalars from
+    one aggregate, never a set-compare join. At the fixed point the
+    graph is a union of stars rooted at component minima, so the edges
+    ARE the labeling: ``(child, root)`` rows read off directly, roots
+    (and self-loop-only nodes) label themselves via the node-list
+    left join.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("a"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+    ).distinct()
+
+    def _sig(df: DataFrame) -> tuple:
+        # xor-fold, not sum: ANSI mode would overflow a long sum, and
+        # the edge set is distinct so xor is an order-free set digest
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("chk"),
+        ).first()
+        return (row["n"], row["chk"])
+
+    sig = _sig(e)
+    converged = sig[0] == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star over symmetrized neighborhoods
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.first("a"), F.min("b")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))  # strictly larger neighbors
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the (a → smaller b) lists: u and all its
+        # smaller neighbors rewire onto the smallest of them
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            mins2.select("a", F.col("m").alias("b"))
+            .unionByName(
+                large.join(mins2, "a")
+                .filter(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(small)
+        converged = new_sig == sig
+        sig, e = new_sig, small
+    if not converged:
+        msg = (
+            f"dedup_clusters(strategy='star') did not converge within "
+            f"max_iter={max_iter} rounds — at O(log² n) convergence this "
+            "means an extraordinarily large component or a malformed "
+            "pair graph. Raise max_iter."
+        )
+        if raise_on_nonconverged:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    children = e.select(F.col("a").alias("id"), F.col("b").alias("cluster"))
+    return nodes.join(children, "id", "left").select(
+        "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+    )
 
 
 def novelty_filter(

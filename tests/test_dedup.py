@@ -259,3 +259,81 @@ def test_corpus_diff_statuses(spark):
     raw = {r["id"]: r["status"]
            for r in corpus_diff(old, new, normalize=False).collect()}
     assert raw[3] == "changed"  # without normalization the case diff counts
+
+
+def test_star_cc_matches_label_strategy_on_random_graphs(spark):
+    """large-star/small-star is an alternative ALGORITHM, not an
+    alternative answer: identical (id, cluster) sets on seeded random
+    pair graphs of mixed component shapes."""
+    import random
+
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40 + trial * 20)
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["id"], r["cluster"])
+            for r in dedup_clusters(pairs, max_iter=30).collect()
+        }
+        got = {
+            (r["id"], r["cluster"])
+            for r in dedup_clusters(pairs, strategy="star").collect()
+        }
+        assert got == want
+
+
+def test_star_cc_converges_on_chain_past_label_budget(spark):
+    """A 60-link chain (diameter 60): label propagation cannot converge
+    in 20 rounds, star contraction does — the adversarial-shape case the
+    strategy exists for."""
+    import pytest
+
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=20).collect()
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup_clusters(chain, strategy="star", max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_cc_string_ids_and_self_loops(spark):
+    """min-over-string-ids semantics match the label strategy; self-loop
+    rows keep their node in the output labeled as itself."""
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("zzz", "zzz")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup_clusters(pairs, strategy="star").collect()
+    }
+    assert got == {
+        "doc_a": "doc_a",
+        "doc_b": "doc_a",
+        "doc_c": "doc_a",
+        "zzz": "zzz",
+    }
+
+
+def test_star_cc_unknown_strategy_raises(spark):
+    import pytest
+
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        dedup_clusters(pairs, strategy="hash_to_min")
