@@ -1,0 +1,290 @@
+"""Multinomial Naive Bayes text classification — the fastText-style
+linear classifier tier of a training-data pipeline: train a
+quality/domain/language classifier on a labeled seed set, score every
+candidate document map-side, keep the wanted classes (the CCNet /
+LLaMA "is this page Wikipedia-like?" filter, the RedPajama domain
+router, language-ID with a trained prior instead of heuristics).
+
+No analog in the reference engine (its surface stops at profiling /
+validation; SURVEY.md §2.8) — part of the training-data-pipeline
+extension surface, alongside ``functions.lm`` (perplexity filtering)
+and ``functions.text`` (heuristic quality).
+
+Model: multinomial NB with add-k smoothing over the lowercase-alnum
+tokenizer shared with ``operators.ranking``:
+
+``score(d, c) = ln p(c) + Σ_t tf(t, d) · ln p(t | c)``
+``p(t | c) = (count(c, t) + k) / (total(c) + k·D)``
+
+where D is the feature-space size: the distinct trained vocabulary by
+default, or ``num_features`` under the hashing trick. Unseen tokens
+fall through the same formula with count 0, so scoring a corpus
+disjoint from training is well-defined.
+
+Scale design (the part that matters at 100 TB):
+
+- **Training** is one explode + one groupBy on (label, feature) —
+  map-side combined, output bounded by labels × vocabulary, never by
+  corpus size. Class totals, priors, and D derive from the counts
+  frame and a doc-count agg (tiny), never a second corpus pass.
+- **The hashing trick** (``num_features=2**18``-ish) bounds the model
+  at labels × num_features rows regardless of corpus vocabulary — the
+  standard fastText move, and what keeps the model broadcastable when
+  the training set is web-scale.
+- **Scoring** is one corpus pass with ZERO corpus-corpus joins: token
+  rows fan out by the (small) class count, the model left-joins on as
+  a broadcast (``broadcast_model=True`` — the 100 TB default), and the
+  single shuffle is the map-side-combined (doc, class) aggregate whose
+  output is docs × L scalar rows. Unseen tokens need no case split —
+  they ride the same ``ln(count + k)`` expression with count 0.
+- Everything is built-in expressions; no Python on the executors.
+
+DuckDB oracle parity: with default token features the whole pipeline
+is expressible in SQL (``regexp_split_to_array`` + joins + ``ln``);
+scores are rounded so summation-order ULP drift cannot flip the
+comparison, and argmax ties break on label ascending in both engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparvi_core_spark.operators.ranking import search_tokens
+
+
+def _features(text_col: str, num_features: int | None) -> F.Column:
+    """array<string> of per-occurrence features for one document.
+
+    Exact mode keeps the token; hashing mode buckets it with
+    ``pmod(xxhash64(token), num_features)`` — non-negative, stable
+    across sessions, and cast to string so both modes share one model
+    schema.
+    """
+    toks = search_tokens(text_col)
+    if num_features is None:
+        return toks
+    return F.transform(
+        toks,
+        lambda t: F.pmod(F.xxhash64(t), F.lit(num_features)).cast("string"),
+    )
+
+
+@dataclass
+class NBModel:
+    """A trained classifier: feature counts, class stats, feature-space
+    size — all lazy DataFrames / plain ints, so a model is a plan until
+    scored (persist ``counts`` when scoring many batches).
+
+    ``counts``: (label, feature, n); ``classes``: (label, total,
+    n_docs); ``dims``: single row (d, n_docs_all).
+    """
+
+    counts: DataFrame
+    classes: DataFrame
+    dims: DataFrame
+    num_features: int | None
+
+
+def train_nb(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    num_features: int | None = None,
+    min_count: int = 1,
+) -> NBModel:
+    """Count (label, feature) occurrences over a labeled corpus →
+    :class:`NBModel`.
+
+    ``min_count`` prunes rare features from the model (the standard
+    size/quality trade — pruned features score as unseen). Class
+    totals are computed BEFORE pruning so probabilities stay ≤ 1 and
+    sum correctly over the full event space. Rows with a NULL label
+    are dropped (unlabeled seeds train nothing).
+    """
+    labeled = docs.filter(F.col(label_col).isNotNull())
+    pairs = labeled.select(
+        F.col(label_col).cast("string").alias("label"),
+        F.explode(_features(text_col, num_features)).alias("feature"),
+    )
+    counts = pairs.groupBy("label", "feature").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("label").agg(F.sum("n").alias("total"))
+    n_docs = labeled.groupBy(F.col(label_col).cast("string").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # both sides are class-count-sized; broadcast so the model plan
+    # never sort-merges (AQE would get there too, but only at runtime)
+    classes = totals.join(F.broadcast(n_docs), "label")
+    if num_features is None:
+        dims = counts.select("feature").distinct().agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    else:
+        dims = counts.sparkSession.range(1).select(
+            F.lit(num_features).cast("long").alias("d")
+        )
+    dims = dims.crossJoin(
+        labeled.agg(F.count(F.lit(1)).alias("n_docs_all"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return NBModel(
+        counts=counts, classes=classes, dims=dims, num_features=num_features
+    )
+
+
+def score_nb(
+    docs: DataFrame,
+    model: NBModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    broadcast_model: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(document, class) log score under ``model`` →
+    (id, label, n_tokens, score).
+
+    Every document gets a row per class — including empty documents,
+    which score on the class prior alone (``n_tokens`` 0). ``score``
+    is the joint log-likelihood ``ln p(c) + Σ tf·ln p(t|c)``; compare
+    WITHIN a document (argmax / margins), not across documents of
+    different lengths.
+
+    ``broadcast_model=True`` broadcasts counts AND class stats —
+    scoring becomes a map-only pass over the corpus beyond the two
+    per-document aggregates (use when the pruned model fits executor
+    memory; the 100 TB default).
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be positive, got {add_k}")
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    docs = fan_out_compact(docs)
+    counts, classes = model.counts, model.classes
+    if broadcast_model:
+        counts, classes = F.broadcast(counts), F.broadcast(classes)
+    labels = model.classes.select("label")
+    if broadcast_model:
+        labels = F.broadcast(labels)
+    # token × class rows: explode_outer keeps empty/NULL documents (one
+    # NULL-feature row) so they still score on the prior; every real
+    # token contributes ln(count + k) with an unseen count of 0, so
+    # there is no seen/unseen case split — one left broadcast join,
+    # one map-side-combined groupBy, zero corpus-corpus joins
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_features(text_col, model.num_features)).alias(
+            "feature"
+        ),
+    ).crossJoin(labels)
+    joined = tok.join(counts, ["feature", "label"], "left")
+    contrib = F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
+        F.log(
+            F.coalesce(F.col("n"), F.lit(0)).cast("double")
+            + F.lit(float(add_k))
+        )
+    )
+    per = joined.groupBy("id", "label").agg(
+        F.sum(contrib).alias("loglik_num"),
+        F.sum(
+            F.when(F.col("feature").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_tokens"),
+    )
+    grid = per.join(classes, "label").crossJoin(F.broadcast(model.dims))
+    denom = F.log(
+        F.col("total").cast("double")
+        + F.lit(float(add_k)) * F.col("d").cast("double")
+    )
+    score = (
+        F.log(F.col("n_docs").cast("double") / F.col("n_docs_all"))
+        + F.col("loglik_num")
+        - F.col("n_tokens").cast("double") * denom
+    )
+    return grid.select(
+        F.col("id").alias(id_col),
+        "label",
+        "n_tokens",
+        F.round(score, round_to).alias("score"),
+    )
+
+
+def classify_nb(
+    docs: DataFrame,
+    model: NBModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    broadcast_model: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Argmax prediction per document → (id, label, score, margin).
+
+    ``margin`` is the winning score minus the runner-up (0.0 for a
+    single-class model) — threshold it for precision/recall control.
+    Ties break on label ascending, deterministically, matching the SQL
+    oracle's ``ORDER BY score DESC, label ASC``.
+    """
+    scored = score_nb(
+        docs,
+        model,
+        id_col=id_col,
+        text_col=text_col,
+        add_k=add_k,
+        broadcast_model=broadcast_model,
+        round_to=round_to,
+    )
+    # min_by over (-score, label) = max score, ties to the smallest
+    # label — one map-side-combined aggregate, no window sort; the
+    # collected score list is bounded by the class count, not the data
+    key = F.struct((-F.col("score")).alias("neg"), F.col("label"))
+    agg = scored.groupBy(id_col).agg(
+        F.min_by("label", key).alias("label"),
+        F.max("score").alias("score"),
+        F.sort_array(F.collect_list("score"), asc=False).alias("_scores"),
+    )
+    return agg.select(
+        id_col,
+        "label",
+        "score",
+        F.round(
+            F.when(
+                F.size("_scores") > 1,
+                F.col("score") - F.element_at("_scores", 2),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("margin"),
+    )
+
+
+def nb_filter(
+    docs: DataFrame,
+    model: NBModel,
+    keep_labels: list[str] | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_margin: float = 0.0,
+    add_k: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Keep documents whose predicted class is in ``keep_labels`` with
+    at least ``min_margin`` over the runner-up — the deployed shape of
+    the quality filter. Returns the input columns + ``label`` +
+    ``margin``.
+    """
+    if isinstance(keep_labels, str):
+        keep_labels = [keep_labels]
+    preds = classify_nb(
+        docs,
+        model,
+        id_col=id_col,
+        text_col=text_col,
+        add_k=add_k,
+        broadcast_model=broadcast_model,
+    ).select(id_col, "label", "margin")
+    return docs.join(preds, id_col).filter(
+        F.col("label").isin(keep_labels) & (F.col("margin") >= min_margin)
+    )

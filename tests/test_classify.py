@@ -1,0 +1,183 @@
+"""Naive Bayes classifier: hand-checked scores, planted-separation
+predictions (exact + hashed features), tie/empty-doc semantics,
+min_count pruning, and the broadcast-model plan pin. DuckDB value
+parity lives in tests/test_oracle_parity.py::test_local_nb_parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparvi_core_spark.operators.classify import (
+    classify_nb,
+    nb_filter,
+    score_nb,
+    train_nb,
+)
+
+
+@pytest.fixture(scope="module")
+def seeds(spark):
+    rows = [
+        (1, "spam spam offer", "bad"),
+        (2, "spam offer now", "bad"),
+        (3, "paper results method", "good"),
+        (4, "method results", "good"),
+        (5, "results paper", "good"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_hand_checked_scores(spark, seeds):
+    model = train_nb(seeds, "label")
+    counts = {
+        (r["label"], r["feature"]): r["n"] for r in model.counts.collect()
+    }
+    assert counts == {
+        ("bad", "spam"): 3,
+        ("bad", "offer"): 2,
+        ("bad", "now"): 1,
+        ("good", "paper"): 2,
+        ("good", "results"): 3,
+        ("good", "method"): 2,
+    }
+    classes = {r["label"]: r for r in model.classes.collect()}
+    assert classes["bad"]["total"] == 6 and classes["bad"]["n_docs"] == 2
+    assert classes["good"]["total"] == 7 and classes["good"]["n_docs"] == 3
+    dims = model.dims.first()
+    assert dims["d"] == 6 and dims["n_docs_all"] == 5
+
+    probe = spark.createDataFrame([(10, "spam method")], ["doc_id", "text"])
+    scored = {
+        r["label"]: r["score"] for r in score_nb(probe, model, add_k=1.0).collect()
+    }
+    # bad: ln(2/5) + ln((3+1)/(6+6)) + ln((0+1)/(6+6))
+    exp_bad = math.log(2 / 5) + math.log(4 / 12) + math.log(1 / 12)
+    # good: ln(3/5) + ln((0+1)/(7+6)) + ln((2+1)/(7+6))
+    exp_good = math.log(3 / 5) + math.log(1 / 13) + math.log(3 / 13)
+    assert scored["bad"] == pytest.approx(exp_bad, abs=1e-6)
+    assert scored["good"] == pytest.approx(exp_good, abs=1e-6)
+
+
+def test_planted_separation_exact_and_hashed(spark, seeds):
+    probes = spark.createDataFrame(
+        [
+            (10, "totally new spam offer text"),
+            (11, "new paper with results"),
+        ],
+        ["doc_id", "text"],
+    )
+    for num_features in (None, 1 << 14):
+        model = train_nb(seeds, "label", num_features=num_features)
+        preds = {
+            r["doc_id"]: r for r in classify_nb(probes, model).collect()
+        }
+        assert preds[10]["label"] == "bad"
+        assert preds[11]["label"] == "good"
+        assert preds[10]["margin"] > 0 and preds[11]["margin"] > 0
+
+
+def test_empty_null_and_tie_docs(spark, seeds):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    probes = spark.createDataFrame([(20, ""), (21, None)], schema)
+    model = train_nb(seeds, "label")
+    preds = {r["doc_id"]: r for r in classify_nb(probes, model).collect()}
+    # empty/NULL docs score on the prior alone: good has 3/5 of docs
+    for did in (20, 21):
+        assert preds[did]["label"] == "good"
+        assert preds[did]["score"] == pytest.approx(math.log(3 / 5), abs=1e-6)
+        assert preds[did]["margin"] == pytest.approx(
+            math.log(3 / 5) - math.log(2 / 5), abs=1e-6
+        )
+    # a perfect tie breaks on label ascending: equal priors, empty doc
+    even = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], ["doc_id", "text", "label"]
+    )
+    tied = classify_nb(
+        spark.createDataFrame([(30, "")], schema), train_nb(even, "label")
+    ).first()
+    assert tied["label"] == "a" and tied["margin"] == 0.0
+
+
+def test_min_count_prunes_but_keeps_totals(spark, seeds):
+    model = train_nb(seeds, "label", min_count=2)
+    feats = {r["feature"] for r in model.counts.collect()}
+    assert "now" not in feats and "spam" in feats
+    # totals were computed pre-prune: still 6/7
+    classes = {r["label"]: r["total"] for r in model.classes.collect()}
+    assert classes == {"bad": 6, "good": 7}
+    # a pruned token scores as unseen for BOTH classes — not an error
+    probe = spark.createDataFrame([(40, "now now")], ["doc_id", "text"])
+    rows = score_nb(probe, model).collect()
+    assert len(rows) == 2 and all(r["score"] is not None for r in rows)
+
+
+def test_nb_filter_keeps_wanted_class(spark, seeds):
+    corpus = spark.createDataFrame(
+        [
+            (50, "great spam offer deal"),
+            (51, "the paper presents results and method"),
+            (52, "results of the new method paper"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = train_nb(seeds, "label")
+    kept = nb_filter(corpus, model, "good").select("doc_id", "label").collect()
+    assert {r["doc_id"] for r in kept} == {51, 52}
+    assert all(r["label"] == "good" for r in kept)
+    # margin threshold can empty the result without erroring
+    none_kept = nb_filter(corpus, model, "good", min_margin=1e9)
+    assert none_kept.count() == 0
+
+
+def test_null_labels_dropped_and_broadcast_plan(spark, seeds):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    with_null = spark.createDataFrame(
+        [(99, "spam spam spam", None)], schema
+    ).union(seeds)
+    model = train_nb(with_null, "label")
+    assert {r["label"] for r in model.classes.collect()} == {"bad", "good"}
+    # the unlabeled row trained nothing: spam count unchanged
+    spam = {
+        r["label"]: r["n"]
+        for r in model.counts.filter("feature = 'spam'").collect()
+    }
+    assert spam == {"bad": 3}
+
+    plan = score_nb(
+        seeds, model, broadcast_model=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hashed_model_is_bounded(spark, seeds):
+    model = train_nb(seeds, "label", num_features=8)
+    # 8 buckets × 2 classes bounds the model regardless of vocabulary
+    assert model.counts.count() <= 16
+    assert model.dims.first()["d"] == 8
+    # collisions change scores, never break scoring
+    probe = spark.createDataFrame([(60, "spam offer spam")], ["doc_id", "text"])
+    assert classify_nb(probe, model).count() == 1
+
+
+def test_add_k_guard(seeds):
+    model = train_nb(seeds, "label")
+    with pytest.raises(ValueError, match="add_k"):
+        score_nb(seeds, model, add_k=0)

@@ -1545,3 +1545,87 @@ SELECT doc_id, pos, {agg_sql} AS v FROM ex GROUP BY doc_id, pos
 """
         ).df()
         _assert_frames_match(f"pool_{mode}", spark_pdf, duck_pdf)
+
+
+def test_local_nb_parity(spark, duck):
+    """Self-trained Naive Bayes scores vs the identical add-k
+    arithmetic in DuckDB (lang labels, exact token features, joint
+    log-likelihood rounded to 4 so cross-engine libm/summation-order
+    drift on the long sums cannot flip the compare)."""
+    from sparvi_core_spark.operators.classify import score_nb, train_nb
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = train_nb(df, "lang")
+    spark_pdf = score_nb(df, model, round_to=4).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM documents
+        ),
+        pairs AS (
+          SELECT lang AS label, unnest(l) AS feature FROM base WHERE lang IS NOT NULL
+        ),
+        counts AS (SELECT label, feature, count(*) AS n FROM pairs GROUP BY ALL),
+        classes AS (
+          SELECT c.label, c.total, d.n_docs FROM
+            (SELECT label, sum(n) AS total FROM counts GROUP BY label) c
+            JOIN (SELECT lang AS label, count(*) AS n_docs FROM base
+                  WHERE lang IS NOT NULL GROUP BY lang) d USING (label)
+        ),
+        dims AS (
+          SELECT (SELECT count(DISTINCT feature) FROM counts) AS d,
+                 (SELECT count(*) FROM base WHERE lang IS NOT NULL) AS n_docs_all
+        ),
+        toks AS (SELECT doc_id, unnest(l) AS feature FROM base),
+        contrib AS (
+          SELECT t.doc_id, c.label,
+                 sum(ln(coalesce(cnt.n, 0) + 1.0)) AS loglik,
+                 count(*) AS n_tokens
+          FROM toks t CROSS JOIN (SELECT label FROM classes) c
+          LEFT JOIN counts cnt ON cnt.feature = t.feature AND cnt.label = c.label
+          GROUP BY t.doc_id, c.label
+        ),
+        grid AS (
+          SELECT b.doc_id, c.label,
+                 coalesce(ct.loglik, 0.0) AS loglik,
+                 coalesce(ct.n_tokens, 0) AS n_tokens
+          FROM base b CROSS JOIN (SELECT label FROM classes) c
+          LEFT JOIN contrib ct ON ct.doc_id = b.doc_id AND ct.label = c.label
+        )
+        SELECT g.doc_id, g.label, g.n_tokens,
+               round(ln(cl.n_docs * 1.0 / dims.n_docs_all) + g.loglik
+                     - g.n_tokens * ln(cl.total + 1.0 * dims.d), 4) AS score
+        FROM grid g JOIN classes cl ON g.label = cl.label, dims
+        """
+    ).df()
+    _assert_frames_match("score_nb", spark_pdf, duck_pdf)
+
+
+def test_local_nb_argmax_parity(spark, duck):
+    """classify_nb argmax/margin vs an independent pandas reduction
+    over the SAME per-class scores — pins the argmax/margin reduction
+    separately from the score arithmetic (which test_local_nb_parity
+    already pins end-to-end against DuckDB); ties break label-asc."""
+    import pandas as pd
+
+    from sparvi_core_spark.operators.classify import classify_nb, score_nb, train_nb
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = train_nb(df, "lang")
+    spark_pdf = (
+        classify_nb(df, model, round_to=4)
+        .select("doc_id", "label", "score", "margin")
+        .toPandas()
+    )
+    pdf = score_nb(df, model, round_to=4).toPandas()
+    pdf = pdf.sort_values(["doc_id", "score", "label"], ascending=[True, False, True])
+    top = pdf.groupby("doc_id").head(2)
+    rows = []
+    for doc_id, g in top.groupby("doc_id"):
+        g = g.reset_index(drop=True)
+        margin = round(float(g.score[0] - g.score[1]), 4) if len(g) > 1 else 0.0
+        rows.append((doc_id, g.label[0], float(g.score[0]), margin))
+    oracle = pd.DataFrame(rows, columns=["doc_id", "label", "score", "margin"])
+    _assert_frames_match("classify_nb", spark_pdf, oracle)
