@@ -147,6 +147,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+    from sparvi_core_spark.functions.knlm import score_perplexity_kn, train_kn_lm
+    from sparvi_core_spark.operators.classify import classify_nb, train_nb
     from sparvi_core_spark.functions.web import cap_per_host
     from sparvi_core_spark.operators.bpe import bpe_train
     from sparvi_core_spark.operators.dedup import simhash
@@ -214,6 +216,24 @@ def main() -> None:
                     views["documents"],
                     train_bigram_lm(views["documents"]),
                     broadcast_model=True,
+                )
+            ),
+            # standing since r6: trigram model is vocab-bounded (the
+            # replica-suffixed sf1 corpus grows vocab 10×, the honest
+            # worst case for model size), scoring stays map-only
+            "kn_perplexity": lambda: _force(
+                score_perplexity_kn(
+                    views["documents"],
+                    train_kn_lm(views["documents"]),
+                    broadcast_model=True,
+                )
+            ),
+            # hashed features pin the model at labels × 2^18 rows no
+            # matter how the corpus vocabulary grows
+            "nb_classify": lambda: _force(
+                classify_nb(
+                    views["documents"],
+                    train_nb(views["documents"], "lang", num_features=1 << 18),
                 )
             ),
             # standing since late r4 (previously ad-hoc cells in SCALE.md)

@@ -1629,3 +1629,61 @@ def test_local_nb_argmax_parity(spark, duck):
         rows.append((doc_id, g.label[0], float(g.score[0]), margin))
     oracle = pd.DataFrame(rows, columns=["doc_id", "label", "score", "margin"])
     _assert_frames_match("classify_nb", spark_pdf, oracle)
+
+
+def test_local_diversity_parity(spark, duck):
+    """corpus_diversity vs the identical SQL in DuckDB (tokenizer,
+    entropy-via-Σn·ln(n), head-capped OLS Zipf fit; round(6))."""
+    from sparvi_core_spark.operators.diversity import corpus_diversity
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spark_pdf = corpus_diversity(df, zipf_top=10_000).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM documents
+        ),
+        toks AS (SELECT unnest(l) AS tok FROM base),
+        freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        totals AS (
+          SELECT coalesce(sum(n), 0) AS n_tokens,
+                 count(*) AS vocab_size,
+                 max(n) AS top_n,
+                 sum(n * ln(n)) AS sum_nlogn
+          FROM freq
+        ),
+        head AS (
+          SELECT ln(row_number() OVER (ORDER BY n DESC, tok ASC)) AS x,
+                 ln(n) AS y
+          FROM freq ORDER BY n DESC, tok ASC LIMIT 10000
+        ),
+        zipf AS (
+          SELECT CASE WHEN var_pop(x) > 0
+                      THEN covar_pop(x, y) / var_pop(x) END AS zipf_slope
+          FROM head
+        ),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_slice(l, 1, len(l) - 1)) AS w1,
+                 unnest(list_slice(l, 2, len(l))) AS w2
+          FROM base WHERE len(l) > 1
+        ),
+        bifreq AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY ALL),
+        bistats AS (
+          SELECT coalesce(sum(n), 0) AS n_bigrams,
+                 count(*) AS distinct_bigrams
+          FROM bifreq
+        )
+        SELECT (SELECT count(*) FROM base) AS n_docs,
+               t.n_tokens, t.vocab_size,
+               round(t.vocab_size / (t.n_tokens * 1.0), 6) AS type_token_ratio,
+               round(b.distinct_bigrams / (b.n_bigrams * 1.0), 6) AS distinct_2,
+               round(ln(t.n_tokens) - t.sum_nlogn / t.n_tokens, 6) AS token_entropy,
+               round(t.top_n / (t.n_tokens * 1.0), 6) AS top_token_frac,
+               round(z.zipf_slope, 6) AS zipf_slope
+        FROM totals t, zipf z, bistats b
+        """
+    ).df()
+    _assert_frames_match("corpus_diversity", spark_pdf, duck_pdf)
