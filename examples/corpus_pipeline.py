@@ -8,7 +8,11 @@ engine ships, composed in the order a production run uses them.
       → duplicated-span screen          (exact substring dedup)
       → quality filter + repetition     (prepare_corpus: Gopher gates)
       → near-dup dedup, best survivor   (MinHash LSH → CC → argmax)
-      → LM perplexity band filter       (CCNet-style bigram model)
+      → LM perplexity band filter       (KenLM-style interpolated-KN
+                                         trigram — the CCNet recipe)
+      → NB classifier gate              (fastText-style: heuristic
+                                         seeds train a hashed-feature
+                                         model that generalizes them)
       → eval-set decontamination        (13-gram collision screen)
       → novelty screen vs prior corpus  (incremental ingest)
       → contamination-safe splits       (xxhash64, append-invariant)
@@ -121,14 +125,18 @@ def main() -> None:
         k: v for k, v in prep.items() if isinstance(v, int)
     }
 
-    # 3b. LM perplexity band filter: train a bigram model on the
-    #     cleaned corpus itself (production: a trusted reference
-    #     corpus), drop the high-perplexity tail (gibberish) — the
-    #     CCNet recipe
-    from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
+    # 3b. LM perplexity band filter: train an interpolated-KN trigram
+    #     model on the cleaned corpus itself (production: a trusted
+    #     reference corpus), drop the high-perplexity tail (gibberish)
+    #     — the CCNet recipe (functions.lm's add-k bigram is the
+    #     cheaper tier of the same stage)
+    from sparvi_core_spark.functions.knlm import (
+        score_perplexity_kn,
+        train_kn_lm,
+    )
 
-    lm = train_bigram_lm(clean)
-    ppl = score_perplexity(clean, lm, broadcast_model=True)
+    lm = train_kn_lm(clean)
+    ppl = score_perplexity_kn(clean, lm, broadcast_model=True)
     cutoff = ppl.agg(
         F.percentile_approx("perplexity", 0.95).alias("p95")
     ).first()["p95"]
@@ -137,6 +145,36 @@ def main() -> None:
     ).localCheckpoint()
     report["after_perplexity_filter"] = clean.count()
     report["perplexity_p95_cutoff"] = round(float(cutoff), 2)
+
+    # 3c. trained classifier gate: the quality heuristic's verdicts
+    #     become weak labels, a hashed-feature NB model learns to
+    #     reproduce them from token evidence, and its predictions
+    #     (which GENERALIZE past the hand-written rules) gate the
+    #     corpus — the fastText quality-classifier recipe
+    from sparvi_core_spark.operators.classify import classify_nb, train_nb
+
+    median_q = clean.agg(
+        F.percentile_approx("quality_score", 0.5)
+    ).first()[0]
+    seeds = clean.select(
+        "doc_id",
+        "text",
+        F.when(F.col("quality_score") >= median_q, "keep")
+        .otherwise("drop")
+        .alias("seed_label"),
+    )
+    nb = train_nb(seeds, "seed_label", num_features=1 << 16)
+    preds = classify_nb(clean, nb)
+    agree = (
+        seeds.join(preds.select("doc_id", "label"), "doc_id")
+        .agg(F.avg((F.col("seed_label") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+    clean = clean.join(
+        preds.filter(F.col("label") == "keep").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    report["after_classifier_gate"] = clean.count()
+    report["classifier_seed_agreement"] = round(float(agree), 3)
 
     # 4. decontaminate against a (simulated) eval set
     evalset = docs.filter(F.col("doc_id") % 97 == 0).select(
@@ -265,6 +303,18 @@ def main() -> None:
         "docs_shared": int(ov["n_intersection"]),
         "docs_new": int(ov["n_only_b"]),
         "docs_dropped": int(ov["n_only_a"]),
+    }
+
+    # 10b. lexical-health delta: aggressive filtering that collapsed
+    #      diversity would show here (entropy/TTR crash, Zipf slope
+    #      drifting from ≈ −1) before it shows in a trained model
+    from sparvi_core_spark.operators.diversity import corpus_diversity
+
+    # (`docs` was last reassigned after the span screen — that's the
+    # honest "before the model-based gates" baseline)
+    report["diversity"] = {
+        "pre_filter": corpus_diversity(docs).first().asDict(),
+        "release": corpus_diversity(mixed).first().asDict(),
     }
 
     # 11. ship it: the train split as loader-ready hash shards with a
