@@ -168,6 +168,34 @@ def build_suite(spark, sf_dir):
 
     suite.append(("pool_embeddings", run_pool_embeddings))
 
+    # interpolated-KN trigram: train (one corpus pass) + broadcast-model
+    # scoring — the real CCNet-tier perplexity filter (r6)
+    from sparvi_core_spark.functions.knlm import (
+        score_perplexity_kn,
+        train_kn_lm,
+    )
+
+    def run_kn_perplexity():
+        lm = train_kn_lm(spark.table("documents"))
+        _force(
+            score_perplexity_kn(
+                spark.table("documents"), lm, broadcast_model=True
+            )
+        )
+
+    suite.append(("kn_perplexity", run_kn_perplexity))
+
+    # hashed-feature NB: train on lang labels + map-only argmax (r6)
+    from sparvi_core_spark.operators.classify import classify_nb, train_nb
+
+    def run_nb_classify():
+        model = train_nb(
+            spark.table("documents"), "lang", num_features=1 << 18
+        )
+        _force(classify_nb(spark.table("documents"), model))
+
+    suite.append(("nb_classify", run_nb_classify))
+
     return suite
 
 
