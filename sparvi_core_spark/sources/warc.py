@@ -183,23 +183,29 @@ def read_warc(
     pathological pages. Both are the knobs a 100 TB crawl ingest needs
     ON the scan, not after it.
     """
-    import pandas as pd  # noqa: F401 — executor-side dependency
-
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    return files.mapInPandas(
+        _make_parser(warc_types, max_body_bytes), schema=WARC_SCHEMA
+    )
+
+
+def _make_parser(warc_types: list[str] | None, max_body_bytes: int | None):
+    """The shared (path, content) → record-rows Arrow kernel for the
+    batch and streaming readers (mapInPandas is stateless, so the same
+    function is streaming-safe)."""
     keep = set(warc_types) if warc_types else None
+    columns = (
+        "path record_id warc_type target_uri warc_date content_type "
+        "http_status http_content_type content_length body"
+    ).split()
 
     def parse(batches):
+        import pandas as pd
+
         for pdf in batches:
-            out: dict[str, list] = {
-                k: []
-                for k in (
-                    "path record_id warc_type target_uri warc_date "
-                    "content_type http_status http_content_type "
-                    "content_length body"
-                ).split()
-            }
+            out: dict[str, list] = {k: [] for k in columns}
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 for rec in iter_warc_records(bytes(content)):
                     if keep and rec["warc_type"] not in keep:
@@ -209,22 +215,11 @@ def read_warc(
                         body = body[:max_body_bytes]
                     out["path"].append(fpath)
                     out["body"].append(body)
-                    for k in (
-                        "record_id",
-                        "warc_type",
-                        "target_uri",
-                        "warc_date",
-                        "content_type",
-                        "http_status",
-                        "http_content_type",
-                        "content_length",
-                    ):
+                    for k in columns[1:-1]:
                         out[k].append(rec[k])
-            import pandas as pd
-
             yield pd.DataFrame(out)
 
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return parse
 
 
 def warc_to_documents(
@@ -253,6 +248,38 @@ def warc_to_documents(
             F.col("warc_date").alias("fetched_at"),
             F.decode(F.col("body"), "UTF-8").alias("text"),
         )
+    )
+
+
+def read_warc_stream(
+    spark,
+    path: str,
+    warc_types: list[str] | None = None,
+    max_body_bytes: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingest: watch a directory for new crawl segments
+    and emit parsed records continuously — the shape of a standing
+    crawl pipeline (new CommonCrawl segment lands → records flow into
+    the novelty screen / dedup streams downstream).
+
+    Same schema and parser as :func:`read_warc`; the source is the
+    file-stream ``binaryFile`` reader, so exactly-once file tracking,
+    backfill via ``trigger(availableNow=True)``, and checkpointing are
+    Spark's. ``max_files_per_trigger`` bounds micro-batch size (one
+    segment ≈ 1 GB — a handful per trigger is the sane default on
+    modest executors).
+    """
+    # the file-stream source requires an explicit schema; binaryFile's
+    # is fixed by the format
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_parser(warc_types, max_body_bytes), schema=WARC_SCHEMA
     )
 
 

@@ -144,3 +144,40 @@ def test_garbage_input_yields_nothing():
     assert list(iter_warc_records(b"not a warc at all")) == []
     assert list(iter_warc_records(b"")) == []
     assert list(iter_warc_records(gzip.compress(b"random payload"))) == []
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """read_warc_stream drains landed segments via availableNow and a
+    later-landed file arrives in the next run — the standing-crawl
+    shape (exactly-once file tracking is the file source's)."""
+    from sparvi_core_spark.sources.warc import read_warc_stream
+    from sparvi_core_spark.streaming.profile_stream import run_stream_to_memory
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "seg0.warc.gz").write_bytes(
+        make_warc_bytes(_fixture_records(), gzip_members=True)
+    )
+    stream = read_warc_stream(
+        spark, str(d), warc_types=["response"], max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "warc_stream_t", output_mode="append")
+    # seg0 holds 4 records of which 3 are responses (warcinfo filtered)
+    first = spark.table("warc_stream_t").count()
+    assert first == 3
+    # a new segment lands; a fresh availableNow run picks it up
+    (d / "seg1.warc.gz").write_bytes(
+        make_warc_bytes(
+            [
+                make_warc_record(
+                    "http://e.example.com/", b"<p>late</p>",
+                    record_id="<urn:uuid:9>",
+                )
+            ],
+            gzip_members=True,
+        )
+    )
+    run_stream_to_memory(stream, "warc_stream_t2", output_mode="append")
+    ids = {r["record_id"] for r in spark.table("warc_stream_t2").collect()}
+    assert "<urn:uuid:9>" in ids and len(ids) == 4
