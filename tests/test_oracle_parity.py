@@ -1687,3 +1687,41 @@ def test_local_diversity_parity(spark, duck):
         """
     ).df()
     _assert_frames_match("corpus_diversity", spark_pdf, duck_pdf)
+
+
+def test_local_embedding_health_parity(spark, duck):
+    """embedding_health vs the identical list arithmetic in DuckDB
+    (per-element double casts, norm moments, round(6))."""
+    from sparvi_core_spark.operators.ann_health import embedding_health
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark_pdf = embedding_health(emb).toPandas()
+    duck_pdf = duck.execute(
+        """
+        WITH per AS (
+          SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+                 CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim,
+                 CASE WHEN embedding IS NOT NULL AND
+                      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                      THEN 1 ELSE 0 END AS is_nan,
+                 CASE WHEN embedding IS NOT NULL AND
+                      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+                      THEN sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS norm
+          FROM embeddings
+        )
+        SELECT count(*) AS n_vectors,
+               sum(is_null) AS n_null,
+               count(DISTINCT dim) AS n_dims_distinct,
+               min(dim) AS dim_min,
+               max(dim) AS dim_max,
+               sum(is_nan) AS n_nan,
+               sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero_norm,
+               round(avg(norm), 6) AS norm_mean,
+               round(stddev_samp(norm), 6) AS norm_std,
+               round(min(norm), 6) AS norm_min,
+               round(max(norm), 6) AS norm_max
+        FROM per
+        """
+    ).df()
+    _assert_frames_match("embedding_health", spark_pdf, duck_pdf)
