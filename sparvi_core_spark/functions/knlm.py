@@ -123,6 +123,18 @@ def train_kn_lm(
         .groupBy("u", "v", "w")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
+    return kn_from_trigram_counts(tri, min_count=min_count)
+
+
+def kn_from_trigram_counts(
+    tri: DataFrame, min_count: int = 1
+) -> KNTrigramLM:
+    """Derive the full model from a ``(u, v, w, c3)`` trigram-counts
+    frame. The counts ARE the model's sufficient statistic — which
+    makes KN models MERGEABLE: sum two corpora's trigram counts and
+    re-derive, and you get EXACTLY the model a joint retrain would
+    produce (:func:`merge_kn_lms`; the profile-once-never-rescan
+    property, here for language models)."""
     # trigram-context totals and distinct-follower counts: c(uv·), N₁₊(uv·)
     tri_ctx = tri.groupBy("u", "v").agg(
         F.sum("c3").alias("ctx_total"),
@@ -155,6 +167,28 @@ def train_kn_lm(
         tri=tri, tri_ctx=tri_ctx, mid=mid, mid_ctx=mid_ctx, uni=uni,
         consts=consts,
     )
+
+
+def merge_kn_lms(
+    a: KNTrigramLM, b: KNTrigramLM, min_count: int = 1
+) -> KNTrigramLM:
+    """Merge two models trained with ``min_count=1`` into EXACTLY the
+    model a joint retrain over both corpora would produce — trigram
+    counts are sufficient statistics, so the merge is one
+    vocabulary-bounded groupBy-sum over the two ``tri`` frames (no
+    corpus re-scan; the incremental daily-ingest path: keep yesterday's
+    counts, count only today's shard, merge).
+
+    Models trained with ``min_count > 1`` lost counts below the floor —
+    merging them would NOT equal a joint retrain; apply pruning at
+    merge time instead (the ``min_count`` here).
+    """
+    tri = (
+        a.tri.unionByName(b.tri)
+        .groupBy("u", "v", "w")
+        .agg(F.sum("c3").alias("c3"))
+    )
+    return kn_from_trigram_counts(tri, min_count=min_count)
 
 
 def _kn_prob() -> F.Column:

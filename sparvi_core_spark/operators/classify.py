@@ -288,3 +288,53 @@ def nb_filter(
     return docs.join(preds, id_col).filter(
         F.col("label").isin(keep_labels) & (F.col("margin") >= min_margin)
     )
+
+
+def merge_nb_models(a: NBModel, b: NBModel, min_count: int = 1) -> NBModel:
+    """Merge two models trained with ``min_count=1`` into EXACTLY the
+    model a joint retrain over both seed sets would produce — the
+    (label, feature) counts and per-class totals are sufficient
+    statistics, so the merge is two class/vocab-bounded groupBy-sums
+    (no corpus re-scan; the incremental path: keep yesterday's counts,
+    train on today's labeled batch alone, merge).
+
+    Feature spaces must match (same ``num_features``, or both exact).
+    Models trained with ``min_count > 1`` lost sub-floor counts —
+    merging them would NOT equal a joint retrain; prune at merge time
+    via ``min_count`` here instead.
+    """
+    if a.num_features != b.num_features:
+        raise ValueError(
+            "cannot merge models with different feature spaces: "
+            f"{a.num_features} vs {b.num_features}"
+        )
+    counts = (
+        a.counts.unionByName(b.counts)
+        .groupBy("label", "feature")
+        .agg(F.sum("n").alias("n"))
+    )
+    totals = counts.groupBy("label").agg(F.sum("n").alias("total"))
+    n_docs = (
+        a.classes.select("label", "n_docs")
+        .unionByName(b.classes.select("label", "n_docs"))
+        .groupBy("label")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    classes = totals.join(F.broadcast(n_docs), "label")
+    if a.num_features is None:
+        dims = counts.select("feature").distinct().agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    else:
+        dims = counts.sparkSession.range(1).select(
+            F.lit(a.num_features).cast("long").alias("d")
+        )
+    dims = dims.crossJoin(
+        classes.agg(F.sum("n_docs").alias("n_docs_all"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return NBModel(
+        counts=counts, classes=classes, dims=dims,
+        num_features=a.num_features,
+    )

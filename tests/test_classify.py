@@ -181,3 +181,32 @@ def test_add_k_guard(seeds):
     model = train_nb(seeds, "label")
     with pytest.raises(ValueError, match="add_k"):
         score_nb(seeds, model, add_k=0)
+
+
+def test_merge_equals_joint_retrain(spark, seeds):
+    from sparvi_core_spark.operators.classify import merge_nb_models
+
+    half_a = seeds.filter("doc_id <= 2")
+    half_b = seeds.filter("doc_id > 2")
+    for num_features in (None, 1 << 10):
+        merged = merge_nb_models(
+            train_nb(half_a, "label", num_features=num_features),
+            train_nb(half_b, "label", num_features=num_features),
+        )
+        joint = train_nb(seeds, "label", num_features=num_features)
+        probe = spark.createDataFrame(
+            [(70, "spam paper results now")], ["doc_id", "text"]
+        )
+        got = {
+            r["label"]: r["score"] for r in score_nb(probe, merged).collect()
+        }
+        want = {
+            r["label"]: r["score"] for r in score_nb(probe, joint).collect()
+        }
+        assert got == want
+    # mismatched feature spaces refuse loudly
+    with pytest.raises(ValueError, match="feature spaces"):
+        merge_nb_models(
+            train_nb(half_a, "label"),
+            train_nb(half_b, "label", num_features=8),
+        )

@@ -241,3 +241,28 @@ def test_corpus_scale_reference_parity(spark, sf_dir):
     assert len(got) == sum(1 for t in texts if _ref_tokens(t))
     for (doc_id, _), w in zip(rows, want):
         assert got[doc_id] == pytest.approx(w, abs=1e-6), doc_id
+
+
+def test_merge_equals_joint_retrain(spark, tiny):
+    from sparvi_core_spark.functions.knlm import merge_kn_lms
+
+    half_a = tiny.filter("doc_id = 1")
+    half_b = tiny.filter("doc_id >= 2")
+    merged = merge_kn_lms(
+        train_kn_lm(half_a), train_kn_lm(half_b)
+    )
+    joint = train_kn_lm(tiny)
+    probe = spark.createDataFrame(
+        [(80, "the cat sat on a zzz mat")], ["doc_id", "text"]
+    )
+    got = score_perplexity_kn(probe, merged).first()
+    want = score_perplexity_kn(probe, joint).first()
+    assert got["avg_neg_logp"] == want["avg_neg_logp"]
+    assert got["perplexity"] == want["perplexity"]
+    # merge-time pruning mirrors train-time pruning exactly
+    m2 = merge_kn_lms(train_kn_lm(half_a), train_kn_lm(half_b), min_count=2)
+    j2 = train_kn_lm(tiny, min_count=2)
+    assert (
+        score_perplexity_kn(probe, m2).first()["perplexity"]
+        == score_perplexity_kn(probe, j2).first()["perplexity"]
+    )
