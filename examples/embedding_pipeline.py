@@ -18,6 +18,10 @@ the way a retrieval + semantic-dedup run uses it.
                                bytes per vector replace the floats;
                                ADC search over probed cells only, with
                                the same recall audit)
+      → OPQ                   (learned rotation: eigenvalue-allocation
+                               init + refinement; MSE trace)
+      → ops health            (embedding column audit + per-cell index
+                               skew/drift report)
 
 Run: python examples/embedding_pipeline.py [sf_dir]  (default sf0.01)
 Prints one JSON report.
@@ -140,6 +144,38 @@ def main() -> None:
         "code_bytes_per_vector": pqinfo["m"],
         "float_bytes_per_vector": pqinfo["dim"] * 4,
         "recall_at_10": pq_recall,
+    }
+
+    # 8. OPQ: learn a rotation so the PQ split stops fighting the
+    #    data's correlation structure — report the MSE it buys back
+    from sparvi_core_spark.operators.quantization import opq_train
+
+    _, _, oinfo = opq_train(emb, m=8, ks=16, opq_iters=3, pq_max_iter=4)
+    report["opq"] = {
+        "init": oinfo["init"],
+        "mse_trace": oinfo["mse_trace"],
+    }
+
+    # 9. ops health: the checks that run before every build and after
+    #    every append (dirty columns, cell skew, centroid drift)
+    from sparvi_core_spark.operators.ann_health import (
+        embedding_health,
+        ivf_health,
+    )
+
+    health = embedding_health(emb).first().asDict()
+    cells = ivf_health(emb, centroids).collect()
+    fracs = [r["frac"] for r in cells]
+    report["health"] = {
+        "column": {
+            k: health[k] for k in ("n_vectors", "n_null", "n_nan",
+                                   "n_zero_norm", "n_dims_distinct")
+        },
+        "index": {
+            "cells": len(cells),
+            "empty_cells": sum(1 for r in cells if r["n"] == 0),
+            "max_cell_frac": max(fracs),
+        },
     }
 
     print(json.dumps(report, default=str))
