@@ -131,3 +131,88 @@ def ivf_health(
             "max_distance",
         )
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row distribution-shift report between two embedding corpora
+    (yesterday vs today, encoder v1 vs v2) →
+    (n_a, n_b, mean_l2_shift, mean_cosine, smd_max, smd_avg).
+
+    - ``mean_l2_shift`` / ``mean_cosine``: distance / cosine between
+      the two mean vectors — a centroid that moved means EVERY cached
+      index assignment and calibration threshold is suspect.
+    - ``smd_max`` / ``smd_avg``: per-dimension standardized mean
+      difference |μa − μb| / pooled σ (Cohen's d), max and average
+      over dimensions — catches a single drifting feature dimension
+      that the global mean hides. SMD > 0.1 is the conventional
+      "not negligible" line.
+
+    Read with its blind spots in mind (they are the metric's math, not
+    bugs — measured on the fixture): SMD is SCALE-INVARIANT, so an
+    encoder that rescaled everything uniformly is invisible here and
+    loud in ``embedding_health``'s norm stats; and ``mean_cosine`` is
+    noise when the corpus mean is near zero (centered / unit-random
+    embeddings — ‖μ‖ ≈ 0 makes its direction meaningless), so anchor
+    on ``mean_l2_shift``/SMD for those.
+
+    One linear pass per side (posexplode → per-dimension avg/var,
+    map-side combined, output = dim rows), a dim-bounded join, one
+    scalar aggregate. NULL vectors are excluded; dimensions with zero
+    pooled variance report NULL SMD (constant on both sides → no
+    drift signal, not a divide-by-zero).
+    """
+    def per_dim(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.avg(F.col("val").cast("double")).alias(f"mu_{tag}"),
+                F.var_pop(F.col("val").cast("double")).alias(f"var_{tag}"),
+            )
+        )
+
+    counts = (
+        a.filter(F.col(vec_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(
+            b.filter(F.col(vec_col).isNotNull()).agg(
+                F.count(F.lit(1)).alias("n_b")
+            )
+        )
+    )
+    dims = per_dim(a, "a").join(per_dim(b, "b"), "pos")
+    pooled = F.sqrt((F.col("var_a") + F.col("var_b")) / 2.0)
+    smd = F.when(
+        pooled > 0, F.abs(F.col("mu_a") - F.col("mu_b")) / pooled
+    )
+    agg = dims.agg(
+        F.sqrt(
+            F.sum(
+                (F.col("mu_a") - F.col("mu_b"))
+                * (F.col("mu_a") - F.col("mu_b"))
+            )
+        ).alias("mean_l2_shift"),
+        (
+            F.sum(F.col("mu_a") * F.col("mu_b"))
+            / (
+                F.sqrt(F.sum(F.col("mu_a") * F.col("mu_a")))
+                * F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b")))
+            )
+        ).alias("mean_cosine"),
+        F.max(smd).alias("smd_max"),
+        F.avg(smd).alias("smd_avg"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_l2_shift", round_to).alias("mean_l2_shift"),
+        F.round("mean_cosine", round_to).alias("mean_cosine"),
+        F.round("smd_max", round_to).alias("smd_max"),
+        F.round("smd_avg", round_to).alias("smd_avg"),
+    )

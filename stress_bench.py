@@ -415,6 +415,35 @@ def main() -> None:
     entries["pq_search_rows"] = bench("pq_search_sec", run_search)
     assert entries["pq_search_rows"] == 100 * 10
 
+    # --- opq_at_scale: the two distributed kernels OPQ adds on top of
+    # PQ, at the same 200k x dim-64 corpus — the map-only rotation
+    # matmul (every encode/query pays it) and the eigenvalue-allocation
+    # covariance pass (once per train: XᵀX partials, dim² per batch).
+    from sparvi_core_spark.operators.quantization import (
+        _eigen_allocation_rotation,
+        rotate_vectors,
+    )
+
+    import numpy as np
+
+    R_stress = np.linalg.qr(
+        np.random.default_rng(11).normal(size=(pq_dim, pq_dim))
+    )[0].tolist()
+
+    def run_rotate():
+        n = rotate_vectors(pq_vecs, R_stress).count()
+        assert n == pq_n
+
+    bench("opq_rotate_sec", run_rotate)
+    entries["opq_rotate_rows"] = pq_n
+
+    def run_cov():
+        R0 = _eigen_allocation_rotation(pq_vecs, pq_dim, 8, "vec_id", "embedding")
+        R0 = np.asarray(R0)
+        assert np.allclose(R0.T @ R0, np.eye(pq_dim), atol=1e-8)
+
+    bench("opq_eigen_init_sec", run_cov)
+
     print(
         json.dumps(
             {

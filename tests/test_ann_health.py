@@ -110,3 +110,52 @@ def test_ivf_health_drift_signal(spark):
     before = ivf_health(mk(near), c).filter("bucket = 0").first()
     after = ivf_health(mk(far), c).filter("bucket = 0").first()
     assert after["mean_distance"] > before["mean_distance"] * 2
+
+
+def test_embedding_drift_reference_and_signal(spark):
+    rng = np.random.default_rng(3)
+    A = rng.normal(0, 1, size=(300, 8))
+    B = A + 0.0  # identical corpus
+    mk = lambda X, off=0: spark.createDataFrame(
+        [(i + off, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    from sparvi_core_spark.operators.ann_health import embedding_drift
+
+    same = embedding_drift(mk(A), mk(B, 1000)).first().asDict()
+    assert same["n_a"] == same["n_b"] == 300
+    assert same["mean_l2_shift"] == pytest.approx(0.0, abs=1e-6)
+    assert same["mean_cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert same["smd_max"] == pytest.approx(0.0, abs=1e-6)
+
+    # dimension 3 drifts by +2σ: SMD flags it, NumPy twin agrees
+    C = A.copy()
+    C[:, 3] += 2.0
+    got = embedding_drift(mk(A), mk(C, 1000)).first().asDict()
+    # float32 storage: compare against the float32-rounded data
+    A32, C32 = A.astype(np.float32).astype(float), C.astype(
+        np.float32
+    ).astype(float)
+    mu_a, mu_c = A32.mean(0), C32.mean(0)
+    pooled = np.sqrt((A32.var(0) + C32.var(0)) / 2)
+    smd = np.abs(mu_a - mu_c) / pooled
+    assert got["mean_l2_shift"] == pytest.approx(
+        float(np.linalg.norm(mu_a - mu_c)), abs=1e-5
+    )
+    assert got["smd_max"] == pytest.approx(float(smd.max()), abs=1e-5)
+    assert got["smd_avg"] == pytest.approx(float(smd.mean()), abs=1e-5)
+    assert got["smd_max"] > 1.5  # the planted 2σ shift is flagged
+
+
+def test_embedding_drift_constant_dim_no_nan(spark):
+    rows_a = [(i, [1.0, float(i)]) for i in range(20)]
+    rows_b = [(i + 100, [1.0, float(i) + 5.0]) for i in range(20)]
+    from sparvi_core_spark.operators.ann_health import embedding_drift
+
+    df = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    r = embedding_drift(df(rows_a), df(rows_b)).first().asDict()
+    # dim 0 is constant on both sides → excluded from SMD, not NaN/inf
+    assert r["smd_max"] is not None and math.isfinite(r["smd_max"])
+    assert r["smd_avg"] > 0
