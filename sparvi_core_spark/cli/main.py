@@ -499,6 +499,38 @@ def overlap(source_a, source_b, table, columns, lg_k, fmt, cpus):
 
 
 @cli.command()
+@click.argument("source", required=False)
+@click.argument("table", required=False)
+@click.option("--text-col", default="text", help="Text column to analyze")
+@click.option("--zipf-top", default=10_000, type=int,
+              help="Head size for the Zipf rank-frequency fit")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def diversity(source, table, text_col, zipf_top, fmt, cpus):
+    """Corpus lexical-health report for TABLE's TEXT-COL: type/token
+    ratio, distinct-bigram ratio, token entropy, head concentration,
+    Zipf slope. The before/after check around every filtering round.
+    Extension command — no reference analog."""
+    from sparvi_core_spark.operators.diversity import corpus_diversity
+
+    spark = _session(cpus)
+    source, table = _resolve_source(source, table)
+    df = _load_table_df(spark, source, table)
+    row = corpus_diversity(
+        df, text_col=text_col, zipf_top=zipf_top
+    ).first().asDict()
+    if fmt == "json":
+        click.echo(json.dumps({"table": table, **row}, default=str))
+        return
+    click.echo(_header(f"Corpus diversity: {table}.{text_col}"))
+    click.echo(_render_table(
+        ["metric", "value"],
+        [[k, row[k]] for k in row],
+    ))
+
+
+@cli.command()
 @click.argument("store_path")
 @click.option("--quantiles", default=None,
               help="Comma-separated quantiles (e.g. 0.1,0.5,0.9); "

@@ -247,3 +247,20 @@ def test_shard_command(tmp_path, sf_dir):
     # arg validation: both/neither count flags rejected
     r2 = CliRunner().invoke(cli, ["shard", sf_dir, "documents", dest])
     assert r2.exit_code != 0
+
+
+def test_diversity_command_table_and_json(spark, sf_dir):
+    import json as _json
+
+    r = CliRunner().invoke(
+        cli, ["diversity", sf_dir, "documents", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    payload = _json.loads(r.output.strip().splitlines()[-1])
+    assert payload["table"] == "documents"
+    assert payload["n_docs"] > 0 and payload["vocab_size"] > 0
+    assert -5 < payload["zipf_slope"] < 0
+
+    r2 = CliRunner().invoke(cli, ["diversity", sf_dir, "documents"])
+    assert r2.exit_code == 0, r2.output
+    assert "token_entropy" in r2.output
