@@ -926,6 +926,38 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_corpus_diversity(spark, sf_dir):
+    """Corpus lexical-health report (operators.diversity): entropy via
+    the one-pass Σn·ln(n) identity, head-capped OLS Zipf fit — the
+    before/after check around every filtering round (round 6)."""
+    from sparvi_core_spark.operators.diversity import corpus_diversity
+
+    t = _views(spark, sf_dir)
+    return corpus_diversity(t["documents"], zipf_top=10_000)
+
+
+def q_nb_scores(spark, sf_dir):
+    """Naive Bayes per-(doc, class) log scores (operators.classify),
+    self-trained on the lang labels — the fastText-style quality/
+    domain filter tier; joint log-likelihood rounded to 4 so
+    cross-engine libm drift on long sums cannot flip the compare
+    (round 6)."""
+    from sparvi_core_spark.operators.classify import score_nb, train_nb
+
+    t = _views(spark, sf_dir)
+    model = train_nb(t["documents"], "lang")
+    return score_nb(t["documents"], model, round_to=4)
+
+
+def q_embedding_health(spark, sf_dir):
+    """One-pass embedding-column audit (operators.ann_health): dim
+    consistency, NaN/NULL/zero-norm counts, norm moments (round 6)."""
+    from sparvi_core_spark.operators.ann_health import embedding_health
+
+    t = _views(spark, sf_dir)
+    return embedding_health(t["embeddings"])
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -938,13 +970,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Pairs demoted from the 50-entry driver contract to make room for new
 # operators; each keeps FULL oracle coverage through local_pairs() →
-# tests/test_oracle_parity.py (no query-count cap there). Round-6 swap:
-# `pq_codes`/`sq_codes` in, `array_agg` (dead-API demo; the grouping
-# machinery stays driver-checked by every other agg Q) and
+# tests/test_oracle_parity.py (no query-count cap there). Round-6 swaps:
+# in — `pq_codes`/`sq_codes`, then `corpus_diversity`/`nb_scores`/
+# `embedding_health`; out — `array_agg` (dead-API demo; the grouping
+# machinery stays driver-checked by every other agg Q),
 # `ngram_jaccard_lsh` (composition whose two pieces — `ngram_jaccard`
-# and the MinHash/LSH math inside `dedup_minhash` — both stay pinned)
-# out.
-_LOCAL_ONLY = ("array_agg", "ngram_jaccard_lsh")
+# and the MinHash/LSH math inside `dedup_minhash` — both stay pinned),
+# `running_totals`/`rollup_counts` (plain-SQL window/rollup demos, not
+# cited by any §2 row), and `embedding_topk_bucketed` (same expression
+# engine as the still-pinned `embedding_topk`, plus engine-parity and
+# recall-tripwire tests).
+_LOCAL_ONLY = (
+    "array_agg",
+    "ngram_jaccard_lsh",
+    "running_totals",
+    "rollup_counts",
+    "embedding_topk_bucketed",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1027,6 +1069,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "fingerprints": q_fingerprints,
         "bm25_search": q_bm25_search,
+        "corpus_diversity": q_corpus_diversity,
+        "nb_scores": q_nb_scores,
+        "embedding_health": q_embedding_health,
     }
 
 
@@ -1805,5 +1850,118 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["corpus_diversity"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (SELECT unnest(l) AS tok FROM base),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+totals AS (
+  SELECT coalesce(sum(n), 0) AS n_tokens,
+         count(*) AS vocab_size,
+         max(n) AS top_n,
+         sum(n * ln(n)) AS sum_nlogn
+  FROM freq
+),
+head AS (
+  SELECT ln(row_number() OVER (ORDER BY n DESC, tok ASC)) AS x,
+         ln(n) AS y
+  FROM freq ORDER BY n DESC, tok ASC LIMIT 10000
+),
+zipf AS (
+  SELECT CASE WHEN var_pop(x) > 0
+              THEN covar_pop(x, y) / var_pop(x) END AS zipf_slope
+  FROM head
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_slice(l, 1, len(l) - 1)) AS w1,
+         unnest(list_slice(l, 2, len(l))) AS w2
+  FROM base WHERE len(l) > 1
+),
+bifreq AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY ALL),
+bistats AS (
+  SELECT coalesce(sum(n), 0) AS n_bigrams,
+         count(*) AS distinct_bigrams
+  FROM bifreq
+)
+SELECT (SELECT count(*) FROM base) AS n_docs,
+       t.n_tokens, t.vocab_size,
+       round(t.vocab_size / (t.n_tokens * 1.0), 6) AS type_token_ratio,
+       round(b.distinct_bigrams / (b.n_bigrams * 1.0), 6) AS distinct_2,
+       round(ln(t.n_tokens) - t.sum_nlogn / t.n_tokens, 6) AS token_entropy,
+       round(t.top_n / (t.n_tokens * 1.0), 6) AS top_token_frac,
+       round(z.zipf_slope, 6) AS zipf_slope
+FROM totals t, zipf z, bistats b"""
+
+    o["nb_scores"] = """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT lang AS label, unnest(l) AS feature FROM base WHERE lang IS NOT NULL
+),
+counts AS (SELECT label, feature, count(*) AS n FROM pairs GROUP BY ALL),
+classes AS (
+  SELECT c.label, c.total, d.n_docs FROM
+    (SELECT label, sum(n) AS total FROM counts GROUP BY label) c
+    JOIN (SELECT lang AS label, count(*) AS n_docs FROM base
+          WHERE lang IS NOT NULL GROUP BY lang) d USING (label)
+),
+dims AS (
+  SELECT (SELECT count(DISTINCT feature) FROM counts) AS d,
+         (SELECT count(*) FROM base WHERE lang IS NOT NULL) AS n_docs_all
+),
+toks AS (SELECT doc_id, unnest(l) AS feature FROM base),
+contrib AS (
+  SELECT t.doc_id, c.label,
+         sum(ln(coalesce(cnt.n, 0) + 1.0)) AS loglik,
+         count(*) AS n_tokens
+  FROM toks t CROSS JOIN (SELECT label FROM classes) c
+  LEFT JOIN counts cnt ON cnt.feature = t.feature AND cnt.label = c.label
+  GROUP BY t.doc_id, c.label
+),
+grid AS (
+  SELECT b.doc_id, c.label,
+         coalesce(ct.loglik, 0.0) AS loglik,
+         coalesce(ct.n_tokens, 0) AS n_tokens
+  FROM base b CROSS JOIN (SELECT label FROM classes) c
+  LEFT JOIN contrib ct ON ct.doc_id = b.doc_id AND ct.label = c.label
+)
+SELECT g.doc_id, g.label, g.n_tokens,
+       round(ln(cl.n_docs * 1.0 / dims.n_docs_all) + g.loglik
+             - g.n_tokens * ln(cl.total + 1.0 * dims.d), 4) AS score
+FROM grid g JOIN classes cl ON g.label = cl.label, dims"""
+
+    o["embedding_health"] = """
+WITH per AS (
+  SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim,
+         CASE WHEN embedding IS NOT NULL AND
+              len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+              THEN 1 ELSE 0 END AS is_nan,
+         CASE WHEN embedding IS NOT NULL AND
+              len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+              THEN sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS norm
+  FROM embeddings
+)
+SELECT count(*) AS n_vectors,
+       sum(is_null) AS n_null,
+       count(DISTINCT dim) AS n_dims_distinct,
+       min(dim) AS dim_min,
+       max(dim) AS dim_max,
+       sum(is_nan) AS n_nan,
+       sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero_norm,
+       round(avg(norm), 6) AS norm_mean,
+       round(stddev_samp(norm), 6) AS norm_std,
+       round(min(norm), 6) AS norm_min,
+       round(max(norm), 6) AS norm_max
+FROM per"""
 
     return o
