@@ -32,9 +32,13 @@ Scale design (the part that matters at 100 TB):
   discounts) derives from that counts frame via tiny groupBys — ONE
   corpus pass total.
 - **Scoring** explodes candidate trigrams (linear) and left-joins the
-  five model tables, all vocabulary-bounded and broadcastable
-  (``broadcast_model=True`` → map-only scoring; the 100 TB default);
-  per-doc reduction is one map-side-combined groupBy.
+  five model tables (``broadcast_model=True`` → map-only scoring);
+  per-doc reduction is one map-side-combined groupBy. Honest sizing:
+  the backoff tables are vocabulary-bounded, but the TOP-order table
+  is trigram-TYPE-bounded — at web scale that only broadcasts after
+  ``min_count`` pruning (exactly why KenLM ships pruned models; CCNet
+  scores with a pruned 5-gram). Unpruned + huge → set
+  ``broadcast_model=False`` and let AQE pick the join.
 - Everything is built-in expressions; no Python on the executors.
 """
 
