@@ -444,6 +444,43 @@ def main() -> None:
 
     bench("opq_eigen_init_sec", run_cov)
 
+    # --- warc_ingest: parse throughput of the zero-dependency WARC
+    # reader on self-built segments (8 files x 2k records x ~1.5 KB
+    # HTML, per-record gzip members — the CommonCrawl layout). Records
+    # MB/s of COMPRESSED input through binaryFile + the Arrow parser.
+    import tempfile
+
+    from sparvi_core_spark.sources.warc import (
+        make_warc_bytes,
+        make_warc_record,
+        read_warc,
+    )
+
+    warc_dir = tempfile.mkdtemp(prefix="stress_warc_")
+    body = ("<html><body>" + "<p>corpus ingest text</p>" * 50
+            + "</body></html>").encode()
+    total_bytes = 0
+    for seg in range(8):
+        recs = [
+            make_warc_record(
+                f"http://h{i % 97}.example.com/{seg}/{i}",
+                body,
+                record_id=f"<urn:uuid:{seg}-{i}>",
+            )
+            for i in range(2000)
+        ]
+        payload = make_warc_bytes(recs, gzip_members=True)
+        total_bytes += len(payload)
+        with open(os.path.join(warc_dir, f"seg{seg}.warc.gz"), "wb") as fh:
+            fh.write(payload)
+
+    def run_warc():
+        n = read_warc(spark, warc_dir, warc_types=["response"]).count()
+        assert n == 8 * 2000
+
+    bench("warc_parse_sec", run_warc)
+    entries["warc_compressed_mb"] = round(total_bytes / 1e6, 1)
+
     print(
         json.dumps(
             {
