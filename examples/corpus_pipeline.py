@@ -10,6 +10,8 @@ engine ships, composed in the order a production run uses them.
       → near-dup dedup, best survivor   (MinHash LSH → CC → argmax)
       → LM perplexity band filter       (KenLM-style interpolated-KN
                                          trigram — the CCNet recipe)
+      → compression-ratio gate          (model-free: spam gzips too
+                                         well, soup barely at all)
       → NB classifier gate              (fastText-style: heuristic
                                          seeds train a hashed-feature
                                          model that generalizes them)
@@ -145,6 +147,15 @@ def main() -> None:
     ).localCheckpoint()
     report["after_perplexity_filter"] = clean.count()
     report["perplexity_p95_cutoff"] = round(float(cutoff), 2)
+
+    # 3b-ii. model-free compression gate: templated spam gzips too
+    #        well, byte soup barely at all — zero training, map-only
+    from sparvi_core_spark.operators.compression import compression_filter
+
+    clean = compression_filter(
+        clean, max_ratio=8.0, min_ratio=1.1
+    ).localCheckpoint()
+    report["after_compression_filter"] = clean.count()
 
     # 3c. trained classifier gate: the quality heuristic's verdicts
     #     become weak labels, a hashed-feature NB model learns to
