@@ -1,0 +1,316 @@
+"""Targeted data selection via hashed n-gram importance resampling —
+the DSIR tier of a training-data pipeline: estimate a target-domain
+feature distribution p and a raw-pool distribution q over hashed word
+n-grams, weight every raw document by its log importance ratio
+``log w(x) = Σ_f c_f(x)·(ln p̂(f) − ln q̂(f))``, and draw the training
+set without replacement ∝ w via Gumbel top-k. This is the "make the
+web crawl look like Wikipedia/books" selection step (Xie et al.,
+*Data Selection for Language Models via Importance Resampling*,
+NeurIPS 2023) — the trained-distribution sibling of the heuristic
+quality tier (``functions.text``), the NB classifier tier
+(``operators.classify``), and the perplexity tiers (``functions.lm``
+/ ``functions.knlm``).
+
+No analog in the reference engine (its surface stops at profiling /
+validation — ``/root/reference/sparvi/profiler/profile_engine.py:17``;
+SURVEY.md §2.8): part of the extension surface the 100 TB brief asks
+for.
+
+Model: bag-of-hashed-n-grams with add-α smoothing,
+
+``p̂(f) = (n_target(f) + α) / (N_target + α·d)``
+
+where d is the feature-space size — ``num_buckets`` under the hashing
+trick (the paper's setting, default 10k buckets over unigrams +
+bigrams), or the observed joint vocabulary in exact mode
+(``num_buckets=None``, the DuckDB-oracle-friendly mode). Unseen
+features ride the same expression with count 0, so scoring a corpus
+disjoint from both estimation corpora is well-defined.
+
+Scale design (the part that matters at 100 TB):
+
+- **Training** is one explode + one map-side-combined groupBy over
+  target ∪ raw, output bounded by ``num_buckets`` rows (never corpus
+  size). The raw side may be a SAMPLE of the pool — the estimator
+  only needs q̂'s shape, and the paper itself estimates on a subset.
+- **The model is sufficient statistics** (per-feature target/raw
+  counts): two models over disjoint shards MERGE into exactly the
+  joint-retrain model with one bucket-bounded outer-join sum
+  (:func:`merge_dsir_models`) — the incremental daily-ingest path.
+  Totals and d derive from the counts frame at score time, so merges
+  can never leave a stale denominator.
+- **Scoring** is one corpus pass with ZERO corpus-corpus joins:
+  feature occurrences broadcast-join the (bucket-bounded) weight
+  table, and the single shuffle is the map-side-combined per-document
+  sum. The smoothing denominators are three scalars, collected
+  driver-side (a bounded collect) and folded into the expression as
+  literals.
+- **Resampling never global-sorts**: Gumbel top-k is
+  ``orderBy(key).limit(n)`` — Spark's TakeOrderedAndProject, a
+  per-partition heap + driver merge of n rows, not a sort shuffle.
+- Everything is built-in expressions; no Python on the executors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparvi_core_spark.operators.ranking import search_tokens
+
+
+def _kgrams(toks: F.Column, k: int) -> F.Column:
+    """Space-joined word k-grams of an ``array<string>`` token column.
+
+    Built by zipping k length-aligned slices — pure array expressions,
+    no explode until the caller wants one. Empty when the document has
+    fewer than k tokens.
+    """
+    if k == 1:
+        return toks
+    n = F.size(toks)
+    length = n - (k - 1)
+    out = F.slice(toks, 1, length)
+    for j in range(2, k + 1):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
+
+
+def doc_features(
+    text_col: str, ngram_n: int = 2, num_buckets: int | None = 10_000
+) -> F.Column:
+    """``array<string>`` of per-occurrence features for one document:
+    word 1..n-grams over the lowercase-alnum tokenizer shared with
+    ``operators.ranking`` / ``operators.classify``, optionally hashed
+    to ``pmod(xxhash64(f), num_buckets)`` buckets (non-negative,
+    stable across sessions, cast to string so both modes share one
+    model schema — the convention set by ``classify._features``).
+    """
+    toks = search_tokens(text_col)
+    feats = toks if ngram_n == 1 else F.concat(
+        *[_kgrams(toks, k) for k in range(1, ngram_n + 1)]
+    )
+    if num_buckets is None:
+        return feats
+    return F.transform(
+        feats,
+        lambda t: F.pmod(F.xxhash64(t), F.lit(num_buckets)).cast("string"),
+    )
+
+
+@dataclass
+class DSIRModel:
+    """A trained importance model: per-feature target/raw counts plus
+    the featurization knobs. ``counts`` is a lazy DataFrame
+    ``(feature, n_target, n_raw)`` bounded by ``num_buckets`` rows
+    (or the observed joint vocabulary in exact mode) — a plan until
+    scored; persist it when scoring many batches. Totals and the
+    smoothing dimension are DERIVED from ``counts`` at score time, so
+    merged models can never carry stale denominators.
+    """
+
+    counts: DataFrame
+    num_buckets: int | None
+    ngram_n: int
+
+
+def train_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    num_buckets: int | None = 10_000,
+    ngram_n: int = 2,
+) -> DSIRModel:
+    """Estimate the target / raw feature distributions →
+    :class:`DSIRModel`.
+
+    One union + explode + map-side-combined groupBy; the output is
+    feature-space-bounded. ``raw`` may (and at 100 TB should) be a
+    sample of the pool — the estimator needs q̂'s shape, not every
+    row. NULL texts contribute nothing on either side.
+    """
+    sides = []
+    for df, flag in ((target, 1), (raw, 0)):
+        sides.append(
+            df.select(
+                F.explode(
+                    doc_features(text_col, ngram_n, num_buckets)
+                ).alias("feature"),
+                F.lit(flag).alias("__is_target"),
+            )
+        )
+    counts = (
+        sides[0]
+        .unionByName(sides[1])
+        .groupBy("feature")
+        .agg(
+            F.count_if(F.col("__is_target") == 1).alias("n_target"),
+            F.count_if(F.col("__is_target") == 0).alias("n_raw"),
+        )
+    )
+    return DSIRModel(counts=counts, num_buckets=num_buckets, ngram_n=ngram_n)
+
+
+def merge_dsir_models(a: DSIRModel, b: DSIRModel) -> DSIRModel:
+    """Merge two models trained on disjoint shards into exactly the
+    joint-retrain model — per-feature counts are sufficient
+    statistics, so this is one feature-space-bounded outer-join sum.
+    """
+    if (a.num_buckets, a.ngram_n) != (b.num_buckets, b.ngram_n):
+        raise ValueError(
+            "cannot merge DSIR models with different featurization: "
+            f"{(a.num_buckets, a.ngram_n)} vs {(b.num_buckets, b.ngram_n)}"
+        )
+    ca = a.counts.select(
+        "feature",
+        F.col("n_target").alias("ta"),
+        F.col("n_raw").alias("ra"),
+    )
+    cb = b.counts.select(
+        "feature",
+        F.col("n_target").alias("tb"),
+        F.col("n_raw").alias("rb"),
+    )
+    merged = ca.join(cb, "feature", "full_outer").select(
+        "feature",
+        (
+            F.coalesce(F.col("ta"), F.lit(0)) + F.coalesce(F.col("tb"), F.lit(0))
+        ).alias("n_target"),
+        (
+            F.coalesce(F.col("ra"), F.lit(0)) + F.coalesce(F.col("rb"), F.lit(0))
+        ).alias("n_raw"),
+    )
+    return DSIRModel(
+        counts=merged, num_buckets=a.num_buckets, ngram_n=a.ngram_n
+    )
+
+
+def score_dsir(
+    docs: DataFrame,
+    model: DSIRModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document log importance weight under ``model`` →
+    ``(id_col, log_importance, n_features)``.
+
+    ``log_importance = Σ_f c_f(doc) · (ln p̂(f) − ln q̂(f))`` with
+    add-``alpha`` smoothing; features absent from the model contribute
+    through the same expression with count 0 (a per-occurrence
+    constant). Rounded to 6 so summation order can't leak ULPs into
+    comparisons.
+
+    One corpus pass: explode → broadcast join against the
+    feature-space-bounded weight table (set ``broadcast_model=False``
+    only for exact-mode models whose observed vocabulary outgrows a
+    broadcast) → one map-side-combined per-document sum. Documents
+    with no features (NULL or token-free text) are absent from the
+    result — they carry no evidence either way; resample from the
+    scored frame.
+    """
+    totals = model.counts.agg(
+        F.sum("n_target").alias("t"),
+        F.sum("n_raw").alias("r"),
+        (
+            F.count(F.lit(1))
+            if model.num_buckets is None
+            else F.lit(model.num_buckets).cast("long")
+        ).alias("d"),
+    ).collect()[0]
+    n_t, n_r, d = (int(totals[c] or 0) for c in ("t", "r", "d"))
+    if n_t == 0 or n_r == 0:
+        raise ValueError(
+            "DSIR model has an empty side "
+            f"(target={n_t}, raw={n_r} feature occurrences)"
+        )
+    # per-occurrence constant: the smoothing denominators
+    const = math.log(n_r + alpha * d) - math.log(n_t + alpha * d)
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(
+            doc_features(text_col, model.ngram_n, model.num_buckets)
+        ).alias("feature"),
+    )
+    counts = (
+        F.broadcast(model.counts) if broadcast_model else model.counts
+    )
+    per_occ = (
+        F.log(F.coalesce(F.col("n_target"), F.lit(0)) + F.lit(float(alpha)))
+        - F.log(F.coalesce(F.col("n_raw"), F.lit(0)) + F.lit(float(alpha)))
+        + F.lit(const)
+    )
+    return (
+        feats.join(counts, "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(per_occ), 6).alias("log_importance"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+
+
+def importance_resample(
+    scores: DataFrame,
+    n: int,
+    weight_col: str = "log_importance",
+    seed: int = 42,
+    greedy: bool = False,
+) -> DataFrame:
+    """Draw ``n`` rows without replacement with probability ∝
+    ``exp(weight_col)`` — the Gumbel top-k trick: each row keys on
+    ``weight + Gumbel(0,1)`` and the global top n by key is exactly a
+    weighted sample without replacement. ``greedy=True`` skips the
+    noise and takes the top n by weight (deterministic hard
+    selection). NULL weights never win (NULLS LAST under descending
+    order in Spark).
+
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject — a
+    per-partition heap of n + a driver merge, never a full sort
+    shuffle; ``n`` must fit on the driver, which is the same contract
+    as any ``limit``. As with every ``F.rand`` sampler in this
+    package, the draw is deterministic for a fixed seed AND a fixed
+    input partitioning.
+    """
+    if greedy:
+        key = F.col(weight_col)
+    else:
+        u = F.greatest(F.rand(seed), F.lit(1e-300))
+        key = F.col(weight_col) + -F.log(-F.log(u))
+    return (
+        scores.withColumn("__key", key)
+        .orderBy(F.desc("__key"))
+        .limit(n)
+        .drop("__key")
+    )
+
+
+def select_corpus(
+    docs: DataFrame,
+    model: DSIRModel,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    seed: int = 42,
+    greedy: bool = False,
+) -> DataFrame:
+    """Score + resample + keep: the one-call DSIR selection. Returns
+    the selected ``docs`` rows (all original columns) with
+    ``log_importance`` attached. The semi-join side is the n selected
+    ids — n is caller-bounded, so AQE broadcasts it whenever it fits.
+    """
+    scores = score_dsir(
+        docs, model, id_col=id_col, text_col=text_col, alpha=alpha
+    )
+    picked = importance_resample(scores, n, seed=seed, greedy=greedy)
+    return docs.join(
+        picked.select(id_col, "log_importance"), id_col, "inner"
+    )
