@@ -15,7 +15,13 @@ engine ships, composed in the order a production run uses them.
       → NB classifier gate              (fastText-style: heuristic
                                          seeds train a hashed-feature
                                          model that generalizes them)
+      → DSIR targeted selection         (hashed-n-gram importance
+                                         resampling toward a target
+                                         domain)
       → eval-set decontamination        (13-gram collision screen)
+      → Bloom novelty pre-screen        (join-free bit-array pass;
+                                         exact near-dup screen then
+                                         only sees survivors)
       → novelty screen vs prior corpus  (incremental ingest)
       → contamination-safe splits       (xxhash64, append-invariant)
       → split drift check               (PSI: train vs val distribution)
@@ -187,6 +193,24 @@ def main() -> None:
     report["after_classifier_gate"] = clean.count()
     report["classifier_seed_agreement"] = round(float(agree), 3)
 
+    # 3c. DSIR: resample toward a (simulated) target domain — here the
+    #     corpus's own English slice stands in for "looks like the
+    #     reference corpus". Greedy mode keeps the attrition
+    #     deterministic for the report; production uses the Gumbel
+    #     sampler (greedy=False).
+    from sparvi_core_spark.operators.selection import (
+        select_corpus,
+        train_dsir,
+    )
+
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    dsir = train_dsir(target, clean, num_buckets=4096)
+    keep_n = int(report["after_classifier_gate"] * 0.9)
+    clean = select_corpus(clean, dsir, keep_n, greedy=True).drop(
+        "log_importance"
+    )
+    report["after_dsir_selection"] = clean.count()
+
     # 4. decontaminate against a (simulated) eval set
     evalset = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 500_000).alias("doc_id"), "text"
@@ -194,10 +218,27 @@ def main() -> None:
     decon = filter_ngram_contaminated(clean, evalset, n=13)
     report["decontaminated_docs"] = decon.count()
 
-    # 5. novelty screen vs a (simulated) previously-ingested corpus
+    # 5. novelty screen vs a (simulated) previously-ingested corpus.
+    #    A Bloom pre-screen knocks out EXACT re-fetches map-only (no
+    #    join, no prior-corpus re-shuffle); the MinHash near-dup
+    #    screen then runs on the survivors. No false negatives: the
+    #    bloom never lets a known text through to the corpus.
+    from sparvi_core_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
     prior = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 900_000).alias("doc_id"), "text"
     )
+    seen = bloom_build(
+        prior, "text", expected_n=max(report["raw_docs"], 1), fpp=0.001
+    )
+    flagged = bloom_probe(decon, seen, "text")
+    exact_refetch = flagged.filter(F.col("maybe_member"))
+    decon = flagged.filter(~F.col("maybe_member")).drop("maybe_member")
+    report["bloom_exact_refetches"] = exact_refetch.count()
+    report["bloom_fill_ratio"] = round(seen.fill_ratio(), 3)
     novel, matches = novelty_filter(decon, prior, threshold=0.8)
     report["novel_docs"] = novel.count()
     report["recrawl_matches"] = matches.count()

@@ -156,6 +156,24 @@ def main() -> None:
         "mse_trace": oinfo["mse_trace"],
     }
 
+    # 8b. PCA: fit on the corpus, project queries+corpus, and audit
+    #     what the cut costs — the width reduction that shrinks every
+    #     downstream matmul/codebook when the spectrum allows it
+    from sparvi_core_spark.operators.projection import pca_fit, pca_project
+
+    pca = pca_fit(emb, variance=0.8)
+    proj = pca_project(emb, pca)
+    pq_ids = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(proj, pca_project(queries, pca), k=10).collect()
+    }
+    report["pca"] = {
+        "in_dim": len(pca.mean),
+        "out_dim": pca.out_dim,
+        "coverage": round(sum(pca.explained_variance_ratio()), 3),
+        "recall_at_10_vs_full": round(len(pq_ids & e) / len(e), 3),
+    }
+
     # 9. ops health: the checks that run before every build and after
     #    every append (dirty columns, cell skew, centroid drift)
     from sparvi_core_spark.operators.ann_health import (
