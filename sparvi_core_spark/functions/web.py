@@ -333,3 +333,70 @@ def cap_per_host(
         order=order, order_col=order_col, salt=salt, plan=plan,
     )
     return out.drop(tmp)
+
+
+def host_suffixes(host: F.Column) -> F.Column:
+    """``array<string>`` of the host's dot-suffix chain:
+    ``a.b.co.uk → [a.b.co.uk, b.co.uk, co.uk, uk]`` — the exact-match
+    key space for domain blocklists (an entry blocks itself and every
+    subdomain; substring accidents like ``notexample.com`` vs
+    ``example.com`` are impossible by construction). Pure array
+    expressions; NULL host → NULL."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n)),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    block_col: str = "host",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (kept, blocked) by a domain blocklist — the
+    UT1-style URL category filter of the CCNet/RefinedWeb recipe: a
+    blocklist entry blocks the exact host and every subdomain, nothing
+    else. Pass ``host_col`` when the host is already extracted;
+    otherwise it is parsed from ``url_col``. Rows with a NULL host
+    (unparseable URL) are KEPT — a blocklist states what to remove,
+    not what to admit; stack an explicit NULL-URL rule upstream if
+    absence should exclude.
+
+    Scale shape: each row fans out by its label count (≤ ~10, bounded
+    by hostname syntax, never corpus-driven), broadcast-joins the
+    blocklist (UT1-class lists are millions of rows — MBs), and the
+    distinct blocked-id set anti-joins back. The blocklist is never
+    shuffled; both corpus-side joins key on the id column. Entries are
+    matched lowercase-exact; normalize the blocklist once upstream.
+    """
+    host = (
+        F.col(host_col) if host_col else url_host(url_col)
+    )
+    bl = blocklist.select(
+        F.lower(F.col(block_col)).alias("__blocked_host")
+    ).distinct()
+    suff = df.select(
+        F.col(id_col).alias("__bid"),
+        F.explode(host_suffixes(F.lower(host))).alias("__suffix"),
+    )
+    blocked_ids = (
+        suff.join(
+            F.broadcast(bl),
+            suff["__suffix"] == bl["__blocked_host"],
+            "left_semi",
+        )
+        .select("__bid")
+        .distinct()
+    )
+    blocked = df.join(
+        blocked_ids, df[id_col] == blocked_ids["__bid"], "left_semi"
+    )
+    kept = df.join(
+        blocked_ids, df[id_col] == blocked_ids["__bid"], "left_anti"
+    )
+    return kept, blocked

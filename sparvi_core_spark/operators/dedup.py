@@ -208,8 +208,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = 1000,
     candidates: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over candidate pairs.
+
+    ``metric="containment"`` swaps the score for max-containment
+    ``|A∩B| / min(|A|, |B|)`` (the output column is named after the
+    metric): a short document wholly quoted inside a long one scores
+    1.0 here but near-zero Jaccard — the asymmetric-duplicate case
+    (quotes, aggregator pages, doc-in-doc boilerplate) a symmetric
+    threshold structurally misses. Candidate generation is unchanged —
+    shared-shingle (or LSH) candidates, the same Σ df² guards — so the
+    one blind spot vs Jaccard mode is unchanged too, and the score
+    stays exact over the full shingle sets.
 
     The shared-shingle self-join fans out as Σ df(shingle)² — one
     ubiquitous shingle is quadratic at corpus scale. Two guards, on by
@@ -365,18 +376,23 @@ def ngram_jaccard_pairs(
             inter = inter.unionByName(rescue)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    if metric == "jaccard":
+        score = F.col("shared") / (
+            F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")
+        )
+    elif metric == "containment":
+        score = F.col("shared") / F.least(
+            F.col("sa.n_sh"), F.col("sb.n_sh")
+        )
+    else:
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}"
+        )
     return (
         inter.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("shared")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", score.alias(metric))
+        .filter(F.col(metric) >= threshold)
     )
 
 

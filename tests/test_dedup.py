@@ -337,3 +337,79 @@ def test_star_cc_unknown_strategy_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="unknown strategy"):
         dedup_clusters(pairs, strategy="hash_to_min")
+
+
+def test_ngram_containment_catches_doc_in_doc(spark):
+    """A short doc fully quoted inside a long one: containment 1.0,
+    Jaccard far below any dedup threshold — the asymmetric case the
+    metric exists for. Python-set oracle over the same shingle
+    definition pins both scores for every pair."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here " + quote + " and then a very long tail "
+        "of unrelated content that keeps going with many more words"
+    )
+    rows = [(0, quote), (1, long_doc), (2, "totally different text entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh_set(text, n=3):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    want_cont = {}
+    want_jacc = {}
+    for a in range(3):
+        for b in range(a + 1, 3):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want_cont[(a, b)] = inter / min(len(sets[a]), len(sets[b]))
+                want_jacc[(a, b)] = inter / len(sets[a] | sets[b])
+
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.0, metric="containment"
+        ).collect()
+    }
+    got_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert got_c == pytest.approx(want_cont)
+    assert got_j == pytest.approx(want_jacc)
+    assert got_c[(0, 1)] == 1.0
+    assert got_j[(0, 1)] < 0.5  # symmetric metric misses the quote
+
+
+def test_ngram_containment_capped_path_exact(spark):
+    """Stop-shingle cap must not change containment values (the score
+    is exact over the full sets regardless of candidate pruning)."""
+    base = "one two three four five six seven"
+    rows = [(i, base) for i in range(6)] + [
+        (10, base + " eight nine ten eleven twelve thirteen fourteen fifteen")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.9, max_doc_freq=3, metric="containment"
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.9, max_doc_freq=None, metric="containment"
+        ).collect()
+    }
+    # every uncapped >=0.9 pair the capped path reports must agree
+    for k, v in capped.items():
+        assert uncapped.get(k) == pytest.approx(v), k
+    # the superset doc contains the base entirely on both paths
+    assert uncapped[(0, 10)] == 1.0
+
+
+def test_ngram_metric_validation(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="metric"):
+        ngram_jaccard_pairs(df, metric="dice")

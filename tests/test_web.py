@@ -180,3 +180,105 @@ def test_plan_validation(spark, skewed_df):
         cap_per_group(df, "host", 5, plan="nope")
     with pytest.raises(ValueError, match="hash"):
         cap_per_group(df, "host", 5, order="id", plan="bucketed")
+
+
+def test_host_blocklist_subdomain_semantics(spark):
+    from sparvi_core_spark.functions.web import (
+        filter_blocked_hosts,
+        host_suffixes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/banner"),
+            (2, "https://example.com/page"),
+            (3, "https://notexample.com/fine"),       # substring ≠ match
+            (4, "https://sub.deep.tracker.net/x"),
+            (5, "https://safe.org/a"),
+            (6, None),                                 # NULL → kept
+            (7, "https://EXAMPLE.com/CaseFold"),       # case-insensitive
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("tracker.net",)], ["host"]
+    )
+    kept, blocked = filter_blocked_hosts(docs, bl)
+    assert {r["doc_id"] for r in blocked.collect()} == {1, 2, 4, 7}
+    assert {r["doc_id"] for r in kept.collect()} == {3, 5, 6}
+    assert kept.columns == docs.columns
+
+    chain = docs.filter("doc_id = 4").select(
+        host_suffixes(F.lit("sub.deep.tracker.net")).alias("s")
+    ).first()["s"]
+    assert chain == [
+        "sub.deep.tracker.net", "deep.tracker.net", "tracker.net", "net",
+    ]
+
+
+def test_host_blocklist_duckdb_oracle(spark):
+    """Dialect-independent re-derivation of the blocked set: DuckDB
+    generates the same suffix chains and joins the same blocklist."""
+    from sparvi_core_spark.functions.web import filter_blocked_hosts
+
+    rows = [
+        (i, f"https://h{i % 7}.d{i % 3}.example{i % 5}.com/p/{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    bl_rows = [("example0.com",), ("d1.example2.com",), ("h3.d0.example3.com",)]
+    bl = spark.createDataFrame(bl_rows, ["host"])
+    _, blocked = filter_blocked_hosts(docs, bl)
+    got = {r["doc_id"] for r in blocked.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{u}')" for i, u in rows)
+        + ") v(doc_id, url)"
+    )
+    con.execute(
+        "CREATE TABLE bl AS SELECT * FROM (VALUES "
+        + ",".join(f"('{h}')" for h, in bl_rows)
+        + ") v(host)"
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+            WITH hosts AS (
+              SELECT doc_id,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS h
+              FROM docs),
+            suff AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(string_split(h, '.')) + 1),
+                       i -> array_to_string(string_split(h, '.')[i:], '.')
+                     )) AS s
+              FROM hosts)
+            SELECT DISTINCT doc_id FROM suff JOIN bl ON s = host
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_host_blocklist_plan_broadcasts(spark):
+    from sparvi_core_spark.functions.web import filter_blocked_hosts
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("example.com",)], ["host"])
+    kept, _ = filter_blocked_hosts(docs, bl)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # The blocklist side must ride a broadcast hash join, never a
+    # shuffle join: lists are MBs, the corpus is TBs. The id join-back
+    # MAY plan as SMJ (the blocked-id set is corpus-driven, so that is
+    # the honest static plan; AQE converts it to broadcast at runtime
+    # when the blocked set turns out small).
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "__blocked_host" not in line, line
