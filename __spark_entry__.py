@@ -814,6 +814,23 @@ def q_quality_scores(spark, sf_dir):
     return quality_features(t["documents"].filter(F.col("doc_id") < 100))
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR exact-mode log importance of every document, target = the
+    English slice (operators/selection.py; no reference analog —
+    training-data extension surface). Exact (unhashed) features keep
+    the pipeline SQL-expressible for the oracle."""
+    from sparvi_core_spark.operators.selection import (
+        score_dsir,
+        train_dsir,
+    )
+
+    t = _views(spark, sf_dir)
+    docs = t["documents"]
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    model = train_dsir(target, docs, num_buckets=None)
+    return score_dsir(docs, model)
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -986,6 +1003,7 @@ _LOCAL_ONLY = (
     "running_totals",
     "rollup_counts",
     "embedding_topk_bucketed",
+    "dsir_scores",
 )
 
 
@@ -1072,6 +1090,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "nb_scores": q_nb_scores,
         "embedding_health": q_embedding_health,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -1963,5 +1982,33 @@ SELECT count(*) AS n_vectors,
        round(min(norm), 6) AS norm_min,
        round(max(norm), 6) AS norm_max
 FROM per"""
+
+    o["dsir_scores"] = """
+WITH feat AS (
+  SELECT doc_id, lang,
+         unnest(l || list_transform(range(1, len(l)),
+                                    i -> l[i] || ' ' || l[i+1])) AS feature
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+counts AS (
+  SELECT feature,
+         count(*) FILTER (WHERE side = 't') AS n_target,
+         count(*) FILTER (WHERE side = 'r') AS n_raw
+  FROM (SELECT feature, 't' AS side FROM feat WHERE lang = 'en'
+        UNION ALL SELECT feature, 'r' FROM feat)
+  GROUP BY feature
+),
+tot AS (SELECT sum(n_target) AS nt, sum(n_raw) AS nr, count(*) AS d
+        FROM counts)
+SELECT f.doc_id,
+       round(sum(ln(coalesce(c.n_target, 0) + 1.0) - ln(t.nt + t.d)
+                 - ln(coalesce(c.n_raw, 0) + 1.0) + ln(t.nr + t.d)),
+             6) AS log_importance,
+       count(*) AS n_features
+FROM feat f LEFT JOIN counts c USING (feature), tot t
+GROUP BY f.doc_id"""
 
     return o

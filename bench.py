@@ -196,6 +196,21 @@ def build_suite(spark, sf_dir):
 
     suite.append(("nb_classify", run_nb_classify))
 
+    # DSIR targeted selection: train target/raw importance model +
+    # score every doc + greedy top-n keep (r6)
+    from sparvi_core_spark.operators.selection import (
+        select_corpus,
+        train_dsir,
+    )
+
+    def run_dsir_select():
+        docs = spark.table("documents")
+        target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+        model = train_dsir(target, docs, num_buckets=4096)
+        _force(select_corpus(docs, model, 1000, greedy=True))
+
+    suite.append(("dsir_select", run_dsir_select))
+
     return suite
 
 

@@ -64,6 +64,27 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
         f.write("ok\n")
 
 
+def build_scaled_embeddings(spark, src: str, dst: str, factor: int) -> None:
+    """Embeddings replicated with vec_id offsets (vector values reused:
+    the moment/ANN kernels cost per ROW, which is the axis that
+    scales)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.session import read_parquet_table
+
+    out = os.path.join(dst, "embeddings.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    emb = read_parquet_table(spark, os.path.join(src, "embeddings.parquet"))
+    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    big = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    big.write.mode("overwrite").parquet(out)
+
+
 def build_scaled_customers(spark, src: str, dst: str, factor: int) -> None:
     """Customers replicated with a doubled-letter name tag per replica,
     so cross-replica names sit >= 2 edits apart and the true fuzzy-pair
@@ -130,6 +151,7 @@ def main() -> None:
     build_scaled(spark, SRC, DST, FACTOR)
     build_scaled_events(spark, SRC, DST, FACTOR)
     build_scaled_customers(spark, SRC, DST, FACTOR)
+    build_scaled_embeddings(spark, SRC, DST, FACTOR)
 
     import __spark_entry__ as entrymod
 
@@ -162,6 +184,9 @@ def main() -> None:
         merge_profiles,
         partition_profile,
     )
+    from sparvi_core_spark.operators.membership import bloom_build, bloom_novel
+    from sparvi_core_spark.operators.projection import pca_fit, pca_project
+    from sparvi_core_spark.operators.selection import select_corpus, train_dsir
     from sparvi_core_spark.sources.writers import write_zordered
 
     def run_range_join(events):
@@ -175,6 +200,16 @@ def main() -> None:
                 events, win, "ts", "window_start", "window_end", bucket_seconds=3600
             ).select("user_id", "window_start")
         )
+
+    def run_bloom_novelty(docs):
+        n = docs.count()
+        model = bloom_build(
+            docs.select("doc_id", "text"), "text", expected_n=n, fpp=0.01
+        )
+        kept = bloom_novel(
+            docs.select("doc_id", "text"), model, "text"
+        ).count()
+        assert kept == 0, f"known texts leaked the bloom: {kept}"
 
     def run_heavy_hitters(docs):
         toks = docs.select(
@@ -294,6 +329,36 @@ def main() -> None:
                 )
             ),
             "bpe_train": lambda: bpe_train(views["documents"], num_merges=50),
+            # standing since r6: DSIR = one model groupBy (bounded at
+            # 4096 buckets at any corpus size) + one broadcast-join
+            # score pass + TakeOrderedAndProject — expect ~linear
+            "dsir_select": lambda: _force(
+                select_corpus(
+                    views["documents"],
+                    train_dsir(
+                        views["documents"]
+                        .filter(F.col("lang") == "en")
+                        .select("doc_id", "text"),
+                        views["documents"],
+                        num_buckets=4096,
+                    ),
+                    1000,
+                    greedy=True,
+                )
+            ),
+            # bloom: one build pass (partition bitmaps, O(bits)
+            # collect) + one map-only probe — both linear in rows,
+            # constant in reference size once built
+            "bloom_novelty": lambda: run_bloom_novelty(
+                views["documents"]
+            ),
+            # PCA: one moment pass (d² partials) + map-only projection
+            "pca_project": lambda: _force(
+                pca_project(
+                    views["embeddings"],
+                    pca_fit(views["embeddings"], out_dim=16),
+                )
+            ),
             # the 2-col Z-order layout pass: stats + range shuffle +
             # in-file sort + real parquet write (the write IS the op)
             "zorder_shuffle": lambda: write_zordered(

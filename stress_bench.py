@@ -481,6 +481,45 @@ def main() -> None:
     bench("warc_parse_sec", run_warc)
     entries["warc_compressed_mb"] = round(total_bytes / 1e6, 1)
 
+    # --- bloom: membership at the scale where joins start to hurt ----
+    # 4M reference keys → one bit-array build, then a map-only probe of
+    # 4M mixed keys; the exact anti-join on the same frames is the
+    # honest comparator (what bloom_novel replaces at 100 TB).
+    from sparvi_core_spark.operators.membership import (
+        bloom_build,
+        bloom_novel,
+    )
+
+    ref_keys = spark.range(0, 4_000_000).select(
+        F.concat(F.lit("url-"), F.col("id")).alias("key")
+    )
+    probe_keys = spark.range(2_000_000, 6_000_000).select(
+        F.concat(F.lit("url-"), F.col("id")).alias("key")
+    )
+    bloom_model = {}
+
+    def run_bloom_build():
+        bloom_model["m"] = bloom_build(
+            ref_keys, "key", expected_n=4_000_000, fpp=0.01
+        )
+
+    bench("bloom_build_sec", run_bloom_build)
+    entries["bloom_bits_mb"] = round(bloom_model["m"].m / 8e6, 1)
+
+    def run_bloom_probe():
+        n = bloom_novel(probe_keys, bloom_model["m"], "key").count()
+        # 2M genuinely new minus ~fpp over-drop; no false negatives
+        assert 1_900_000 < n <= 2_000_000
+        entries["bloom_novel_rows"] = n
+
+    bench("bloom_probe_sec", run_bloom_probe)
+
+    def run_exact_anti():
+        n = probe_keys.join(ref_keys, "key", "left_anti").count()
+        assert n == 2_000_000
+
+    bench("exact_anti_join_sec", run_exact_anti)
+
     print(
         json.dumps(
             {

@@ -158,3 +158,34 @@ def test_fill_ratio_gauges_saturation(spark, keys):
     tiny = bloom_build(ref, "key", expected_n=50)
     assert 0.0 < right.fill_ratio() < 0.6
     assert tiny.fill_ratio() > right.fill_ratio()
+
+
+def test_bloom_probe_is_stream_compatible(spark, keys, tmp_path):
+    """The probe is stateless map-only, so the same call works on a
+    readStream frame — the streaming ingest novelty fast path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from sparvi_core_spark.streaming.profile_stream import (
+        run_stream_to_memory,
+    )
+
+    ref, _ = keys
+    model = bloom_build(ref, "key", expected_n=2000, fpp=0.01)
+    d = tmp_path / "bloom_stream"
+    d.mkdir()
+    rows = [("doc-5",), ("doc-10",), ("brand-new-a",), ("brand-new-b",)]
+    pq_.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["key"]), preserve_index=False
+        ),
+        str(d / "part-0.parquet"),
+    )
+    batch = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = bloom_novel(stream, model, "key")
+    assert out.isStreaming
+    run_stream_to_memory(out, "bloom_novel_t", output_mode="append")
+    got = {r["key"] for r in spark.table("bloom_novel_t").collect()}
+    assert got == {"brand-new-a", "brand-new-b"}
