@@ -743,6 +743,136 @@ def _ivf_assign_probes_blas(
     )
 
 
+def _kmeans_parallel_init(
+    vectors: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> dict[int, list[float]]:
+    """k-means|| seeding (Bahmani et al., VLDB'12 — the init Spark
+    MLlib uses): ``rounds`` passes each draw ~``oversample`` candidates
+    with probability ∝ d²(x, C) (weighted WOR via Efraimidis-Spirakis
+    keys on a deterministic ``xxhash64(id, seed, round)`` uniform —
+    every draw is a bounded ``TakeOrderedAndProject``, layout-invariant
+    and append-stable), then the ≤ rounds×oversample+1 candidates are
+    weighted by how many points they serve (one broadcast argmin pass)
+    and reduced to k centers driver-side with weighted k-means++.
+
+    Cost: 2 scans per round + 1 weighting scan, all with broadcast
+    candidate sets — no corpus shuffle anywhere. Driver state is
+    O(rounds × oversample × dim)."""
+    import numpy as np
+
+    l = oversample if oversample is not None else 2 * k
+    base = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    first = (
+        base.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans init: no non-NULL vectors to seed from")
+    cand = [[float(x) for x in first[0]["v"]]]
+
+    def _cand_df(spark):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cand)],
+                "bucket int, centroid array<double>",
+            )
+        )
+
+    spark = vectors.sparkSession
+    for r in range(rounds):
+        assigned = ivf_assign(base, _cand_df(spark), id_col="id", vec_col="v")
+        # A-ES weighted-WOR keys with w = d²: the l smallest keys are
+        # an exactly-weighted without-replacement draw (the
+        # weighted_hash_sample argument), deterministic per (seed, r)
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("id"), F.lit(seed), F.lit(r)),
+                F.lit(1_000_003),
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1_000_003.0)
+        w = F.col("distance") * F.col("distance")
+        drawn = (
+            assigned.filter(w > 0)
+            .join(base, "id")
+            .withColumn("__key", -F.log(u) / w)
+            .orderBy("__key")
+            .limit(l)
+            .select("v")
+            .collect()
+        )
+        if not drawn:
+            break  # every point sits on a candidate already
+        cand.extend([float(x) for x in row["v"]] for row in drawn)
+        # dedupe exact repeats so the driver step sees distinct centers
+        seen, uniq = set(), []
+        for c in cand:
+            t = tuple(c)
+            if t not in seen:
+                seen.add(t)
+                uniq.append(c)
+        cand = uniq
+    # weight candidates by the population they serve, then reduce to k
+    assigned = ivf_assign(base, _cand_df(spark), id_col="id", vec_col="v")
+    wrows = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    weights = np.zeros(len(cand))
+    for row in wrows:
+        weights[row["bucket"]] = float(row["n"])
+    pts = np.array(cand)
+    if len(pts) <= k:
+        return {i: [float(x) for x in p] for i, p in enumerate(pts)}
+
+    # driver-side reduce: weighted k-means++ with restarts, each
+    # refined by weighted Lloyd on the candidate set, best potential
+    # wins (the MLlib recipe) — one probabilistic draw can still
+    # double-pick a dense region; ten draws on ~2k·rounds points cost
+    # microseconds and make that practically impossible
+    def _potential(C):
+        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        return float((weights * d2).sum())
+
+    best, best_pot = None, None
+    for trial in range(10):
+        rng = np.random.default_rng((seed, trial))
+        centers = [int(rng.choice(len(pts), p=weights / weights.sum()))]
+        d2 = ((pts - pts[centers[0]]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            probs = weights * d2
+            if probs.sum() <= 0:
+                break
+            nxt = int(rng.choice(len(pts), p=probs / probs.sum()))
+            centers.append(nxt)
+            d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
+        C = pts[centers].astype(float)
+        for _ in range(20):  # weighted Lloyd on the candidates
+            a = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(
+                axis=1
+            )
+            newC = C.copy()
+            for j in range(len(C)):
+                wj = weights[a == j]
+                if wj.sum() > 0:
+                    newC[j] = (
+                        pts[a == j] * wj[:, None]
+                    ).sum(axis=0) / wj.sum()
+            if np.allclose(newC, C):
+                break
+            C = newC
+        pot = _potential(C)
+        if best_pot is None or pot < best_pot:
+            best, best_pot = C, pot
+    return {i: [float(x) for x in c] for i, c in enumerate(best)}
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
@@ -751,6 +881,7 @@ def kmeans_fit(
     max_iter: int = 10,
     tol: float = 1e-4,
     seed: int = 42,
+    init: str = "hash",
 ) -> tuple[DataFrame, dict]:
     """Lloyd k-means over an embedding column — the IVF BUILD step
     (``compute_centroids`` + ``ivf_assign`` refine a labeling; this
@@ -758,10 +889,16 @@ def kmeans_fit(
     ``centroids`` is the ``(bucket, centroid)`` frame ``ivf_assign``
     consumes and ``info = {"iterations", "converged", "movement"}``.
 
-    Init: the k seed vectors are the corpus's k smallest
-    ``xxhash64(id, seed)`` values — deterministic across runs,
-    partitionings, and appends-with-new-ids, and a uniform draw (the
-    same argument as ``sampling.hash_sample``). Each iteration is one
+    Init (``init=``): ``"hash"`` (default) seeds with the corpus's k
+    smallest ``xxhash64(id, seed)`` values — deterministic across
+    runs, partitionings, and appends-with-new-ids, and a uniform draw
+    (the same argument as ``sampling.hash_sample``) — but uniform
+    seeding falls into split/merge local optima on clustered data
+    (measured: ~half of seeds miscluster 3 well-separated blobs);
+    ``"parallel"`` runs k-means|| seeding (:func:`_kmeans_parallel_init`
+    — d²-weighted candidate rounds + driver-side weighted k-means++),
+    which recovers the blobs on every seed in the same sweep, at the
+    cost of ~2 extra scans per seeding round. Each iteration is one
     assign (broadcast centroids, ``min_by`` argmin — no window) and one
     centroid rebuild (posexplode + map-side-combined avg): two shuffles
     of O(N × dim) per round, the canonical distributed-Lloyd shape
@@ -776,16 +913,23 @@ def kmeans_fit(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if init not in ("hash", "parallel"):
+        raise ValueError(f"init must be 'hash' or 'parallel', got {init!r}")
     spark = vectors.sparkSession
-    seeds = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
-        .limit(k)  # TakeOrderedAndProject: no global sort materialized
-        .collect()
-    )
-    cents: dict[int, list[float]] = {
-        i: [float(x) for x in r["v"]] for i, r in enumerate(seeds)
-    }
+    if init == "parallel":
+        cents = _kmeans_parallel_init(
+            vectors, k, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    else:
+        seeds = (
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+            .limit(k)  # TakeOrderedAndProject: no global sort materialized
+            .collect()
+        )
+        cents = {
+            i: [float(x) for x in r["v"]] for i, r in enumerate(seeds)
+        }
     info = {"iterations": 0, "converged": False, "movement": None}
 
     def _cent_df():
