@@ -1,0 +1,179 @@
+"""IVF index on storage: write → prune → search, equal to the
+in-memory IVF path, with the pruning pinned in the PLAN and in the
+file listing (the 100 TB claim is exactly "non-probed cells never
+leave disk")."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.sources.ann_index import (
+    read_ivf_index,
+    search_ivf_index,
+    write_ivf_index,
+)
+
+
+def _corpus(spark, n=120, dim=6, seed=11, nulls=0):
+    rnd = random.Random(seed)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(dim)], f"doc-{i}")
+        for i in range(n)
+    ]
+    for j in range(nulls):
+        rows.append((n + j, None, f"null-{j}"))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, payload string"
+    )
+
+
+def _centroids(spark, df, k=6):
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    cents, _ = kmeans_fit(df, k=k, max_iter=5, seed=3)
+    return cents
+
+
+def test_write_read_roundtrip_and_manifest(spark, tmp_path):
+    df = _corpus(spark, nulls=3)
+    cents = _centroids(spark, df)
+    path = str(tmp_path / "idx")
+    man = write_ivf_index(df, cents, path)
+
+    data, rcents, rman = read_ivf_index(spark, path)
+    assert rman == man
+    assert man["format"] == "sparvi-ivf-index/1"
+    assert man["n_vectors"] == 120 and man["dropped_null"] == 3
+    assert man["dim"] == 6 and man["k"] == 6
+    assert sum(man["rows_per_bucket"].values()) == 120
+    assert data.count() == 120  # NULL vectors not indexed
+    # payload rides inside the index
+    row = data.filter(F.col("vec_id") == 7).first()
+    assert row["payload"] == "doc-7"
+    # centroids round-trip exactly
+    a = sorted((r["bucket"], tuple(r["centroid"])) for r in cents.collect())
+    b = sorted((r["bucket"], tuple(r["centroid"])) for r in rcents.collect())
+    assert a == b
+
+
+def test_search_equals_in_memory_ivf(spark, tmp_path):
+    from sparvi_core_spark.operators.similarity import cosine_topk_ivf
+
+    df = _corpus(spark)
+    cents = _centroids(spark, df)
+    path = str(tmp_path / "idx")
+    write_ivf_index(df, cents, path)
+    queries = df.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+
+    got = search_ivf_index(spark, path, queries, k=5, nprobe=2)
+    want = cosine_topk_ivf(df, queries, cents, k=5, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    g = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+    w = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+    assert g == w and len(g) > 0
+
+
+def _walk_leaves(node, out):
+    """Recursively collect true physical leaves, descending through
+    AQE wrappers and materialized query stages (both of which report
+    zero children to collectLeaves at the top level)."""
+    name = node.getClass().getSimpleName()
+    if "AdaptiveSparkPlan" in name:
+        _walk_leaves(node.executedPlan(), out)
+        return
+    if "QueryStage" in name:
+        _walk_leaves(node.plan(), out)
+        return
+    ch = node.children()
+    if ch.size() == 0:
+        out.append(node)
+        return
+    for i in range(ch.size()):
+        _walk_leaves(ch.apply(i), out)
+
+
+def _scan_metrics(df):
+    """(numFiles, numPartitions) summed over the executed plan's
+    parquet scan leaves — run AFTER an action so the SQL metrics are
+    populated. This is Spark's own count of what the scan touched."""
+    leaves = []
+    _walk_leaves(df._jdf.queryExecution().executedPlan(), leaves)
+    files = parts = 0
+    for node in leaves:
+        if "parquet" not in node.nodeName().lower():
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numFiles":
+                files += kv._2().value()
+            elif kv._1() == "numPartitions":
+                parts += kv._2().value()
+    return files, parts
+
+
+def test_search_prunes_partitions_in_plan_and_files(spark, tmp_path):
+    df = _corpus(spark)
+    cents = _centroids(spark, df)
+    path = str(tmp_path / "idx")
+    man = write_ivf_index(df, cents, path)
+    # one query: probes exactly 2 of the 6 cells
+    queries = df.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+
+    res = search_ivf_index(spark, path, queries, k=3, nprobe=2)
+    res.collect()
+    # mechanism pin: the bucket predicate rides in PartitionFilters
+    # (directory-level pruning), not as a post-scan row filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]")[0]
+    assert "bucket" in pf and ("IN" in pf or "in" in pf)
+
+    # measured pin: Spark's own scan metrics — only the 2 probed
+    # cells (of 6 on disk) were listed and read
+    data, _, _ = read_ivf_index(spark, path)
+    total_files = len(data.inputFiles())
+    n_cells = len(man["rows_per_bucket"])
+    assert n_cells >= 4
+    files_read, parts_read = _scan_metrics(res)
+    assert parts_read == 2
+    assert 0 < files_read < total_files
+
+
+def test_files_per_bucket_bounds_layout(spark, tmp_path):
+    df = _corpus(spark, n=300)
+    cents = _centroids(spark, df, k=4)
+    path = str(tmp_path / "idx2")
+    write_ivf_index(df, cents, path, files_per_bucket=2)
+    data, _, man = read_ivf_index(spark, path)
+    assert data.count() == 300
+    from collections import Counter
+
+    per_cell = Counter()
+    for f in data.inputFiles():
+        cell = f.split("bucket=")[1].split("/")[0]
+        per_cell[cell] += 1
+    assert per_cell and all(c <= 2 for c in per_cell.values())
+
+
+def test_validation_and_format_guard(spark, tmp_path):
+    df = _corpus(spark, n=20)
+    cents = _centroids(spark, df, k=2)
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        write_ivf_index(df, cents, str(tmp_path / "x"), files_per_bucket=0)
+    with pytest.raises(ValueError, match="bucket"):
+        write_ivf_index(
+            df.withColumn("bucket", F.lit(1)), cents, str(tmp_path / "x")
+        )
+    # not-an-index path refuses cleanly
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(Exception):
+        read_ivf_index(spark, plain)
+    # query frame missing the index's columns
+    path = str(tmp_path / "idx3")
+    write_ivf_index(df, cents, path)
+    bad_q = df.select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="vec_id"):
+        search_ivf_index(spark, path, bad_q, k=2)
