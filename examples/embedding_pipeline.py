@@ -196,6 +196,38 @@ def main() -> None:
         },
     }
 
+    # 10. persist: write the corpus as an on-storage IVF index (parquet
+    #     hive-partitioned by cell, centroids + manifest inside), then
+    #     search THROUGH the files — partition pruning means only the
+    #     probed cells' files are listed and read. Same results as the
+    #     in-memory path; the report shows the fraction of the corpus
+    #     the search never touched.
+    import shutil
+    import tempfile
+
+    from sparvi_core_spark.sources.ann_index import (
+        read_ivf_index,
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="ivf-index-")
+    try:
+        man = write_ivf_index(emb, centroids, idx_dir)
+        stored = search_ivf_index(spark, idx_dir, queries, k=10, nprobe=2)
+        s = {(r["query_id"], r["neighbor_id"]) for r in stored.collect()}
+        mem = cosine_topk_ivf(emb, queries, centroids, k=10, nprobe=2)
+        m = {(r["query_id"], r["neighbor_id"]) for r in mem.collect()}
+        data, _, _ = read_ivf_index(spark, idx_dir)
+        report["stored_index"] = {
+            "cells": man["k"],
+            "files": len(data.inputFiles()),
+            "matches_in_memory_ivf": s == m,
+            "n_vectors": man["n_vectors"],
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     print(json.dumps(report, default=str))
 
 
