@@ -125,6 +125,110 @@ def write_ivf_index(
     return manifest
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """The daily ingest operation: assign a NEW batch against the
+    STORED centroids and append it into the existing cell partitions —
+    no rebuild, and no existing file is rewritten (parquet append into
+    ``bucket=<i>/`` dirs). The manifest is updated in place:
+    ``rows_per_bucket``/``n_vectors``/``dropped_null`` accumulate and
+    ``appends`` counts the batches, so cell skew and growth stay
+    visible across the index's life. Returns the updated manifest.
+
+    Centroids are NOT moved by an append (that would silently
+    invalidate every prior assignment); watch
+    :func:`ivf_index_health`'s ``mean_distance`` creep to decide when
+    a re-train + rewrite is due. Single-writer by contract — plain
+    parquet has no commit protocol, so two concurrent appends race on
+    the manifest (same as every bare-parquet append pipeline)."""
+    from sparvi_core_spark.operators.similarity import ivf_assign
+    from sparvi_core_spark.sources.writers import _hadoop_write_text
+
+    spark = new_vectors.sparkSession
+    _, cents, manifest = read_ivf_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    fpb = manifest["files_per_bucket"] if files_per_bucket is None else files_per_bucket
+    if fpb < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
+    for c in (id_col, vec_col):
+        if c not in new_vectors.columns:
+            raise ValueError(
+                f"new_vectors is missing the index's {c!r} column "
+                f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+    for c in ("bucket", "__slice"):
+        if c in new_vectors.columns:
+            raise ValueError(f"new_vectors already has a {c!r} column")
+    # dim check BEFORE any file lands: one tiny agg over the batch
+    dims = new_vectors.select(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if dims["lo"] is not None and (
+        dims["lo"] != manifest["dim"] or dims["hi"] != manifest["dim"]
+    ):
+        raise ValueError(
+            f"batch vector dims [{dims['lo']}, {dims['hi']}] do not match "
+            f"the index dim {manifest['dim']}"
+        )
+    assigned = ivf_assign(
+        new_vectors, cents, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias(id_col), "bucket")
+    data = new_vectors.join(assigned, id_col)
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
+        F.lit(fpb),
+    )
+    (
+        data.withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    per_cell = {
+        int(r["bucket"]): int(r["n"])
+        for r in assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_new = sum(per_cell.values())
+    rows = dict(manifest["rows_per_bucket"])
+    for b, n in per_cell.items():
+        rows[str(b)] = rows.get(str(b), 0) + n
+    manifest["rows_per_bucket"] = {
+        b: rows[b] for b in sorted(rows, key=int)
+    }
+    manifest["n_vectors"] += n_new
+    manifest["dropped_null"] += new_vectors.count() - n_new
+    manifest["appends"] = manifest.get("appends", 0) + 1
+    _hadoop_write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def ivf_index_health(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell report over the STORED index (one row per centroid:
+    n, frac, mean/p95/max distance — `operators.ann_health.ivf_health`
+    on the index's own files). The append-pipeline's "when do I
+    rebuild" gauge: ``mean_distance`` creeping up across appends means
+    centroid drift; ``frac`` spread means hot cells. Full-scan audit
+    by design — run it at audit cadence, not per query."""
+    from sparvi_core_spark.operators.ann_health import ivf_health
+
+    data, cents, manifest = read_ivf_index(spark, path)
+    return ivf_health(
+        data.drop("bucket"),
+        cents,
+        id_col=manifest["id_col"],
+        vec_col=manifest["vec_col"],
+    )
+
+
 def read_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:

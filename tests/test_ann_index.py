@@ -177,3 +177,91 @@ def test_validation_and_format_guard(spark, tmp_path):
     bad_q = df.select(F.col("vec_id").alias("qid"), "embedding")
     with pytest.raises(ValueError, match="vec_id"):
         search_ivf_index(spark, path, bad_q, k=2)
+
+
+def test_append_accumulates_and_search_matches(spark, tmp_path):
+    from sparvi_core_spark.operators.similarity import cosine_topk_ivf
+    from sparvi_core_spark.sources.ann_index import (
+        append_ivf_index,
+        ivf_index_health,
+    )
+
+    base = _corpus(spark, n=100, seed=5)
+    batch = _corpus(spark, n=40, seed=6).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    cents = _centroids(spark, base)
+    path = str(tmp_path / "idx_app")
+    write_ivf_index(base, cents, path)
+    data0, _, _ = read_ivf_index(spark, path)
+    files_before = set(data0.inputFiles())
+
+    man = append_ivf_index(batch, path)
+    assert man["n_vectors"] == 140 and man["appends"] == 1
+    assert sum(man["rows_per_bucket"].values()) == 140
+
+    data, _, rman = read_ivf_index(spark, path)
+    assert rman == man
+    assert data.count() == 140
+    # append-only: every pre-append file still in the listing
+    assert files_before <= set(data.inputFiles())
+    # manifest per-cell counts == actual on-disk per-cell counts
+    on_disk = {
+        str(r["bucket"]): r["n"]
+        for r in data.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert on_disk == man["rows_per_bucket"]
+
+    # search over the appended index == in-memory IVF over the union
+    union = base.unionByName(batch)
+    queries = union.filter(F.col("vec_id").isin(3, 1005)).select(
+        "vec_id", "embedding"
+    )
+    got = search_ivf_index(spark, path, queries, k=5, nprobe=2)
+    want = cosine_topk_ivf(union, queries, cents, k=5, nprobe=2)
+    g = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+    w = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+    assert g == w and len(g) > 0
+
+    # health over the stored index: one row per centroid, counts match
+    h = {r["bucket"]: r["n"] for r in ivf_index_health(spark, path).collect()}
+    assert sum(h.values()) == 140
+    assert len(h) == man["k"]
+
+
+def test_append_null_and_dim_guards(spark, tmp_path):
+    from sparvi_core_spark.sources.ann_index import append_ivf_index
+
+    base = _corpus(spark, n=60, seed=9)
+    cents = _centroids(spark, base, k=4)
+    path = str(tmp_path / "idx_guard")
+    write_ivf_index(base, cents, path)
+
+    # NULL vectors accumulate in dropped_null, are not indexed
+    batch = _corpus(spark, n=10, seed=10, nulls=3).withColumn(
+        "vec_id", F.col("vec_id") + 500
+    )
+    man = append_ivf_index(batch, path)
+    assert man["n_vectors"] == 70 and man["dropped_null"] == 3
+    data, _, _ = read_ivf_index(spark, path)
+    assert data.count() == 70
+
+    # wrong dim refuses BEFORE writing anything
+    bad = _corpus(spark, n=5, dim=4, seed=12).withColumn(
+        "vec_id", F.col("vec_id") + 900
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf_index(bad, path)
+    data2, _, man2 = read_ivf_index(spark, path)
+    assert data2.count() == 70 and man2["n_vectors"] == 70
+
+    # missing column refuses
+    with pytest.raises(ValueError, match="vec_id"):
+        append_ivf_index(
+            base.select(F.col("vec_id").alias("qid"), "embedding"), path
+        )
+    # appending to a non-index path refuses
+    plain = str(tmp_path / "plain2")
+    base.write.parquet(plain)
+    with pytest.raises(Exception):
+        append_ivf_index(base, plain)
