@@ -36,6 +36,14 @@ Scale design (the part that matters at 100 TB):
   surviving cells (per-cell equi-join + top-k, BLAS engine opt-in).
   Driver state is O(#probed cells) bucket ids — bounded by k, never
   by the corpus or the query count.
+- **Full lifecycle, each step priced for its cadence.**
+  `write_ivf_index` (once) → `append_ivf_index` (daily: assign the
+  new batch only, parquet-append, no rebuild) →
+  `compact_ivf_index` (weekly: rewrite ONLY the fragmented cells,
+  journaled crash-safe swap via `repair_ivf_index`) →
+  `ivf_index_health` (audit: per-cell drift gauge) →
+  `retrain_ivf_index` (rare: blue/green re-fit + rewrite to a NEW
+  path — never in place).
 """
 
 from __future__ import annotations
@@ -46,6 +54,45 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "_ivf_manifest.json"
 CENTROIDS_DIR = "_centroids"
+JOURNAL = "_compact_journal.json"
+TMP_DIR = "_compact_tmp"
+
+
+def _write_text(spark: SparkSession, dir_path: str, name: str, text: str):
+    from sparvi_core_spark.sources.writers import _hadoop_write_text
+
+    _hadoop_write_text(spark, dir_path, name, text)
+
+
+def _read_text(spark: SparkSession, dir_path: str, name: str) -> str:
+    from sparvi_core_spark.sources.writers import _hadoop_read_text
+
+    return _hadoop_read_text(spark, dir_path, name)
+
+
+def _index_fs(spark: SparkSession, path: str):
+    """(jvm, fs, Path-class) for the index root — every maintenance
+    file op goes through the Hadoop FileSystem API so the index can
+    live on any scheme the data write supports (s3a://, hdfs://,
+    file:)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _cell_files(fs, mkpath, path: str, bucket) -> list[str]:
+    """Data-file names inside one cell dir (hidden/marker files
+    excluded). A cell with no dir (zero rows ever assigned) is []."""
+    d = mkpath(f"{path}/bucket={bucket}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith((".", "_")):
+            out.append(name)
+    return sorted(out)
 
 
 def write_ivf_index(
@@ -209,6 +256,232 @@ def append_ivf_index(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
     )
     return manifest
+
+
+def repair_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Heal a crashed :func:`compact_ivf_index` swap. The journal
+    records, per cell, the exact compacted file names about to enter
+    the cell and the originals they replace; moves happen strictly
+    after the journal lands and deletes strictly after ALL moves. So:
+    every journaled new file present → finish the swap (delete the
+    remaining originals, roll forward); any new file missing → the
+    originals are still complete (delete the partial compacted copies,
+    roll back). A tmp dir with no journal is a pre-journal crash —
+    originals untouched, drop the tmp. Idempotent; no-op on a clean
+    index. Returns ``{"action": ...}``."""
+    _, fs, mkpath = _index_fs(spark, path)
+    jp = mkpath(f"{path}/{JOURNAL}")
+    tp = mkpath(f"{path}/{TMP_DIR}")
+    if not fs.exists(jp):
+        if fs.exists(tp):
+            fs.delete(tp, True)
+            return {"action": "removed_orphan_tmp"}
+        return {"action": "clean"}
+    journal = json.loads(_read_text(spark, path, JOURNAL))
+    cells = journal["cells"]
+    landed = all(
+        fs.exists(mkpath(f"{path}/bucket={b}/{n}"))
+        for b, entry in cells.items()
+        for n in entry["new"]
+    )
+    if landed:
+        for b, entry in cells.items():
+            for old in entry["old"]:
+                p = mkpath(f"{path}/bucket={b}/{old}")
+                if fs.exists(p):
+                    fs.delete(p, False)
+        action = "rolled_forward"
+    else:
+        for b, entry in cells.items():
+            for new in entry["new"]:
+                p = mkpath(f"{path}/bucket={b}/{new}")
+                if fs.exists(p):
+                    fs.delete(p, False)
+        action = "rolled_back"
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    fs.delete(jp, False)
+    return {"action": action}
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """Fold appended small files back to ``files_per_bucket`` files
+    per cell — the hygiene pass for the append pipeline (each
+    :func:`append_ivf_index` adds up to ``files_per_bucket`` files to
+    every touched cell; after N daily batches a cell scan opens ~N
+    files). Cost is proportional to the FRAGMENTED fraction: cells
+    already at or below the target are not read, not rewritten, and
+    their files are never touched (pinned in tests) — on a 100 TB
+    index where yesterday's append touched 3% of cells, compaction
+    reads 3% of the corpus, not all of it. Row identity is checked
+    before the swap: the rewrite's observed row count must equal the
+    manifest's count for those cells, else the tmp output is discarded
+    and the index is left exactly as found.
+
+    Crash-safe via :func:`repair_ivf_index` (journaled swap, same
+    protocol as ``streaming.store.compact_summary_store``); any prior
+    crash is healed before this run starts. Single-writer by contract,
+    like ``append_ivf_index``. Returns ``{"cells_compacted",
+    "files_before", "files_after", "rows_rewritten"}``."""
+    from pyspark.sql import Observation
+
+    repair_ivf_index(spark, path)
+    data, _, manifest = read_ivf_index(spark, path)
+    id_col = manifest["id_col"]
+    fpb = (
+        manifest["files_per_bucket"]
+        if files_per_bucket is None
+        else files_per_bucket
+    )
+    if fpb < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
+    _, fs, mkpath = _index_fs(spark, path)
+    listing = {
+        b: _cell_files(fs, mkpath, path, b)
+        for b in manifest["rows_per_bucket"]
+    }
+    files_before = sum(len(v) for v in listing.values())
+    frag = {b: v for b, v in listing.items() if len(v) > fpb}
+    if not frag:
+        if fpb != manifest["files_per_bucket"]:
+            manifest["files_per_bucket"] = fpb
+            _write_text(
+                spark, path, MANIFEST,
+                json.dumps(manifest, indent=1, sort_keys=True),
+            )
+        return {
+            "cells_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+            "rows_rewritten": 0,
+        }
+    cells = sorted(int(b) for b in frag)
+    expected = sum(manifest["rows_per_bucket"][str(b)] for b in cells)
+    obs = Observation()
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("ivf-slice")), F.lit(fpb)
+    )
+    tmp = f"{path}/{TMP_DIR}"
+    (
+        data.filter(F.col("bucket").isin(cells))
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    rewritten = int(obs.get["rows"])
+    if rewritten != expected:
+        fs.delete(mkpath(tmp), True)
+        raise ValueError(
+            f"compaction rewrite saw {rewritten} rows where the manifest "
+            f"records {expected} for cells {cells} — index left untouched "
+            f"(were files mutated outside append_ivf_index?)"
+        )
+    # journal BEFORE any compacted file enters a cell dir; then ALL
+    # moves, then ALL deletes — the repair protocol's ordering contract
+    produced = {
+        b: _cell_files(fs, mkpath, tmp, b) for b in cells
+    }
+    journal = {
+        "cells": {
+            str(b): {"new": produced[b], "old": frag[str(b)]}
+            for b in cells
+        }
+    }
+    _write_text(spark, path, JOURNAL, json.dumps(journal))
+    for b in cells:
+        for name in produced[b]:
+            fs.rename(
+                mkpath(f"{tmp}/bucket={b}/{name}"),
+                mkpath(f"{path}/bucket={b}/{name}"),
+            )
+    for b in cells:
+        for old in frag[str(b)]:
+            fs.delete(mkpath(f"{path}/bucket={b}/{old}"), False)
+    fs.delete(mkpath(tmp), True)
+    fs.delete(mkpath(f"{path}/{JOURNAL}"), False)
+    manifest["files_per_bucket"] = fpb
+    manifest["compactions"] = manifest.get("compactions", 0) + 1
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    files_after = files_before - sum(
+        len(v) for v in frag.values()
+    ) + sum(len(v) for v in produced.values())
+    return {
+        "cells_compacted": len(cells),
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_rewritten": rewritten,
+    }
+
+
+def retrain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    k: int | None = None,
+    init: str = "parallel",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+    files_per_bucket: int | None = None,
+) -> tuple[dict, dict]:
+    """Re-fit centroids from the stored corpus and write a NEW index
+    at ``dest`` — the blue/green answer to :func:`ivf_index_health`'s
+    drift gauge. Never in place (``dest == path`` raises): the rewrite
+    reads the very files it would overwrite, and at 100 TB an in-place
+    rebuild that crashes halfway destroys the serving index. The old
+    index stays live until the caller flips the path.
+
+    ``sample_fraction`` fits the k-means on a sample (the standard
+    move at corpus scale — centroid quality needs a representative
+    sample, not every row) while ALL rows are still assigned and
+    written. Returns ``(new_manifest, kmeans_info)``."""
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    if path.rstrip("/") == dest.rstrip("/"):
+        raise ValueError(
+            "retrain_ivf_index is blue/green by contract: dest must "
+            "differ from the source index path"
+        )
+    data, _, manifest = read_ivf_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    vecs = data.drop("bucket")
+    fit_on = (
+        vecs.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else vecs
+    )
+    cents, info = kmeans_fit(
+        fit_on,
+        k=manifest["k"] if k is None else k,
+        id_col=id_col,
+        vec_col=vec_col,
+        init=init,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    new_manifest = write_ivf_index(
+        vecs,
+        cents,
+        dest,
+        id_col=id_col,
+        vec_col=vec_col,
+        files_per_bucket=(
+            manifest["files_per_bucket"]
+            if files_per_bucket is None
+            else files_per_bucket
+        ),
+    )
+    return new_manifest, info
 
 
 def ivf_index_health(spark: SparkSession, path: str) -> DataFrame:

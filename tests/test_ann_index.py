@@ -265,3 +265,173 @@ def test_append_null_and_dim_guards(spark, tmp_path):
     base.write.parquet(plain)
     with pytest.raises(Exception):
         append_ivf_index(base, plain)
+
+
+def test_compact_rewrites_only_fragmented_cells(spark, tmp_path):
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_assign,
+    )
+    from sparvi_core_spark.sources.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    base = _corpus(spark, n=120, seed=21)
+    cents = _centroids(spark, base, k=4)
+    path = str(tmp_path / "idx_cmp")
+    write_ivf_index(base, cents, path)
+
+    # a batch that lands ONLY in the two largest cells: reuse base
+    # vectors already assigned there, under fresh ids
+    _, _, man0 = read_ivf_index(spark, path)
+    big2 = sorted(
+        man0["rows_per_bucket"], key=lambda b: -man0["rows_per_bucket"][b]
+    )[:2]
+    asg = ivf_assign(base, cents)
+    batch = base.join(
+        asg.filter(F.col("bucket").isin([int(b) for b in big2])).select(
+            F.col("id").alias("vec_id")
+        ),
+        "vec_id",
+    ).withColumn("vec_id", F.col("vec_id") + 10_000)
+    n_batch = batch.count()
+    assert n_batch > 0
+    append_ivf_index(batch, path)
+
+    data1, _, man1 = read_ivf_index(spark, path)
+    by_cell_before = {}
+    for f in data1.inputFiles():
+        b = f.split("bucket=")[1].split("/")[0]
+        by_cell_before.setdefault(b, set()).add(f)
+    for b in man1["rows_per_bucket"]:
+        assert len(by_cell_before[b]) == (2 if b in big2 else 1)
+
+    rep = compact_ivf_index(spark, path)  # target: manifest fpb = 1
+    assert rep["cells_compacted"] == 2
+    assert rep["rows_rewritten"] == sum(
+        man1["rows_per_bucket"][b] for b in big2
+    )
+    assert rep["files_after"] == len(man1["rows_per_bucket"])
+
+    data2, _, man2 = read_ivf_index(spark, path)
+    assert man2["compactions"] == 1
+    assert man2["rows_per_bucket"] == man1["rows_per_bucket"]
+    by_cell_after = {}
+    for f in data2.inputFiles():
+        b = f.split("bucket=")[1].split("/")[0]
+        by_cell_after.setdefault(b, set()).add(f)
+    for b in man2["rows_per_bucket"]:
+        assert len(by_cell_after[b]) == 1
+        if b not in big2:  # untouched cells keep their exact files
+            assert by_cell_after[b] == by_cell_before[b]
+        else:  # fragmented cells fully rewritten
+            assert not (by_cell_after[b] & by_cell_before[b])
+    # no leftovers from the swap
+    assert not (tmp_path / "idx_cmp" / "_compact_tmp").exists()
+    assert not (tmp_path / "idx_cmp" / "_compact_journal.json").exists()
+
+    # data identical: search over compacted == in-memory over union
+    union = base.unionByName(batch)
+    queries = union.limit(15).select("vec_id", "embedding")
+    got = sorted(
+        map(tuple, search_ivf_index(spark, path, queries, k=4).collect())
+    )
+    want = sorted(
+        map(tuple, cosine_topk_ivf(union, queries, cents, k=4, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # idempotent: second run is a no-op
+    rep2 = compact_ivf_index(spark, path)
+    assert rep2["cells_compacted"] == 0
+    assert rep2["files_before"] == rep2["files_after"] == rep["files_after"]
+
+
+def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+
+    base = _corpus(spark, n=80, seed=31)
+    cents = _centroids(spark, base, k=3)
+    path = str(tmp_path / "idx_rep")
+    write_ivf_index(base, cents, path)
+    cell = sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    )[0]
+    orig = [
+        f for f in os.listdir(os.path.join(path, cell))
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    assert len(orig) == 1
+    b = cell.split("=")[1]
+
+    # clean index: repair is a no-op
+    assert repair_ivf_index(spark, path)["action"] == "clean"
+
+    # ROLL FORWARD: every journaled new file landed → originals go
+    copy = "compacted-test-0.parquet"
+    shutil.copy(
+        os.path.join(path, cell, orig[0]), os.path.join(path, cell, copy)
+    )
+    with open(os.path.join(path, "_compact_journal.json"), "w") as fh:
+        json.dump({"cells": {b: {"new": [copy], "old": orig}}}, fh)
+    assert repair_ivf_index(spark, path)["action"] == "rolled_forward"
+    left = os.listdir(os.path.join(path, cell))
+    assert copy in left and orig[0] not in left
+    data, _, man = read_ivf_index(spark, path)
+    assert data.count() == man["n_vectors"]  # store back to one copy
+
+    # ROLL BACK: a journaled new file missing → partials go, originals stay
+    partial = "compacted-test-1.parquet"
+    shutil.copy(
+        os.path.join(path, cell, copy), os.path.join(path, cell, partial)
+    )
+    with open(os.path.join(path, "_compact_journal.json"), "w") as fh:
+        json.dump(
+            {"cells": {b: {"new": [partial, "never-landed.parquet"],
+                           "old": [copy]}}},
+            fh,
+        )
+    assert repair_ivf_index(spark, path)["action"] == "rolled_back"
+    left = os.listdir(os.path.join(path, cell))
+    assert copy in left and partial not in left
+    assert read_ivf_index(spark, path)[0].count() == man["n_vectors"]
+
+    # orphan tmp dir without a journal: dropped
+    os.makedirs(os.path.join(path, "_compact_tmp", cell), exist_ok=True)
+    assert repair_ivf_index(spark, path)["action"] == "removed_orphan_tmp"
+    assert not os.path.exists(os.path.join(path, "_compact_tmp"))
+
+
+def test_retrain_blue_green(spark, tmp_path):
+    from sparvi_core_spark.operators.similarity import cosine_topk
+    from sparvi_core_spark.sources.ann_index import retrain_ivf_index
+
+    base = _corpus(spark, n=150, seed=41)
+    cents = _centroids(spark, base, k=2)
+    src = str(tmp_path / "idx_old")
+    dst = str(tmp_path / "idx_new")
+    write_ivf_index(base, cents, src)
+
+    with pytest.raises(ValueError, match="blue/green"):
+        retrain_ivf_index(spark, src, src + "/")
+
+    man, info = retrain_ivf_index(spark, src, dst, k=5, seed=9)
+    assert man["k"] == 5 and man["n_vectors"] == 150
+    assert info["iterations"] >= 1
+
+    # old index untouched and still serving
+    _, _, old_man = read_ivf_index(spark, src)
+    assert old_man["k"] == 2 and old_man["n_vectors"] == 150
+
+    # new index at nprobe=k is exact: equals brute-force cosine_topk
+    queries = base.limit(10).select("vec_id", "embedding")
+    got = sorted(
+        map(tuple, search_ivf_index(spark, dst, queries, k=3, nprobe=5).collect())
+    )
+    want = sorted(map(tuple, cosine_topk(base, queries, k=3).collect()))
+    assert got == want and len(got) > 0
