@@ -1,0 +1,82 @@
+"""Streaming ingest into the stored IVF index — micro-batches of new
+vectors land in the index's cell partitions as they arrive.
+
+A continuous embedding pipeline (crawl → embed → index) shouldn't
+batch up a day of vectors before they become searchable. This adapter
+runs :func:`sources.ann_index.append_ivf_index` per micro-batch via
+``foreachBatch``: each batch pays one broadcast-centroid assignment
+over JUST the new rows plus a parquet append into the touched cells —
+the same cost shape as the batch append, at micro-batch grain. No
+analog in the reference engine (SURVEY.md §2.8 — profiling surface
+only); part of the training-data-pipeline extension surface.
+
+Scale + delivery semantics:
+
+- **Per-batch cost is O(batch), never O(index).** The stored corpus
+  is not read; only the centroid table (k × dim, broadcast) and the
+  manifest (k counters) are touched per trigger.
+- **Replay-safe at the commit boundary.** ``foreachBatch`` redelivers
+  a batch when the checkpoint commit didn't land; the sink records
+  ``last_stream_batch_id`` in the index manifest and skips batch ids
+  it has already appended, so the common replay (append completed,
+  checkpoint didn't) is exactly-once. The residual window is a crash
+  BETWEEN the data append and the manifest write inside one batch —
+  plain parquet has no commit protocol (same window, and same daily
+  answer, as every bare-parquet sink: the exact-dedup tier downstream
+  screens re-landed ids).
+- **Fragmentation is the compactor's job.** Every trigger adds up to
+  ``files_per_bucket`` files to each touched cell by design — run
+  ``compact_ivf_index`` on a maintenance schedule, exactly like the
+  summary stores (``streaming.store``).
+- **Single writer by contract**, like the batch append: one streaming
+  query per index path, maintenance quiesced around compaction.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def index_stream_batches(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    files_per_bucket: int | None = None,
+):
+    """Append every micro-batch of ``stream_df`` (which must carry the
+    index's ``id_col``/``vec_col``) into the stored IVF index at
+    ``path``. The index must already exist (``write_ivf_index``).
+    Returns the started ``StreamingQuery``; ``available_now=True``
+    drains the current source and stops."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from sparvi_core_spark.sources.ann_index import (
+            MANIFEST,
+            _read_text,
+            _write_text,
+            append_ivf_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+            return  # replayed batch: already appended, skip
+        man = append_ivf_index(
+            batch_df, path, files_per_bucket=files_per_bucket
+        )
+        man["last_stream_batch_id"] = int(batch_id)
+        _write_text(
+            spark, path, MANIFEST, json.dumps(man, indent=1, sort_keys=True)
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
