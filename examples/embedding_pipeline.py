@@ -212,6 +212,7 @@ def main() -> None:
     )
 
     idx_dir = tempfile.mkdtemp(prefix="ivf-index-")
+    new_dir = tempfile.mkdtemp(prefix="ivf-retrain-")
     try:
         man = write_ivf_index(emb, centroids, idx_dir)
         stored = search_ivf_index(spark, idx_dir, queries, k=10, nprobe=2)
@@ -225,8 +226,46 @@ def main() -> None:
             "matches_in_memory_ivf": s == m,
             "n_vectors": man["n_vectors"],
         }
+
+        # 11. the index's LIFE: day-2 vectors append without a rebuild
+        #     (assignment over just the batch), compaction folds the
+        #     small files back — touching only the fragmented cells —
+        #     the health gauge watches centroid drift, and when it
+        #     creeps, retrain writes a fresh index NEXT TO the serving
+        #     one (blue/green; never in place).
+        from sparvi_core_spark.sources.ann_index import (
+            append_ivf_index,
+            compact_ivf_index,
+            ivf_index_health,
+            retrain_ivf_index,
+        )
+
+        day2 = emb.limit(200).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        man = append_ivf_index(day2, idx_dir)
+        comp = compact_ivf_index(spark, idx_dir)
+        drift = ivf_index_health(spark, idx_dir).agg(
+            F.max("mean_distance").alias("worst_cell_mean_distance")
+        ).first()
+        man2, fit_info = retrain_ivf_index(
+            spark, idx_dir, new_dir, seed=7
+        )
+        report["index_lifecycle"] = {
+            "appended": int(day2.count()),
+            "appends": man["appends"],
+            "cells_compacted": comp["cells_compacted"],
+            "files_before": comp["files_before"],
+            "files_after": comp["files_after"],
+            "worst_cell_mean_distance": float(
+                drift["worst_cell_mean_distance"]
+            ),
+            "retrained_k": man2["k"],
+            "retrain_iterations": fit_info["iterations"],
+        }
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(new_dir, ignore_errors=True)
 
     print(json.dumps(report, default=str))
 
