@@ -1879,7 +1879,7 @@ WITH base AS (
 toks AS (SELECT unnest(l) AS tok FROM base),
 freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
 totals AS (
-  SELECT coalesce(sum(n), 0) AS n_tokens,
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
          count(*) AS vocab_size,
          max(n) AS top_n,
          sum(n * ln(n)) AS sum_nlogn
@@ -1971,12 +1971,12 @@ WITH per AS (
   FROM embeddings
 )
 SELECT count(*) AS n_vectors,
-       sum(is_null) AS n_null,
+       CAST(sum(is_null) AS BIGINT) AS n_null,
        count(DISTINCT dim) AS n_dims_distinct,
        min(dim) AS dim_min,
        max(dim) AS dim_max,
-       sum(is_nan) AS n_nan,
-       sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero_norm,
+       CAST(sum(is_nan) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
        round(avg(norm), 6) AS norm_mean,
        round(stddev_samp(norm), 6) AS norm_std,
        round(min(norm), 6) AS norm_min,

@@ -187,8 +187,17 @@ def bloom_probe(
     for c in keys:
         n = F.col(c).isNull()
         null_key = n if null_key is None else (null_key | n)
-    src = df.withColumn("__h1", F.when(~null_key, h1)).withColumn(
-        "__h2", F.when(~null_key, h2)
+    # Hashes are computed UNCONDITIONALLY (xxhash64 is total — it never
+    # returns NULL), with the null verdict carried in a separate boolean
+    # column. Gating the hash behind F.when(...) would make the column
+    # nullable, and an Arrow batch mixing NULL and non-NULL keys then
+    # lands in pandas as float64 — whose 52-bit mantissa silently drops
+    # low bits of the 64-bit hash on .astype(int64), yielding wrong bit
+    # positions and FALSE NEGATIVES (breaking the filter's one guarantee).
+    src = (
+        df.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .withColumn("__nullkey", null_key)
     )
     from pyspark.sql import types as T
 
@@ -200,12 +209,11 @@ def bloom_probe(
     def kern(batches):
         bits = bc.value
         for pdf in batches:
-            h1v = pdf["__h1"]
-            ok = h1v.notna().to_numpy()
+            ok = ~pdf["__nullkey"].to_numpy(dtype=bool)
             verdict = np.full(len(pdf), None, dtype=object)
             if ok.any():
                 pos = _positions(
-                    h1v.to_numpy()[ok].astype(np.int64),
+                    pdf["__h1"].to_numpy()[ok].astype(np.int64),
                     pdf["__h2"].to_numpy()[ok].astype(np.int64),
                     k,
                     m,
@@ -214,7 +222,7 @@ def bloom_probe(
                     (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
                 ).all(axis=1)
                 verdict[np.flatnonzero(ok)] = [bool(x) for x in hit]
-            out = pdf.drop(columns=["__h1", "__h2"])
+            out = pdf.drop(columns=["__h1", "__h2", "__nullkey"])
             out[result_col] = verdict
             yield out
 

@@ -95,6 +95,34 @@ def _cell_files(fs, mkpath, path: str, bucket) -> list[str]:
     return sorted(out)
 
 
+def _require_unique_ids(df: DataFrame, id_col: str, what: str) -> int:
+    """One cheap agg: total rows, non-null ids, distinct ids. The index
+    layout assumes ids are a key — the data write is ``vectors JOIN
+    assignment`` on the id, so a duplicate id multiplies stored rows
+    past what the manifest records (and the compaction identity check
+    then refuses a healthy index forever), while a NULL id is silently
+    dropped by the join but still counted by the assignment. Both are
+    caller bugs; fail BEFORE any file lands. Returns the row count so
+    callers can reuse it for ``dropped_null``."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(id_col)).alias("n_ids"),
+        F.countDistinct(F.col(id_col)).alias("n_distinct"),
+    ).first()
+    if stats["n_ids"] != stats["n_rows"]:
+        raise ValueError(
+            f"{what} has {stats['n_rows'] - stats['n_ids']} NULL "
+            f"{id_col!r} values — index ids must be non-null"
+        )
+    if stats["n_distinct"] != stats["n_ids"]:
+        raise ValueError(
+            f"{what} has duplicate {id_col!r} values "
+            f"({stats['n_ids']} rows, {stats['n_distinct']} distinct) — "
+            f"index ids must be unique within a write/append batch"
+        )
+    return int(stats["n_rows"])
+
+
 def write_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -124,6 +152,7 @@ def write_ivf_index(
         if c in vectors.columns:
             raise ValueError(f"vectors already has a {c!r} column")
     spark = vectors.sparkSession
+    n_rows = _require_unique_ids(vectors, id_col, "vectors")
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias(id_col), "bucket")
@@ -162,7 +191,7 @@ def write_ivf_index(
         "k": cent.count(),
         "dim": int(dim_row["d"]) if dim_row else None,
         "n_vectors": n_vectors,
-        "dropped_null": vectors.count() - n_vectors,
+        "dropped_null": n_rows - n_vectors,
         "files_per_bucket": files_per_bucket,
         "rows_per_bucket": {str(b): n for b, n in sorted(per_cell.items())},
     }
@@ -220,6 +249,7 @@ def append_ivf_index(
             f"batch vector dims [{dims['lo']}, {dims['hi']}] do not match "
             f"the index dim {manifest['dim']}"
         )
+    n_batch_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
     assigned = ivf_assign(
         new_vectors, cents, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias(id_col), "bucket")
@@ -250,7 +280,7 @@ def append_ivf_index(
         b: rows[b] for b in sorted(rows, key=int)
     }
     manifest["n_vectors"] += n_new
-    manifest["dropped_null"] += new_vectors.count() - n_new
+    manifest["dropped_null"] += n_batch_rows - n_new
     manifest["appends"] = manifest.get("appends", 0) + 1
     _hadoop_write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
@@ -325,8 +355,15 @@ def compact_ivf_index(
     Crash-safe via :func:`repair_ivf_index` (journaled swap, same
     protocol as ``streaming.store.compact_summary_store``); any prior
     crash is healed before this run starts. Single-writer by contract,
-    like ``append_ivf_index``. Returns ``{"cells_compacted",
-    "files_before", "files_after", "rows_rewritten"}``."""
+    like ``append_ivf_index``. READERS must also be quiesced during the
+    swap window: between the per-cell renames and the delete pass a
+    cell directory briefly holds BOTH the original and the compacted
+    files, so a :func:`search_ivf_index` running concurrently can see
+    every row of those cells twice (duplicated candidates, not wrong
+    ones — deduping results by id is a safe mitigation if a search
+    cannot be paused). Run compaction in the same maintenance window as
+    appends. Returns ``{"cells_compacted", "files_before",
+    "files_after", "rows_rewritten"}``."""
     from pyspark.sql import Observation
 
     repair_ivf_index(spark, path)
@@ -553,12 +590,18 @@ def search_ivf_index(
     qp = ivf_assign_probes(
         queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias(id_col), "bucket")
-    qp = qp.cache()  # probed twice: distinct cells + the query join
-    probed = sorted(
-        r["bucket"] for r in qp.select("bucket").distinct().collect()
-    )  # bounded by k centroids
+    # The probe assignment is needed twice (distinct cells for the scan
+    # prune + the per-query join). Collect it ONCE — bounded by
+    # n_queries × nprobe rows, and queries are the small side by
+    # contract — and rebuild the join side locally. (An earlier .cache()
+    # here leaked: the returned frame is lazy, so there is no safe point
+    # inside this function to unpersist, and repeated searches in a
+    # long-lived session accumulated cached partitions.)
+    probe_rows = qp.collect()
+    probed = sorted({r["bucket"] for r in probe_rows})
+    qp_local = spark.createDataFrame(probe_rows, schema=qp.schema)
     pruned = data.filter(F.col("bucket").isin(probed))
-    q = queries.select(id_col, vec_col).join(qp, id_col)
+    q = queries.select(id_col, vec_col).join(qp_local, id_col)
     return cosine_topk_bucketed(
         pruned,
         q,

@@ -246,7 +246,14 @@ def warc_to_documents(
             F.col(id_from).alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
-            F.decode(F.col("body"), "UTF-8").alias("text"),
+            # Lossy decode, still pure-JVM: binary→string cast wraps the
+            # bytes unvalidated, make_valid_utf8 replaces invalid
+            # sequences with U+FFFD (same result as Python's
+            # bytes.decode('utf-8', 'replace')). Strict F.decode raises
+            # MALFORMED_CHARACTER_CODING and would abort the whole job on
+            # the first malformed body — and real web-crawl bodies
+            # routinely contain malformed bytes.
+            F.make_valid_utf8(F.col("body").cast("string")).alias("text"),
         )
     )
 

@@ -179,6 +179,40 @@ def test_validation_and_format_guard(spark, tmp_path):
         search_ivf_index(spark, path, bad_q, k=2)
 
 
+def test_duplicate_and_null_ids_refused(spark, tmp_path):
+    """Index ids are a key: the data write is vectors JOIN assignment
+    on the id, so a duplicate id would store more rows than the
+    manifest records (and compact_ivf_index's identity check would
+    then refuse a healthy index forever), while a NULL id would be
+    dropped by the join but counted by the assignment. Both must fail
+    BEFORE any file lands — on write AND on append."""
+    from sparvi_core_spark.sources.ann_index import append_ivf_index
+
+    df = _corpus(spark, n=30)
+    cents = _centroids(spark, df, k=3)
+    dup = df.union(df.limit(2))
+    with pytest.raises(ValueError, match="duplicate"):
+        write_ivf_index(dup, cents, str(tmp_path / "dup"))
+    assert not (tmp_path / "dup").exists()
+    nul = df.union(
+        df.limit(1).select(
+            F.lit(None).cast("long").alias("vec_id"), "embedding", "payload"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_ivf_index(nul, cents, str(tmp_path / "nul"))
+    # a healthy index then refuses a bad append batch, untouched
+    path = str(tmp_path / "idx_ok")
+    man = write_ivf_index(df, cents, path)
+    batch = _corpus(spark, n=4, seed=99).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        append_ivf_index(batch.union(batch.limit(1)), path)
+    _, _, man2 = read_ivf_index(spark, path)
+    assert man2 == man  # manifest unchanged by the refused append
+
+
 def test_append_accumulates_and_search_matches(spark, tmp_path):
     from sparvi_core_spark.operators.similarity import cosine_topk_ivf
     from sparvi_core_spark.sources.ann_index import (

@@ -111,6 +111,41 @@ def test_null_keys_skipped_and_null_verdict(spark):
     assert rows[None] is None
 
 
+def test_mixed_null_single_partition_no_false_negatives(spark):
+    """Regression: NULL and non-NULL keys in the SAME Arrow batch.
+
+    When the hash columns were gated behind F.when(not-null, hash), a
+    mixed batch arrived in pandas as float64 (int64 + NaN coercion) and
+    .astype(int64) dropped low bits of the 64-bit xxhash — wrong bit
+    positions, false negatives on inserted keys. repartition(1) forces
+    every row into one batch so the coercion path is actually exercised
+    (the original null test passed only because local[N] split 3 rows
+    across partitions)."""
+    n = 500
+    ref = spark.range(0, n).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("key")
+    )
+    model = bloom_build(ref, "key", expected_n=n, fpp=0.01)
+    probe = (
+        spark.range(0, n)
+        .select(
+            F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("k-"), F.col("id")))
+            .alias("key")
+        )
+        .repartition(1)
+    )
+    rows = bloom_probe(probe, model, "key").collect()
+    assert any(r["key"] is None for r in rows)
+    for r in rows:
+        if r["key"] is None:
+            assert r["maybe_member"] is None
+        else:
+            assert r["maybe_member"] is True, (
+                f"false negative on inserted key {r['key']!r}"
+            )
+
+
 def test_multi_column_key(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "z")], ["a", "b"]

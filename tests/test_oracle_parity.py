@@ -49,9 +49,36 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_kinds(df: pd.DataFrame) -> dict:
+    """Column → coarse dtype kind ('int' / 'float' / 'bool' / 'other').
+
+    The driver's value hash is representation-strict: a bigint column on
+    the Spark side vs a HUGEINT-as-float column on the oracle side hash
+    differently even when every value compares equal under Python ``==``
+    (27165 == 27165.0).  _normalize() coerces everything to float64, so
+    without this pre-check the local harness passes while the driver
+    fails (the exact r6 corpus_diversity/embedding_health trap).
+    Unsigned ints count as ints; a column that pandas widened to float
+    because it carries nulls still reports 'float', which mirrors what
+    the driver sees after Arrow conversion on both sides.
+    """
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c.lower()] = {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(
+            k, "other"
+        )
+    return out
+
+
 def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    sk, dk = _dtype_kinds(spark_pdf), _dtype_kinds(duck_pdf)
+    assert sk == dk, (
+        f"{name}: dtype-kind mismatch (driver hash would differ): "
+        f"spark={sk} oracle={dk}"
     )
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
     assert list(s.columns) == list(d.columns), (
@@ -356,7 +383,8 @@ def test_local_ngram_collisions_parity(spark, duck):
           FROM grams g LEFT JOIN ref r USING (gram)
           WHERE g.doc_id < 400
         )
-        SELECT doc_id AS id, count(*) AS n_ngrams, sum(hit) AS n_collisions,
+        SELECT doc_id AS id, count(*) AS n_ngrams,
+               CAST(sum(hit) AS BIGINT) AS n_collisions,
                round(sum(hit) * 1.0 / count(*), 4) AS collision_frac
         FROM corp GROUP BY doc_id HAVING sum(hit) > 0
     """).df()
@@ -455,7 +483,7 @@ def test_local_repetition_stats_parity(spark, duck):
           FROM gc GROUP BY 1
         )
         SELECT f.doc_id AS id,
-               coalesce(ls.n_lines, 0) AS n_lines,
+               CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
                round(coalesce(ls.dup_occ * 1.0 / greatest(ls.n_lines, 1), 0), 4) AS dup_line_frac,
                round(coalesce(ls.dup_chars * 1.0 / greatest(ls.line_chars, 1), 0), 4) AS dup_line_char_frac,
                gs.top.g AS top_gram,
@@ -1398,7 +1426,9 @@ def test_local_vocab_coverage_parity(spark, duck):
           FROM (VALUES (10), (100), (1000)) ks(k)
           JOIN ranked ON rank <= k GROUP BY k
         )
-        SELECT k, vocab_terms, covered_tokens, total_tokens,
+        SELECT k, vocab_terms,
+               CAST(covered_tokens AS BIGINT) AS covered_tokens,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
                round(covered_tokens * 1.0 / total_tokens, 6) AS coverage
         FROM per_k, total ORDER BY k
         """
@@ -1648,7 +1678,7 @@ def test_local_diversity_parity(spark, duck):
         toks AS (SELECT unnest(l) AS tok FROM base),
         freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
         totals AS (
-          SELECT coalesce(sum(n), 0) AS n_tokens,
+          SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
                  count(*) AS vocab_size,
                  max(n) AS top_n,
                  sum(n * ln(n)) AS sum_nlogn
@@ -1711,12 +1741,12 @@ def test_local_embedding_health_parity(spark, duck):
           FROM embeddings
         )
         SELECT count(*) AS n_vectors,
-               sum(is_null) AS n_null,
+               CAST(sum(is_null) AS BIGINT) AS n_null,
                count(DISTINCT dim) AS n_dims_distinct,
                min(dim) AS dim_min,
                max(dim) AS dim_max,
-               sum(is_nan) AS n_nan,
-               sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero_norm,
+               CAST(sum(is_nan) AS BIGINT) AS n_nan,
+               CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
                round(avg(norm), 6) AS norm_mean,
                round(stddev_samp(norm), 6) AS norm_std,
                round(min(norm), 6) AS norm_min,
