@@ -1,0 +1,427 @@
+"""IVF-PQ index ON STORAGE — the billion-scale ANN serving layout:
+the corpus is persisted as PQ CODES (``m`` small ints per vector)
+hive-partitioned by IVF cell, with the coarse centroids and residual
+codebook riding inside the index dir. Search never touches a float
+corpus vector: probe → partition-prune the coded scan at the FILE
+LISTING → ADC (asymmetric distance computation) over the codes of the
+probed cells only → optional exact re-rank of the few survivors from a
+separate float store.
+
+This composes the two halves the package already has:
+`sources.ann_index` (cell-partitioned storage + pruning, which stores
+RAW floats) and `operators.quantization.ivfpq_encode/ivfpq_search`
+(the in-memory IVFADC kernels). Why the composition is THE layout at
+scale: 1e9 × dim-768 float64 vectors are ~6 TB at rest (3 TB float32),
+while m=16 codes + an id are ~25 GB — a ~200× smaller index whose
+probed slice fits executor memory at any corpus size. This is the same
+reason FAISS's default billion-scale index is IndexIVFPQ.
+
+No analog in the reference engine (profiling/validation surface only —
+``/root/reference/sparvi/profiler/profile_engine.py:17``; SURVEY.md
+§2.8): part of the training-data-pipeline extension surface.
+
+Scale design (the part that matters at 100 TB):
+
+- **Codes on disk, floats optional.** The data files hold
+  ``(id, codes array<int>)`` only; parquet's RLE/bit-packed encoding
+  stores each code in ~⌈log2 ks⌉ bits, so the on-disk index is within
+  ~2× of the raw ``m·log2(ks)/8`` bytes/vector floor without any
+  bespoke binary packing. The float corpus is needed only if exact
+  re-rank is requested (``store_floats=True``), and lives in its own
+  cell-partitioned ``_floats/`` store so re-rank fetches are pruned
+  to the probed cells too.
+- **Search cost model.** probe (tiny query side × broadcast
+  centroids) → prune (file listing — non-probed cells never leave
+  disk, same plan-pinned mechanism as ``search_ivf_index``) →
+  per-cell ADC kernel (one ``m × ks`` lookup table per (query, cell),
+  ``m`` gathers per candidate — no per-candidate float math) →
+  bounded top-k merge. Re-rank adds one pruned join of
+  O(queries × rerank) candidate ids against the float store.
+- **Write/append mirror the float index's lifecycle.** One
+  assignment + residual-encode pass (the BLAS encode engine is
+  map-only — zero shuffles before the partitioned-write exchange),
+  parquet-append for daily batches (assign + encode the NEW batch
+  only, O(batch) never O(index)), manifest accumulation, id
+  uniqueness enforced before any file lands. Codebooks are FROZEN at
+  write time: appending encodes against the stored codebook (moving
+  it would silently corrupt every stored code), so codebook drift is
+  a retrain-to-new-path event, exactly like centroid drift in
+  ``ann_index.retrain_ivf_index``.
+- **Recall envelope.** ADC distances are quantized: the true
+  neighbor can lose to a quantization artifact even inside a probed
+  cell. ``rerank=R`` (R ≥ k) recovers this by exact-scoring the top-R
+  ADC candidates — recall@k is then bounded by cell recall alone
+  (the IVF trade-off; raise ``nprobe``). Tests pin the recall
+  ordering: rerank ≥ ADC-only on the same probes.
+
+Single-writer by contract (plain parquet, no commit protocol), like
+``append_ivf_index``. Readers must be quiesced during maintenance
+rewrites for the same visibility reasons documented on
+``compact_ivf_index``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sparvi_core_spark.sources.ann_index import (
+    _read_text,
+    _require_unique_ids,
+    _write_text,
+)
+
+MANIFEST = "_ivfpq_manifest.json"
+CENTROIDS_DIR = "_centroids"
+CODEBOOK_DIR = "_codebook"
+FLOATS_DIR = "_floats"
+FORMAT = "sparvi-ivfpq-index/1"
+
+
+def _slice_col(id_col: str, fpb: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("ivfpq-slice")), F.lit(fpb)
+    )
+
+
+def _encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    engine: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(coded, assignment): ``coded = (id, bucket, codes)`` for every
+    non-NULL vector, ``assignment = (id, bucket)`` (the manifest's
+    counting frame — identical row set by construction)."""
+    from sparvi_core_spark.operators.quantization import (
+        ivf_residuals,
+        pq_encode,
+    )
+
+    res = ivf_residuals(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        res, codebook, id_col="id", vec_col="residual", engine=engine
+    )
+    assignment = res.select("id", "bucket")
+    return codes.join(assignment, "id"), assignment
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    files_per_bucket: int = 1,
+    store_floats: bool = False,
+    engine: str = "blas",
+) -> dict:
+    """Encode the corpus to residual PQ codes and write them
+    parquet-partitioned by IVF cell, with the coarse centroids,
+    codebook, and a manifest stored inside the index. Train the
+    codebook on residuals (``pq_train(ivf_residuals(...))`` — the
+    ``ivfpq_encode`` contract). ``store_floats=True`` additionally
+    persists the raw vectors cell-partitioned under ``_floats/`` to
+    enable exact re-rank at search time; the coded corpus is what
+    every search scans either way. NULL vectors are not indexed
+    (counted as ``dropped_null``); ids must be unique and non-null
+    (checked before any file lands). Returns the manifest dict."""
+    from sparvi_core_spark.operators.quantization import _codebook_shape
+
+    if files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket}"
+        )
+    for c in ("bucket", "__slice"):
+        if c in vectors.columns:
+            raise ValueError(f"vectors already has a {c!r} column")
+    spark = vectors.sparkSession
+    n_rows = _require_unique_ids(vectors, id_col, "vectors")
+    m, dsub = _codebook_shape(codebook)
+    coded, assignment = _encode(
+        vectors, centroids, codebook, id_col, vec_col, engine
+    )
+    (
+        coded.select(
+            F.col("id").alias(id_col), "codes", "bucket"
+        )
+        .withColumn("__slice", _slice_col(id_col, files_per_bucket))
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    cent = centroids.select("bucket", "centroid")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{CENTROIDS_DIR}"
+    )
+    codebook.select("subspace", "code", "centroid").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{CODEBOOK_DIR}")
+    if store_floats:
+        (
+            vectors.join(
+                assignment.select(F.col("id").alias(id_col), "bucket"),
+                id_col,
+            )
+            .withColumn("__slice", _slice_col(id_col, files_per_bucket))
+            .repartition(F.col("bucket"), F.col("__slice"))
+            .drop("__slice")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/{FLOATS_DIR}")
+        )
+    per_cell = {
+        int(r["bucket"]): int(r["n"])
+        for r in assignment.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dim_row = cent.select(F.size("centroid").alias("d")).first()
+    ks = codebook.groupBy("subspace").count().agg(F.max("count")).first()[0]
+    n_vectors = sum(per_cell.values())
+    manifest = {
+        "format": FORMAT,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "k": cent.count(),
+        "dim": int(dim_row["d"]) if dim_row else None,
+        "m": m,
+        "ks": int(ks),
+        "dsub": dsub,
+        "n_vectors": n_vectors,
+        "dropped_null": n_rows - n_vectors,
+        "files_per_bucket": files_per_bucket,
+        "store_floats": store_floats,
+        "rows_per_bucket": {str(b): n for b, n in sorted(per_cell.items())},
+    }
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def read_ivfpq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Open an index: ``(coded, centroids, codebook, manifest)``.
+    ``coded`` is the full cell-partitioned code frame (bucket column
+    included — filter it yourself or use :func:`search_ivfpq_index`,
+    which prunes)."""
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") != FORMAT:
+        raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
+    coded = spark.read.parquet(path)
+    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    codebook = spark.read.parquet(f"{path}/{CODEBOOK_DIR}")
+    return coded, cents, codebook, manifest
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    files_per_bucket: int | None = None,
+    engine: str = "blas",
+) -> dict:
+    """Daily ingest: assign + encode a NEW batch against the STORED
+    centroids and codebook and parquet-append it into the existing
+    cell partitions — O(batch) work, no rebuild, no existing file
+    rewritten. The codebook is frozen (re-training it would corrupt
+    every stored code); watch residual-energy creep via the float
+    index's health gauges to decide when a retrain-to-new-path is
+    due. If the index stores floats, the batch's raw vectors are
+    appended into ``_floats/`` too, keeping re-rank complete.
+    Manifest counts accumulate; ``appends`` counts batches.
+    Single-writer by contract. Returns the updated manifest."""
+    spark = new_vectors.sparkSession
+    _, cents, codebook, manifest = read_ivfpq_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    fpb = (
+        manifest["files_per_bucket"]
+        if files_per_bucket is None
+        else files_per_bucket
+    )
+    if fpb < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
+    for c in (id_col, vec_col):
+        if c not in new_vectors.columns:
+            raise ValueError(
+                f"new_vectors is missing the index's {c!r} column "
+                f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+    for c in ("bucket", "__slice"):
+        if c in new_vectors.columns:
+            raise ValueError(f"new_vectors already has a {c!r} column")
+    dims = new_vectors.select(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if dims["lo"] is not None and (
+        dims["lo"] != manifest["dim"] or dims["hi"] != manifest["dim"]
+    ):
+        raise ValueError(
+            f"batch vector dims [{dims['lo']}, {dims['hi']}] do not match "
+            f"the index dim {manifest['dim']}"
+        )
+    n_batch_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
+    coded, assignment = _encode(
+        new_vectors, cents, codebook, id_col, vec_col, engine
+    )
+    (
+        coded.select(F.col("id").alias(id_col), "codes", "bucket")
+        .withColumn("__slice", _slice_col(id_col, fpb))
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    if manifest.get("store_floats"):
+        (
+            new_vectors.join(
+                assignment.select(F.col("id").alias(id_col), "bucket"),
+                id_col,
+            )
+            .withColumn("__slice", _slice_col(id_col, fpb))
+            .repartition(F.col("bucket"), F.col("__slice"))
+            .drop("__slice")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/{FLOATS_DIR}")
+        )
+    per_cell = {
+        int(r["bucket"]): int(r["n"])
+        for r in assignment.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_new = sum(per_cell.values())
+    rows = dict(manifest["rows_per_bucket"])
+    for b, n in per_cell.items():
+        rows[str(b)] = rows.get(str(b), 0) + n
+    manifest["rows_per_bucket"] = {b: rows[b] for b in sorted(rows, key=int)}
+    manifest["n_vectors"] += n_new
+    manifest["dropped_null"] += n_batch_rows - n_new
+    manifest["appends"] = manifest.get("appends", 0) + 1
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Top-k L2 search against a stored IVF-PQ index, reading ONLY the
+    probed cells' CODE files: ``(query_id, neighbor_id, distance,
+    rank)``, distance ascending, neighbor-id ties (the search
+    contract). Same results as the in-memory ``ivfpq_search`` on the
+    same (corpus, centroids, codebook, nprobe) — asserted in tests —
+    but the non-probed cells never leave disk and no float corpus
+    exists in the scan at all.
+
+    ``rerank=R`` (R ≥ k, requires ``store_floats=True`` at write
+    time): the top-R ADC candidates per query are exact-scored from
+    the cell-pruned float store and re-ranked; ``distance`` is then
+    the exact ``round(l2, 4)``. This removes quantization error from
+    the ranking — recall is bounded by cell recall alone (raise
+    ``nprobe`` for that). The re-rank join moves O(queries × R)
+    candidate ids against only the probed cells of ``_floats/``.
+
+    Query frame must carry the manifest's ``id_col``/``vec_col``."""
+    from sparvi_core_spark.operators.quantization import ivfpq_search
+    from sparvi_core_spark.operators.similarity import ivf_assign_probes
+
+    coded, cents, codebook, manifest = read_ivfpq_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    for c in (id_col, vec_col):
+        if c not in queries.columns:
+            raise ValueError(
+                f"queries is missing the index's {c!r} column "
+                f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+        if not manifest.get("store_floats"):
+            raise ValueError(
+                "rerank requires an index written with store_floats=True "
+                "(this one stores codes only)"
+            )
+    # Probe ONCE on the driver (bounded: n_queries × nprobe rows,
+    # queries are the small side by contract) to prune the coded scan
+    # at the file listing; ivfpq_search re-derives the same
+    # deterministic probe set internally on the query side only.
+    probe_rows = (
+        ivf_assign_probes(
+            queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    probed = sorted(r["bucket"] for r in probe_rows)  # bounded by k cells
+    pruned = coded.filter(F.col("bucket").isin(probed))
+    adc_k = k if rerank is None else rerank
+    adc = ivfpq_search(
+        queries,
+        pruned,
+        cents,
+        codebook,
+        k=adc_k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_id_col=id_col,
+        bucket_col="bucket",
+        code_col="codes",
+    )
+    if rerank is None:
+        return adc
+    floats = (
+        spark.read.parquet(f"{path}/{FLOATS_DIR}")
+        .filter(F.col("bucket").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        )
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    exact = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "__qv",
+                    "__nv",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    return (
+        adc.select("query_id", "neighbor_id")
+        .join(floats, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("distance", exact)
+        .select("query_id", "neighbor_id", "distance")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

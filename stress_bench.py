@@ -520,6 +520,112 @@ def main() -> None:
 
     bench("exact_anti_join_sec", run_exact_anti)
 
+    # --- stored_index_lifecycle: the ANN serving path ON DISK, both
+    # layouts, on the same 200k x dim-64 corpus as the pq cells:
+    # write (once) / append (daily, O(batch)) / search (always) for
+    # the float IVF index, then write / search (ADC + exact re-rank)
+    # for the IVF-PQ coded index — plus the measured bytes-at-rest
+    # ratio between the two layouts (the reason codes are the
+    # billion-scale default). Model training is brief and sampled;
+    # it is NOT what these cells measure.
+    import shutil
+
+    from sparvi_core_spark.operators.quantization import ivf_residuals
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+    from sparvi_core_spark.sources.ann_index import (
+        append_ivf_index,
+        search_ivf_index,
+        write_ivf_index,
+    )
+    from sparvi_core_spark.sources.ivfpq_index import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="stress_idx_")
+    fidx, cidx = f"{idx_root}/floats", f"{idx_root}/codes"
+    idx_corpus = pq_vecs.filter(F.col("vec_id") < 190_000).localCheckpoint()
+    idx_batch = pq_vecs.filter(F.col("vec_id") >= 190_000).localCheckpoint()
+    idx_cents, _ = kmeans_fit(
+        idx_corpus.filter(F.pmod("vec_id", F.lit(20)) == 0),
+        k=64, max_iter=3, seed=3,
+    )
+    idx_cents = idx_cents.localCheckpoint()
+    idx_queries = pq_vecs.filter(
+        F.pmod("vec_id", F.lit(2000)) == 0
+    ).localCheckpoint()  # 100 queries
+
+    def _du_buckets(root):
+        """Bytes at rest in the bucket=*/ data dirs only (manifest,
+        centroids, codebook, float side-store excluded)."""
+        total = 0
+        for dirpath, _, files in os.walk(root):
+            if "bucket=" not in dirpath or "_floats" in dirpath:
+                continue
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    def run_idx_write():
+        man = write_ivf_index(idx_corpus, idx_cents, fidx, files_per_bucket=2)
+        assert man["n_vectors"] == 190_000
+
+    bench("idx_float_write_sec", run_idx_write)
+    entries["idx_float_mb"] = round(_du_buckets(fidx) / 1e6, 1)
+
+    def run_idx_append():
+        man = append_ivf_index(idx_batch, fidx)
+        assert man["n_vectors"] == 200_000
+
+    bench("idx_float_append_sec", run_idx_append)
+
+    def run_idx_search():
+        n = search_ivf_index(
+            spark, fidx, idx_queries, k=10, nprobe=2, engine="blas"
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_float_search_sec", run_idx_search)
+
+    idx_cb, _ = pq_train(
+        ivf_residuals(
+            idx_corpus.filter(F.pmod("vec_id", F.lit(50)) == 0), idx_cents
+        ),
+        m=8, ks=256, id_col="id", vec_col="residual", max_iter=2,
+    )
+    idx_cb = idx_cb.localCheckpoint()
+
+    def run_pq_write():
+        man = write_ivfpq_index(
+            idx_corpus, idx_cents, idx_cb, cidx,
+            files_per_bucket=2, store_floats=True,
+        )
+        assert man["n_vectors"] == 190_000
+
+    bench("idx_pq_write_sec", run_pq_write)
+    entries["idx_pq_mb"] = round(_du_buckets(cidx) / 1e6, 1)
+    entries["idx_bytes_ratio"] = round(
+        entries["idx_float_mb"] / max(entries["idx_pq_mb"], 0.1), 1
+    )
+
+    def run_pq_search():
+        n = search_ivfpq_index(
+            spark, cidx, idx_queries, k=10, nprobe=2
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_pq_search_sec", run_pq_search)
+
+    def run_pq_rerank():
+        n = search_ivfpq_index(
+            spark, cidx, idx_queries, k=10, nprobe=2, rerank=30
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_pq_rerank_sec", run_pq_rerank)
+    shutil.rmtree(idx_root, ignore_errors=True)
+
     print(
         json.dumps(
             {

@@ -1,0 +1,289 @@
+"""IVF-PQ index on storage (`sources/ivfpq_index.py`): codes on disk,
+floats optional. The pins: (1) the stored-index search EQUALS the
+in-memory `ivfpq_search` on the same (corpus, centroids, codebook,
+nprobe) — which transitively carries the IVFADC distance identity the
+quantization tests pin; (2) the scan is partition-pruned at the FILE
+LISTING (non-probed cells never leave disk); (3) the data files hold
+codes only — no float column at rest; (4) exact re-rank from the
+`_floats/` store reproduces brute-force L2 when every cell is probed
+and the candidate pool covers the corpus, and never has worse recall
+than ADC-only on the same probes."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.sources.ivfpq_index import (
+    append_ivfpq_index,
+    read_ivfpq_index,
+    search_ivfpq_index,
+    write_ivfpq_index,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """One planted-cluster corpus + trained coarse/residual models +
+    a written index, shared across tests (training is the slow part)."""
+    from sparvi_core_spark.operators.quantization import (
+        ivf_residuals,
+        ivfpq_encode,
+        pq_train,
+    )
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(31)
+    protos = rng.normal(size=(6, 8)) * 10
+    rows = []
+    for vid in range(180):
+        p = protos[vid % 6]
+        rows.append((vid, [float(x) for x in p + rng.normal(size=8) * 0.6]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.localCheckpoint()
+    cents, _ = kmeans_fit(df, k=6, max_iter=15, seed=7)
+    cents = cents.localCheckpoint()
+    res = ivf_residuals(df, cents)
+    cb, _ = pq_train(
+        res, m=2, ks=16, id_col="id", vec_col="residual", max_iter=10, seed=9
+    )
+    cb = cb.localCheckpoint()
+    coded = ivfpq_encode(df, cents, cb).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    man = write_ivfpq_index(
+        df, cents, cb, path, store_floats=True, files_per_bucket=1
+    )
+    return {
+        "df": df,
+        "cents": cents,
+        "cb": cb,
+        "coded": coded,
+        "path": path,
+        "man": man,
+    }
+
+
+def test_write_read_roundtrip_and_manifest(spark, built):
+    coded, cents, cb, man = read_ivfpq_index(spark, built["path"])
+    assert man == built["man"]
+    assert man["format"] == "sparvi-ivfpq-index/1"
+    assert man["n_vectors"] == 180 and man["dropped_null"] == 0
+    assert man["m"] == 2 and man["ks"] == 16 and man["dim"] == 8
+    assert sum(man["rows_per_bucket"].values()) == 180
+    assert coded.count() == 180
+    # stored codes == in-memory encode, row for row
+    got = {r["vec_id"]: list(r["codes"]) for r in coded.collect()}
+    want = {r["id"]: list(r["codes"]) for r in built["coded"].collect()}
+    assert got == want
+    # codebook round-trips exactly
+    a = sorted(
+        (r["subspace"], r["code"], tuple(r["centroid"]))
+        for r in cb.collect()
+    )
+    b = sorted(
+        (r["subspace"], r["code"], tuple(r["centroid"]))
+        for r in built["cb"].collect()
+    )
+    assert a == b
+
+
+def test_data_files_hold_codes_only(spark, built):
+    """The 200× claim depends on the data files carrying NO floats:
+    schema of the cell files is (id, codes) + the bucket partition
+    column, and the float store lives apart under _floats/."""
+    coded = spark.read.parquet(built["path"])
+    assert sorted(coded.columns) == ["bucket", "codes", "vec_id"]
+    floats = spark.read.parquet(f"{built['path']}/_floats")
+    assert "embedding" in floats.columns and "bucket" in floats.columns
+    assert floats.count() == 180
+
+
+def test_search_equals_in_memory_ivfpq(spark, built):
+    """Stored-path == in-memory ivfpq_search, value for value — this
+    transitively pins the IVFADC distance identity on the stored path."""
+    from sparvi_core_spark.operators.quantization import ivfpq_search
+
+    queries = built["df"].filter(F.col("vec_id") % 36 == 0)  # 5 queries
+    got = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(
+                spark, built["path"], queries, k=7, nprobe=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries,
+                built["coded"],
+                built["cents"],
+                built["cb"],
+                k=7,
+                nprobe=2,
+                code_id_col="id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_search_prunes_files_to_probed_cells(spark, built):
+    """Pruning happens at the file listing: the executed search plan
+    carries the bucket predicate in PartitionFilters (directory-level
+    pruning, not a post-scan row filter), and Spark's own scan metrics
+    report only the probed cells' files were read."""
+    from test_ann_index import _scan_metrics
+
+    queries = built["df"].filter(F.col("vec_id") == 0)
+    res = search_ivfpq_index(spark, built["path"], queries, k=3, nprobe=2)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]")[0]
+    assert "bucket" in pf and ("IN" in pf or "in" in pf)
+    coded, _, _, man = read_ivfpq_index(spark, built["path"])
+    total_files = len(coded.inputFiles())
+    assert len(man["rows_per_bucket"]) >= 4
+    files_read, parts_read = _scan_metrics(res)
+    assert parts_read == 2
+    assert 0 < files_read < total_files
+
+
+def test_append_accumulates_and_search_finds_new(spark, built, tmp_path):
+    """Daily-ingest path: append a batch to a COPY of the index, the
+    manifest accumulates, stored codes for the batch equal encoding
+    against the frozen codebook, and a search whose query IS a new
+    vector returns it as its own nearest neighbor (distance 0 at
+    rank 1 after exact re-rank)."""
+    import shutil
+
+    from sparvi_core_spark.operators.quantization import ivfpq_encode
+
+    path2 = str(tmp_path / "idx2")
+    shutil.copytree(built["path"], path2)
+    rng = np.random.default_rng(77)
+    newrows = [
+        (1000 + i, [float(x) for x in rng.normal(size=8) * 10])
+        for i in range(12)
+    ]
+    batch = spark.createDataFrame(newrows, "vec_id long, embedding array<double>")
+    man2 = append_ivfpq_index(batch, path2)
+    assert man2["n_vectors"] == 192 and man2["appends"] == 1
+    assert sum(man2["rows_per_bucket"].values()) == 192
+    coded2, _, _, _ = read_ivfpq_index(spark, path2)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in coded2.filter(F.col("vec_id") >= 1000).collect()
+    }
+    want = {
+        r["id"]: list(r["codes"])
+        for r in ivfpq_encode(
+            batch, built["cents"], built["cb"]
+        ).collect()
+    }
+    assert got == want and len(got) == 12
+    q = batch.limit(1)
+    qid = q.first()["vec_id"]
+    top = (
+        search_ivfpq_index(spark, path2, q, k=1, nprobe=1, rerank=4)
+        .first()
+    )
+    assert top["query_id"] == qid
+    assert top["neighbor_id"] == qid and top["distance"] == 0.0
+    # duplicate-id batch refused, manifest untouched
+    with pytest.raises(ValueError, match="duplicate"):
+        append_ivfpq_index(batch.union(batch.limit(1)), path2)
+    assert json.loads(
+        open(f"{path2}/_ivfpq_manifest.json").read()
+    ) == man2
+
+
+def test_rerank_exact_when_everything_probed(spark, built):
+    """With every cell probed and the candidate pool covering the
+    corpus, re-rank == brute-force L2 top-k (NumPy oracle). This is
+    the recall ceiling: ADC error is fully removed, only cell recall
+    remains — and here no cell is unprobed."""
+    queries = built["df"].filter(F.col("vec_id") % 60 == 0)  # 3 queries
+    got = search_ivfpq_index(
+        spark, built["path"], queries, k=5, nprobe=6, rerank=180
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in built["df"].collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["distance"])
+        )
+    assert len(by_q) == 3
+    for qid, hits in by_q.items():
+        hits.sort()
+        exact = sorted(
+            (round(float(np.linalg.norm(vecs[qid] - v)), 4), i)
+            for i, v in vecs.items()
+        )[:5]
+        assert [(n, d) for _, n, d in hits] == [(i, d) for d, i in exact]
+
+
+def test_rerank_recall_never_below_adc(spark, built):
+    """Same probes, same candidate budget: exact re-rank's recall@5
+    vs float truth is >= ADC-only's (quantization error only ever
+    hurts)."""
+    queries = built["df"].filter(F.col("vec_id") % 36 == 1)  # 5 queries
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in built["df"].collect()}
+
+    def recall(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        h = t = 0
+        for qid, found in by_q.items():
+            truth = {
+                i
+                for _, i in sorted(
+                    (np.linalg.norm(vecs[qid] - v), i)
+                    for i, v in vecs.items()
+                )[:5]
+            }
+            h += len(truth & found)
+            t += len(truth)
+        return h / t
+
+    adc = recall(
+        search_ivfpq_index(spark, built["path"], queries, k=5, nprobe=2).collect()
+    )
+    rr = recall(
+        search_ivfpq_index(
+            spark, built["path"], queries, k=5, nprobe=2, rerank=25
+        ).collect()
+    )
+    assert rr >= adc
+    assert rr >= 0.9  # clustered data, 2 probes: near-exact
+
+
+def test_validation_guards(spark, built, tmp_path):
+    df, cents, cb = built["df"], built["cents"], built["cb"]
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        write_ivfpq_index(df, cents, cb, str(tmp_path / "x"), files_per_bucket=0)
+    with pytest.raises(ValueError, match="duplicate"):
+        write_ivfpq_index(df.union(df.limit(1)), cents, cb, str(tmp_path / "x"))
+    # rerank demands a float store and rerank >= k
+    nofloat = str(tmp_path / "nofloat")
+    write_ivfpq_index(df, cents, cb, nofloat, store_floats=False)
+    q = df.limit(1)
+    with pytest.raises(ValueError, match="store_floats"):
+        search_ivfpq_index(spark, nofloat, q, k=3, rerank=5)
+    with pytest.raises(ValueError, match="rerank"):
+        search_ivfpq_index(spark, built["path"], q, k=5, rerank=3)
+    # wrong-dim append refused
+    bad = spark.createDataFrame(
+        [(9000, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ivfpq_index(bad, built["path"])
+    # not-an-ivfpq path refuses cleanly
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(Exception):
+        read_ivfpq_index(spark, plain)
