@@ -364,9 +364,21 @@ def main() -> None:
 
     # (`docs` was last reassigned after the span screen — that's the
     # honest "before the model-based gates" baseline)
+    # cache_freq=True: the unigram frequency frame feeds two consumers
+    # (totals + the Zipf head) and Catalyst doesn't share subplans, so
+    # the default lazy plan tokenizes the corpus twice per call —
+    # persisting the vocab-bounded frame tokenizes once per n-gram
+    # order instead. Measured on the sf0.01 documents fixture
+    # (local[32], best of 3): 1.07 s → 0.87 s per call (~1.2×); the
+    # win grows with corpus size because the saved work is a
+    # full-corpus tokenize, while the cached frame stays vocab-bounded.
     report["diversity"] = {
-        "pre_filter": corpus_diversity(docs).first().asDict(),
-        "release": corpus_diversity(mixed).first().asDict(),
+        "pre_filter": corpus_diversity(docs, cache_freq=True)
+        .first()
+        .asDict(),
+        "release": corpus_diversity(mixed, cache_freq=True)
+        .first()
+        .asDict(),
     }
 
     # 11. ship it: the train split as loader-ready hash shards with a

@@ -118,8 +118,13 @@ def train_kn_lm(
 
     ``min_count`` prunes rare TRIGRAMS from the top-order table only
     (the standard size/quality trade — pruned trigrams back off to the
-    bigram order). Context totals, continuation counts, and discounts
-    are computed BEFORE pruning so the distribution stays normalized.
+    bigram order). Discounts and the lower-order (continuation) tables
+    are estimated from the UNPRUNED counts; the top-order context
+    totals are recomputed from the SURVIVING trigrams, so the model is
+    exactly the interpolated-KN model of the pruned counts frame and
+    Σ_w p(w|u,v) = 1 still holds on every context — pinned by the
+    pruned-model property test. (Totals kept pre-prune would leak the
+    pruned mass: numerators drop it, the denominator keeps it.)
     """
     tri = (
         docs.select(F.explode(_trigrams(text_col)).alias("t"))
@@ -139,11 +144,6 @@ def kn_from_trigram_counts(
     re-derive, and you get EXACTLY the model a joint retrain would
     produce (:func:`merge_kn_lms`; the profile-once-never-rescan
     property, here for language models)."""
-    # trigram-context totals and distinct-follower counts: c(uv·), N₁₊(uv·)
-    tri_ctx = tri.groupBy("u", "v").agg(
-        F.sum("c3").alias("ctx_total"),
-        F.count(F.lit(1)).alias("followers"),
-    )
     # continuation counts: N₁₊(·vw) = distinct u preceding (v, w)
     mid = tri.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cont"))
     mid_ctx = mid.groupBy("v").agg(
@@ -166,11 +166,75 @@ def kn_from_trigram_counts(
         .crossJoin(uni.agg(F.count(F.lit(1)).alias("vocab_size")))
     )
     if min_count > 1:
+        # Prune the top order, then recompute ITS context totals from
+        # the survivors: the result is exactly the KN model of the
+        # pruned counts, so Σ_w p(w|u,v) = 1 still holds per context
+        # (totals kept pre-prune leak the pruned mass — numerators
+        # drop it, the denominator keeps it). A context losing every
+        # trigram drops out of tri_ctx and backs off with weight 1.
+        # Discounts + lower orders stay estimated pre-prune (standard:
+        # pruning to broadcast size must not distort the count-of-
+        # count statistics or the continuation vocabulary).
         tri = tri.filter(F.col("c3") >= min_count)
+    # trigram-context totals and distinct-follower counts over the
+    # (possibly pruned) top order: c(uv·), N₁₊(uv·)
+    tri_ctx = tri.groupBy("u", "v").agg(
+        F.sum("c3").alias("ctx_total"),
+        F.count(F.lit(1)).alias("followers"),
+    )
     return KNTrigramLM(
         tri=tri, tri_ctx=tri_ctx, mid=mid, mid_ctx=mid_ctx, uni=uni,
         consts=consts,
     )
+
+
+def kn_lm_size(lm: KNTrigramLM, avg_token_bytes: int = 8) -> dict:
+    """Broadcast-size gauge for a trained model — the check to run
+    BEFORE scoring with ``broadcast_model=True`` at corpus scale. One
+    count per table (each a tiny agg over an already-derived frame) →
+    ``{"tri_rows", "mid_rows", "uni_rows", "tri_ctx_rows",
+    "mid_ctx_rows", "est_broadcast_mb", "broadcast_sane"}``.
+
+    ``est_broadcast_mb`` is a deliberately rough upper-bound estimate
+    (rows × per-row bytes: 3 tokens + a long for ``tri``, scaled
+    per-table), good for an order-of-magnitude go/no-go — the
+    top-order table dominates, which is exactly what ``min_count``
+    pruning shrinks. ``broadcast_sane`` compares against Spark's 8 GB
+    hard broadcast limit with 4× headroom; when it is False, either
+    raise ``min_count`` (re-derive via :func:`kn_from_trigram_counts`
+    on the counts you kept) or score with ``broadcast_model=False``.
+    The result is also emitted as a log line so long pipelines record
+    the model size they shipped."""
+    import logging
+
+    rows = {
+        "tri_rows": lm.tri.count(),
+        "tri_ctx_rows": lm.tri_ctx.count(),
+        "mid_rows": lm.mid.count(),
+        "mid_ctx_rows": lm.mid_ctx.count(),
+        "uni_rows": lm.uni.count(),
+    }
+    per_row = {
+        "tri_rows": 3 * avg_token_bytes + 8,
+        "tri_ctx_rows": 2 * avg_token_bytes + 16,
+        "mid_rows": 2 * avg_token_bytes + 8,
+        "mid_ctx_rows": avg_token_bytes + 16,
+        "uni_rows": avg_token_bytes + 8,
+    }
+    est = sum(rows[k] * per_row[k] for k in rows)
+    out = dict(rows)
+    out["est_broadcast_mb"] = round(est / 1e6, 2)
+    out["broadcast_sane"] = est < 2e9  # 8 GB Spark limit, 4x headroom
+    logging.getLogger(__name__).info(
+        "KN-LM broadcast size: %.2f MB est (tri=%d mid=%d uni=%d) "
+        "broadcast_sane=%s",
+        out["est_broadcast_mb"],
+        rows["tri_rows"],
+        rows["mid_rows"],
+        rows["uni_rows"],
+        out["broadcast_sane"],
+    )
+    return out
 
 
 def merge_kn_lms(

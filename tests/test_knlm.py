@@ -207,10 +207,70 @@ def test_min_count_prunes_top_order_only(spark, tiny):
     lm = train_kn_lm(tiny, min_count=2)
     kept = {(r.u, r.v, r.w) for r in lm.tri.collect()}
     assert kept == {(BOS, BOS, "the"), ("sat", "on", "the")}
-    # backoff tables and totals are pre-prune: scoring stays finite
+    # lower-order (continuation) tables are pre-prune: full vocabulary
+    unpruned = train_kn_lm(tiny)
+    assert {r.w for r in lm.uni.collect()} == {
+        r.w for r in unpruned.uni.collect()
+    }
+    # but the top-order context totals follow the survivors: a pruned
+    # context is GONE (backs off with weight 1), not half-counted
+    ctxs = {(r.u, r.v): r.ctx_total for r in lm.tri_ctx.collect()}
+    assert set(ctxs) == {(BOS, BOS), ("sat", "on")}
+    assert ctxs[(BOS, BOS)] == 2 and ctxs[("sat", "on")] == 2
     probe = spark.createDataFrame([(30, "on the mat")], ["doc_id", "text"])
     row = score_perplexity_kn(probe, lm).first()
     assert math.isfinite(row["perplexity"])
+
+
+def test_pruned_model_still_sums_to_one(spark, tiny):
+    """The normalization property survives pruning: Σ_w p(w|u,v) = 1
+    over vocab ∪ {OOV} on SURVIVING contexts, on contexts whose every
+    trigram was pruned (pure backoff), and on unseen contexts. This is
+    what the 100 TB story rests on — a pruned model must be a MODEL,
+    not a leaky table. (With pre-prune totals kept, a surviving
+    context whose siblings were pruned sums to < 1 — the exact bug
+    this pins out.)"""
+    lm = train_kn_lm(tiny, min_count=2)
+    vocab = [r.w for r in lm.uni.collect()]
+    words = spark.createDataFrame(
+        [(w,) for w in vocab] + [("zzz_oov_zzz",)], ["w"]
+    )
+    contexts = _context_rows(
+        spark,
+        [
+            (BOS, BOS),       # survives pruning (c3=2 trigram)
+            ("sat", "on"),    # survives pruning
+            ("on", "the"),    # every trigram pruned → pure backoff
+            ("the", "cat"),   # every trigram pruned → pure backoff
+            ("zzz", "qqq"),   # never seen
+        ],
+    )
+    probs = kn_prob_table(lm, contexts, words).collect()
+    sums = defaultdict(float)
+    for r in probs:
+        assert r.p > 0, f"zero/negative prob at {(r.u, r.v, r.w)}"
+        sums[(r.u, r.v)] += r.p
+    assert len(sums) == 5
+    for ctx, s in sums.items():
+        assert s == pytest.approx(1.0, abs=1e-9), f"Σp({ctx}) = {s}"
+
+
+def test_kn_lm_size_gauge(spark, tiny, caplog):
+    import logging
+
+    from sparvi_core_spark.functions.knlm import kn_lm_size
+
+    full = kn_lm_size(train_kn_lm(tiny))
+    with caplog.at_level(logging.INFO, logger="sparvi_core_spark.functions.knlm"):
+        pruned = kn_lm_size(train_kn_lm(tiny, min_count=2))
+    assert full["broadcast_sane"] and pruned["broadcast_sane"]
+    # pruning shrinks exactly the top-order tables
+    assert pruned["tri_rows"] < full["tri_rows"]
+    assert pruned["tri_ctx_rows"] < full["tri_ctx_rows"]
+    assert pruned["mid_rows"] == full["mid_rows"]
+    assert pruned["uni_rows"] == full["uni_rows"]
+    assert pruned["est_broadcast_mb"] <= full["est_broadcast_mb"]
+    assert any("KN-LM broadcast size" in r.message for r in caplog.records)
 
 
 def test_broadcast_plan_pin(spark, tiny):
