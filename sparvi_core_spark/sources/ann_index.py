@@ -364,32 +364,62 @@ def compact_ivf_index(
     cannot be paused). Run compaction in the same maintenance window as
     appends. Returns ``{"cells_compacted", "files_before",
     "files_after", "rows_rewritten"}``."""
-    from pyspark.sql import Observation
-
     repair_ivf_index(spark, path)
     data, _, manifest = read_ivf_index(spark, path)
-    id_col = manifest["id_col"]
     fpb = (
         manifest["files_per_bucket"]
         if files_per_bucket is None
         else files_per_bucket
     )
+    stats = _compact_cells(
+        spark,
+        path,
+        data,
+        manifest["id_col"],
+        manifest["rows_per_bucket"],
+        fpb,
+        slice_salt="ivf-slice",
+    )
+    if stats["cells_compacted"] > 0 or fpb != manifest["files_per_bucket"]:
+        manifest["files_per_bucket"] = fpb
+        if stats["cells_compacted"] > 0:
+            manifest["compactions"] = manifest.get("compactions", 0) + 1
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+    return stats
+
+
+def _compact_cells(
+    spark: SparkSession,
+    root: str,
+    data: DataFrame,
+    id_col: str,
+    rows_per_bucket: dict,
+    fpb: int,
+    slice_salt: str,
+) -> dict:
+    """The journaled fold shared by every cell-partitioned store
+    (float IVF index, IVF-PQ code index, its ``_floats/`` side-store):
+    rewrite ONLY the cells with more than ``fpb`` files, verify the
+    rewrite's observed row count against ``rows_per_bucket`` BEFORE
+    the swap, journal, move, delete — :func:`repair_ivf_index` heals a
+    crash at any point (the caller must run it on ``root`` first).
+    Touches no manifest (the caller owns that). Returns
+    ``{"cells_compacted", "files_before", "files_after",
+    "rows_rewritten"}``."""
+    from pyspark.sql import Observation
+
     if fpb < 1:
         raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
-    _, fs, mkpath = _index_fs(spark, path)
+    _, fs, mkpath = _index_fs(spark, root)
     listing = {
-        b: _cell_files(fs, mkpath, path, b)
-        for b in manifest["rows_per_bucket"]
+        b: _cell_files(fs, mkpath, root, b) for b in rows_per_bucket
     }
     files_before = sum(len(v) for v in listing.values())
     frag = {b: v for b, v in listing.items() if len(v) > fpb}
     if not frag:
-        if fpb != manifest["files_per_bucket"]:
-            manifest["files_per_bucket"] = fpb
-            _write_text(
-                spark, path, MANIFEST,
-                json.dumps(manifest, indent=1, sort_keys=True),
-            )
         return {
             "cells_compacted": 0,
             "files_before": files_before,
@@ -397,12 +427,12 @@ def compact_ivf_index(
             "rows_rewritten": 0,
         }
     cells = sorted(int(b) for b in frag)
-    expected = sum(manifest["rows_per_bucket"][str(b)] for b in cells)
+    expected = sum(rows_per_bucket[str(b)] for b in cells)
     obs = Observation()
     slice_col = F.pmod(
-        F.xxhash64(F.col(id_col), F.lit("ivf-slice")), F.lit(fpb)
+        F.xxhash64(F.col(id_col), F.lit(slice_salt)), F.lit(fpb)
     )
-    tmp = f"{path}/{TMP_DIR}"
+    tmp = f"{root}/{TMP_DIR}"
     (
         data.filter(F.col("bucket").isin(cells))
         .observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -419,7 +449,7 @@ def compact_ivf_index(
         raise ValueError(
             f"compaction rewrite saw {rewritten} rows where the manifest "
             f"records {expected} for cells {cells} — index left untouched "
-            f"(were files mutated outside append_ivf_index?)"
+            f"(were files mutated outside the append path?)"
         )
     # journal BEFORE any compacted file enters a cell dir; then ALL
     # moves, then ALL deletes — the repair protocol's ordering contract
@@ -432,23 +462,18 @@ def compact_ivf_index(
             for b in cells
         }
     }
-    _write_text(spark, path, JOURNAL, json.dumps(journal))
+    _write_text(spark, root, JOURNAL, json.dumps(journal))
     for b in cells:
         for name in produced[b]:
             fs.rename(
                 mkpath(f"{tmp}/bucket={b}/{name}"),
-                mkpath(f"{path}/bucket={b}/{name}"),
+                mkpath(f"{root}/bucket={b}/{name}"),
             )
     for b in cells:
         for old in frag[str(b)]:
-            fs.delete(mkpath(f"{path}/bucket={b}/{old}"), False)
+            fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
     fs.delete(mkpath(tmp), True)
-    fs.delete(mkpath(f"{path}/{JOURNAL}"), False)
-    manifest["files_per_bucket"] = fpb
-    manifest["compactions"] = manifest.get("compactions", 0) + 1
-    _write_text(
-        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
-    )
+    fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
     files_after = files_before - sum(
         len(v) for v in frag.values()
     ) + sum(len(v) for v in produced.values())

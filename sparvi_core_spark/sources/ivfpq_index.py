@@ -314,6 +314,162 @@ def append_ivfpq_index(
     return manifest
 
 
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """Fold appended small files back to ``files_per_bucket`` per cell
+    — the same journaled, crash-safe, fragmented-cells-only machinery
+    as ``compact_ivf_index`` (shared ``_compact_cells`` engine +
+    ``repair_ivf_index`` healing), applied to the CODE files and, when
+    the index stores floats, to the ``_floats/`` side-store as well
+    (each root carries its own journal, healed independently). Row
+    identity is checked against the manifest before each swap. Readers
+    must be quiesced during the swap window (see
+    ``compact_ivf_index``'s visibility contract). Returns the code
+    stats dict, with the float store's stats under ``"floats"`` when
+    present."""
+    from sparvi_core_spark.sources.ann_index import (
+        _compact_cells,
+        repair_ivf_index,
+    )
+
+    repair_ivf_index(spark, path)
+    coded, _, _, manifest = read_ivfpq_index(spark, path)
+    id_col = manifest["id_col"]
+    fpb = (
+        manifest["files_per_bucket"]
+        if files_per_bucket is None
+        else files_per_bucket
+    )
+    stats = _compact_cells(
+        spark,
+        path,
+        coded,
+        id_col,
+        manifest["rows_per_bucket"],
+        fpb,
+        slice_salt="ivfpq-slice",
+    )
+    if manifest.get("store_floats"):
+        froot = f"{path}/{FLOATS_DIR}"
+        repair_ivf_index(spark, froot)
+        stats["floats"] = _compact_cells(
+            spark,
+            froot,
+            spark.read.parquet(froot),
+            id_col,
+            manifest["rows_per_bucket"],
+            fpb,
+            slice_salt="ivfpq-slice",
+        )
+    compacted = stats["cells_compacted"] > 0 or (
+        stats.get("floats", {}).get("cells_compacted", 0) > 0
+    )
+    if compacted or fpb != manifest["files_per_bucket"]:
+        manifest["files_per_bucket"] = fpb
+        if compacted:
+            manifest["compactions"] = manifest.get("compactions", 0) + 1
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+    return stats
+
+
+def retrain_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    vectors: DataFrame | None = None,
+    k: int | None = None,
+    m: int | None = None,
+    ks: int | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+    files_per_bucket: int | None = None,
+) -> tuple[dict, dict, dict]:
+    """Re-fit coarse centroids AND the residual codebook, then write a
+    NEW index at ``dest`` — the blue/green answer to codebook/centroid
+    drift (appends encode against frozen models by contract, so drift
+    accumulates until this runs). Never in place (``dest == path``
+    raises): the old index serves until the caller flips the path.
+
+    Retraining needs FLOAT vectors — codes cannot be re-encoded
+    against a new codebook. With ``store_floats=True`` the index's own
+    ``_floats/`` store is the source; otherwise pass the float corpus
+    as ``vectors`` (it must carry the manifest's id/vec columns).
+    ``sample_fraction`` fits both models on a sample while ALL rows
+    are re-encoded and written. Returns
+    ``(new_manifest, kmeans_info, pq_info)``."""
+    from sparvi_core_spark.operators.quantization import (
+        ivf_residuals,
+        pq_train,
+    )
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    if path.rstrip("/") == dest.rstrip("/"):
+        raise ValueError(
+            "retrain_ivfpq_index is blue/green by contract: dest must "
+            "differ from the source index path"
+        )
+    _, _, _, manifest = read_ivfpq_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    if vectors is None:
+        if not manifest.get("store_floats"):
+            raise ValueError(
+                "retrain needs float vectors: this index stores codes "
+                "only (store_floats=False) — pass the corpus as "
+                "`vectors`"
+            )
+        vectors = spark.read.parquet(f"{path}/{FLOATS_DIR}").drop("bucket")
+    for c in (id_col, vec_col):
+        if c not in vectors.columns:
+            raise ValueError(
+                f"vectors is missing the index's {c!r} column "
+                f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+    fit_on = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else vectors
+    )
+    cents, km_info = kmeans_fit(
+        fit_on,
+        k=manifest["k"] if k is None else k,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    codebook, pq_info = pq_train(
+        ivf_residuals(fit_on, cents, id_col=id_col, vec_col=vec_col),
+        m=manifest["m"] if m is None else m,
+        ks=manifest["ks"] if ks is None else ks,
+        id_col="id",
+        vec_col="residual",
+        max_iter=max_iter,
+        seed=seed,
+    )
+    new_manifest = write_ivfpq_index(
+        vectors,
+        cents,
+        codebook,
+        dest,
+        id_col=id_col,
+        vec_col=vec_col,
+        files_per_bucket=(
+            manifest["files_per_bucket"]
+            if files_per_bucket is None
+            else files_per_bucket
+        ),
+        store_floats=bool(manifest.get("store_floats")),
+    )
+    return new_manifest, km_info, pq_info
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -80,3 +80,53 @@ def index_stream_batches(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def index_pq_stream_batches(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    files_per_bucket: int | None = None,
+):
+    """The coded-index twin of :func:`index_stream_batches`: append
+    every micro-batch into a stored IVF-PQ index
+    (``sources.ivfpq_index``) — per batch, one assignment + one
+    residual PQ encode against the FROZEN stored models, then a
+    parquet append of (id, codes) into the touched cells (and of the
+    raw vectors into ``_floats/`` when the index stores them). Same
+    O(batch) cost shape, replay-skip commit semantics, single-writer
+    contract, and compact-on-schedule story as the float twin —
+    fragmentation goes to ``compact_ivfpq_index``. The index must
+    already exist (``write_ivfpq_index``)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from sparvi_core_spark.sources.ann_index import (
+            _read_text,
+            _write_text,
+        )
+        from sparvi_core_spark.sources.ivfpq_index import (
+            MANIFEST,
+            append_ivfpq_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+            return  # replayed batch: already appended, skip
+        man = append_ivfpq_index(
+            batch_df, path, files_per_bucket=files_per_bucket
+        )
+        man["last_stream_batch_id"] = int(batch_id)
+        _write_text(
+            spark, path, MANIFEST, json.dumps(man, indent=1, sort_keys=True)
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -287,3 +287,162 @@ def test_validation_guards(spark, built, tmp_path):
     df.write.parquet(plain)
     with pytest.raises(Exception):
         read_ivfpq_index(spark, plain)
+
+
+def test_compact_folds_codes_and_floats(spark, built, tmp_path):
+    """Three appends fragment both the code files and the _floats/
+    side-store; compaction folds each back to files_per_bucket,
+    touches ONLY fragmented cells, and the search answer is identical
+    before and after (same journaled engine as the float index)."""
+    import shutil
+
+    from sparvi_core_spark.sources.ivfpq_index import compact_ivfpq_index
+
+    path = str(tmp_path / "idx_c")
+    shutil.copytree(built["path"], path)
+    rng = np.random.default_rng(13)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [
+                (2000 + 50 * b + i, [float(x) for x in rng.normal(size=8) * 10])
+                for i in range(15)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        append_ivfpq_index(batch, path)
+    queries = built["df"].filter(F.col("vec_id") % 60 == 0)
+    before = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(
+                spark, path, queries, k=5, nprobe=6, rerank=20
+            ).collect(),
+        )
+    )
+    stats = compact_ivfpq_index(spark, path)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["floats"]["cells_compacted"] > 0
+    coded, _, _, man = read_ivfpq_index(spark, path)
+    assert man["compactions"] == 1
+    # every cell is back at <= files_per_bucket files, both stores
+    import os
+
+    for root in (path, f"{path}/_floats"):
+        for b in man["rows_per_bucket"]:
+            d = f"{root}/bucket={b}"
+            if os.path.isdir(d):
+                n = len(
+                    [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+                )
+                assert n <= man["files_per_bucket"], (root, b, n)
+    assert coded.count() == man["n_vectors"] == 225
+    after = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(
+                spark, path, queries, k=5, nprobe=6, rerank=20
+            ).collect(),
+        )
+    )
+    assert after == before
+    # idempotent: a second run finds nothing fragmented
+    again = compact_ivfpq_index(spark, path)
+    assert again["cells_compacted"] == 0
+
+
+def test_retrain_blue_green(spark, built, tmp_path):
+    """Retrain re-fits BOTH models from the float store and writes a
+    NEW index; in-place is refused; a codes-only index demands the
+    corpus be passed in. The retrained index answers exactly like
+    brute force under full probing + full re-rank (the write-path
+    identity, on freshly-fit models)."""
+    from sparvi_core_spark.sources.ivfpq_index import retrain_ivfpq_index
+
+    with pytest.raises(ValueError, match="blue/green"):
+        retrain_ivfpq_index(spark, built["path"], built["path"])
+    dest = str(tmp_path / "idx_rt")
+    man2, km_info, pq_info = retrain_ivfpq_index(
+        spark, built["path"], dest, k=4, max_iter=5
+    )
+    assert man2["k"] == 4 and man2["n_vectors"] == 180
+    assert man2["m"] == 2 and man2["ks"] == 16
+    assert km_info["iterations"] >= 1 and pq_info["iterations"] >= 1
+    queries = built["df"].filter(F.col("vec_id") % 90 == 0)  # 2 queries
+    got = search_ivfpq_index(
+        spark, dest, queries, k=3, nprobe=4, rerank=180
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in built["df"].collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["distance"])
+        )
+    for qid, hits in by_q.items():
+        hits.sort()
+        exact = sorted(
+            (round(float(np.linalg.norm(vecs[qid] - v)), 4), i)
+            for i, v in vecs.items()
+        )[:3]
+        assert [(n, d) for _, n, d in hits] == [(i, d) for d, i in exact]
+    # codes-only index: retrain must demand the corpus
+    nofloat = str(tmp_path / "nf")
+    write_ivfpq_index(
+        built["df"], built["cents"], built["cb"], nofloat, store_floats=False
+    )
+    with pytest.raises(ValueError, match="store_floats"):
+        retrain_ivfpq_index(spark, nofloat, str(tmp_path / "nf2"))
+    man3, _, _ = retrain_ivfpq_index(
+        spark, nofloat, str(tmp_path / "nf2"), vectors=built["df"], max_iter=3
+    )
+    assert man3["n_vectors"] == 180 and man3["store_floats"] is False
+
+
+def test_streaming_pq_ingest_and_replay_skip(spark, built, tmp_path):
+    """Micro-batch ingest into the coded index: three one-file batches
+    accumulate exactly (codes + floats), the manifest tracks the last
+    stream batch id, and a pre-marked batch id is skipped on replay."""
+    import json
+    import shutil
+
+    from sparvi_core_spark.sources.ann_index import _write_text
+    from sparvi_core_spark.sources.ivfpq_index import MANIFEST
+    from sparvi_core_spark.streaming.ann_index_stream import (
+        index_pq_stream_batches,
+    )
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+
+    path = str(tmp_path / "idx_s")
+    shutil.copytree(built["path"], path)
+    rng = np.random.default_rng(19)
+    new = spark.createDataFrame(
+        [
+            (5000 + i, [float(x) for x in rng.normal(size=8) * 10])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "src")
+    new.repartition(3).write.parquet(src)
+    q = index_pq_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    coded, _, _, man = read_ivfpq_index(spark, path)
+    assert man["n_vectors"] == 210 and man["appends"] == 3
+    assert man["last_stream_batch_id"] == 2
+    assert coded.count() == 210
+    assert spark.read.parquet(f"{path}/_floats").count() == 210
+    # replay: mark the last batch as already landed, re-run the stream
+    man["last_stream_batch_id"] = 99
+    _write_text(spark, path, MANIFEST, json.dumps(man))
+    q2 = index_pq_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    _, _, _, man2 = read_ivfpq_index(spark, path)
+    assert man2["n_vectors"] == 210  # nothing double-appended
