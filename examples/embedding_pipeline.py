@@ -263,6 +263,54 @@ def main() -> None:
             "retrained_k": man2["k"],
             "retrain_iterations": fit_info["iterations"],
         }
+        # 12. the BILLION-scale layout: the same corpus persisted as
+        #     residual PQ CODES partitioned by cell (the float index
+        #     stores dim doubles per vector; this stores m small ints —
+        #     measured ratio below), searched by ADC over only the
+        #     probed cells' code files, with exact re-rank of the few
+        #     survivors from the cell-partitioned float side-store.
+        import os
+
+        from sparvi_core_spark.sources.ivfpq_index import (
+            search_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        pq_dir = tempfile.mkdtemp(prefix="ivfpq-index-")
+
+        def _du(root):
+            t = 0
+            for dp, _, fs in os.walk(root):
+                if "bucket=" not in dp or "_floats" in dp:
+                    continue
+                t += sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for f in fs
+                    if not f.startswith((".", "_"))
+                )
+            return t
+
+        try:
+            pman = write_ivfpq_index(
+                emb, centroids, cb, pq_dir, store_floats=True
+            )
+            adc = search_ivfpq_index(spark, pq_dir, queries, k=10, nprobe=2)
+            rr = search_ivfpq_index(
+                spark, pq_dir, queries, k=10, nprobe=2, rerank=30
+            )
+            a = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+            rset = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+            report["stored_ivfpq"] = {
+                "n_vectors": pman["n_vectors"],
+                "m": pman["m"],
+                "ks": pman["ks"],
+                "code_bytes": _du(pq_dir),
+                "float_bytes": _du(idx_dir),
+                "bytes_ratio": round(_du(idx_dir) / max(_du(pq_dir), 1), 1),
+                "adc_vs_rerank_overlap": len(a & rset),
+            }
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(new_dir, ignore_errors=True)
