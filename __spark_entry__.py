@@ -831,6 +831,51 @@ def q_dsir_scores(spark, sf_dir):
     return score_dsir(docs, model)
 
 
+def q_pii_counts(spark, sf_dir):
+    """PII detection counts (operators/pii.py; no reference analog —
+    training-data extension surface) over the documents corpus with
+    deterministically PLANTED pii (derived from doc_id identically in
+    Spark and SQL, so the fixture needs no side-channel): verified
+    counts per type incl. the expression-only Luhn check on card
+    candidates, phone counted on card-stripped text."""
+    from sparvi_core_spark.operators.pii import detect_pii
+
+    t = _views(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" card 4111 1111 1111 1111")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" card 1234 5678 9012 3456")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" call 415-555-0134 from 10.0.0.1 ssn 123-45-6789"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return detect_pii(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_credit_card",
+        "n_phone",
+        "pii_total",
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -1004,6 +1049,7 @@ _LOCAL_ONLY = (
     "rollup_counts",
     "embedding_topk_bucketed",
     "dsir_scores",
+    "pii_counts",
 )
 
 
@@ -1091,6 +1137,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_scores": q_nb_scores,
         "embedding_health": q_embedding_health,
         "dsir_scores": q_dsir_scores,
+        "pii_counts": q_pii_counts,
     }
 
 
@@ -2010,5 +2057,54 @@ SELECT f.doc_id,
        count(*) AS n_features
 FROM feat f LEFT JOIN counts c USING (feature), tot t
 GROUP BY f.doc_id"""
+
+    # pii_counts: patterns interpolated from the module so SQL and
+    # Spark can never drift; the Luhn check is inlined as a DuckDB
+    # list lambda (strip separators, double every 2nd from the right,
+    # sum % 10). 'g' flag on the card-strip replace: DuckDB replaces
+    # first-match-only by default, Spark replaces all.
+    from sparvi_core_spark.operators.pii import PII_PATTERNS as _PII
+
+    _digits = "regexp_replace(c, '[ -]', '', 'g')"
+    _dig_at = f"CAST(reverse({_digits})[i] AS INT)"
+    _luhn = (
+        f"len(list_filter(regexp_extract_all(text, '{_PII['credit_card']}'), c ->\n"
+        f"  len({_digits}) >= 13\n"
+        f"  AND list_sum(list_transform(range(1, len({_digits}) + 1),\n"
+        f"    i -> CASE WHEN i % 2 = 0 THEN\n"
+        f"           CASE WHEN {_dig_at} * 2 > 9 THEN {_dig_at} * 2 - 9\n"
+        f"                ELSE {_dig_at} * 2 END\n"
+        f"         ELSE {_dig_at} END)) % 10 = 0))"
+    )
+    o["pii_counts"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' card 4111 1111 1111 1111' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' card 1234 5678 9012 3456' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 415-555-0134 from 10.0.0.1 ssn 123-45-6789'
+                 ELSE '' END AS text
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+         len(regexp_extract_all(text, '{_PII["ssn"]}')) AS n_ssn,
+         {_luhn} AS n_credit_card,
+         len(regexp_extract_all(
+             regexp_replace(text, '{_PII["credit_card"]}', ' ', 'g'),
+             '{_PII["phone"]}')) AS n_phone
+  FROM aug
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_credit_card, n_phone,
+       n_email + n_ipv4 + n_ssn + n_credit_card + n_phone AS pii_total
+FROM cnt"""
 
     return o
