@@ -381,6 +381,21 @@ def main() -> None:
         .asDict(),
     }
 
+    # 10c. privacy scrub: redact PII in the release text (typed
+    #      placeholders; card shapes over-removed — the safe
+    #      direction) and record the release gate — total_* must be 0
+    #      AFTER the scrub, whatever the crawl contained before.
+    from sparvi_core_spark.operators.pii import pii_summary, redact_pii
+
+    before_gate = pii_summary(mixed).first().asDict()
+    mixed = redact_pii(mixed)
+    after_gate = pii_summary(mixed).first().asDict()
+    assert after_gate["docs_with_pii"] == 0, after_gate
+    report["pii_gate"] = {
+        "before_docs_with_pii": before_gate["docs_with_pii"],
+        "after_docs_with_pii": after_gate["docs_with_pii"],
+    }
+
     # 11. ship it: the train split as loader-ready hash shards with a
     #     manifest (membership is a pure function of doc_id — append
     #     a future crawl and unchanged docs keep their shard)

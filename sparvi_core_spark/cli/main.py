@@ -531,6 +531,45 @@ def diversity(source, table, text_col, zipf_top, fmt, cpus):
 
 
 @cli.command()
+@click.argument("source", required=False)
+@click.argument("table", required=False)
+@click.option("--text-col", default="text", help="Text column to scan")
+@click.option("--types", default=None,
+              help="Comma-separated PII types (default: all)")
+@click.option("--redact-to", default=None,
+              help="Write the redacted table as parquet to this path")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def pii(source, table, text_col, types, redact_to, fmt, cpus):
+    """PII scan of TABLE's TEXT-COL: per-type verified counts (card
+    candidates Luhn-checked) and the docs-with-pii release gate;
+    ``--redact-to`` additionally writes the table with every candidate
+    replaced by a typed placeholder. Extension command — no reference
+    analog."""
+    from sparvi_core_spark.operators.pii import pii_summary, redact_pii
+
+    spark = _session(cpus)
+    source, table = _resolve_source(source, table)
+    df = _load_table_df(spark, source, table)
+    tlist = [t.strip() for t in types.split(",")] if types else None
+    row = pii_summary(df, text_col=text_col, types=tlist).first().asDict()
+    if redact_to:
+        redact_pii(df, text_col=text_col, types=tlist).write.mode(
+            "overwrite"
+        ).parquet(redact_to)
+        row["redacted_to"] = redact_to
+    if fmt == "json":
+        click.echo(json.dumps({"table": table, **row}, default=str))
+        return
+    click.echo(_header(f"PII scan: {table}.{text_col}"))
+    click.echo(_render_table(
+        ["metric", "value"],
+        [[k, row[k]] for k in row],
+    ))
+
+
+@cli.command()
 @click.argument("store_path")
 @click.option("--quantiles", default=None,
               help="Comma-separated quantiles (e.g. 0.1,0.5,0.9); "

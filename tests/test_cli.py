@@ -264,3 +264,26 @@ def test_diversity_command_table_and_json(spark, sf_dir):
     r2 = CliRunner().invoke(cli, ["diversity", sf_dir, "documents"])
     assert r2.exit_code == 0, r2.output
     assert "token_entropy" in r2.output
+
+
+def test_pii_command_scan_and_redact(spark, sf_dir, tmp_path):
+    import json as _json
+
+    r = CliRunner().invoke(
+        cli, ["pii", sf_dir, "documents", "--format", "json"]
+    )
+    assert r.exit_code == 0, r.output
+    payload = _json.loads(r.output.strip().splitlines()[-1])
+    assert payload["table"] == "documents"
+    assert payload["n_docs"] == 500
+    assert payload["docs_with_pii"] >= 0
+
+    out = str(tmp_path / "clean")
+    r2 = CliRunner().invoke(
+        cli,
+        ["pii", sf_dir, "documents", "--types", "email,ipv4",
+         "--redact-to", out],
+    )
+    assert r2.exit_code == 0, r2.output
+    assert "docs_with_pii" in r2.output
+    assert spark.read.parquet(out).count() == 500
