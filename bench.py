@@ -211,6 +211,33 @@ def build_suite(spark, sf_dir):
 
     suite.append(("dsir_select", run_dsir_select))
 
+    # PII scrub: detect (Luhn-verified counts) + redact + the one-row
+    # release gate — map-only, expression-only (r7)
+    from sparvi_core_spark.operators.pii import pii_summary, redact_pii
+
+    def run_pii_scan():
+        docs = spark.table("documents")
+        pii_summary(docs).collect()  # 1 row
+        _force(redact_pii(docs))
+
+    suite.append(("pii_scan", run_pii_scan))
+
+    # text normalization: expression tier + NFC kernel + gated
+    # mojibake repair over the whole corpus (r7)
+    from sparvi_core_spark.functions.textnorm import (
+        clean_text_col,
+        fix_mojibake,
+        unicode_normalize,
+    )
+
+    def run_normalize_text():
+        docs = spark.table("documents").select(
+            "doc_id", clean_text_col("text").alias("text")
+        )
+        _force(fix_mojibake(unicode_normalize(docs, "text"), "text"))
+
+    suite.append(("normalize_text", run_normalize_text))
+
     return suite
 
 
