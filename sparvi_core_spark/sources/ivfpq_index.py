@@ -76,7 +76,30 @@ MANIFEST = "_ivfpq_manifest.json"
 CENTROIDS_DIR = "_centroids"
 CODEBOOK_DIR = "_codebook"
 FLOATS_DIR = "_floats"
+ROTATION_DIR = "_rotation"
 FORMAT = "sparvi-ivfpq-index/1"
+
+
+def _write_rotation(spark: SparkSession, path: str, rotation) -> int:
+    """Persist the OPQ rotation as `_rotation/` parquet (row, vals) —
+    a dim × dim float table is too big for the JSON manifest at
+    dim-768 (~7 MB) but trivial as one parquet file. Returns dim."""
+    dim = len(rotation)
+    for row in rotation:
+        if len(row) != dim:
+            raise ValueError(
+                f"rotation must be square, got {dim}x{len(row)}"
+            )
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(rotation)]
+    spark.createDataFrame(
+        rows, "row int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{ROTATION_DIR}")
+    return dim
+
+
+def _read_rotation(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/{ROTATION_DIR}").collect()
+    return [list(r["vals"]) for r in sorted(rows, key=lambda r: r["row"])]
 
 
 def _slice_col(id_col: str, fpb: int) -> F.Column:
@@ -120,6 +143,7 @@ def write_ivfpq_index(
     files_per_bucket: int = 1,
     store_floats: bool = False,
     engine: str = "blas",
+    rotation: list[list[float]] | None = None,
 ) -> dict:
     """Encode the corpus to residual PQ codes and write them
     parquet-partitioned by IVF cell, with the coarse centroids,
@@ -130,8 +154,20 @@ def write_ivfpq_index(
     enable exact re-rank at search time; the coded corpus is what
     every search scans either way. NULL vectors are not indexed
     (counted as ``dropped_null``); ids must be unique and non-null
-    (checked before any file lands). Returns the manifest dict."""
-    from sparvi_core_spark.operators.quantization import _codebook_shape
+    (checked before any file lands). Returns the manifest dict.
+
+    ``rotation``: an OPQ orthogonal matrix (``opq_train``). The whole
+    index then lives in the ROTATED space — corpus rotated once at
+    write (one map-only matmul), centroids/codebook must have been
+    trained on rotated vectors, appends and query batches are rotated
+    automatically against the stored ``_rotation/`` table. Orthogonal
+    rotations preserve L2, so search distances (ADC approximating,
+    re-rank exactly) equal original-space distances — pinned in
+    tests."""
+    from sparvi_core_spark.operators.quantization import (
+        _codebook_shape,
+        rotate_vectors,
+    )
 
     if files_per_bucket < 1:
         raise ValueError(
@@ -143,6 +179,20 @@ def write_ivfpq_index(
     spark = vectors.sparkSession
     n_rows = _require_unique_ids(vectors, id_col, "vectors")
     m, dsub = _codebook_shape(codebook)
+    if rotation is not None:
+        if len(rotation) != m * dsub:
+            raise ValueError(
+                f"rotation is {len(rotation)}x{len(rotation)} but the "
+                f"codebook implies dim {m * dsub}"
+            )
+        rotated = rotate_vectors(
+            vectors, rotation, id_col=id_col, vec_col=vec_col
+        )
+        extra = [c for c in vectors.columns if c not in (id_col, vec_col)]
+        # rotate_vectors projects to (id, vec); carry payload through
+        vectors = (
+            vectors.drop(vec_col).join(rotated, id_col) if extra else rotated
+        )
     coded, assignment = _encode(
         vectors, centroids, codebook, id_col, vec_col, engine
     )
@@ -183,6 +233,8 @@ def write_ivfpq_index(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if rotation is not None:
+        _write_rotation(spark, path, rotation)
     dim_row = cent.select(F.size("centroid").alias("d")).first()
     ks = codebook.groupBy("subspace").count().agg(F.max("count")).first()[0]
     n_vectors = sum(per_cell.values())
@@ -199,6 +251,7 @@ def write_ivfpq_index(
         "dropped_null": n_rows - n_vectors,
         "files_per_bucket": files_per_bucket,
         "store_floats": store_floats,
+        "rotated": rotation is not None,
         "rows_per_bucket": {str(b): n for b, n in sorted(per_cell.items())},
     }
     _write_text(
@@ -269,6 +322,23 @@ def append_ivfpq_index(
             f"the index dim {manifest['dim']}"
         )
     n_batch_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
+    if manifest.get("rotated"):
+        from sparvi_core_spark.operators.quantization import rotate_vectors
+
+        rotated = rotate_vectors(
+            new_vectors,
+            _read_rotation(spark, path),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        extra = [
+            c for c in new_vectors.columns if c not in (id_col, vec_col)
+        ]
+        new_vectors = (
+            new_vectors.drop(vec_col).join(rotated, id_col)
+            if extra
+            else rotated
+        )
     coded, assignment = _encode(
         new_vectors, cents, codebook, id_col, vec_col, engine
     )
@@ -400,9 +470,12 @@ def retrain_ivfpq_index(
     Retraining needs FLOAT vectors — codes cannot be re-encoded
     against a new codebook. With ``store_floats=True`` the index's own
     ``_floats/`` store is the source; otherwise pass the float corpus
-    as ``vectors`` (it must carry the manifest's id/vec columns).
-    ``sample_fraction`` fits both models on a sample while ALL rows
-    are re-encoded and written. Returns
+    as ``vectors`` (it must carry the manifest's id/vec columns, in
+    ORIGINAL space). A rotated (OPQ) index keeps its stored rotation:
+    the float store is un-rotated through the transpose, models are
+    re-fitted in rotated space, and the new index is written with the
+    same ``_rotation/``. ``sample_fraction`` fits both models on a
+    sample while ALL rows are re-encoded and written. Returns
     ``(new_manifest, kmeans_info, pq_info)``."""
     from sparvi_core_spark.operators.quantization import (
         ivf_residuals,
@@ -417,6 +490,9 @@ def retrain_ivfpq_index(
         )
     _, _, _, manifest = read_ivfpq_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    rotation = (
+        _read_rotation(spark, path) if manifest.get("rotated") else None
+    )
     if vectors is None:
         if not manifest.get("store_floats"):
             raise ValueError(
@@ -425,16 +501,39 @@ def retrain_ivfpq_index(
                 "`vectors`"
             )
         vectors = spark.read.parquet(f"{path}/{FLOATS_DIR}").drop("bucket")
+        if rotation is not None:
+            # the float store lives in rotated space; recover the
+            # original space (orthogonal ⇒ inverse = transpose) so the
+            # write path's own rotation pass is exact, not doubled
+            from sparvi_core_spark.operators.quantization import (
+                rotate_vectors,
+            )
+
+            vectors = rotate_vectors(
+                vectors,
+                [list(r) for r in zip(*rotation)],
+                id_col=id_col,
+                vec_col=vec_col,
+            )
     for c in (id_col, vec_col):
         if c not in vectors.columns:
             raise ValueError(
                 f"vectors is missing the index's {c!r} column "
                 f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
             )
+    fit_src = vectors
+    if rotation is not None:
+        # models must be fitted in the space the index stores — the
+        # write path re-rotates the full corpus itself
+        from sparvi_core_spark.operators.quantization import rotate_vectors
+
+        fit_src = rotate_vectors(
+            vectors, rotation, id_col=id_col, vec_col=vec_col
+        )
     fit_on = (
-        vectors.sample(fraction=sample_fraction, seed=seed)
+        fit_src.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction is not None
-        else vectors
+        else fit_src
     )
     cents, km_info = kmeans_fit(
         fit_on,
@@ -466,6 +565,7 @@ def retrain_ivfpq_index(
             else files_per_bucket
         ),
         store_floats=bool(manifest.get("store_floats")),
+        rotation=rotation,
     )
     return new_manifest, km_info, pq_info
 
@@ -514,6 +614,18 @@ def search_ivfpq_index(
                 "rerank requires an index written with store_floats=True "
                 "(this one stores codes only)"
             )
+    if manifest.get("rotated"):
+        # the index lives in OPQ-rotated space: rotate the (small)
+        # query batch once; L2 is rotation-invariant, so distances
+        # (and the exact re-rank) equal original-space distances
+        from sparvi_core_spark.operators.quantization import rotate_vectors
+
+        queries = rotate_vectors(
+            queries,
+            _read_rotation(spark, path),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     # Probe ONCE on the driver (bounded: n_queries × nprobe rows,
     # queries are the small side by contract) to prune the coded scan
     # at the file listing; ivfpq_search re-derives the same

@@ -446,3 +446,105 @@ def test_streaming_pq_ingest_and_replay_skip(spark, built, tmp_path):
     q2.awaitTermination()
     _, _, _, man2 = read_ivfpq_index(spark, path)
     assert man2["n_vectors"] == 210  # nothing double-appended
+
+
+def test_opq_rotated_index(spark, built, tmp_path):
+    """OPQ composition: an index written with a rotation stores the
+    matrix, rotates appends and queries automatically, and — because
+    orthogonal rotations preserve L2 — (1) equals a plain index built
+    on pre-rotated vectors queried with pre-rotated queries, value for
+    value, and (2) exact re-rank reproduces brute-force L2 in the
+    ORIGINAL space."""
+    from sparvi_core_spark.operators.quantization import (
+        ivf_residuals,
+        pq_train,
+        rotate_vectors,
+    )
+    from sparvi_core_spark.operators.similarity import kmeans_fit
+
+    df = built["df"]
+    rng = np.random.default_rng(41)
+    R = np.linalg.qr(rng.normal(size=(8, 8)))[0].tolist()
+    rot = rotate_vectors(df, R).localCheckpoint()
+    cents, _ = kmeans_fit(rot, k=5, max_iter=10, seed=3)
+    cents = cents.localCheckpoint()
+    cb, _ = pq_train(
+        ivf_residuals(rot, cents), m=2, ks=16,
+        id_col="id", vec_col="residual", max_iter=8, seed=5,
+    )
+    cb = cb.localCheckpoint()
+
+    opq_path = str(tmp_path / "opq")
+    man = write_ivfpq_index(
+        df, cents, cb, opq_path, store_floats=True, rotation=R
+    )
+    assert man["rotated"] is True
+    plain_path = str(tmp_path / "plain")
+    write_ivfpq_index(rot, cents, cb, plain_path, store_floats=True)
+
+    queries = df.filter(F.col("vec_id") % 45 == 0)  # 4 queries
+    got = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(spark, opq_path, queries, k=5, nprobe=2)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(
+                spark, plain_path, rotate_vectors(queries, R), k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 20
+
+    # exact re-rank == brute-force L2 in ORIGINAL space
+    rr = search_ivfpq_index(
+        spark, opq_path, queries, k=3, nprobe=5, rerank=180
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["distance"])
+        )
+    for qid, hits in by_q.items():
+        hits.sort()
+        exact = sorted(
+            (round(float(np.linalg.norm(vecs[qid] - v)), 4), i)
+            for i, v in vecs.items()
+        )[:3]
+        assert [(n, d) for _, n, d in hits] == [(i, d) for d, i in exact]
+
+    # append rotates the batch against the stored matrix: the new
+    # vector, queried in ORIGINAL space, is its own nearest neighbor
+    batch = spark.createDataFrame(
+        [(7000, [float(x) for x in rng.normal(size=8) * 10])],
+        "vec_id long, embedding array<double>",
+    )
+    append_ivfpq_index(batch, opq_path)
+    top = search_ivfpq_index(
+        spark, opq_path, batch, k=1, nprobe=2, rerank=4
+    ).first()
+    assert top["neighbor_id"] == 7000 and top["distance"] == 0.0
+
+    # retrain keeps the rotation and stays self-consistent
+    from sparvi_core_spark.sources.ivfpq_index import retrain_ivfpq_index
+
+    dest = str(tmp_path / "opq_rt")
+    man2, _, _ = retrain_ivfpq_index(spark, opq_path, dest, max_iter=4)
+    assert man2["rotated"] is True and man2["n_vectors"] == 181
+    top2 = search_ivfpq_index(
+        spark, dest, queries.limit(1), k=1, nprobe=5, rerank=4
+    ).first()
+    assert top2["neighbor_id"] == top2["query_id"]
+    assert top2["distance"] == 0.0
+
+    # shape guard: wrong-dim rotation refused before any file lands
+    bad = np.eye(4).tolist()
+    with pytest.raises(ValueError, match="rotation"):
+        write_ivfpq_index(
+            df, cents, cb, str(tmp_path / "bad"), rotation=bad
+        )
