@@ -876,6 +876,61 @@ def q_pii_counts(spark, sf_dir):
     )
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Chat/SFT conversation profiling (operators/conversations.py; no
+    reference analog — training-data extension surface): message-list
+    JSON is PLANTED deterministically from the documents table (roles
+    vary by doc_id so alternation passes and fails; short docs yield
+    empty third turns), parsed with real `from_json`, then profiled —
+    turn/role counts, first/last role, non-system alternation, empty
+    turns, char/token mass per speaker. The oracle rebuilds the same
+    JSON and parses it with DuckDB's own json_transform machinery, so
+    the parity check crosses two genuinely different JSON parsers.
+    Integer aggregates are BIGINT-cast on BOTH sides (the r6 type-drift
+    rule)."""
+    from sparvi_core_spark.operators.conversations import (
+        conversation_stats,
+        parse_conversations,
+    )
+
+    t = _views(spark, sf_dir)
+
+    def seg(a):
+        return F.regexp_replace(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), a, 48),
+            "[^A-Za-z0-9 ]",
+            "",
+        )
+
+    r1 = F.when(F.col("doc_id") % 5 == 0, F.lit("system")).otherwise(
+        F.lit("user")
+    )
+    r3 = F.when(F.col("doc_id") % 3 == 0, F.lit("assistant")).otherwise(
+        F.lit("user")
+    )
+    j = F.concat(
+        F.lit('[{"role":"'), r1, F.lit('","content":"'), seg(1),
+        F.lit('"},{"role":"assistant","content":"'), seg(49),
+        F.lit('"},{"role":"'), r3, F.lit('","content":"'), seg(97),
+        F.lit('"}]'),
+    )
+    convs = t["documents"].select("doc_id", j.alias("messages"))
+    return conversation_stats(parse_conversations(convs)).select(
+        "doc_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_system").cast("long").alias("n_system"),
+        F.col("n_user").cast("long").alias("n_user"),
+        F.col("n_assistant").cast("long").alias("n_assistant"),
+        "first_role",
+        "last_role",
+        "alternates_ok",
+        F.col("n_empty").cast("long").alias("n_empty"),
+        "total_chars",
+        "user_tokens",
+        "assistant_tokens",
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -1050,6 +1105,10 @@ _LOCAL_ONLY = (
     "embedding_topk_bucketed",
     "dsir_scores",
     "pii_counts",
+    # round-7 swap: group_topk (plain window top-k, same machinery as
+    # the still-pinned latest_events/frequent_values) makes room for
+    # conversation_stats in the 50-pin
+    "group_topk",
 )
 
 
@@ -1130,6 +1189,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
+        "conversation_stats": q_conversation_stats,
         "latest_events": q_latest_events,
         "fingerprints": q_fingerprints,
         "bm25_search": q_bm25_search,
@@ -1825,6 +1885,69 @@ SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(0.4 * LEAST(1.0, n_tokens / 100.0) + 0.3 * (stop_hits * 1.0 / GREATEST(n_tokens, 1))
              + 0.3 * (1 - punct * 1.0 / GREATEST(LENGTH(text), 1)), 4) AS quality_score
 FROM base"""
+
+    o["conversation_stats"] = r"""
+WITH built AS (
+  SELECT doc_id,
+         '[{"role":"' || CASE WHEN doc_id % 5 = 0 THEN 'system' ELSE 'user' END
+         || '","content":"'
+         || regexp_replace(substring(coalesce(text,''), 1, 48), '[^A-Za-z0-9 ]', '', 'g')
+         || '"},{"role":"assistant","content":"'
+         || regexp_replace(substring(coalesce(text,''), 49, 48), '[^A-Za-z0-9 ]', '', 'g')
+         || '"},{"role":"'
+         || CASE WHEN doc_id % 3 = 0 THEN 'assistant' ELSE 'user' END
+         || '","content":"'
+         || regexp_replace(substring(coalesce(text,''), 97, 48), '[^A-Za-z0-9 ]', '', 'g')
+         || '"}]' AS messages
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         json_transform(messages,
+             '[{"role":"VARCHAR","content":"VARCHAR"}]') AS turns
+  FROM built
+),
+ex AS (
+  SELECT doc_id,
+         unnest(turns) AS turn,
+         unnest(range(1, len(turns) + 1)) AS pos,
+         len(turns) AS n
+  FROM parsed
+),
+flat AS (
+  SELECT doc_id, n, pos,
+         turn.role AS role,
+         coalesce(turn.content, '') AS content,
+         CASE WHEN trim(coalesce(turn.content, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(turn.content), '\s+'))
+         END AS toks
+  FROM ex
+),
+alt AS (
+  SELECT doc_id,
+         coalesce(bool_and(role <> prev_role), TRUE) AS alternates_ok
+  FROM (
+    SELECT doc_id, role,
+           lag(role) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_role
+    FROM flat WHERE role <> 'system'
+  )
+  WHERE prev_role IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(any_value(f.n) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (f.role = 'system') AS BIGINT) AS n_system,
+       CAST(count(*) FILTER (f.role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (f.role = 'assistant') AS BIGINT) AS n_assistant,
+       any_value(f.role ORDER BY f.pos) AS first_role,
+       any_value(f.role ORDER BY f.pos DESC) AS last_role,
+       coalesce(any_value(a.alternates_ok), TRUE) AS alternates_ok,
+       CAST(count(*) FILTER (trim(f.content) = '') AS BIGINT) AS n_empty,
+       CAST(sum(length(f.content)) AS BIGINT) AS total_chars,
+       CAST(coalesce(sum(f.toks) FILTER (f.role = 'user'), 0) AS BIGINT) AS user_tokens,
+       CAST(coalesce(sum(f.toks) FILTER (f.role = 'assistant'), 0) AS BIGINT) AS assistant_tokens
+FROM flat f LEFT JOIN alt a USING (doc_id)
+GROUP BY f.doc_id"""
 
     o["latest_events"] = """
 SELECT user_id, event_id, event_type, value FROM events
