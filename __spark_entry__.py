@@ -931,6 +931,34 @@ def q_conversation_stats(spark, sf_dir):
     )
 
 
+def q_hamming_topk(spark, sf_dir):
+    """Packed-binary Hamming top-k search (operators/binary_sketch.py;
+    no reference analog — training-data extension surface). Sketch
+    words are PLANTED from vec_id via md5 (60-bit positive words, so
+    neither engine's signed-overflow rules bite) identically in Spark
+    and SQL; the search kernel — zip-XOR-popcount distance + windowed
+    top-k with (distance, neighbor_id) ties — is what's under test,
+    cross-engine."""
+    from sparvi_core_spark.operators.binary_sketch import hamming_topk
+
+    t = _views(spark, sf_dir)
+
+    def word(w):
+        md = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f"|{w}")))
+        return F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint")
+
+    sk = t["embeddings"].select(
+        "vec_id", F.array(word(0), word(1), word(2)).alias("sketch")
+    )
+    qs = sk.filter(F.col("vec_id") % 50 == 0)
+    return hamming_topk(sk, qs, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.col("distance").cast("long").alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -1109,6 +1137,7 @@ _LOCAL_ONLY = (
     # the still-pinned latest_events/frequent_values) makes room for
     # conversation_stats in the 50-pin
     "group_topk",
+    "hamming_topk",
 )
 
 
@@ -1198,6 +1227,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "dsir_scores": q_dsir_scores,
         "pii_counts": q_pii_counts,
+        "hamming_topk": q_hamming_topk,
     }
 
 
@@ -2199,6 +2229,26 @@ GROUP BY f.doc_id"""
         f"                ELSE {_dig_at} * 2 END\n"
         f"         ELSE {_dig_at} END)) % 10 = 0))"
     )
+    o["hamming_topk"] = r"""
+WITH sk AS (
+  SELECT vec_id,
+         [CAST(concat('0x', substr(md5(vec_id::VARCHAR || '|0'),1,15)) AS BIGINT),
+          CAST(concat('0x', substr(md5(vec_id::VARCHAR || '|1'),1,15)) AS BIGINT),
+          CAST(concat('0x', substr(md5(vec_id::VARCHAR || '|2'),1,15)) AS BIGINT)] AS sketch
+  FROM embeddings
+),
+q AS (SELECT * FROM sk WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1,4),
+              i -> bit_count(xor(q.sketch[i], v.sketch[i])))) AS BIGINT) AS distance
+  FROM q, sk v WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, distance,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY distance, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5"""
+
     o["pii_counts"] = f"""
 WITH aug AS (
   SELECT doc_id,
