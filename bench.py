@@ -77,6 +77,7 @@ def build_suite(spark, sf_dir):
         "fuzzy_name_pairs",
         "latest_events",
         "pq_codes",
+        "conversation_stats",
     ):
         suite.append((name, lambda n=name: _force(qs[n](spark, sf_dir))))
 
@@ -237,6 +238,28 @@ def build_suite(spark, sf_dir):
         _force(fix_mojibake(unicode_normalize(docs, "text"), "text"))
 
     suite.append(("normalize_text", run_normalize_text))
+
+    # binary-sketch ANN serving path: 256-bit SRP binarization (blas)
+    # of the whole embeddings corpus + Hamming pre-rank + exact cosine
+    # re-rank of the candidate pool (r7)
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk_rerank,
+    )
+
+    def run_hamming_search():
+        emb = spark.table("embeddings").select("vec_id", "embedding")
+        sk = binarize_embeddings(emb, bits=256, seed=7, engine="blas")
+        _force(
+            hamming_topk_rerank(
+                sk,
+                sk.filter(F.col("vec_id") % 100 == 0),
+                k=10,
+                rerank=50,
+            )
+        )
+
+    suite.append(("hamming_search", run_hamming_search))
 
     return suite
 

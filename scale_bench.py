@@ -187,6 +187,10 @@ def main() -> None:
     from sparvi_core_spark.operators.membership import bloom_build, bloom_novel
     from sparvi_core_spark.operators.projection import pca_fit, pca_project
     from sparvi_core_spark.operators.selection import select_corpus, train_dsir
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk_rerank,
+    )
     from sparvi_core_spark.sources.writers import write_zordered
 
     def run_range_join(events):
@@ -357,6 +361,31 @@ def main() -> None:
                 pca_project(
                     views["embeddings"],
                     pca_fit(views["embeddings"], out_dim=16),
+                )
+            ),
+            # standing since r7: binarize is one Arrow matmul pass
+            # (linear in rows), the Hamming pre-rank streams the
+            # corpus past 50 broadcast queries (constant count at both
+            # scales — original vec_ids survive replication), re-rank
+            # touches only the Q×50 pool — expect ~linear
+            "hamming_search": lambda: _force(
+                hamming_topk_rerank(
+                    binarize_embeddings(
+                        views["embeddings"].select("vec_id", "embedding"),
+                        bits=256,
+                        seed=7,
+                        engine="blas",
+                    ),
+                    binarize_embeddings(
+                        views["embeddings"]
+                        .select("vec_id", "embedding")
+                        .filter(F.col("vec_id") < 50),
+                        bits=256,
+                        seed=7,
+                        engine="blas",
+                    ),
+                    k=10,
+                    rerank=50,
                 )
             ),
             # the 2-col Z-order layout pass: stats + range shuffle +
