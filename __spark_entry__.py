@@ -1081,6 +1081,23 @@ def q_corpus_diversity(spark, sf_dir):
     return corpus_diversity(t["documents"], zipf_top=10_000)
 
 
+def q_corpus_divergence(spark, sf_dir):
+    """Cross-corpus distribution shift (operators.diversity) between
+    the English slice and the rest — JS divergence on the raw unigram
+    distributions, add-½-smoothed directional KLs over the union
+    vocabulary, total variation, vocab Jaccard. Divergence sums
+    rounded to 4 (cross-engine float-accumulation drift on vocab-scale
+    sums), counts BIGINT-cast on both sides (round 7)."""
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    t = _views(spark, sf_dir)
+    docs = t["documents"]
+    return corpus_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
 def q_nb_scores(spark, sf_dir):
     """Naive Bayes per-(doc, class) log scores (operators.classify),
     self-trained on the lang labels — the fastText-style quality/
@@ -1138,6 +1155,7 @@ _LOCAL_ONLY = (
     # conversation_stats in the 50-pin
     "group_topk",
     "hamming_topk",
+    "corpus_divergence",
 )
 
 
@@ -1228,6 +1246,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "pii_counts": q_pii_counts,
         "hamming_topk": q_hamming_topk,
+        "corpus_divergence": q_corpus_divergence,
     }
 
 
@@ -2248,6 +2267,48 @@ SELECT query_id, neighbor_id, distance,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY distance, neighbor_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 5"""
+
+    o["corpus_divergence"] = r"""
+WITH fa AS (
+  SELECT tok, count(*)::DOUBLE AS na FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+    FROM documents WHERE lang = 'en'
+  ) GROUP BY tok
+),
+fb AS (
+  SELECT tok, count(*)::DOUBLE AS nb FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+    FROM documents WHERE lang <> 'en'
+  ) GROUP BY tok
+),
+j AS (
+  SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM fa FULL OUTER JOIN fb USING (tok)
+),
+tot AS (
+  SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v_union,
+         sum((na > 0)::INT) AS va, sum((nb > 0)::INT) AS vb,
+         sum((na > 0 AND nb > 0)::INT) AS v_both
+  FROM j
+),
+terms AS (
+  SELECT j.na / t.ta AS p, j.nb / t.tb AS q,
+         (j.na + 0.5) / (t.ta + 0.5 * t.v_union) AS ps,
+         (j.nb + 0.5) / (t.tb + 0.5 * t.v_union) AS qs,
+         t.*
+  FROM j, tot t
+)
+SELECT CAST(any_value(ta) AS BIGINT) AS tokens_a,
+       CAST(any_value(tb) AS BIGINT) AS tokens_b,
+       CAST(any_value(va) AS BIGINT) AS vocab_a,
+       CAST(any_value(vb) AS BIGINT) AS vocab_b,
+       round(any_value(v_both) / any_value(v_union)::DOUBLE, 6) AS vocab_jaccard,
+       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 4) AS js_divergence,
+       round(sum(ps * ln(ps / qs)), 4) AS kl_ab,
+       round(sum(qs * ln(qs / ps)), 4) AS kl_ba,
+       round(sum(abs(p - q) / 2), 4) AS tvd
+FROM terms"""
 
     o["pii_counts"] = f"""
 WITH aug AS (

@@ -36,6 +36,110 @@ from pyspark.sql.window import Window
 from sparvi_core_spark.operators.ranking import search_tokens
 
 
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """One-row distribution-shift report between two corpora's unigram
+    distributions — the "did this crawl/filter move the token
+    distribution" audit run before swapping a corpus version in →
+    (tokens_a, tokens_b, vocab_a, vocab_b, vocab_jaccard,
+    js_divergence, kl_ab, kl_ba, tvd).
+
+    - ``js_divergence``: Jensen–Shannon divergence (nats) of the RAW
+      distributions — defined even on disjoint supports (0·ln 0 = 0),
+      symmetric, bounded by ln 2.
+    - ``kl_ab`` / ``kl_ba``: KL divergences with additive-``alpha``
+      smoothing over the UNION vocabulary (raw KL is infinite the
+      moment one side misses a type, so the smoothed form is the
+      usable directional signal).
+    - ``tvd``: total variation distance, ½ Σ|p−q| — the "what fraction
+      of token mass moved" number.
+    - ``vocab_jaccard``: type-level overlap, |Va∩Vb| / |Va∪Vb|.
+
+    Either corpus empty → NULL divergences (not zeros). The divergence
+    sums are rounded to 4 (float accumulation order differs across
+    engines at vocab scale); ratios to 6.
+
+    Scale: one tokenize+groupBy pass per corpus (vocab-bounded
+    outputs), one full-outer join of the two frequency tables
+    (vocab-scale, never corpus-scale), totals folded back as a 1-row
+    broadcast, one final agg. No Python, no corpus-corpus join.
+    """
+    fa = (
+        a.select(F.explode(search_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    fb = (
+        b.select(F.explode(search_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    j = fa.join(fb, "tok", "full_outer").select(
+        F.coalesce(F.col("na"), F.lit(0)).cast("double").alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("double").alias("nb"),
+    )
+    totals = j.agg(
+        F.coalesce(F.sum("na"), F.lit(0.0)).alias("ta"),
+        F.coalesce(F.sum("nb"), F.lit(0.0)).alias("tb"),
+        F.count(F.lit(1)).alias("v_union"),
+        F.count_if(F.col("na") > 0).alias("va"),
+        F.count_if(F.col("nb") > 0).alias("vb"),
+        F.count_if((F.col("na") > 0) & (F.col("nb") > 0)).alias("v_both"),
+    )
+    t = j.crossJoin(F.broadcast(totals))
+    # try_divide: an empty side has ta/tb = 0 and ANSI mode would turn
+    # the division into a job abort; NULL terms fold to NULL sums,
+    # which the ok-guard below reports as NULL divergences
+    p = F.try_divide(F.col("na"), F.col("ta"))
+    q = F.try_divide(F.col("nb"), F.col("tb"))
+    m = (p + q) / 2
+    al = F.lit(float(alpha))
+    ps = F.try_divide(
+        F.col("na") + al, F.col("ta") + al * F.col("v_union")
+    )
+    qs = F.try_divide(
+        F.col("nb") + al, F.col("tb") + al * F.col("v_union")
+    )
+    sums = t.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.max("va").alias("va"),
+        F.max("vb").alias("vb"),
+        F.max("v_both").alias("v_both"),
+        F.max("v_union").alias("v_union"),
+        F.sum(
+            F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+        ).alias("js"),
+        F.sum(ps * F.log(ps / qs)).alias("kl_ab"),
+        F.sum(qs * F.log(qs / ps)).alias("kl_ba"),
+        F.sum(F.abs(p - q) / 2).alias("tvd"),
+    )
+    ok = (F.col("ta") > 0) & (F.col("tb") > 0)
+    return sums.select(
+        F.coalesce(F.col("ta"), F.lit(0.0)).cast("bigint").alias("tokens_a"),
+        F.coalesce(F.col("tb"), F.lit(0.0)).cast("bigint").alias("tokens_b"),
+        F.coalesce(F.col("va"), F.lit(0)).cast("bigint").alias("vocab_a"),
+        F.coalesce(F.col("vb"), F.lit(0)).cast("bigint").alias("vocab_b"),
+        F.round(
+            F.when(
+                F.col("v_union") > 0,
+                F.col("v_both") / F.col("v_union").cast("double"),
+            ),
+            6,
+        ).alias("vocab_jaccard"),
+        F.round(F.when(ok, F.col("js")), round_to).alias("js_divergence"),
+        F.round(F.when(ok, F.col("kl_ab")), round_to).alias("kl_ab"),
+        F.round(F.when(ok, F.col("kl_ba")), round_to).alias("kl_ba"),
+        F.round(F.when(ok, F.col("tvd")), round_to).alias("tvd"),
+    )
+
+
 def corpus_diversity(
     docs: DataFrame,
     text_col: str = "text",

@@ -127,3 +127,102 @@ def test_cache_freq_same_result(spark, sf_dir):
     cached = corpus_diversity(docs, cache_freq=True).first().asDict()
     assert plain == cached
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# corpus_divergence (r7): cross-corpus distribution shift. DuckDB value
+# parity is the demoted pair `corpus_divergence` in test_oracle_parity.
+
+
+def _div_reference(texts_a, texts_b, alpha=0.5):
+    """Independent Python computation of every divergence column."""
+    import re
+
+    def freq(texts):
+        c = Counter()
+        for t in texts:
+            c.update(
+                w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w
+            )
+        return c
+
+    fa, fb = freq(texts_a), freq(texts_b)
+    union = set(fa) | set(fb)
+    ta, tb, v = sum(fa.values()), sum(fb.values()), len(union)
+    js = kl_ab = kl_ba = tvd = 0.0
+    for tok in union:
+        na, nb = fa.get(tok, 0), fb.get(tok, 0)
+        p, q = na / ta, nb / tb
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+        ps = (na + alpha) / (ta + alpha * v)
+        qs = (nb + alpha) / (tb + alpha * v)
+        kl_ab += ps * math.log(ps / qs)
+        kl_ba += qs * math.log(qs / ps)
+        tvd += abs(p - q) / 2
+    both = len(set(fa) & set(fb))
+    return {
+        "tokens_a": ta, "tokens_b": tb,
+        "vocab_a": len(fa), "vocab_b": len(fb),
+        "vocab_jaccard": round(both / v, 6),
+        "js_divergence": round(js, 4), "kl_ab": round(kl_ab, 4),
+        "kl_ba": round(kl_ba, 4), "tvd": round(tvd, 4),
+    }
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_divergence_identical_corpora(spark):
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    texts = ["the quick brown fox", "jumps over the lazy dog"]
+    r = corpus_divergence(_docs(spark, texts), _docs(spark, texts, 10)).first()
+    assert r["js_divergence"] == 0.0 and r["kl_ab"] == 0.0
+    assert r["tvd"] == 0.0 and r["vocab_jaccard"] == 1.0
+
+
+def test_divergence_disjoint_corpora(spark):
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    r = corpus_divergence(
+        _docs(spark, ["alpha beta gamma"]),
+        _docs(spark, ["delta epsilon zeta"], 10),
+    ).first()
+    # JS of disjoint supports is exactly ln 2; all mass moved
+    assert r["js_divergence"] == round(math.log(2), 4)
+    assert r["tvd"] == 1.0 and r["vocab_jaccard"] == 0.0
+    assert r["kl_ab"] > 0 and r["kl_ba"] > 0  # smoothed, finite
+
+
+def test_divergence_matches_reference(spark):
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    a = ["the cat sat on the mat", "dogs and cats", "the end"]
+    b = ["a dog ran fast", "the cat ran home", "cats cats cats"]
+    got = corpus_divergence(_docs(spark, a), _docs(spark, b, 10)).first()
+    want = _div_reference(a, b)
+    assert got.asDict() == want
+    # asymmetry is real: KL directions differ unless distributions match
+    assert got["kl_ab"] != got["kl_ba"]
+
+
+def test_divergence_empty_side_is_null_not_zero(spark):
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    r = corpus_divergence(
+        _docs(spark, []), _docs(spark, ["some text"], 10)
+    ).first()
+    assert r["tokens_a"] == 0 and r["tokens_b"] == 2
+    assert r["js_divergence"] is None and r["tvd"] is None
+    both_empty = corpus_divergence(
+        _docs(spark, []), _docs(spark, [], 10)
+    ).first()
+    assert both_empty["tokens_a"] == 0 and both_empty["js_divergence"] is None
