@@ -570,6 +570,61 @@ def pii(source, table, text_col, types, redact_to, fmt, cpus):
 
 
 @cli.command()
+@click.argument("source", required=False)
+@click.argument("table", required=False)
+@click.option("--json-col", default="messages",
+              help="Column holding the chat-message-list JSON")
+@click.option("--id-col", default="doc_id")
+@click.option("--last-role", default="assistant",
+              help="Required closing role ('' disables the rule)")
+@click.option("--render-to", default=None,
+              help="Write VALID conversations rendered to training "
+                   "text (id, text) as parquet to this path")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def chat(source, table, json_col, id_col, last_role, render_to, fmt, cpus):
+    """SFT/chat corpus report for TABLE's JSON-COL (message lists):
+    parse + per-rule validation attrition (roles, alternation,
+    emptiness, closing role) in one pass; ``--render-to`` additionally
+    writes the VALID conversations flattened to deterministic training
+    text. Extension command — no reference analog."""
+    from sparvi_core_spark.operators.conversations import (
+        conversation_report,
+        parse_conversations,
+        render_conversations,
+        validate_conversations,
+    )
+
+    spark = _session(cpus)
+    source, table = _resolve_source(source, table)
+    df = _load_table_df(spark, source, table)
+    parsed = parse_conversations(df, json_col=json_col)
+    flags = validate_conversations(
+        parsed,
+        id_col=id_col,
+        last_role=last_role or None,
+    )
+    row = conversation_report(flags, id_col=id_col).first().asDict()
+    if render_to:
+        valid = parsed.join(
+            flags.filter("valid").select(id_col), id_col
+        )
+        render_conversations(valid, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(render_to)
+        row["rendered_to"] = render_to
+    if fmt == "json":
+        click.echo(json.dumps({"table": table, **row}, default=str))
+        return
+    click.echo(_header(f"Chat corpus report: {table}.{json_col}"))
+    click.echo(_render_table(
+        ["metric", "value"],
+        [[k, row[k]] for k in row],
+    ))
+
+
+@cli.command()
 @click.argument("store_path")
 @click.option("--quantiles", default=None,
               help="Comma-separated quantiles (e.g. 0.1,0.5,0.9); "

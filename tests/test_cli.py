@@ -287,3 +287,53 @@ def test_pii_command_scan_and_redact(spark, sf_dir, tmp_path):
     assert r2.exit_code == 0, r2.output
     assert "docs_with_pii" in r2.output
     assert spark.read.parquet(out).count() == 500
+
+
+def test_chat_command_report_and_render(spark, sf_dir, tmp_path):
+    import json as _json
+
+    # build a chat-shaped parquet table: 3 valid + 1 alternation-fail
+    # + 1 corrupt JSON
+    db = tmp_path / "chatdb"
+    src = str(db / "chat.parquet")
+    spark.createDataFrame(
+        [
+            (1, '[{"role":"user","content":"hi"},'
+                '{"role":"assistant","content":"hello"}]'),
+            (2, '[{"role":"system","content":"be terse"},'
+                '{"role":"user","content":"q"},'
+                '{"role":"assistant","content":"a"}]'),
+            (3, '[{"role":"user","content":"x"},'
+                '{"role":"assistant","content":"y"}]'),
+            (4, '[{"role":"user","content":"x"},'
+                '{"role":"user","content":"y"}]'),
+            (5, "broken"),
+        ],
+        "doc_id long, messages string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "rendered")
+    r = CliRunner().invoke(
+        cli,
+        ["chat", str(db), "chat", "--format", "json", "--render-to", out],
+    )
+    assert r.exit_code == 0, r.output
+    payload = _json.loads(r.output.strip().splitlines()[-1])
+    assert payload["n_conversations"] == 5 and payload["n_valid"] == 3
+    assert payload["fail_parse_ok"] == 1
+    assert payload["fail_alternates_ok"] == 2  # corrupt row also fails
+    rendered = spark.read.parquet(out)
+    assert rendered.count() == 3
+    assert set(rendered.columns) == {"doc_id", "text"}
+
+    r2 = CliRunner().invoke(cli, ["chat", str(db), "chat"])
+    assert r2.exit_code == 0, r2.output
+    assert "fail_last_role_ok" in r2.output
+
+    # '' disables the closing-role rule
+    r3 = CliRunner().invoke(
+        cli, ["chat", str(db), "chat", "--last-role", "", "--format", "json"]
+    )
+    assert r3.exit_code == 0, r3.output
+    p3 = _json.loads(r3.output.strip().splitlines()[-1])
+    assert "fail_last_role_ok" not in p3
