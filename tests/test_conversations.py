@@ -160,3 +160,36 @@ def test_schema_constant_matches(spark):
     row = df.first()["turns"]
     # extra JSON keys are ignored by the typed parse
     assert row[0].asDict() == {"role": "user", "content": "x"}
+
+
+def test_streaming_validation_twin(spark, tmp_path):
+    """The whole parse→validate path is map-only expressions, so it
+    runs UNCHANGED on a readStream frame — the live ingest-gate use
+    (flag/filter malformed conversations as they arrive). Stream
+    result == batch result on the same files."""
+    from sparvi_core_spark.streaming.profile_stream import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "chat_stream"
+    batch = spark.createDataFrame(
+        [(i,) + (ROWS[i % len(ROWS)][1],) for i in range(20)],
+        "doc_id long, messages string",
+    )
+    batch.write.mode("overwrite").parquet(str(d))
+    batch = spark.read.parquet(str(d))
+
+    want = {
+        (r["doc_id"], r["valid"])
+        for r in validate_conversations(parse_conversations(batch)).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = validate_conversations(parse_conversations(stream))
+    assert out.isStreaming
+    run_stream_to_memory(out, "chat_flags_t", output_mode="append")
+    got = {
+        (r["doc_id"], r["valid"])
+        for r in spark.table("chat_flags_t").collect()
+    }
+    assert got == want and len(got) == 20
