@@ -117,6 +117,25 @@ def main() -> None:
     )
     report["srp_near_dups"] = srp_pairs
 
+    # 6b. binary-sketch tier: 256-bit packed SRP sketches (32 B/vector
+    #     — broadcast-able corpus-wide), Hamming pre-rank + exact
+    #     re-rank; recall audited against the same brute-force truth
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk_rerank,
+    )
+
+    sk = binarize_embeddings(emb, bits=256, seed=7).localCheckpoint()
+    hq = sk.join(queries.select("vec_id"), "vec_id")
+    h = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hamming_topk_rerank(sk, hq, k=10, rerank=50).collect()
+    }
+    report["binary_sketch"] = {
+        "bits": 256,
+        "recall_at_10": round(len(h & e) / max(len(e), 1), 4),
+    }
+
     # 7. IVF-PQ: compress the corpus to m code bytes + a bucket id per
     #    vector (64 floats -> 8 bytes here), then search the CODES —
     #    the float table is never read by the probe. The recall audit
