@@ -959,6 +959,52 @@ def q_hamming_topk(spark, sf_dir):
     )
 
 
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal rank fusion (operators/ranking.py; no reference
+    analog — hybrid-search extension surface). Two retriever rankings
+    are PLANTED per query from md5 orderings (salts 'a'/'b', top-10
+    each — deterministic and engine-portable), then fused with the
+    standard k=60; the fusion algebra, absent-doc semantics and
+    (score desc, id) tie contract are what's under test (round 7)."""
+    from pyspark.sql import Window as W
+
+    from sparvi_core_spark.operators.ranking import rrf_fuse
+
+    t = _views(spark, sf_dir)
+    base = (
+        t["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .crossJoin(
+            spark.range(1, 4).select(F.col("id").alias("query_id"))
+        )
+    )
+
+    def ranking(salt):
+        key = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(f"|{salt}|"),
+                F.col("query_id").cast("string"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(key, F.col("doc_id"))
+        return (
+            base.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "rank")
+        )
+
+    fused = rrf_fuse([ranking("a"), ranking("b")], k=60)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -1156,6 +1202,7 @@ _LOCAL_ONLY = (
     "group_topk",
     "hamming_topk",
     "corpus_divergence",
+    "rrf_fuse",
 )
 
 
@@ -1247,6 +1294,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "hamming_topk": q_hamming_topk,
         "corpus_divergence": q_corpus_divergence,
+        "rrf_fuse": q_rrf_fuse,
     }
 
 
@@ -2309,6 +2357,42 @@ SELECT CAST(any_value(ta) AS BIGINT) AS tokens_a,
        round(sum(qs * ln(qs / ps)), 4) AS kl_ba,
        round(sum(abs(p - q) / 2), 4) AS tvd
 FROM terms"""
+
+    o["rrf_fuse"] = r"""
+WITH base AS (
+  SELECT d.doc_id, q.query_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+       (SELECT unnest([1, 2, 3]) AS query_id) q
+),
+ra AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY md5(doc_id::VARCHAR || '|a|' || query_id::VARCHAR),
+                      doc_id) AS rank
+  FROM base QUALIFY rank <= 10
+),
+rb AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY md5(doc_id::VARCHAR || '|b|' || query_id::VARCHAR),
+                      doc_id) AS rank
+  FROM base QUALIFY rank <= 10
+),
+un AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM ra
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM rb
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(contrib), 6) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM un GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused"""
 
     o["pii_counts"] = f"""
 WITH aug AS (

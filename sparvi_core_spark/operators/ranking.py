@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # lowercase alnum-run tokenizer — the standard IR normalization; the
 # same regex works verbatim in DuckDB's regexp_split_to_array for the
@@ -202,3 +202,61 @@ def tfidf_vectors(
         "df",
         F.round(tfidf, round_to).alias("tfidf"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    weights: list[float] | None = None,
+    query_col: str | None = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. SIGIR'09) of N ranked
+    lists — the standard way hybrid search merges lexical (BM25) and
+    vector (ANN) rankings without score calibration:
+
+    ``rrf_score(d) = Σ_lists w_l / (k + rank_l(d))``
+
+    Each input needs (``query_col``, ``id_col``, ``rank_col``) —
+    exactly what :func:`bm25_search` (per-query via a literal
+    query_id), ``similarity.cosine_topk`` and
+    ``binary_sketch.hamming_topk`` emit. A document absent from a list
+    simply contributes nothing (the defining property: RRF needs no
+    score normalization across heterogeneous retrievers).
+    ``query_col=None`` fuses single-query lists. ``n_lists`` rides
+    along (how many retrievers surfaced the doc). Ties break by id.
+
+    Scale: the inputs are already top-k-bounded per query (Q×k rows
+    each), so the union + one map-side-combined groupBy + per-query
+    window run on candidate-pool-sized data, never corpus-sized —
+    fusion cost is independent of corpus size by construction.
+    """
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    w = weights if weights is not None else [1.0] * len(rankings)
+    if len(w) != len(rankings):
+        raise ValueError(
+            f"got {len(w)} weights for {len(rankings)} rankings"
+        )
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = []
+    for df, wi in zip(rankings, w):
+        contrib = F.lit(float(wi)) / (
+            F.lit(int(k)) + F.col(rank_col).cast("double")
+        )
+        parts.append(df.select(*keys, contrib.alias("contrib")))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy(*keys).agg(
+        F.round(F.sum("contrib"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    win = Window.partitionBy(
+        *([query_col] if query_col else [])
+    ).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    out = fused.withColumn("rank", F.row_number().over(win))
+    return out.filter(F.col("rank") <= top_n) if top_n else out

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window, functions as F
 
 from sparvi_core_spark.operators.ranking import (
     bm25_search,
@@ -104,3 +105,102 @@ def test_bm25_repartition_invariant(spark, corpus):
         corpus.repartition(7), "cat dog sat", top_n=3
     ).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in shuffled]
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (r7): reciprocal rank fusion. DuckDB parity is the demoted
+# pair `rrf_fuse` in test_oracle_parity.
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long"
+    )
+
+
+def test_rrf_hand_checked(spark):
+    from sparvi_core_spark.operators.ranking import rrf_fuse
+
+    a = _ranking(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    b = _ranking(spark, [(1, 11, 1), (1, 13, 2)])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    # doc 11: 1/62 + 1/61 ; doc 10: 1/61 ; doc 13: 1/62 ; doc 12: 1/63
+    assert got[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert got[11]["rank"] == 1 and got[11]["n_lists"] == 2
+    assert got[10]["rrf_score"] == round(1 / 61, 6)
+    assert got[13]["rrf_score"] == round(1 / 62, 6)
+    # rank order: fused consensus first, then by score, ties by id
+    assert [got[d]["rank"] for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_rrf_weights_and_topn(spark):
+    from sparvi_core_spark.operators.ranking import rrf_fuse
+
+    a = _ranking(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _ranking(spark, [(1, 11, 1), (1, 10, 2)])
+    # symmetric lists, asymmetric weights: the heavier list decides
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in rrf_fuse([a, b], weights=[3.0, 1.0], top_n=1).collect()
+    }
+    assert got == {10: 1}
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1.0])
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+
+
+def test_rrf_single_query_lists(spark):
+    from sparvi_core_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(11, 1)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], query_col=None).collect()
+    assert {r["doc_id"]: r["rank"] for r in rows} == {11: 1, 10: 2}
+
+
+def test_rrf_hybrid_bm25_plus_hamming(spark, corpus):
+    """The advertised use: fuse a lexical ranking with a vector-sketch
+    ranking over the same ids — schema compatibility end to end."""
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+    from sparvi_core_spark.operators.ranking import bm25_search, rrf_fuse
+
+    lex = (
+        bm25_search(corpus, "spark data", top_n=5)
+        .select(
+            F.lit(0).alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [
+            (r["doc_id"], [float(x) for x in rng.normal(size=8)])
+            for r in corpus.select("doc_id").collect()
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sk = binarize_embeddings(emb, bits=64, seed=2)
+    vec = hamming_topk(sk, sk.filter("vec_id = 1"), k=5).select(
+        F.lit(0).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = rrf_fuse([lex, vec], k=60)
+    rows = fused.collect()
+    assert rows and {"query_id", "doc_id", "rrf_score", "n_lists", "rank"} <= {
+        c for c in fused.columns
+    }
+    # every fused doc came from at least one retriever, capped at 2
+    assert all(1 <= r["n_lists"] <= 2 for r in rows)
