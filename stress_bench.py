@@ -626,6 +626,37 @@ def main() -> None:
     bench("idx_pq_rerank_sec", run_pq_rerank)
     shutil.rmtree(idx_root, ignore_errors=True)
 
+    # binary-sketch tier on the same 190k × dim-64 corpus: one
+    # Arrow-matmul binarize pass, then Hamming pre-rank + exact
+    # re-rank for the same 100 queries (32 B/vector at 256 bits —
+    # the broadcast-able representation the float tiers can't be)
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk_rerank,
+    )
+
+    sk_corpus = None
+
+    def run_sketch_build():
+        nonlocal sk_corpus
+        sk_corpus = binarize_embeddings(
+            idx_corpus, bits=256, seed=7, engine="blas"
+        ).localCheckpoint()
+        assert sk_corpus.count() == 190_000
+
+    bench("sketch_build_sec", run_sketch_build)
+    sk_queries = binarize_embeddings(
+        idx_queries, bits=256, seed=7, engine="blas"
+    ).localCheckpoint()
+
+    def run_sketch_search():
+        n = hamming_topk_rerank(
+            sk_corpus, sk_queries, k=10, rerank=50
+        ).count()
+        assert n == 100 * 10
+
+    bench("sketch_search_sec", run_sketch_search)
+
     print(
         json.dumps(
             {
