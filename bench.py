@@ -244,6 +244,7 @@ def build_suite(spark, sf_dir):
     # re-rank of the candidate pool (r7)
     from sparvi_core_spark.operators.binary_sketch import (
         binarize_embeddings,
+        hamming_topk,
         hamming_topk_rerank,
     )
 
@@ -260,6 +261,39 @@ def build_suite(spark, sf_dir):
         )
 
     suite.append(("hamming_search", run_hamming_search))
+
+    # hybrid retrieval: lexical BM25 over documents fused with a
+    # binary-sketch vector ranking over the aligned embeddings
+    # (vec_id == doc_id by fixture construction), RRF k=60 (r7)
+    from pyspark.sql import Window
+
+    from sparvi_core_spark.operators.ranking import bm25_search, rrf_fuse
+
+    def run_hybrid_search():
+        docs = spark.table("documents")
+        lex = bm25_search(docs, "data quality pipeline", top_n=50).select(
+            F.lit(0).alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+        sk = binarize_embeddings(
+            spark.table("embeddings").select("vec_id", "embedding"),
+            bits=256,
+            seed=7,
+            engine="blas",
+        )
+        vec = hamming_topk(
+            sk, sk.filter(F.col("vec_id") == 0), k=50
+        ).select(
+            F.lit(0).alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        _force(rrf_fuse([lex, vec], k=60, top_n=20))
+
+    suite.append(("hybrid_search", run_hybrid_search))
 
     return suite
 
