@@ -241,3 +241,88 @@ def hamming_topk_rerank(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    max_dist: int,
+    id_col: str = "vec_id",
+    sketch_col: str = "sketch",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Hamming near-duplicate mining over packed
+    sketches, without the all-pairs join: pigeonhole word blocking →
+    ``(id_a, id_b, distance)`` for every pair with
+    ``hamming ≤ max_dist`` (ids ordered ``a < b``).
+
+    The guarantee (multi-index hashing, Norouzi et al. CVPR'12, with
+    the words as the substrings — the same pigeonhole
+    ``dedup.simhash_near_pairs`` uses for 64-bit SimHash): a pair
+    within ``max_dist < n_words`` differs in at most ``n_words − 1``
+    words, so at least ONE word matches exactly — candidate
+    generation over word-equality buckets is lossless, and the exact
+    distance filter removes false candidates. ``max_dist ≥ n_words``
+    is refused (the guarantee would silently break) — widen the
+    sketch or raise ``bits`` per word budget instead.
+
+    Scale: candidates come from equi-join buckets keyed on
+    (word index, word value) — never a cartesian; the shuffle carries
+    (8-byte word, id) rows, map-side-combinable. A word value shared
+    by B sketches fans out B² pairs IN THAT BUCKET ONLY;
+    ``max_bucket`` drops degenerate buckets (all-zero sketches from
+    zero vectors, saturated codes), with the same documented recall
+    caveat as the SimHash cap: dropped buckets generate no candidates.
+    NULL sketches never pair.
+    """
+    n_words = (
+        df.select(F.max(F.size(F.col(sketch_col)))).first()[0] or 0
+    )
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if max_dist >= n_words:
+        raise ValueError(
+            f"max_dist ({max_dist}) must be < the word count "
+            f"({n_words}) for the pigeonhole guarantee to hold — use "
+            f"wider sketches or hamming_topk for large radii"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(sketch_col).alias("sk")
+    ).filter(F.col("sk").isNotNull())
+    words = base.select(
+        "id", F.posexplode(F.col("sk")).alias("widx", "wval")
+    )
+    if max_bucket is not None:
+        counts = words.groupBy("widx", "wval").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        words = words.join(
+            counts.filter(F.col("_n") <= max_bucket), ["widx", "wval"]
+        ).drop("_n")
+    a = words.alias("a")
+    b = words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.widx") == F.col("b.widx"))
+            & (F.col("a.wval") == F.col("b.wval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sk").alias("sk_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sk").alias("sk_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sk_a"), F.col("sk_b")).alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") <= max_dist)
+    )

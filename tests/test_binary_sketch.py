@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from sparvi_core_spark.operators.binary_sketch import (
     binarize_embeddings,
     hamming_distance,
+    hamming_near_pairs,
     hamming_topk,
     hamming_topk_rerank,
 )
@@ -190,3 +191,104 @@ def test_plans(clustered):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _sketch_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, sketch array<bigint>"
+    )
+
+
+def test_near_pairs_exact_vs_bruteforce(spark):
+    """THE exactness pin: for max_dist < n_words the pigeonhole
+    blocking must return exactly the brute-force pair set, including
+    pairs differing in bits spread across several (but not all)
+    words."""
+    import itertools
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    base = rng.getrandbits(63)
+    for i in range(30):
+        # clusters of 3 around shared prototypes, plus noise rows
+        proto = base ^ rng.getrandbits(8) if i % 3 == 0 else None
+        if proto is not None:
+            last = [proto, proto ^ (1 << 7), rng.getrandbits(63)]
+        w = [
+            rng.getrandbits(63) if i % 3 != 0 else last[i % 3],
+            rng.getrandbits(63) if i % 2 else base,
+            rng.getrandbits(63) if i % 5 else base ^ 3,
+        ]
+        rows.append((i, [int(x) for x in w]))
+    df = _sketch_df(spark, rows)
+    for max_dist in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in hamming_near_pairs(df, max_dist=max_dist).collect()
+        }
+        want = set()
+        d = dict(rows)
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            dist = sum(
+                bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                for x, y in zip(sa, sb)
+            )
+            if dist <= max_dist:
+                want.add((min(ia, ib), max(ia, ib), dist))
+        assert got == want, (max_dist, got ^ want)
+
+
+def test_near_pairs_guarantee_bound_refused(spark):
+    df = _sketch_df(spark, [(1, [0, 0]), (2, [1, 1])])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, max_dist=2)  # 2 words -> max_dist <= 1
+    with pytest.raises(ValueError, match=">= 0"):
+        hamming_near_pairs(df, max_dist=-1)
+
+
+def test_near_pairs_null_and_cap(spark):
+    rows = [
+        (1, [7, 7, 7]),
+        (2, [7, 7, 6]),   # dist 1 from 1 (word 3 differs by one bit)
+        (3, None),
+        *[(10 + i, [0, 0, i + 100]) for i in range(6)],  # degenerate
+    ]
+    df = _sketch_df(spark, rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(df, max_dist=1).collect()
+    }
+    assert (1, 2) in got  # NULL never pairs
+    assert not any(3 in p for p in got)
+    # the 6 degenerate rows share words 1+2 → bucket of 6; capping at 5
+    # drops those buckets and with them their candidates
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(df, max_dist=1, max_bucket=5).collect()
+    }
+    assert capped == {(1, 2)}
+
+
+def test_near_pairs_end_to_end_from_vectors(clustered):
+    """Binarize → near-pairs recovers same-cluster near-dup structure:
+    every returned pair is within-cluster on the tight fixture."""
+    sk = binarize_embeddings(clustered, bits=256, seed=7)
+    pairs = hamming_near_pairs(
+        sk, max_dist=3, id_col="vec_id"
+    ).collect()
+    assert pairs, "tight clusters should yield near pairs at dist<=3"
+    for r in pairs:
+        assert r["id_a"] // 20 == r["id_b"] // 20, r
+
+
+def test_near_pairs_plan_no_cartesian(spark):
+    df = _sketch_df(spark, [(i, [i % 4, i % 3]) for i in range(20)])
+    plan = (
+        hamming_near_pairs(df, max_dist=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
