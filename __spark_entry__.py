@@ -1005,6 +1005,44 @@ def q_rrf_fuse(spark, sf_dir):
     )
 
 
+def q_hamming_near_pairs(spark, sf_dir):
+    """Exact Hamming near-pair mining (operators/binary_sketch.py).
+    Sketch words are PLANTED so near pairs exist by construction: base
+    words keyed on vec_id mod 25/40/50 (ids ≡ mod lcm=200 share all
+    three bases) with the third word XOR-perturbed by vec_id%3, so
+    each such pair lands at distance 1-2 — findable at max_dist=2 via
+    the pigeonhole blocking. The ORACLE brute-forces ALL pairs and
+    filters, so the parity check doubles as an exactness proof of the
+    blocked plan on real table ids (round 7)."""
+    from sparvi_core_spark.operators.binary_sketch import (
+        hamming_near_pairs,
+    )
+
+    t = _views(spark, sf_dir)
+
+    def word(mod, salt):
+        md = F.md5(
+            F.concat(
+                (F.col("vec_id") % mod).cast("string"), F.lit(f"|{salt}")
+            )
+        )
+        return F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint")
+
+    sk = t["embeddings"].select(
+        "vec_id",
+        F.array(
+            word(25, "w0"),
+            word(40, "w1"),
+            word(50, "w2").bitwiseXOR(F.col("vec_id") % 3),
+        ).alias("sketch"),
+    )
+    return hamming_near_pairs(sk, max_dist=2).select(
+        "id_a",
+        "id_b",
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from sparvi_core_spark.functions.text import token_counts
 
@@ -1203,6 +1241,7 @@ _LOCAL_ONLY = (
     "hamming_topk",
     "corpus_divergence",
     "rrf_fuse",
+    "hamming_near_pairs",
 )
 
 
@@ -1295,6 +1334,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk": q_hamming_topk,
         "corpus_divergence": q_corpus_divergence,
         "rrf_fuse": q_rrf_fuse,
+        "hamming_near_pairs": q_hamming_near_pairs,
     }
 
 
@@ -2393,6 +2433,23 @@ SELECT query_id, doc_id, rrf_score, n_lists,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
 FROM fused"""
+
+    o["hamming_near_pairs"] = r"""
+WITH sk AS (
+  SELECT vec_id,
+         [CAST(concat('0x', substr(md5((vec_id % 25)::VARCHAR || '|w0'),1,15)) AS BIGINT),
+          CAST(concat('0x', substr(md5((vec_id % 40)::VARCHAR || '|w1'),1,15)) AS BIGINT),
+          xor(CAST(concat('0x', substr(md5((vec_id % 50)::VARCHAR || '|w2'),1,15)) AS BIGINT),
+              vec_id % 3)] AS sketch
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1,4),
+              i -> bit_count(xor(a.sketch[i], b.sketch[i])))) AS BIGINT) AS distance
+  FROM sk a, sk b
+  WHERE a.vec_id < b.vec_id
+) WHERE distance <= 2"""
 
     o["pii_counts"] = f"""
 WITH aug AS (
