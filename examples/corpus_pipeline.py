@@ -381,6 +381,17 @@ def main() -> None:
         .asDict(),
     }
 
+    # 10b'. distribution-shift audit between the same two snapshots:
+    #       how much token MASS the gates moved (JS/TVD), whether the
+    #       movement is one-sided (KL asymmetry), and the type-level
+    #       survival rate (vocab Jaccard) — the number a release note
+    #       quotes when swapping corpus versions
+    from sparvi_core_spark.operators.diversity import corpus_divergence
+
+    report["divergence_pre_vs_release"] = (
+        corpus_divergence(docs, mixed).first().asDict()
+    )
+
     # 10c. privacy scrub: redact PII in the release text (typed
     #      placeholders; card shapes over-removed — the safe
     #      direction) and record the release gate — total_* must be 0
