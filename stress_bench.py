@@ -657,6 +657,47 @@ def main() -> None:
 
     bench("sketch_search_sec", run_sketch_search)
 
+    # near-pair mining under a degenerate bucket: 4k sketches share
+    # one word value (word-1 bucket fans 4k² candidates uncapped) but
+    # contain NO true near pairs through it — the planted truth is
+    # 100k even/odd pairs at distance 0, which share ALL words and so
+    # survive any single-bucket drop. The cap must change the cost,
+    # never the answer.
+    from sparvi_core_spark.operators.binary_sketch import (
+        hamming_near_pairs,
+    )
+
+    pair_base = F.col("id") - F.col("id") % 2
+    sk_pairs = (
+        spark.range(200_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.when(F.col("id") < 4000, F.lit(0).cast("long")).otherwise(
+                    F.xxhash64(pair_base, F.lit("w0"))
+                ),
+                F.xxhash64(pair_base, F.lit("w1")),
+                F.xxhash64(pair_base, F.lit("w2")),
+                F.xxhash64(pair_base, F.lit("w3")),
+            ).alias("sketch"),
+        )
+        .localCheckpoint()
+    )
+
+    def run_sketch_pairs_capped():
+        n = hamming_near_pairs(
+            sk_pairs, max_dist=1, max_bucket=100
+        ).count()
+        assert n == 100_000, n
+
+    bench("sketch_pairs_capped_sec", run_sketch_pairs_capped)
+
+    def run_sketch_pairs_uncapped():
+        n = hamming_near_pairs(sk_pairs, max_dist=1).count()
+        assert n == 100_000, n
+
+    bench("sketch_pairs_uncapped_sec", run_sketch_pairs_uncapped)
+
     print(
         json.dumps(
             {
