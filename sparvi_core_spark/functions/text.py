@@ -418,3 +418,142 @@ def vocab_coverage(
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText quality rules
+# ---------------------------------------------------------------------------
+
+# the 8 "must contain at least 2" words from the MassiveText filter
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# line-leading bullet glyphs (the published rule names the bullet
+# point; ASCII list markers are included because plain-text corpora
+# render bullets as - or *)
+GOPHER_BULLETS = ["•", "‣", "▪", "-", "*"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.10,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The named document-level quality rules of the Gopher /
+    MassiveText cleaning recipe (Rae et al. 2021, Table A1 — also the
+    rule set RefinedWeb/Dolma reuse), as one map-only projection:
+    per-rule raw statistics, per-rule booleans, and the AND-composed
+    ``passes_gopher``. Defaults are the published thresholds;
+    every one is a keyword so corpora can re-tune without forking.
+
+    Rules (ok_* True = document survives that rule):
+
+    - ``ok_word_count``: whitespace-word count in [min_words,
+      max_words].
+    - ``ok_mean_word_len``: mean word length in [3, 10].
+    - ``ok_symbol_ratio``: (# of ``#`` chars + non-overlapping ``...``
+      occurrences) / words ≤ 0.1.
+    - ``ok_bullet_lines``: fraction of non-empty lines starting with a
+      bullet glyph ≤ 0.1 (the published "90% of lines must not start
+      with a bullet").
+    - ``ok_ellipsis_lines``: fraction of non-empty lines ending with
+      ``...`` or ``…`` ≤ 0.3.
+    - ``ok_alpha_words``: fraction of words containing ≥1 ASCII letter
+      ≥ 0.8 (script-specific corpora should lower this).
+    - ``ok_required_words``: ≥2 distinct hits among the 8 required
+      English words (exact lowercase token match). English-specific by
+      construction, as published.
+
+    The within-document REPETITION rules of the same table (duplicate
+    line / top-n-gram character fractions) live in
+    :func:`repetition_stats` — they need per-doc grouping, so keeping
+    them separate keeps THIS operator shuffle-free; join on ``id`` and
+    threshold to compose the full filter.
+
+    NULL text propagates NULL stats and flags — under
+    ``.filter("passes_gopher")`` a NULL never survives (SQL three-
+    valued logic), which is the right filter behaviour; count NULLs
+    separately if they need their own report line.
+
+    Scale shape: pure codegen expressions over two splits (words,
+    lines) — no shuffle, no Python, no join; cost is one corpus scan.
+    Fractions are rounded to 4 (the cross-engine float rule), and the
+    thresholds are applied to the ROUNDED values so the booleans are
+    exactly reproducible from the emitted stats.
+    """
+    text = F.col(text_col)
+    words = _tokens(text_col)
+    n_words = F.size(words)
+    wd = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+        / wd,
+        4,
+    )
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipses_doc = F.size(
+        F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0))
+    )
+    symbol_ratio = F.round((hashes + ellipses_doc) / wd, 4)
+
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    ld = F.greatest(n_lines, F.lit(1))
+    bullets = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.array_contains(bullets, F.substring(x, 1, 1)))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    bullet_frac = F.round(bullet_lines / ld, 4)
+    ellipsis_frac = F.round(ellipsis_lines / ld, 4)
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / wd, 4)
+
+    required = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    req_hits = F.size(
+        F.array_intersect(F.transform(words, F.lower), required)
+    )
+
+    stats = {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "required_word_hits": req_hits.cast("bigint"),
+    }
+    flags = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_ratio,
+        "ok_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "ok_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_required_words": F.col("required_word_hits")
+        >= min_required_words,
+    }
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(name) for name, c in stats.items()],
+    ).withColumns(flags)
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return base.withColumn("passes_gopher", passes)

@@ -400,3 +400,131 @@ def filter_blocked_hosts(
         blocked_ids, df[id_col] == blocked_ids["__bid"], "left_anti"
     )
     return kept, blocked
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# query keys stripped by canonicalize_url: click/campaign trackers that
+# vary per visitor while pointing at the same resource. Any key whose
+# lowercase form starts with ``utm_`` is also stripped.
+TRACKING_PARAMS = [
+    "gclid", "fbclid", "msclkid", "yclid", "igshid", "twclid",
+    "mc_cid", "mc_eid", "_ga", "_gl", "s_kwcid", "spm", "ref_src",
+]
+
+_HOSTPORT_FROM_REST_RE = r"^(?:[^/?#@]*@)?([^/?#\s]+)"
+_PORT_RE = r":(\d+)$"
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+
+def canonicalize_url(
+    url_col: str = "url",
+    strip_www: bool = False,
+    keep_params: list[str] | None = None,
+) -> F.Column:
+    """One canonical string per resource, so exact URL dedup stops
+    treating tracker/fragment/case variants as distinct documents (the
+    crawl-frontier + URL-dedup normalization step every web corpus
+    runs; the reference has no web surface — extension operator).
+
+    Deterministic, documented recipe:
+
+    - scheme and host lowercased; userinfo (``user:pass@``) dropped;
+      fragment (``#...``) dropped.
+    - default ports stripped (http:80, https:443, ftp:21, ws/wss);
+      any other explicit port is kept.
+    - ``strip_www=True`` additionally removes one leading ``www.``
+      label from the host (common for dedup keys; off by default
+      because ``www`` and apex CAN serve different content).
+    - empty path becomes ``/``; a single trailing slash on a deeper
+      path is removed (``/a/`` → ``/a``) so the two crawl spellings
+      collide.
+    - query: tracking keys (``utm_*`` prefix + ``TRACKING_PARAMS``,
+      matched on the lowercased key) are removed; survivors are sorted
+      byte-wise on the full ``key=value`` token (key case and value
+      untouched — they can be significant); empty query drops the
+      ``?``. ``keep_params`` flips to whitelist mode: ONLY those
+      (lowercased) keys survive.
+    - inputs that don't parse as ``scheme://...`` pass through
+      trimmed-only (garbage in, trimmed garbage out — never NULL, so
+      a dedup key over the result keeps unparseable rows distinct).
+
+    Pure codegen expressions (regex/array ops in the Java∩RE2∩DuckDB
+    subset — oracle-checkable, map-only, zero Python).
+    """
+    url = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_replace(url, _PREFIX_RE, "")
+    hostport = F.regexp_extract(rest, _HOSTPORT_FROM_REST_RE, 1)
+    host = F.lower(F.regexp_replace(hostport, _PORT_RE, ""))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
+    default_port = F.coalesce(
+        *[
+            F.when(scheme == s, F.lit(p))
+            for s, p in _DEFAULT_PORTS.items()
+        ],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    raw_path = F.regexp_extract(rest, _PATH_FROM_REST_RE, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(raw_path) > 1) & raw_path.endswith("/"),
+            raw_path.substr(F.lit(1), F.length(raw_path) - 1),
+        ).otherwise(raw_path)
+    )
+
+    raw_q = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(F.split(raw_q, "&"), lambda x: x != "")
+    key_of = lambda x: F.lower(F.element_at(F.split(x, "=", 2), 1))
+    if keep_params is not None:
+        allowed = F.array(*[F.lit(k.lower()) for k in keep_params])
+        params = F.filter(params, lambda x: F.array_contains(allowed, key_of(x)))
+    else:
+        blocked = F.array(*[F.lit(k) for k in TRACKING_PARAMS])
+        params = F.filter(
+            params,
+            lambda x: ~key_of(x).startswith("utm_")
+            & ~F.array_contains(blocked, key_of(x)),
+        )
+    query = F.array_join(F.array_sort(params), "&")
+    q_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query)
+    )
+
+    canonical = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when(scheme == "", url).otherwise(canonical)
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+    order: str = "hash",
+    order_col: str | None = None,
+    salt: str = "urldedup",
+) -> DataFrame:
+    """Keep exactly one row per canonical URL (``canonicalize_url``
+    with ``strip_www`` defaulting ON — for dedup, merging www/apex
+    variants is usually wanted). Winner selection is
+    ``cap_per_group``'s vocabulary: ``order="hash"`` a seeded-hash-
+    stable representative, ``order="id"`` the lowest id,
+    ``order="quality"`` the highest ``order_col`` (for
+    earliest-fetch-wins, pass a negated/inverted timestamp column).
+    One shuffle on the canonical key.
+    Unparseable URLs canonicalize to their trimmed selves, so distinct
+    garbage rows all survive."""
+    tmp = "__canon_url"
+    out = cap_per_group(
+        df.withColumn(tmp, canonicalize_url(url_col, strip_www=strip_www)),
+        tmp, 1, id_col=id_col, order=order, order_col=order_col, salt=salt,
+    )
+    return out.drop(tmp)

@@ -314,3 +314,121 @@ def select_corpus(
     return docs.join(
         picked.select(id_col, "log_importance"), id_col, "inner"
     )
+
+
+def filter_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Attrition curve for a score-based filter: for every candidate
+    threshold, how many documents (and how much ``weight_col`` mass —
+    tokens, bytes) would survive ``score ≥ t`` (or ``≤ t`` with
+    ``descending=False``). The threshold-calibration step run before
+    committing a quality/perplexity/classifier cutoff — pick the knee
+    instead of guessing (every published pipeline reports exactly this
+    table: C4's ~⅔ drop, Gopher's per-rule attrition).
+
+    Returns one row per threshold: ``(threshold, docs_kept, doc_frac,
+    weight_kept, weight_frac)`` — ``weight_*`` NULL when no
+    ``weight_col``. NULL scores survive no threshold (a filter can't
+    pass what it can't score) but DO count in the denominators, so the
+    fractions reflect true corpus attrition. Fractions rounded to 4.
+
+    Scale shape — ONE corpus pass regardless of len(thresholds): each
+    row maps to the count of thresholds it passes (a bucket index, via
+    a size(filter(literal_array)) expression), one map-side-combined
+    groupBy over ≤ len(thresholds)+1 bucket rows, then the cumulative
+    "≥ bucket" sums run in a window over that tiny frame. No explode
+    (a row×T blowup would scan T× the corpus mass), no per-threshold
+    jobs, no Python.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    t_arr = F.array(*[F.lit(t) for t in ts])
+    score = F.col(score_col)
+    # bucket = number of thresholds this row passes; NULL score → 0
+    if descending:
+        passed = F.size(F.filter(t_arr, lambda t: score >= t))
+    else:
+        passed = F.size(F.filter(t_arr, lambda t: score <= t))
+    bucket = F.when(score.isNull(), F.lit(0)).otherwise(passed)
+
+    w = F.col(weight_col) if weight_col else F.lit(None).cast("double")
+    per_bucket = (
+        df.select(bucket.alias("bucket"), w.alias("w"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("wsum"),
+        )
+    )
+    # survivors of threshold rank r (1-based into ts ascending) are the
+    # rows whose bucket ≥ (len(ts) - r + 1) for descending (passing the
+    # r-th smallest implies passing all smaller); mirror for ascending.
+    from pyspark.sql import Window
+
+    win = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_bucket.withColumns(
+        {
+            "cum_n": F.sum("n").over(win),
+            "cum_w": F.sum("wsum").over(win),
+        }
+    )
+    totals = df.select(
+        F.count(F.lit(1)).alias("t_n"),
+        (F.sum(w) if weight_col else F.max(w)).alias("t_w"),
+    )
+    # threshold → required pass-count. Descending: surviving the i-th
+    # smallest threshold implies surviving every smaller one, so a row
+    # passes t_i iff its pass-count ≥ i+1. Ascending (score ≤ t):
+    # surviving t_i implies surviving every LARGER one → need = len-i.
+    need = df.sparkSession.createDataFrame(
+        [
+            (t, i + 1 if descending else len(ts) - i)
+            for i, t in enumerate(ts)
+        ],
+        "threshold double, need int",
+    )
+    # cum_n at bucket b counts rows with pass-count ≥ b, but only
+    # observed bucket values exist — take cum at the SMALLEST observed
+    # bucket ≥ need (left join: no such bucket → nothing survives)
+    picked = need.join(
+        cum, cum["bucket"] >= need["need"], "left"
+    ).groupBy("threshold").agg(
+        F.min_by(F.struct("cum_n", "cum_w"), F.col("bucket")).alias("best"),
+    )
+    out = (
+        picked.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            F.coalesce(F.col("best.cum_n"), F.lit(0)).alias("docs_kept"),
+            F.round(
+                F.coalesce(F.col("best.cum_n"), F.lit(0))
+                / F.greatest(F.col("t_n"), F.lit(1)),
+                4,
+            ).alias("doc_frac"),
+            (
+                F.coalesce(F.col("best.cum_w"), F.lit(0.0))
+                if weight_col
+                else F.col("best.cum_w")
+            ).alias("weight_kept"),
+            F.round(
+                (
+                    F.coalesce(F.col("best.cum_w"), F.lit(0.0))
+                    if weight_col
+                    else F.col("best.cum_w")
+                )
+                / F.col("t_w"),
+                4,
+            ).alias("weight_frac"),
+        )
+        .orderBy("threshold")
+    )
+    return out

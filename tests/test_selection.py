@@ -316,3 +316,76 @@ def test_kgram_features_edge_cases(spark):
     assert rows[2] == ["two", "words", "two words"]
     assert rows[3] == []
     assert rows[4] == ["a", "b", "c", "a b", "b c"]
+
+
+# ---------------------------------------------------------------------------
+# filter_sweep — threshold attrition curves
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.operators.selection import filter_sweep  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [
+        (i, None if i % 7 == 3 else (i % 11) / 10.0, 10 * (i + 1))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, toks long")
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_filter_sweep_matches_brute_force(spark, scored, descending):
+    ts = [0.0, 0.25, 0.5, 0.95, 1.5]
+    out = {
+        r["threshold"]: r
+        for r in filter_sweep(
+            scored, "score", ts, weight_col="toks", descending=descending
+        ).collect()
+    }
+    total_n = scored.count()
+    total_w = scored.agg(F.sum("toks")).collect()[0][0]
+    assert sorted(out) == sorted(ts)
+    for t in ts:
+        cond = F.col("score") >= t if descending else F.col("score") <= t
+        surv = scored.filter(cond)
+        n = surv.count()
+        w = surv.agg(F.coalesce(F.sum("toks"), F.lit(0))).collect()[0][0]
+        got = out[t]
+        assert got["docs_kept"] == n, t
+        assert got["weight_kept"] == w, t
+        assert got["doc_frac"] == pytest.approx(n / total_n, abs=6e-5)
+        assert got["weight_frac"] == pytest.approx(w / total_w, abs=6e-5)
+
+
+def test_filter_sweep_no_weight_and_dedup_thresholds(spark, scored):
+    out = filter_sweep(scored, "score", [0.5, 0.5, 0.2]).collect()
+    assert [r["threshold"] for r in out] == [0.2, 0.5]
+    assert all(r["weight_kept"] is None for r in out)
+    assert all(r["weight_frac"] is None for r in out)
+    with pytest.raises(ValueError):
+        filter_sweep(scored, "score", [])
+
+
+def test_filter_sweep_null_scores_never_survive(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, None, 5)], "doc_id long, score double, toks long"
+    )
+    row = filter_sweep(df, "score", [0.0], weight_col="toks").collect()[0]
+    assert row["docs_kept"] == 0 and row["weight_kept"] == 0.0
+    assert row["doc_frac"] == 0.0 and row["weight_frac"] == 0.0
+
+
+def test_filter_sweep_single_scan(spark, scored):
+    """One corpus pass regardless of threshold count: the corpus scan
+    appears a bounded number of times (bucket agg + totals), never
+    once per threshold."""
+    plan = (
+        filter_sweep(scored, "score", [i / 20 for i in range(20)])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # corpus relations carry the doc_id column; the third LogicalRDD is
+    # the 20-row threshold frame
+    assert plan.count("LogicalRDD [doc_id") == 2

@@ -329,3 +329,148 @@ def test_vocab_coverage_hand_checked(spark):
     assert rows[2]["coverage"] == pytest.approx(7 / 9, abs=1e-6)
     with pytest.raises(ValueError):
         vocab_coverage(df, [])
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText quality rules
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparvi_core_spark.functions.text import (  # noqa: E402
+    GOPHER_BULLETS,
+    GOPHER_REQUIRED_WORDS,
+    gopher_quality_flags,
+)
+
+
+def _py_gopher_stats(text):
+    """Independent Python twin of the raw statistics (unrounded)."""
+    import re as _re
+
+    words = [w for w in text.split(" ") if w != ""]
+    wd = max(len(words), 1)
+    mean_wl = sum(len(w) for w in words) / wd
+    hashes = text.count("#")
+    ellipses = len(_re.findall(r"\.\.\.", text))
+    symbol_ratio = (hashes + ellipses) / wd
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln != ""]
+    ld = max(len(lines), 1)
+    bullet = sum(1 for ln in lines if ln[:1] in GOPHER_BULLETS) / ld
+    ell = sum(1 for ln in lines if ln.endswith("...") or ln.endswith("…")) / ld
+    alpha = sum(1 for w in words if _re.search("[A-Za-z]", w)) / wd
+    req = len({w.lower() for w in words} & set(GOPHER_REQUIRED_WORDS))
+    return {
+        "n_words": len(words),
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ell,
+        "alpha_word_frac": alpha,
+        "required_word_hits": req,
+    }
+
+
+def test_gopher_matches_python_twin_on_corpus(spark, views):
+    """Parity on the organic documents corpus with planted suffixes
+    that exercise every rule's numerator."""
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\n- bullet item\n* another"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" ### ### trailing..."))
+            .when(F.col("doc_id") % 4 == 2, F.lit("\nends with dots...\n…"))
+            .otherwise(F.lit(" the of and that")),
+        ).alias("text"),
+    )
+    got = {r["id"]: r.asDict() for r in gopher_quality_flags(planted).collect()}
+    rows = planted.collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        want = _py_gopher_stats(r["text"])
+        g = got[r["doc_id"]]
+        assert g["n_words"] == want["n_words"]
+        assert g["required_word_hits"] == want["required_word_hits"]
+        for k in (
+            "mean_word_len",
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+        ):
+            assert abs(g[k] - want[k]) <= 6e-5, (r["doc_id"], k)
+
+
+def test_gopher_flags_consistent_with_emitted_stats(spark, views):
+    """Booleans are exactly reproducible from the emitted (rounded)
+    stats with the default thresholds."""
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    for g in gopher_quality_flags(docs).collect():
+        assert g["ok_word_count"] == (50 <= g["n_words"] <= 100_000)
+        assert g["ok_mean_word_len"] == (3.0 <= g["mean_word_len"] <= 10.0)
+        assert g["ok_symbol_ratio"] == (g["symbol_word_ratio"] <= 0.10)
+        assert g["ok_bullet_lines"] == (g["bullet_line_frac"] <= 0.10)
+        assert g["ok_ellipsis_lines"] == (g["ellipsis_line_frac"] <= 0.30)
+        assert g["ok_alpha_words"] == (g["alpha_word_frac"] >= 0.80)
+        assert g["ok_required_words"] == (g["required_word_hits"] >= 2)
+        assert g["passes_gopher"] == all(
+            g[k]
+            for k in (
+                "ok_word_count",
+                "ok_mean_word_len",
+                "ok_symbol_ratio",
+                "ok_bullet_lines",
+                "ok_ellipsis_lines",
+                "ok_alpha_words",
+                "ok_required_words",
+            )
+        )
+
+
+def test_gopher_rule_fixtures(spark):
+    """Each rule trips on a document engineered to fail exactly it."""
+    good = (
+        "the quick brown fox jumps with the dog and that they have to be "
+        "of note here today " * 5
+    ).strip()
+    cases = [
+        (1, good, True),
+        (2, "the of and that have", False),  # too few words
+        (3, good + " " + "x" * 2000, False),  # mean word len > 10
+        (4, good + " ###" * 20, False),  # symbol ratio
+        (5, good + "\n" + "\n".join("- b" for _ in range(40)), False),
+        (6, good + "\n" + "\n".join("x..." for _ in range(40)), False),
+        (7, good + " " + "123 456 789 " * 30, False),  # alpha frac
+        (8, ("cat dog bird fish " * 20).strip(), False),  # required words
+    ]
+    df = spark.createDataFrame(cases, ["doc_id", "text", "want"])
+    got = {
+        r["id"]: r["passes_gopher"]
+        for r in gopher_quality_flags(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, i
+
+
+def test_gopher_null_and_threshold_overrides(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "short text only")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1]["passes_gopher"] is None  # NULL text -> NULL flags
+    assert df.count() == 2
+    # a NULL never survives a filter
+    assert (
+        gopher_quality_flags(df).filter("passes_gopher").count() == 0
+    )
+    # loosened thresholds flip the short doc to passing
+    loose = gopher_quality_flags(
+        df,
+        min_words=1,
+        min_required_words=0,
+        min_alpha_word_frac=0.0,
+    ).filter("passes_gopher")
+    assert [r["id"] for r in loose.collect()] == [2]

@@ -282,3 +282,169 @@ def test_host_blocklist_plan_broadcasts(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "__blocked_host" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.functions.web import (  # noqa: E402
+    TRACKING_PARAMS,
+    canonicalize_url,
+    dedup_by_url,
+)
+
+
+def _py_canon(url, strip_www=False, keep=None):
+    """Independent Python twin of canonicalize_url (stdlib re only)."""
+    import re as _re
+
+    if url is None:
+        return None
+    u = url.strip()
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    rest = _re.sub(r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//", "", u)
+    m2 = _re.match(r"^(?:[^/?#@]*@)?([^/?#\s]+)", rest)
+    hostport = m2.group(1) if m2 else ""
+    mp = _re.search(r":(\d+)$", hostport)
+    port = mp.group(1) if mp else ""
+    host = _re.sub(r":(\d+)$", "", hostport).lower()
+    if strip_www:
+        host = _re.sub(r"^www\.", "", host)
+    default = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}.get(scheme, "")
+    port_part = "" if port in ("", default) else ":" + port
+    mpath = _re.match(r"^[^/?#]*(/[^?#]*)", rest)
+    path = mpath.group(1) if mpath else ""
+    if path == "":
+        path = "/"
+    elif len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    mq = _re.search(r"\?([^#]*)", u)
+    q = mq.group(1) if mq else ""
+    params = [p for p in q.split("&") if p != ""]
+
+    def key(p):
+        return p.split("=", 1)[0].lower()
+
+    if keep is not None:
+        allowed = {k.lower() for k in keep}
+        params = [p for p in params if key(p) in allowed]
+    else:
+        params = [
+            p
+            for p in params
+            if not key(p).startswith("utm_") and key(p) not in TRACKING_PARAMS
+        ]
+    params.sort()
+    qp = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{port_part}{path}{qp}"
+
+
+CANON_CASES = [
+    # (input, expected default-mode canonical)
+    ("HTTPS://Example.COM:443/path/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/path?a=1&b=2"),
+    ("https://example.com/path?a=1&b=2", "https://example.com/path?a=1&b=2"),
+    ("http://User:pw@WWW.Example.com:8080//weird/",
+     "http://www.example.com:8080//weird"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/?gclid=abc&UTM_Campaign=z", "https://example.com/"),
+    ("   https://example.com/a/b/   ", "https://example.com/a/b"),
+    ("not a url", "not a url"),
+    ("//cdn.example.net/asset.js", "//cdn.example.net/asset.js"),
+    ("ftp://files.example.com:21/pub/", "ftp://files.example.com/pub"),
+    ("https://example.com/p?x=B&x=A&fbclid=1", "https://example.com/p?x=A&x=B"),
+    ("https://example.com:8443/s?flag", "https://example.com:8443/s?flag"),
+    ("https:///odd/path", "https:///odd/path"),
+    ("wss://Hub.example.com:443/socket", "wss://hub.example.com/socket"),
+]
+
+
+def test_canonicalize_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"case {i}"
+
+
+def test_canonicalize_matches_python_twin(spark):
+    urls = [u for u, _ in CANON_CASES]
+    # widen with generated variants: case, ports, params, fragments
+    for i in range(60):
+        scheme = ["http", "https", "HTTPS", "ftp"][i % 4]
+        host = ["Example.com", "www.SITE.org", "a.b.co.uk", "x.io"][i % 4]
+        port = ["", ":80", ":443", ":8080"][(i // 4) % 4]
+        path = ["", "/", "/a/b/", "/a%20b", "/trail/"][i % 5]
+        q = ["", "?utm_source=s&z=1&a=2", "?b=2&a=1&gclid=g", "?only=utm_x"][
+            (i // 5) % 4
+        ]
+        frag = ["", "#sec"][i % 2]
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    urls += [None, "", "   ", "mailto:a@b.c", "http://"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    for kw in ({}, {"strip_www": True}, {"keep_params": ["a", "only"]}):
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url("url", **kw).alias("c")
+            ).collect()
+        }
+        py_kw = {"strip_www": kw.get("strip_www", False), "keep": kw.get("keep_params")}
+        for i, u in enumerate(urls):
+            assert got[i] == _py_canon(u, **py_kw), f"{kw} on {u!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    """Canonical output re-canonicalizes to itself (fixed point)."""
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    two = df.select(
+        canonicalize_url("url").alias("c1")
+    ).select(
+        "c1", canonicalize_url("c1").alias("c2")
+    )
+    assert two.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_canonicalize_plan_map_only(spark):
+    df = spark.createDataFrame([(1, "https://a.b/c")], ["doc_id", "url"])
+    plan = df.select(
+        canonicalize_url("url").alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_by_url_contract(spark):
+    rows = [
+        (1, "https://example.com/a?utm_source=x", "2024-01-02"),
+        (2, "HTTPS://EXAMPLE.COM/a", "2024-01-01"),
+        (3, "https://www.example.com/a/", "2024-01-03"),
+        (4, "https://example.com/b", "2024-01-01"),
+        (5, "oops", "2024-01-01"),
+        (6, "oops2", "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "fetched"])
+    # earliest-fetch-wins: quality order on an inverted timestamp
+    inv = df.withColumn(
+        "neg_fetch", -F.unix_timestamp("fetched", "yyyy-MM-dd")
+    )
+    kept = dedup_by_url(inv, order="quality", order_col="neg_fetch")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1,2,3 collide (strip_www default ON) -> earliest fetch = 2;
+    # garbage rows stay distinct
+    assert ids == [2, 4, 5, 6]
+    # hash order: deterministic across runs
+    a = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    b = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert a == b and len(a) == 4
