@@ -1204,6 +1204,81 @@ def q_embedding_health(spark, sf_dir):
     return embedding_health(t["embeddings"])
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (functions/web.py; no reference analog —
+    web-corpus extension surface) over URLs PLANTED from doc_id (six
+    variants covering case, default/explicit ports, userinfo, tracking
+    params, fragments, trailing slashes, and unparseable passthrough).
+    The DuckDB oracle states the EXPECTED canonical form per variant
+    in closed form — an independent derivation, not a re-run of the
+    same algorithm."""
+    from sparvi_core_spark.functions.web import canonicalize_url
+
+    t = _views(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.Example.COM:443/Docs/"), d,
+            F.lit("/?utm_source=x&b=2&a=1#f")))
+        .when(m == 1, F.concat(
+            F.lit("http://user:pw@Site.example.org:8080//x/"), d, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://example"), d, F.lit(".com")))
+        .when(m == 3, F.concat(
+            F.lit("https://cdn.example.net/a?z=9&y=8&gclid="), d))
+        .when(m == 4, F.concat(F.lit("plain text "), d))
+        .otherwise(F.concat(
+            F.lit("ftp://Files.Example.com:21/pub/"), d, F.lit("/")))
+    )
+    planted = t["documents"].select(
+        F.col("doc_id").alias("id"), url.alias("url")
+    )
+    return planted.select("id", "url", canonicalize_url("url").alias("canon"))
+
+
+def q_gopher_flags(spark, sf_dir):
+    """Gopher/MassiveText document-quality rules (functions/text.py;
+    no reference analog — training-data extension surface) over the
+    documents corpus with planted per-rule suffixes so every rule's
+    numerator is exercised. The oracle recomputes every statistic and
+    flag with DuckDB list lambdas."""
+    from sparvi_core_spark.functions.text import gopher_quality_flags
+
+    t = _views(spark, sf_dir)
+    planted = t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n- bullet item\n* another"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" ### ### trailing..."))
+            .when(F.col("doc_id") % 4 == 2, F.lit("\nends with dots...\n…"))
+            .otherwise(F.lit(" the of and that")),
+        ).alias("text"),
+    )
+    return gopher_quality_flags(planted)
+
+
+def q_filter_sweep(spark, sf_dir):
+    """Threshold attrition curve (operators/selection.py filter_sweep;
+    no reference analog — training-data extension surface): per-
+    threshold doc/char survival of the heuristic quality score over
+    the documents corpus, in ONE corpus pass via pass-count
+    bucketing. The oracle cross-joins the threshold list (the
+    semantics) — the engine's bucketed plan must reproduce it."""
+    from sparvi_core_spark.functions.text import quality_features
+    from sparvi_core_spark.operators.selection import filter_sweep
+
+    t = _views(spark, sf_dir)
+    docs = t["documents"]
+    qf = quality_features(docs).join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    return filter_sweep(
+        qf, "quality_score", [0.3, 0.5, 0.7], weight_col="n_chars"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1242,6 +1317,9 @@ _LOCAL_ONLY = (
     "corpus_divergence",
     "rrf_fuse",
     "hamming_near_pairs",
+    "canonical_urls",
+    "gopher_flags",
+    "filter_sweep",
 )
 
 
@@ -1335,6 +1413,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "rrf_fuse": q_rrf_fuse,
         "hamming_near_pairs": q_hamming_near_pairs,
+        "canonical_urls": q_canonical_urls,
+        "gopher_flags": q_gopher_flags,
+        "filter_sweep": q_filter_sweep,
     }
 
 
@@ -2481,5 +2562,109 @@ cnt AS (
 SELECT doc_id, n_email, n_ipv4, n_ssn, n_credit_card, n_phone,
        n_email + n_ipv4 + n_ssn + n_credit_card + n_phone AS pii_total
 FROM cnt"""
+
+    # canonical_urls: the oracle derives the EXPECTED canonical form of
+    # each planted variant in closed form (independent of the engine's
+    # regex/array pipeline)
+    o["canonical_urls"] = """
+SELECT doc_id AS id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Docs/' || doc_id || '/?utm_source=x&b=2&a=1#f'
+    WHEN 1 THEN 'http://user:pw@Site.example.org:8080//x/' || doc_id || '/'
+    WHEN 2 THEN 'https://example' || doc_id || '.com'
+    WHEN 3 THEN 'https://cdn.example.net/a?z=9&y=8&gclid=' || doc_id
+    WHEN 4 THEN 'plain text ' || doc_id
+    ELSE 'ftp://Files.Example.com:21/pub/' || doc_id || '/'
+  END AS url,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://www.example.com/Docs/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'http://site.example.org:8080//x/' || doc_id
+    WHEN 2 THEN 'https://example' || doc_id || '.com/'
+    WHEN 3 THEN 'https://cdn.example.net/a?y=8&z=9'
+    WHEN 4 THEN 'plain text ' || doc_id
+    ELSE 'ftp://files.example.com/pub/' || doc_id
+  END AS canon
+FROM documents"""
+
+    # gopher_flags: every statistic and boolean recomputed with DuckDB
+    # list lambdas over identically-planted text
+    _greq = ", ".join(f"'{w}'" for w in ["the", "be", "to", "of", "and", "that", "have", "with"])
+    o["gopher_flags"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE doc_id % 4
+           WHEN 0 THEN chr(10) || '- bullet item' || chr(10) || '* another'
+           WHEN 1 THEN ' ### ### trailing...'
+           WHEN 2 THEN chr(10) || 'ends with dots...' || chr(10) || '…'
+           ELSE ' the of and that' END AS text
+  FROM documents WHERE doc_id < 200
+),
+base AS (
+  SELECT doc_id AS id, text,
+    list_filter(string_split(text, ' '), w -> w <> '') AS words,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM planted
+),
+stats AS (
+  SELECT id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    ROUND(list_sum(list_transform(words, w -> len(w))) * 1.0
+          / GREATEST(len(words), 1), 4) AS mean_word_len,
+    ROUND((len(text) - len(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+          / GREATEST(len(words), 1), 4) AS symbol_word_ratio,
+    ROUND(len(list_filter(lines,
+          x -> list_contains(['•','‣','▪','-','*'], substr(x, 1, 1)))) * 1.0
+          / GREATEST(len(lines), 1), 4) AS bullet_line_frac,
+    ROUND(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) * 1.0
+          / GREATEST(len(lines), 1), 4) AS ellipsis_line_frac,
+    ROUND(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+          / GREATEST(len(words), 1), 4) AS alpha_word_frac,
+    CAST(len(list_filter([{_greq}],
+         r -> list_contains(list_transform(words, w -> lower(w)), r)))
+         AS BIGINT) AS required_word_hits
+  FROM base
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+  (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+  (symbol_word_ratio <= 0.10) AS ok_symbol_ratio,
+  (bullet_line_frac <= 0.10) AS ok_bullet_lines,
+  (ellipsis_line_frac <= 0.30) AS ok_ellipsis_lines,
+  (alpha_word_frac >= 0.80) AS ok_alpha_words,
+  (required_word_hits >= 2) AS ok_required_words,
+  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+   AND symbol_word_ratio <= 0.10 AND bullet_line_frac <= 0.10
+   AND ellipsis_line_frac <= 0.30 AND alpha_word_frac >= 0.80
+   AND required_word_hits >= 2) AS passes_gopher
+FROM stats"""
+
+    # filter_sweep: the oracle states the SEMANTICS (per-threshold
+    # filtered aggregates via a cross join); the engine's one-pass
+    # bucketed plan must reproduce it
+    o["filter_sweep"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, n_chars,
+    ROUND(0.4 * LEAST(1.0, len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0)
+      + 0.3 * (len(list_filter(string_split(text, ' '), t -> list_contains([{en_stops}], t))) * 1.0
+               / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1))
+      + 0.3 * (1 - len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+               / GREATEST(LENGTH(text), 1)), 4) AS score
+  FROM documents
+),
+t(threshold) AS (VALUES (0.3), (0.5), (0.7)),
+tot AS (SELECT COUNT(*) AS n, SUM(n_chars) AS w FROM base)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+  CAST(COUNT(*) FILTER (WHERE score >= threshold) AS BIGINT) AS docs_kept,
+  ROUND(COUNT(*) FILTER (WHERE score >= threshold) * 1.0
+        / GREATEST((SELECT n FROM tot), 1), 4) AS doc_frac,
+  CAST(COALESCE(SUM(n_chars) FILTER (WHERE score >= threshold), 0) AS DOUBLE)
+      AS weight_kept,
+  ROUND(COALESCE(SUM(n_chars) FILTER (WHERE score >= threshold), 0) * 1.0
+        / (SELECT w FROM tot), 4) AS weight_frac
+FROM t CROSS JOIN base
+GROUP BY threshold
+ORDER BY threshold"""
 
     return o
