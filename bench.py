@@ -295,6 +295,63 @@ def build_suite(spark, sf_dir):
 
     suite.append(("hybrid_search", run_hybrid_search))
 
+    # Gopher/MassiveText quality rules: the named document-quality
+    # bundle as one shuffle-free corpus scan (r7)
+    from sparvi_core_spark.functions.text import gopher_quality_flags
+
+    suite.append(
+        (
+            "gopher_flags",
+            lambda: _force(gopher_quality_flags(spark.table("documents"))),
+        )
+    )
+
+    # threshold attrition sweep over the heuristic quality score —
+    # 20 candidate thresholds, ONE corpus pass via pass-count
+    # bucketing (r7)
+    from sparvi_core_spark.functions.text import quality_features
+    from sparvi_core_spark.operators.selection import filter_sweep
+
+    def run_filter_sweep():
+        docs = spark.table("documents")
+        qf = quality_features(docs).join(
+            docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+        )
+        filter_sweep(
+            qf,
+            "quality_score",
+            [i / 20 for i in range(20)],
+            weight_col="n_chars",
+        ).collect()  # 20 rows
+
+    suite.append(("filter_sweep", run_filter_sweep))
+
+    # URL canonicalization + exact URL dedup over planted tracker/case
+    # variants — two crawl spellings per document (r7)
+    from sparvi_core_spark.functions.web import dedup_by_url
+
+    def run_url_dedup():
+        docs = spark.table("documents")
+        base = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=s&b=2&a=1#f"),
+            ).alias("url"),
+        )
+        variant = docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?a=1&b=2"),
+            ).alias("url"),
+        )
+        _force(dedup_by_url(base.unionByName(variant)))
+
+    suite.append(("url_dedup", run_url_dedup))
+
     return suite
 
 

@@ -71,8 +71,11 @@ def main() -> None:
 
     # 0. recrawl compaction: a real crawl feed carries URLs and
     #    re-fetches; simulate both (URL from source+id, a 10% refetch
-    #    batch), keep the newest fetch per URL in ONE aggregation
-    from sparvi_core_spark.functions.web import cap_per_host
+    #    batch whose URLs arrive tracker-decorated and differently
+    #    cased — the raw-URL key would treat them as NEW pages). The
+    #    canonical URL is the compaction key, so the newest fetch per
+    #    RESOURCE wins in one aggregation.
+    from sparvi_core_spark.functions.web import canonicalize_url, cap_per_host
     from sparvi_core_spark.operators.ingest import latest_by_key
 
     with_url = docs.withColumn(
@@ -81,13 +84,26 @@ def main() -> None:
                  F.lit(".example.com/doc/"),
                  (F.col("doc_id") % 1000).cast("string")),
     ).withColumn("fetched_at", F.lit(1))
-    refetch = with_url.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "fetched_at", F.lit(2)
+    refetch = (
+        with_url.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("fetched_at", F.lit(2))
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper("source"),
+                F.lit(".EXAMPLE.COM/doc/"),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit("/?utm_source=recrawl&fbclid=x"),
+            ),
+        )
+    )
+    both = with_url.unionByName(refetch).withColumn(
+        "canon_url", canonicalize_url("url")
     )
     compacted = latest_by_key(
-        with_url.unionByName(refetch), ["url"], "fetched_at",
-        tie_col="doc_id",
-    )
+        both, ["canon_url"], "fetched_at", tie_col="doc_id"
+    ).drop("canon_url")
     report["after_recrawl_compaction"] = compacted.count()
 
     # 0b. per-host supply cap: no single host contributes more than
@@ -119,6 +135,42 @@ def main() -> None:
         "left_anti",
     ).localCheckpoint()
     report["after_span_screen"] = docs.count()
+
+    # 1c. threshold calibration BEFORE committing the quality cutoff:
+    #     one corpus pass gives the doc/char attrition at every
+    #     candidate threshold — min_quality below is picked off this
+    #     curve, not guessed
+    from sparvi_core_spark.functions.text import (
+        gopher_quality_flags,
+        quality_features,
+    )
+    from sparvi_core_spark.operators.selection import filter_sweep
+
+    qf = quality_features(docs).join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    sweep = filter_sweep(
+        qf, "quality_score", [0.1, 0.2, 0.3, 0.5, 0.7], weight_col="n_chars"
+    )
+    report["quality_sweep"] = {
+        str(r["threshold"]): {
+            "docs": r["docs_kept"], "doc_frac": r["doc_frac"],
+            "char_frac": r["weight_frac"],
+        }
+        for r in sweep.collect()
+    }
+
+    # 1d. Gopher/MassiveText document-quality rules: the published
+    #     named thresholds as one shuffle-free scan. The required-
+    #     English-words rule is off here (the synthetic corpus has a
+    #     non-English vocabulary by construction — a real English
+    #     crawl keeps the default).
+    gflags = gopher_quality_flags(docs, min_required_words=0)
+    docs = docs.join(
+        gflags.filter("passes_gopher").select(F.col("id").alias("doc_id")),
+        "doc_id",
+    ).localCheckpoint()
+    report["after_gopher_rules"] = docs.count()
 
     # 2-3. quality + repetition gates, near-dup dedup keeping the
     #      best-quality copy of each cluster
