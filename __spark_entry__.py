@@ -1259,6 +1259,34 @@ def q_gopher_flags(spark, sf_dir):
     return gopher_quality_flags(planted)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The complete Gopher repetition table (functions/text.py
+    gopher_repetition_flags; no reference analog — training-data
+    extension surface) over documents with per-family planted
+    repetition suffixes. The oracle rebuilds all 11 granularities with
+    DuckDB list lambdas + a QUALIFY top-gram ranking — a genuinely
+    different execution shape from the engine's single tagged
+    explode."""
+    from sparvi_core_spark.functions.text import gopher_repetition_flags
+
+    t = _views(spark, sf_dir)
+    planted = t["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\nrepeated line\nrepeated line\nrepeated line"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(" spam phrase here " * 8))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.lit("\n\nsame para\n\nsame para"))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.lit(" one two three four five six " * 3))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_repetition_flags(planted)
+
+
 def q_filter_sweep(spark, sf_dir):
     """Threshold attrition curve (operators/selection.py filter_sweep;
     no reference analog — training-data extension surface): per-
@@ -1320,6 +1348,7 @@ _LOCAL_ONLY = (
     "canonical_urls",
     "gopher_flags",
     "filter_sweep",
+    "gopher_repetition",
 )
 
 
@@ -1416,6 +1445,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -2638,6 +2668,102 @@ SELECT *,
    AND symbol_word_ratio <= 0.10 AND bullet_line_frac <= 0.10
    AND ellipsis_line_frac <= 0.30 AND alpha_word_frac >= 0.80
    AND required_word_hits >= 2) AS passes_gopher
+FROM stats"""
+
+    # gopher_repetition: all 11 granularities rebuilt with DuckDB list
+    # lambdas; thresholds interpolated from the module (zero drift)
+    from sparvi_core_spark.functions.text import (
+        GOPHER_REPETITION_THRESHOLDS as _GRT,
+    )
+
+    _rep_units = (
+        "ROUND(COALESCE(SUM({d}) FILTER (kind = '{k}') * 1.0 / "
+        "GREATEST(SUM({t}) FILTER (kind = '{k}'), 1), 0), 4)"
+    )
+    _rep_dup = (
+        "LEAST(ROUND(COALESCE(MAX(dup_all) FILTER (kind = 'g{n}'), 0) "
+        "* 1.0 / MAX(chars), 4), 1.0)"
+    )
+    _rep_top = (
+        "LEAST(ROUND(COALESCE(MAX(top_chars) FILTER (kind = 'g{n}'), 0) "
+        "* 1.0 / MAX(chars), 4), 1.0)"
+    )
+    _stat_exprs = {
+        "dup_line_frac": _rep_units.format(d="dup_occ", t="occ", k="line"),
+        "dup_line_char_frac": _rep_units.format(
+            d="dup_excess", t="all_chars", k="line"),
+        "dup_para_frac": _rep_units.format(d="dup_occ", t="occ", k="para"),
+        "dup_para_char_frac": _rep_units.format(
+            d="dup_excess", t="all_chars", k="para"),
+        **{f"top_{n}gram_char_frac": _rep_top.format(n=n) for n in (2, 3, 4)},
+        **{f"dup_{n}gram_char_frac": _rep_dup.format(n=n)
+           for n in range(5, 11)},
+    }
+    _stat_sql = ",\n    ".join(
+        f"{e} AS {name}" for name, e in _stat_exprs.items()
+    )
+    _flag_sql = ",\n    ".join(
+        f"({name} <= {_GRT[name]}) AS ok_{name}" for name in _stat_exprs
+    )
+    _pass_sql = " AND ".join(f"{name} <= {_GRT[name]}" for name in _stat_exprs)
+    o["gopher_repetition"] = f"""
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '') || CASE doc_id % 5
+    WHEN 0 THEN chr(10) || 'repeated line' || chr(10) || 'repeated line' || chr(10) || 'repeated line'
+    WHEN 1 THEN repeat(' spam phrase here ', 8)
+    WHEN 2 THEN chr(10) || chr(10) || 'same para' || chr(10) || chr(10) || 'same para'
+    WHEN 3 THEN repeat(' one two three four five six ', 3)
+    ELSE '' END AS text
+  FROM documents WHERE doc_id < 150
+),
+base AS (
+  SELECT doc_id AS id, text, GREATEST(len(text), 1) AS chars,
+    list_filter(string_split(text, ' '), w -> w <> '') AS words
+  FROM planted
+),
+units AS (
+  SELECT id, 'line' AS kind, u.u AS val FROM base,
+    unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS u(u)
+  UNION ALL
+  SELECT id, 'para', u.u FROM base,
+    unnest(list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)), x -> x <> '')) AS u(u)
+  UNION ALL
+  SELECT id, 'g' || n.n, g.g FROM base,
+    unnest([2,3,4,5,6,7,8,9,10]) AS n(n),
+    unnest(list_transform(range(1, len(words) - n.n + 2),
+           i -> array_to_string(list_slice(words, i, i + n.n - 1), ' '))) AS g(g)
+),
+counts AS (
+  SELECT id, kind, val, COUNT(*) AS c, len(val) AS ln
+  FROM units GROUP BY ALL
+),
+per AS (
+  SELECT id, kind, SUM(c) AS occ, SUM(c - 1) AS dup_occ,
+         SUM((c - 1) * ln) AS dup_excess, SUM(c * ln) AS all_chars,
+         SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup_all
+  FROM counts GROUP BY id, kind
+),
+tops AS (
+  SELECT id, kind, CASE WHEN c >= 2 THEN c * ln ELSE 0 END AS top_chars
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY id, kind ORDER BY c DESC, c * ln DESC, val DESC) = 1
+),
+joined AS (
+  SELECT b.id, b.chars, p.kind, p.occ, p.dup_occ, p.dup_excess,
+         p.all_chars, p.dup_all, t.top_chars
+  FROM base b
+  LEFT JOIN per p ON b.id = p.id
+  LEFT JOIN tops t ON p.id = t.id AND p.kind = t.kind
+),
+stats AS (
+  SELECT id,
+    {_stat_sql}
+  FROM joined GROUP BY id
+)
+SELECT *,
+    {_flag_sql},
+    ({_pass_sql}) AS passes_repetition
 FROM stats"""
 
     # filter_sweep: the oracle states the SEMANTICS (per-threshold

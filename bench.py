@@ -306,6 +306,19 @@ def build_suite(spark, sf_dir):
         )
     )
 
+    # the complete Gopher repetition table: 11 granularities (lines,
+    # paragraphs, 2..10-grams) in one tagged explode (r7)
+    from sparvi_core_spark.functions.text import gopher_repetition_flags
+
+    suite.append(
+        (
+            "gopher_repetition",
+            lambda: _force(
+                gopher_repetition_flags(spark.table("documents"))
+            ),
+        )
+    )
+
     # threshold attrition sweep over the heuristic quality score —
     # 20 candidate thresholds, ONE corpus pass via pass-count
     # bucketing (r7)

@@ -557,3 +557,215 @@ def gopher_quality_flags(
     for name in flags:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return base.withColumn("passes_gopher", passes)
+
+
+# the published MassiveText repetition thresholds (Rae et al. 2021,
+# Table A1): max allowed fraction per signal
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _gram_array(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams as an array (space-joined), empty when < n words.
+    zip_with over shifted slices — the linear-time construction (an
+    indexed transform re-inlines the split per element and goes
+    quadratic; see operators.dedup.shingles)."""
+    if n == 1:
+        return toks
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The COMPLETE within-document repetition table of the Gopher /
+    MassiveText filter (Rae et al. 2021, Table A1) — the companion to
+    :func:`gopher_quality_flags` (which covers the non-repetition
+    rows): duplicate line / paragraph fractions (by unit count and by
+    character mass), top-2/3/4-gram character fractions, and
+    duplicate-5..10-gram character fractions, each with its published
+    threshold flag and the AND-composed ``passes_repetition``.
+
+    Contracts (deterministic, oracle-reproducible):
+
+    - lines split on ``\\n``, paragraphs on ``\\n\\n``; units are
+      trimmed and empties dropped.
+    - ``dup_*_frac``: unit occurrences beyond the first occurrence of
+      their text, over all unit occurrences. ``dup_*_char_frac``: the
+      same, weighted by unit length.
+    - ``top_{n}gram_char_frac``: occurrences×length of the most
+      frequent word n-gram over total text chars, capped at 1.0 (ties
+      break to the gram with the larger character mass, then
+      lexicographically greatest — deterministic); 0 when no n-gram
+      occurs twice (a gram appearing once is not repetition — the
+      literal published wording would fail every short document of
+      unique words on its longest bigram).
+    - ``dup_{n}gram_char_frac``: characters across ALL occurrences of
+      n-grams appearing more than once, over total text chars, capped
+      at 1.0. Overlapping occurrences are NOT position-deduplicated —
+      the standard approximation (exact position-union needs per-doc
+      interval merging; every open reimplementation of this filter
+      makes the same trade), stated here so the number is never read
+      as the exact union.
+    - docs with no units/grams at a granularity score 0 there (a
+      2-word doc can't repeat 5-grams); NULL text → NULL flags.
+    - fractions rounded to 4; flags applied to the ROUNDED values.
+
+    ``thresholds`` overrides any subset of
+    ``GOPHER_REPETITION_THRESHOLDS`` keys.
+
+    Scale shape — ONE corpus scan for all 11 granularities: every
+    line/paragraph/n-gram is tagged and emitted by a single explode
+    (per-row cost is linear in doc length per granularity), one
+    map-side-combined count per (doc, granularity, value), one
+    aggregate per (doc, granularity), and a pivot to columns (groupBy
+    doc — the pivot frame is docs × 11, never corpus-token-scale).
+    Compare: running the published filter as 13 separate queries
+    rescans the corpus 13×.
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+
+    text = F.col(text_col)
+    toks = _tokens(text_col)
+    gram_ns = list(range(2, 11))
+
+    def _units(sep: str) -> F.Column:
+        return F.filter(
+            F.transform(F.split(text, sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
+    def _tag(arr: F.Column, label: str) -> F.Column:
+        # NB: the label must be CLOSED OVER, not passed as a second
+        # lambda parameter — transform() feeds a 2-arg lambda the
+        # element INDEX as its second argument (the F.trim pitfall in
+        # repetition_stats, same mechanism)
+        return F.transform(
+            arr,
+            lambda x: F.struct(F.lit(label).alias("kind"), x.alias("val")),
+        )
+
+    tagged = F.concat(
+        _tag(_units(r"\n"), "line"),
+        _tag(_units(r"\n\n"), "para"),
+        *[_tag(_gram_array(toks, n), f"g{n}") for n in gram_ns],
+    )
+
+    ids = df.select(
+        F.col(id_col).alias("id"), F.length(text).alias("__chars")
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tagged).alias("t")
+    ).select("id", F.col("t.kind").alias("kind"), F.col("t.val").alias("val"))
+
+    counts = ex.groupBy("id", "kind", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ln = F.length("val")
+    per = counts.groupBy("id", "kind").agg(
+        F.sum("cnt").alias("occ"),
+        F.sum(F.col("cnt") - 1).alias("dup_occ"),
+        F.sum((F.col("cnt") - 1) * ln).alias("dup_excess_chars"),
+        F.sum(F.col("cnt") * ln).alias("all_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * ln).otherwise(F.lit(0))
+        ).alias("dup_all_chars"),
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"),
+                (F.col("cnt") * ln).alias("chars"),
+                F.col("val").alias("g"),
+            )
+        ).alias("top"),
+    )
+    kinds = ["line", "para"] + [f"g{n}" for n in gram_ns]
+    piv = per.groupBy("id").pivot("kind", kinds).agg(
+        F.first("occ").alias("occ"),
+        F.first("dup_occ").alias("dup_occ"),
+        F.first("dup_excess_chars").alias("dup_excess_chars"),
+        F.first("all_chars").alias("all_chars"),
+        F.first("dup_all_chars").alias("dup_all_chars"),
+        F.first("top").alias("top"),
+    )
+
+    j = ids.join(piv, "id", "left")
+
+    def _ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.round(
+            F.coalesce(num / F.greatest(den, F.lit(1)), F.lit(0.0)), 4
+        )
+
+    stats: dict[str, F.Column] = {}
+    for unit, name in (("line", "line"), ("para", "para")):
+        stats[f"dup_{name}_frac"] = _ratio(
+            F.col(f"{unit}_dup_occ"), F.col(f"{unit}_occ")
+        )
+        stats[f"dup_{name}_char_frac"] = _ratio(
+            F.col(f"{unit}_dup_excess_chars"), F.col(f"{unit}_all_chars")
+        )
+    for n in (2, 3, 4):
+        # a gram occurring ONCE is not repetition: the fraction is 0
+        # unless the top gram repeats (otherwise every short document
+        # of unique words fails the 0.2 gate on its longest bigram)
+        stats[f"top_{n}gram_char_frac"] = F.least(
+            F.when(
+                F.col(f"g{n}_top.c") >= 2,
+                _ratio(F.col(f"g{n}_top.chars"), F.col("__chars")),
+            ).otherwise(F.lit(0.0)),
+            F.lit(1.0),
+        )
+    for n in range(5, 11):
+        stats[f"dup_{n}gram_char_frac"] = F.least(
+            _ratio(F.col(f"g{n}_dup_all_chars"), F.col("__chars")),
+            F.lit(1.0),
+        )
+
+    # NULL text must stay NULL (the zero-fill above is for "no units at
+    # this granularity", not "no document") — __chars is NULL exactly
+    # for NULL text
+    base = j.select(
+        "id",
+        *[
+            F.when(F.col("__chars").isNull(), F.lit(None).cast("double"))
+            .otherwise(c)
+            .alias(name)
+            for name, c in stats.items()
+        ],
+    )
+    flags = {
+        f"ok_{name}": F.col(name) <= th[name] for name in stats
+    }
+    out = base.withColumns(flags)
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_repetition", passes)

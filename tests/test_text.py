@@ -474,3 +474,137 @@ def test_gopher_null_and_threshold_overrides(spark):
         min_alpha_word_frac=0.0,
     ).filter("passes_gopher")
     assert [r["id"] for r in loose.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition table
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.functions.text import (  # noqa: E402
+    GOPHER_REPETITION_THRESHOLDS,
+    gopher_repetition_flags,
+)
+
+
+def _py_rep_stats(text):
+    """Independent Python twin (unrounded, pre-cap) of the repetition
+    statistics."""
+    from collections import Counter
+
+    chars = max(len(text), 1)
+    words = [w for w in text.split(" ") if w]
+
+    def unit_fracs(sep):
+        units = [u.strip() for u in text.split(sep)]
+        units = [u for u in units if u]
+        c = Counter(units)
+        occ = sum(c.values())
+        dup_occ = sum(v - 1 for v in c.values())
+        dup_chars = sum((v - 1) * len(k) for k, v in c.items())
+        all_chars = sum(v * len(k) for k, v in c.items())
+        return dup_occ / max(occ, 1), dup_chars / max(all_chars, 1)
+
+    out = {}
+    out["dup_line_frac"], out["dup_line_char_frac"] = unit_fracs("\n")
+    out["dup_para_frac"], out["dup_para_char_frac"] = unit_fracs("\n\n")
+    for n in range(2, 11):
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        c = Counter(grams)
+        if n <= 4:
+            key = f"top_{n}gram_char_frac"
+            if c:
+                cnt, gchars, _ = max(
+                    (v, v * len(k), k) for k, v in c.items()
+                )
+                # gchars == cnt*len(gram): the top gram's character mass
+                out[key] = min(gchars / chars, 1.0) if cnt >= 2 else 0.0
+            else:
+                out[key] = 0.0
+        else:
+            dup = sum(v * len(k) for k, v in c.items() if v > 1)
+            out[f"dup_{n}gram_char_frac"] = min(dup / chars, 1.0)
+    return out
+
+
+def test_repetition_matches_python_twin_on_corpus(spark, views):
+    docs = spark.table("documents").filter(F.col("doc_id") < 150)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\nrepeated line\nrepeated line\nrepeated line"))
+            .when(F.col("doc_id") % 5 == 1,
+                   F.lit(" spam phrase here " * 8))
+            .when(F.col("doc_id") % 5 == 2,
+                   F.lit("\n\nsame para\n\nsame para"))
+            .when(F.col("doc_id") % 5 == 3,
+                   F.lit(" one two three four five six " * 3))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    got = {r["id"]: r.asDict() for r in gopher_repetition_flags(planted).collect()}
+    for r in planted.collect():
+        want = _py_rep_stats(r["text"])
+        g = got[r["doc_id"]]
+        for k, v in want.items():
+            assert g[k] == pytest.approx(v, abs=6e-5), (r["doc_id"], k)
+        # flags reproducible from emitted stats
+        for k, th in GOPHER_REPETITION_THRESHOLDS.items():
+            assert g[f"ok_{k}"] == (g[k] <= th), (r["doc_id"], k)
+        assert g["passes_repetition"] == all(
+            g[f"ok_{k}"] for k in GOPHER_REPETITION_THRESHOLDS
+        )
+
+
+def test_repetition_fixtures(spark):
+    rows = [
+        (1, "the striped cat sat on the little mat with some dignity"),
+        (2, "x\n" * 50),                       # dup lines
+        (3, ("chunk of text\n\n" * 10).strip()),  # dup paras (and lines)
+        (4, "a b c d e f g h i j " * 10),      # dup 5..10-grams
+        (5, None),
+        (6, ""),
+        (7, "one two"),                        # too short for most grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in gopher_repetition_flags(df).collect()}
+    assert got[1]["passes_repetition"] is True
+    assert got[1]["top_2gram_char_frac"] == 0.0  # nothing repeats
+    assert got[2]["dup_line_frac"] == pytest.approx(49 / 50)
+    assert got[2]["passes_repetition"] is False
+    assert got[3]["dup_para_frac"] > 0.3 and not got[3]["ok_dup_para_frac"]
+    assert got[4]["dup_5gram_char_frac"] == 1.0  # capped
+    assert got[4]["passes_repetition"] is False
+    assert got[5]["passes_repetition"] is None
+    assert got[6]["passes_repetition"] is True   # empty: nothing repeats
+    assert got[7]["dup_10gram_char_frac"] == 0.0
+
+
+def test_repetition_threshold_overrides(spark):
+    df = spark.createDataFrame(
+        [(1, "x\nx\ny\nz")], "doc_id long, text string"
+    )
+    strict = gopher_repetition_flags(df, thresholds={"dup_line_frac": 0.1})
+    assert strict.collect()[0]["ok_dup_line_frac"] is False
+    loose = gopher_repetition_flags(df, thresholds={"dup_line_frac": 0.9})
+    assert loose.collect()[0]["ok_dup_line_frac"] is True
+    with pytest.raises(ValueError):
+        gopher_repetition_flags(df, thresholds={"nope": 0.5})
+
+
+def test_repetition_single_scan_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        gopher_repetition_flags(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # all 11 granularities ride ONE explode: the corpus relation
+    # appears twice (id/chars spine + the exploded scan), never once
+    # per granularity
+    assert plan.count("LogicalRDD [doc_id") == 2
+    assert plan.count("Generate explode") == 1
