@@ -644,8 +644,17 @@ def gopher_repetition_flags(
     map-side-combined count per (doc, granularity, value), one
     aggregate per (doc, granularity), and a pivot to columns (groupBy
     doc — the pivot frame is docs × 11, never corpus-token-scale).
+    The shuffle carries ``(xxhash64, length)`` — 16 fixed bytes per
+    unit — never the gram string (every downstream statistic needs
+    only equality and length; exactness caveat at the ``ex`` comment).
     Compare: running the published filter as 13 separate queries
-    rescans the corpus 13×.
+    rescans the corpus 13×. A fully map-only formulation (per-row
+    ``array_sort`` + adjacent-duplicate folds, zero shuffle) was built
+    and MEASURED 5× slower (79 s vs 16 s at sf0.1): higher-order
+    array functions evaluate outside whole-stage codegen, so the
+    interpreted per-row folds lose to codegen'd hash aggregates
+    despite the extra exchange — kept here as a recorded negative
+    result.
     """
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
@@ -683,14 +692,25 @@ def gopher_repetition_flags(
     ids = df.select(
         F.col(id_col).alias("id"), F.length(text).alias("__chars")
     )
+    # the shuffle carries (hash, length) — 16 fixed bytes — instead of
+    # the unit/gram STRING: every statistic downstream needs only
+    # equality and length, so the string's bytes never leave the map
+    # side. (Two distinct grams of equal length colliding on xxhash64
+    # within one document would merge counts — ~2⁻⁶⁴ per pair, the
+    # same exactness class as the MinHash/md5 operators.)
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tagged).alias("t")
-    ).select("id", F.col("t.kind").alias("kind"), F.col("t.val").alias("val"))
+    ).select(
+        "id",
+        F.col("t.kind").alias("kind"),
+        F.xxhash64(F.col("t.val")).alias("h"),
+        F.length(F.col("t.val")).alias("ln"),
+    )
 
-    counts = ex.groupBy("id", "kind", "val").agg(
+    counts = ex.groupBy("id", "kind", "h", "ln").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ln = F.length("val")
+    ln = F.col("ln")
     per = counts.groupBy("id", "kind").agg(
         F.sum("cnt").alias("occ"),
         F.sum(F.col("cnt") - 1).alias("dup_occ"),
@@ -699,11 +719,12 @@ def gopher_repetition_flags(
         F.sum(
             F.when(F.col("cnt") > 1, F.col("cnt") * ln).otherwise(F.lit(0))
         ).alias("dup_all_chars"),
+        # ties on (count, char mass) yield the same product either way,
+        # so the gram value itself is not needed for the top statistic
         F.max(
             F.struct(
                 F.col("cnt").alias("c"),
                 (F.col("cnt") * ln).alias("chars"),
-                F.col("val").alias("g"),
             )
         ).alias("top"),
     )
