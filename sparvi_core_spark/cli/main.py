@@ -745,6 +745,91 @@ def changepoints(metrics_path, table, alpha, l_sigma, min_points, fmt, cpus):
 
 
 @cli.command()
+@click.argument("source", required=False)
+@click.argument("table", required=False)
+@click.option("--text-col", default="text", help="Text column to gate")
+@click.option("--id-col", default="doc_id", help="Document id column")
+@click.option("--no-required-words", is_flag=True,
+              help="Drop the English-specific required-words rule "
+                   "(non-English / synthetic corpora)")
+@click.option("--keep-to", default=None,
+              help="Write the rows passing BOTH gates as parquet here")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def gopher(source, table, text_col, id_col, no_required_words, keep_to,
+           fmt, cpus):
+    """Gopher/MassiveText release gate on TABLE's TEXT-COL: per-rule
+    attrition (how many documents EACH quality + repetition rule
+    kills, independently) plus the composed pass counts — the numbers
+    a corpus release reviews before committing the filter. Extension
+    command — no reference analog."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.functions.text import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    spark = _session(cpus)
+    source, table = _resolve_source(source, table)
+    df = _load_table_df(spark, source, table)
+    qkw = {"min_required_words": 0} if no_required_words else {}
+    q = gopher_quality_flags(df, id_col=id_col, text_col=text_col, **qkw)
+    r = gopher_repetition_flags(df, id_col=id_col, text_col=text_col)
+    joined = q.join(r, "id")
+    flag_cols = [c for c in joined.columns if c.startswith("ok_")]
+    # one aggregation: per-rule kill counts + the composed gates
+    aggs = [
+        F.sum((~F.coalesce(F.col(c), F.lit(False))).cast("long")).alias(c)
+        for c in flag_cols
+    ] + [
+        F.count(F.lit(1)).alias("__total"),
+        F.sum(F.coalesce(F.col("passes_gopher"), F.lit(False)).cast("long")
+              ).alias("__pass_quality"),
+        F.sum(F.coalesce(F.col("passes_repetition"), F.lit(False)).cast(
+            "long")).alias("__pass_repetition"),
+        F.sum((F.coalesce(F.col("passes_gopher"), F.lit(False))
+               & F.coalesce(F.col("passes_repetition"), F.lit(False))
+               ).cast("long")).alias("__pass_both"),
+    ]
+    row = joined.agg(*aggs).first().asDict()
+    total = row.pop("__total")
+    summary = {
+        "total_docs": total,
+        "pass_quality": row.pop("__pass_quality"),
+        "pass_repetition": row.pop("__pass_repetition"),
+        "pass_both": row.pop("__pass_both"),
+    }
+    kills = {k.removeprefix("ok_"): v for k, v in row.items()}
+    if keep_to:
+        kept = df.join(
+            joined.filter("passes_gopher AND passes_repetition")
+            .select(F.col("id").alias(id_col)),
+            id_col,
+        )
+        kept.write.mode("overwrite").parquet(keep_to)
+        summary["kept_to"] = keep_to
+    if fmt == "json":
+        click.echo(json.dumps(
+            {"table": table, **summary, "rule_kills": kills}, default=str
+        ))
+        return
+    click.echo(_header(f"Gopher release gate: {table}.{text_col}"))
+    click.echo(_render_table(
+        ["metric", "value"], [[k, v] for k, v in summary.items()]
+    ))
+    click.echo(_render_table(
+        ["rule", "docs killed", "kill %"],
+        [
+            [k, v, f"{100.0 * v / max(total, 1):.1f}"]
+            for k, v in sorted(kills.items(), key=lambda kv: -kv[1])
+        ],
+    ))
+
+
+@cli.command()
 def info():
     """Version / platform info (reference: cli/main.py:39-76)."""
     import pyspark

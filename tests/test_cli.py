@@ -337,3 +337,38 @@ def test_chat_command_report_and_render(spark, sf_dir, tmp_path):
     assert r3.exit_code == 0, r3.output
     p3 = _json.loads(r3.output.strip().splitlines()[-1])
     assert "fail_last_role_ok" not in p3
+
+
+def test_gopher_command_gate_and_keep(spark, sf_dir, tmp_path):
+    import json as _json
+
+    r = CliRunner().invoke(
+        cli,
+        ["gopher", sf_dir, "documents", "--no-required-words",
+         "--format", "json"],
+    )
+    assert r.exit_code == 0, r.output
+    payload = _json.loads(r.output.strip().splitlines()[-1])
+    assert payload["total_docs"] == 500
+    assert 0 < payload["pass_both"] <= payload["pass_quality"]
+    assert payload["rule_kills"]["required_words"] == 0  # rule disabled
+    assert payload["pass_repetition"] > 0
+
+    out = str(tmp_path / "gated")
+    r2 = CliRunner().invoke(
+        cli,
+        ["gopher", sf_dir, "documents", "--no-required-words",
+         "--keep-to", out],
+    )
+    assert r2.exit_code == 0, r2.output
+    kept = spark.read.parquet(out)
+    assert kept.count() == payload["pass_both"]
+    assert "text" in kept.columns  # original columns survive
+
+    # English-specific rule ON kills the synthetic corpus entirely
+    r3 = CliRunner().invoke(
+        cli, ["gopher", sf_dir, "documents", "--format", "json"]
+    )
+    p3 = _json.loads(r3.output.strip().splitlines()[-1])
+    assert p3["pass_quality"] == 0
+    assert p3["rule_kills"]["required_words"] == 500
