@@ -123,8 +123,16 @@ def main() -> None:
     #    equivalent) so later actions don't recompute the whole chain.
     docs = remove_boilerplate_lines(docs, min_docs=2, min_frac=0.3).localCheckpoint()
 
-    # 1b. drop docs dominated by cross-document duplicated spans
-    from sparvi_core_spark.operators.substring import substring_dup_stats
+    # 1b. exact substring dedup, the full ExactSubstr policy: docs
+    #     DOMINATED by cross-document duplicated spans are dropped;
+    #     flagged spans in the surviving docs are TRIMMED out (the
+    #     paper's deletion mode), so a boilerplate paragraph shared by
+    #     two otherwise-good documents costs the corpus one paragraph,
+    #     not two documents
+    from sparvi_core_spark.operators.substring import (
+        remove_duplicated_spans,
+        substring_dup_stats,
+    )
 
     heavy = substring_dup_stats(docs, window=20, min_docs=2).filter(
         F.col("dup_token_frac") > 0.8
@@ -135,6 +143,19 @@ def main() -> None:
         "left_anti",
     ).localCheckpoint()
     report["after_span_screen"] = docs.count()
+
+    trimmed = remove_duplicated_spans(docs, window=20, min_docs=2)
+    report["spans_trimmed_tokens"] = trimmed.agg(
+        F.sum("n_tokens_removed")
+    ).first()[0]
+    docs = (
+        docs.drop("text")
+        .join(trimmed.select(F.col("id").alias("doc_id"), "text"), "doc_id")
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("text") != "")
+        .localCheckpoint()
+    )
+    report["after_span_trim"] = docs.count()
 
     # 1c. threshold calibration BEFORE committing the quality cutoff:
     #     one corpus pass gives the doc/char attrition at every

@@ -140,3 +140,68 @@ def substring_dup_stats(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The paper's TRIM policy: excise every duplicated span from the
+    text instead of dropping whole documents (ExactSubstr's deletion
+    mode — the tool removes every occurrence of a duplicated
+    substring; keeping one canonical copy is a policy layer callers
+    can add by anti-joining a winner per span hash before this).
+
+    Returns ``(id, text, n_tokens_removed)`` for EVERY input document:
+
+    - docs with no flagged spans pass their text through BYTE-IDENTICAL
+      (no re-tokenization damage on the untouched 99%+ of the corpus);
+    - trimmed docs are rebuilt as the surviving tokens joined by single
+      spaces — whitespace-normalized by construction, same as the
+      token-sequence view the span offsets are defined on (newlines
+      inside removed-adjacent text are not preserved; run this BEFORE
+      line-structure-sensitive stages);
+    - a fully-covered doc becomes the empty string (filter on
+      ``text != ''`` for the paper's drop-when-nothing-left behavior).
+
+    Scale shape: :func:`duplicated_spans` (linear window explode,
+    hash-keyed shuffle) + per-doc span arrays collected by one groupBy
+    (bounded: merged spans per doc ≤ tokens/window), broadcast-joined
+    back, and the excision itself is one map-side ``filter`` with the
+    element index tested against the span array — no shuffle beyond
+    the span computation, no Python.
+    """
+    spans = duplicated_spans(docs, window, min_docs, id_col, text_col)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = tokens_col(text_col)
+    rhs = per_doc.select(F.col("id").alias("__rid"), "__spans")
+    joined = docs.join(
+        rhs, docs[id_col] == rhs["__rid"], "left"
+    ).drop("__rid")
+    inside = lambda i: F.exists(
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(toks, lambda x, i: ~inside(i))
+    removed = F.aggregate(
+        F.col("__spans"),
+        F.lit(0).cast("bigint"),
+        lambda acc, sp: acc + (sp["e"] - sp["s"]),
+    )
+    return joined.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.coalesce(removed, F.lit(0)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )

@@ -87,3 +87,77 @@ def test_within_doc_repetition_not_flagged(spark):
         "doc_id long, text string",
     )
     assert duplicated_spans(df, window=10, min_docs=2).count() == 0
+
+
+def test_remove_duplicated_spans_trims_and_passes_through(spark):
+    from sparvi_core_spark.operators.substring import (
+        remove_duplicated_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(6))   # 6-token shared span
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"start {shared} finish line here"),
+        (3, "totally unrelated    text with   odd spacing"),  # untouched
+        (4, shared),                                  # fully covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in remove_duplicated_spans(df, window=6, min_docs=2).collect()
+    }
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens_removed"] == 6
+    assert out[2]["text"] == "start finish line here"
+    assert out[2]["n_tokens_removed"] == 6
+    # untouched doc: BYTE-identical text, odd spacing preserved
+    assert out[3]["text"] == rows[2][1]
+    assert out[3]["n_tokens_removed"] == 0
+    # fully covered doc: empty string, all tokens removed
+    assert out[4]["text"] == ""
+    assert out[4]["n_tokens_removed"] == 6
+    assert len(out) == 4
+
+
+def test_remove_duplicated_spans_merged_overlaps_and_python_twin(spark):
+    """Windows overlap across a long shared run; removal must excise
+    the MERGED span exactly once. Twin recomputes from first
+    principles with Python sets of flagged token indexes."""
+    from collections import Counter
+
+    from sparvi_core_spark.operators.substring import (
+        remove_duplicated_spans,
+    )
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12-token shared run
+    rows = [
+        (1, f"a b c {run} x y z"),
+        (2, f"p q {run} r s"),
+        (3, "n1 n2 n3 n4 n5 n6 n7 n8"),
+    ]
+    W = 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in remove_duplicated_spans(df, window=W, min_docs=2).collect()
+    }
+
+    # twin: flag every W-window whose text occurs in >= 2 docs
+    toks = {i: t.split() for i, t in rows}
+    wins = Counter()
+    for i, ts in toks.items():
+        seen = {" ".join(ts[p:p + W]) for p in range(len(ts) - W + 1)}
+        for wtext in seen:
+            wins[wtext] += 1
+    for i, ts in toks.items():
+        flagged = set()
+        for p in range(len(ts) - W + 1):
+            if wins[" ".join(ts[p:p + W])] >= 2:
+                flagged.update(range(p, p + W))
+        want = " ".join(t for j, t in enumerate(ts) if j not in flagged)
+        if flagged:
+            assert out[i]["text"] == want, i
+            assert out[i]["n_tokens_removed"] == len(flagged), i
+        else:
+            assert out[i]["text"] == rows[i - 1][1], i
+            assert out[i]["n_tokens_removed"] == 0
