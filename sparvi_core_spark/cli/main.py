@@ -830,6 +830,148 @@ def gopher(source, table, text_col, id_col, no_required_words, keep_to,
 
 
 @cli.command()
+@click.argument("source", required=False)
+@click.argument("table", required=False)
+@click.option("--text-col", default="text", help="Text column")
+@click.option("--id-col", default="doc_id", help="Document id column")
+@click.option("--lang-col", default=None,
+              help="Existing language column (default: predict)")
+@click.option("--no-required-words", is_flag=True,
+              help="Drop the English-specific Gopher rule")
+@click.option("--output", default=None, help="Write the JSON here")
+@click.option("--format", "fmt", default="json",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def datacard(source, table, text_col, id_col, lang_col, no_required_words,
+             output, fmt, cpus):
+    """One-command dataset card for TABLE: the statistics section a
+    corpus release publishes — sizes, token totals and length
+    quantiles, language distribution, quality/Gopher pass rates, PII
+    exposure, lexical diversity, and exact-duplicate mass — composed
+    from the engine's report operators. Several corpus scans by
+    design (it is a release artifact, not a hot-path query).
+    Extension command — no reference analog."""
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.functions.text import (
+        gopher_quality_flags,
+        language_id,
+        normalize_text,
+        quality_features,
+        token_counts,
+        gopher_repetition_flags,
+    )
+    from sparvi_core_spark.operators.diversity import corpus_diversity
+    from sparvi_core_spark.operators.pii import pii_summary
+
+    spark = _session(cpus)
+    source, table = _resolve_source(source, table)
+    df = _load_table_df(spark, source, table)
+    card: dict = {"table": table, "text_col": text_col}
+
+    sizes = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("null_texts"),
+    ).first()
+    card["size"] = {k: sizes[k] for k in ("n_docs", "n_chars", "null_texts")}
+
+    tc = token_counts(df, id_col=id_col, text_col=text_col)
+    toks = tc.agg(
+        F.sum("ws_tokens").alias("total"),
+        F.expr("percentile_approx(ws_tokens, array(0.5, 0.9, 0.99))").alias(
+            "q"
+        ),
+    ).first()
+    card["tokens"] = {
+        "total_ws_tokens": toks["total"],
+        "doc_tokens_p50": toks["q"][0],
+        "doc_tokens_p90": toks["q"][1],
+        "doc_tokens_p99": toks["q"][2],
+    }
+
+    lang = (
+        df.select(F.col(lang_col).alias("predicted_lang"))
+        if lang_col
+        else language_id(df, id_col=id_col, text_col=text_col)
+    )
+    total = max(card["size"]["n_docs"], 1)
+    card["languages"] = {
+        r["predicted_lang"]: round(r["n"] / total, 4)
+        for r in lang.groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(10)
+        .collect()
+    }
+
+    q = quality_features(df, id_col=id_col, text_col=text_col).agg(
+        F.round(F.avg("quality_score"), 4).alias("mean"),
+        F.expr("percentile_approx(quality_score, 0.5)").alias("p50"),
+    ).first()
+    qkw = {"min_required_words": 0} if no_required_words else {}
+    gq = gopher_quality_flags(df, id_col=id_col, text_col=text_col, **qkw)
+    gr = gopher_repetition_flags(df, id_col=id_col, text_col=text_col)
+    gates = gq.select("id", "passes_gopher").join(
+        gr.select("id", "passes_repetition"), "id"
+    ).agg(
+        F.sum(F.coalesce(F.col("passes_gopher"), F.lit(False)).cast("long")
+              ).alias("pq"),
+        F.sum(F.coalesce(F.col("passes_repetition"), F.lit(False)).cast(
+            "long")).alias("pr"),
+    ).first()
+    card["quality"] = {
+        "mean_quality_score": q["mean"],
+        "p50_quality_score": q["p50"],
+        "gopher_quality_pass_frac": round(gates["pq"] / total, 4),
+        "gopher_repetition_pass_frac": round(gates["pr"] / total, 4),
+    }
+
+    pii = pii_summary(df, text_col=text_col).first().asDict()
+    card["pii"] = {
+        "docs_with_pii": pii.get("docs_with_pii"),
+        "docs_with_pii_frac": round(
+            (pii.get("docs_with_pii") or 0) / total, 4
+        ),
+    }
+
+    card["diversity"] = {
+        k: v
+        for k, v in corpus_diversity(
+            df, text_col=text_col
+        ).first().asDict().items()
+        if k in ("vocab_size", "type_token_ratio", "token_entropy",
+                 "top_token_frac", "distinct_2")
+    }
+
+    dupes = df.select(
+        normalize_text(text_col).alias("__norm")
+    ).agg(
+        (F.count(F.lit(1)) - F.count_distinct("__norm")).alias("extra")
+    ).first()
+    card["exact_duplicates"] = {
+        "duplicate_docs_beyond_first": dupes["extra"],
+        "duplicate_frac": round(dupes["extra"] / total, 4),
+    }
+
+    payload = json.dumps(card, default=str, indent=2)
+    if output:
+        with open(output, "w") as fh:
+            fh.write(payload + "\n")
+        click.echo(f"datacard written to {output}")
+    if fmt == "json":
+        click.echo(json.dumps(card, default=str))
+        return
+    click.echo(_header(f"Dataset card: {table}"))
+    for section, vals in card.items():
+        if not isinstance(vals, dict):
+            continue
+        click.echo(_render_table(
+            [section, "value"], [[k, v] for k, v in vals.items()]
+        ))
+
+
+@cli.command()
 def info():
     """Version / platform info (reference: cli/main.py:39-76)."""
     import pyspark

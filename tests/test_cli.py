@@ -372,3 +372,35 @@ def test_gopher_command_gate_and_keep(spark, sf_dir, tmp_path):
     p3 = _json.loads(r3.output.strip().splitlines()[-1])
     assert p3["pass_quality"] == 0
     assert p3["rule_kills"]["required_words"] == 500
+
+
+def test_datacard_command(spark, sf_dir, tmp_path):
+    import json as _json
+
+    out = str(tmp_path / "card.json")
+    r = CliRunner().invoke(
+        cli,
+        ["datacard", sf_dir, "documents", "--no-required-words",
+         "--output", out, "--format", "json"],
+    )
+    assert r.exit_code == 0, r.output
+    card = _json.loads(r.output.strip().splitlines()[-1])
+    assert card["size"]["n_docs"] == 500
+    assert card["tokens"]["total_ws_tokens"] > 0
+    assert 0 < card["tokens"]["doc_tokens_p50"] <= card["tokens"]["doc_tokens_p99"]
+    assert abs(sum(card["languages"].values()) - 1.0) < 0.01
+    assert 0 < card["quality"]["gopher_quality_pass_frac"] <= 1
+    assert card["exact_duplicates"]["duplicate_frac"] == 0.0
+    # the --output artifact round-trips to the same card
+    with open(out) as fh:
+        assert _json.load(fh) == card
+
+    # precomputed language column path
+    r2 = CliRunner().invoke(
+        cli,
+        ["datacard", sf_dir, "documents", "--lang-col", "lang",
+         "--format", "json"],
+    )
+    assert r2.exit_code == 0, r2.output
+    card2 = _json.loads(r2.output.strip().splitlines()[-1])
+    assert set(card2["languages"]) >= {"en"}
