@@ -1287,6 +1287,34 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_flags(planted)
 
 
+def q_trimmed_spans(spark, sf_dir):
+    """ExactSubstr span TRIMMING (operators/substring.py
+    remove_duplicated_spans; no reference analog — training-data
+    extension surface) over documents with a planted shared 8-token
+    run (appended for one doc class, the ENTIRE text of another — the
+    full-coverage → empty-string edge). The oracle removes the union
+    of flagged window positions directly (no interval merge — the
+    removed-token set is identical by construction), trimming with a
+    DuckDB indexed list_filter."""
+    from sparvi_core_spark.operators.substring import (
+        remove_duplicated_spans,
+    )
+
+    t = _views(spark, sf_dir)
+    run = "shared span alpha beta gamma delta epsilon zeta"
+    planted = t["documents"].filter(F.col("doc_id") < 120).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(run))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" " + run)),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return remove_duplicated_spans(planted, window=6, min_docs=2)
+
+
 def q_filter_sweep(spark, sf_dir):
     """Threshold attrition curve (operators/selection.py filter_sweep;
     no reference analog — training-data extension surface): per-
@@ -1349,6 +1377,7 @@ _LOCAL_ONLY = (
     "gopher_flags",
     "filter_sweep",
     "gopher_repetition",
+    "trimmed_spans",
 )
 
 
@@ -1446,6 +1475,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
+        "trimmed_spans": q_trimmed_spans,
     }
 
 
@@ -2765,6 +2795,50 @@ SELECT *,
     {_flag_sql},
     ({_pass_sql}) AS passes_repetition
 FROM stats"""
+
+    # trimmed_spans: flagged-position union removed with an indexed
+    # list_filter (1-based i in DuckDB; Spark positions are 0-based);
+    # COALESCE because DuckDB's array_to_string([]) is NULL where
+    # Spark's array_join is ''
+    o["trimmed_spans"] = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 17 = 0 THEN 'shared span alpha beta gamma delta epsilon zeta'
+      WHEN doc_id % 4 = 1 THEN coalesce(text, '') || ' shared span alpha beta gamma delta epsilon zeta'
+      ELSE coalesce(text, '')
+    END AS text
+  FROM documents WHERE doc_id < 120
+),
+base AS (
+  SELECT doc_id AS id, text, string_split(text, ' ') AS words FROM planted
+),
+wins AS (
+  SELECT id, i.i - 1 AS pos,
+         md5(array_to_string(list_slice(words, i.i, i.i + 6 - 1), ' ')) AS whash
+  FROM base, unnest(range(1, len(words) - 6 + 2)) AS i(i)
+),
+fh AS (
+  SELECT whash FROM (
+    SELECT whash, COUNT(DISTINCT id) AS df FROM wins GROUP BY whash
+  ) WHERE df >= 2
+),
+fpos AS (
+  SELECT DISTINCT w.id AS fid, w.pos + u.u AS p
+  FROM wins w JOIN fh USING (whash), unnest(range(0, 6)) AS u(u)
+),
+agg AS (
+  SELECT fid, CAST(COUNT(*) AS BIGINT) AS nrem, list(p) AS plist
+  FROM fpos GROUP BY fid
+)
+SELECT b.id,
+  CASE WHEN a.fid IS NULL THEN b.text
+       ELSE COALESCE(array_to_string(
+         list_filter(b.words, (w, i) -> NOT list_contains(a.plist, i - 1)),
+         ' '), '')
+  END AS text,
+  COALESCE(a.nrem, 0) AS n_tokens_removed
+FROM base b LEFT JOIN agg a ON b.id = a.fid"""
 
     # filter_sweep: the oracle states the SEMANTICS (per-threshold
     # filtered aggregates via a cross join); the engine's one-pass
