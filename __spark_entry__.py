@@ -1287,6 +1287,31 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_flags(planted)
 
 
+def q_c4_clean(spark, sf_dir):
+    """The C4 cleaning recipe (functions/text.py c4_clean; no
+    reference analog — training-data extension surface) over documents
+    with planted per-rule suffixes (kept closing lines, javascript
+    lines, lorem ipsum, brace lines). Oracle rebuilds the line filter
+    + page flags with nested DuckDB list lambdas, terminals
+    interpolated from the module."""
+    from sparvi_core_spark.functions.text import c4_clean
+
+    t = _views(spark, sf_dir)
+    planted = t["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(".\nGood closing line with plenty of words here."))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.lit("\nEnable javascript now please thanks."))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" lorem ipsum dolor."))
+            .otherwise(F.lit(" { end")),
+        ).alias("text"),
+    )
+    return c4_clean(planted)
+
+
 def q_trimmed_spans(spark, sf_dir):
     """ExactSubstr span TRIMMING (operators/substring.py
     remove_duplicated_spans; no reference analog — training-data
@@ -1378,6 +1403,7 @@ _LOCAL_ONLY = (
     "filter_sweep",
     "gopher_repetition",
     "trimmed_spans",
+    "c4_clean",
 )
 
 
@@ -1476,6 +1502,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
         "trimmed_spans": q_trimmed_spans,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -2795,6 +2822,57 @@ SELECT *,
     {_flag_sql},
     ({_pass_sql}) AS passes_repetition
 FROM stats"""
+
+    # c4_clean: line filter + page flags with nested list lambdas;
+    # terminals interpolated from the module (zero drift); COALESCE on
+    # the empty-kept case (DuckDB array_to_string([]) is NULL)
+    from sparvi_core_spark.functions.text import C4_TERMINALS as _C4T
+
+    _ends = " OR ".join(
+        "ends_with(ln, '{}')".format(t.replace("'", "''")) for t in _C4T
+    )
+    _line_ok = (
+        f"({_ends}) "
+        "AND len(list_filter(string_split(ln, ' '), t -> t <> '')) >= 5 "
+        "AND NOT list_contains(list_filter(string_split(lower(ln), ' '), "
+        "t -> t <> ''), 'javascript')"
+    )
+    o["c4_clean"] = f"""
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '') || CASE doc_id % 4
+    WHEN 0 THEN '.' || chr(10) || 'Good closing line with plenty of words here.'
+    WHEN 1 THEN chr(10) || 'Enable javascript now please thanks.'
+    WHEN 2 THEN ' lorem ipsum dolor.'
+    ELSE ' {{ end' END AS text
+  FROM documents WHERE doc_id < 150
+),
+base AS (
+  SELECT doc_id AS id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines
+  FROM planted
+),
+kept AS (
+  SELECT id, lines,
+    list_filter(lines, ln -> {_line_ok}) AS keep
+  FROM base
+),
+built AS (
+  SELECT id,
+    COALESCE(array_to_string(keep, chr(10)), '') AS text,
+    CAST(len(keep) AS BIGINT) AS n_lines_kept,
+    CAST(len(lines) - len(keep) AS BIGINT) AS n_lines_dropped
+  FROM kept
+)
+SELECT id, text, n_lines_kept, n_lines_dropped,
+  (len(regexp_extract_all(text, '[.!?]')) >= 3) AS ok_sentences,
+  (NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(lower(text), '{{')) AS ok_banned,
+  TRUE AS ok_badwords,
+  ((len(regexp_extract_all(text, '[.!?]')) >= 3)
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(lower(text), '{{')) AS passes_c4
+FROM built"""
 
     # trimmed_spans: flagged-position union removed with an indexed
     # list_filter (1-based i in DuckDB; Spark positions are 0-based);

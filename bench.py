@@ -306,6 +306,13 @@ def build_suite(spark, sf_dir):
         )
     )
 
+    # C4 cleaning: line filter + page flags, map-only (r7)
+    from sparvi_core_spark.functions.text import c4_clean
+
+    suite.append(
+        ("c4_clean", lambda: _force(c4_clean(spark.table("documents"))))
+    )
+
     # the complete Gopher repetition table: 11 granularities (lines,
     # paragraphs, 2..10-grams) in one tagged explode (r7)
     from sparvi_core_spark.functions.text import gopher_repetition_flags

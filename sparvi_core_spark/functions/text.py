@@ -790,3 +790,119 @@ def gopher_repetition_flags(
     for name in flags:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return out.withColumn("passes_repetition", passes)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules
+# ---------------------------------------------------------------------------
+
+# terminal punctuation accepted by the C4 line rule (the T5 paper's
+# "terminal punctuation mark" = . ! ? plus a closing quote after one)
+C4_TERMINALS = (".", "!", "?", '."', '!"', '?"', ".'", "!'", "?'")
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    banned_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, §2.2 — the filter
+    that produced C4 from Common Crawl; the other canonical named
+    pipeline next to :func:`gopher_quality_flags`), as one map-only
+    projection:
+
+    line level — a line survives iff it ends in a terminal punctuation
+    mark (``C4_TERMINALS``), has ≥ ``min_words_per_line`` words, and
+    contains none of ``banned_line_words`` (case-insensitive word
+    match; the paper's "any line with the word Javascript");
+
+    page level, evaluated on the LINE-FILTERED text (as published) —
+    ``ok_sentences``: ≥ ``min_sentences`` sentences (terminal-mark
+    occurrences in the kept text, the paper's proxy);
+    ``ok_banned``: contains none of ``banned_substrings``
+    (case-insensitive; the paper's "lorem ipsum" and "{" rules);
+    ``ok_badwords``: no word from ``badwords`` (the published filter
+    uses the "List of Dirty, Naughty …" list — that is a DATA file,
+    so the default here is None = rule passes vacuously; pass the
+    list to enable). ``passes_c4`` ANDs the three.
+
+    Returns ``(id, text, n_lines_kept, n_lines_dropped, ok_sentences,
+    ok_banned, ok_badwords, passes_c4)`` where ``text`` is the kept
+    lines re-joined with ``\\n``. NULL text → NULL everything. Docs
+    whose every line is dropped have ``text = ''`` and fail
+    ``ok_sentences``.
+
+    Pure codegen expressions (split/filter/array ops) — no shuffle,
+    no Python, one corpus scan; every rule is a keyword so corpora
+    re-tune without forking.
+    """
+    text = F.col(text_col)
+    lines = F.transform(F.split(text, r"\n"), lambda x: F.trim(x))
+    lines = F.filter(lines, lambda x: x != "")
+
+    def _line_ok(x: F.Column) -> F.Column:
+        ends = None
+        for t in C4_TERMINALS:
+            e = x.endswith(t)
+            ends = e if ends is None else (ends | e)
+        words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        ok = ends & (words >= min_words_per_line)
+        if banned_line_words:
+            # "contains the word" = whitespace-delimited token equality
+            # on the lowered line (documented contract; punctuation-
+            # attached variants are not matched — same trade the
+            # published filter's word lists make)
+            low_toks = F.filter(
+                F.split(F.lower(x), " "), lambda t: t != ""
+            )
+            banned = F.array(
+                *[F.lit(w.lower()) for w in banned_line_words]
+            )
+            ok = ok & (F.size(F.array_intersect(low_toks, banned)) == 0)
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_kept = F.size(kept)
+    n_dropped = F.size(lines) - n_kept
+
+    sentences = F.size(
+        F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), F.lit(0))
+    )
+    ok_sent = sentences >= min_sentences
+    low_clean = F.lower(cleaned)
+    ok_banned = None
+    for s in banned_substrings:
+        c = ~low_clean.contains(s.lower())
+        ok_banned = c if ok_banned is None else (ok_banned & c)
+    if ok_banned is None:
+        ok_banned = F.lit(True)
+    if badwords:
+        bad = F.array(*[F.lit(w.lower()) for w in badwords])
+        toks = F.filter(
+            F.split(low_clean, r"\s+"), lambda t: t != ""
+        )
+        ok_bad = F.size(F.array_intersect(toks, bad)) == 0
+    else:
+        ok_bad = F.lit(True)
+
+    null_doc = text.isNull()
+
+    def _guard(c: F.Column, typ: str) -> F.Column:
+        return F.when(null_doc, F.lit(None).cast(typ)).otherwise(c)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        _guard(cleaned, "string").alias("text"),
+        _guard(n_kept.cast("bigint"), "bigint").alias("n_lines_kept"),
+        _guard(n_dropped.cast("bigint"), "bigint").alias("n_lines_dropped"),
+        _guard(ok_sent, "boolean").alias("ok_sentences"),
+        _guard(ok_banned, "boolean").alias("ok_banned"),
+        _guard(ok_bad, "boolean").alias("ok_badwords"),
+        _guard(ok_sent & ok_banned & ok_bad, "boolean").alias("passes_c4"),
+    )

@@ -608,3 +608,127 @@ def test_repetition_single_scan_plan(spark):
     # per granularity
     assert plan.count("LogicalRDD [doc_id") == 2
     assert plan.count("Generate explode") == 1
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.functions.text import C4_TERMINALS, c4_clean  # noqa: E402
+
+
+def _py_c4(text, min_wpl=5, min_sent=3, banned=("lorem ipsum", "{"),
+           banned_words=("javascript",), badwords=None):
+    if text is None:
+        return None
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    kept = []
+    for ln in lines:
+        toks = [t for t in ln.split(" ") if t]
+        low = [t for t in ln.lower().split(" ") if t]
+        if (
+            any(ln.endswith(t) for t in C4_TERMINALS)
+            and len(toks) >= min_wpl
+            and not (set(low) & set(banned_words))
+        ):
+            kept.append(ln)
+    cleaned = "\n".join(kept)
+    import re as _re
+
+    sent = len(_re.findall(r"[.!?]", cleaned))
+    ok_sent = sent >= min_sent
+    ok_banned = all(s not in cleaned.lower() for s in banned)
+    if badwords:
+        toks = [t for t in _re.split(r"\s+", cleaned.lower()) if t]
+        ok_bad = not (set(toks) & {w.lower() for w in badwords})
+    else:
+        ok_bad = True
+    return {
+        "text": cleaned,
+        "n_lines_kept": len(kept),
+        "n_lines_dropped": len(lines) - len(kept),
+        "ok_sentences": ok_sent,
+        "ok_banned": ok_banned,
+        "ok_badwords": ok_bad,
+        "passes_c4": ok_sent and ok_banned and ok_bad,
+    }
+
+
+def test_c4_fixtures(spark):
+    good = (
+        "This is a perfectly reasonable first sentence here.\n"
+        "Here is another sentence with enough words too!\n"
+        "And a third one to clear the sentence minimum?"
+    )
+    rows = [
+        (1, good, True),
+        (2, good + "\nshort line.\nno terminal punctuation here at all", True),
+        (3, good + "\nEnable javascript to view this page today.", True),
+        (4, good.replace("another", "lorem ipsum"), False),
+        (5, good + "\nfunction() { return 1; }", True),  # "{" line dropped (no terminal), page clean
+        (6, "One sentence only, not enough of them here.", False),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in c4_clean(df).collect()}
+    for i, t, want in rows:
+        assert got[i]["passes_c4"] is want, (i, got[i])
+        twin = _py_c4(t)
+        if twin is None:
+            assert got[i]["text"] is None
+            continue
+        for k, v in twin.items():
+            assert got[i][k] == v, (i, k)
+    # the javascript line was dropped from doc 3's cleaned text
+    assert "javascript" not in got[3]["text"]
+    assert got[3]["n_lines_dropped"] == 1
+
+
+def test_c4_matches_python_twin_on_corpus(spark, views):
+    docs = spark.table("documents").filter(F.col("doc_id") < 150)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".\nGood closing line with plenty of words here."))
+            .when(F.col("doc_id") % 4 == 1, F.lit("\nEnable javascript now please thanks."))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" lorem ipsum dolor."))
+            .otherwise(F.lit(" { end")),
+        ).alias("text"),
+    )
+    got = {r["id"]: r.asDict() for r in c4_clean(planted).collect()}
+    for r in planted.collect():
+        twin = _py_c4(r["text"])
+        g = got[r["doc_id"]]
+        for k, v in twin.items():
+            assert g[k] == v, (r["doc_id"], k)
+
+
+def test_c4_badwords_and_overrides(spark):
+    good = (
+        "The first sentence is long enough to survive easily.\n"
+        "The second sentence also has the needed words.\n"
+        "The third sentence closes out the minimum count."
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, good + "\nThis line mentions zorblax quite clearly.")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in c4_clean(df, badwords=["zorblax"]).collect()}
+    assert out[1]["passes_c4"] is True
+    assert out[2]["passes_c4"] is False and out[2]["ok_badwords"] is False
+    # loosened sentence minimum
+    one = spark.createDataFrame(
+        [(1, "Just one full sentence with enough words here.")],
+        "doc_id long, text string",
+    )
+    assert c4_clean(one, min_sentences=1).collect()[0]["passes_c4"] is True
+
+
+def test_c4_map_only_plan(spark):
+    df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
