@@ -389,3 +389,30 @@ def test_filter_sweep_single_scan(spark, scored):
     # corpus relations carry the doc_id column; the third LogicalRDD is
     # the 20-row threshold frame
     assert plan.count("LogicalRDD [doc_id") == 2
+
+
+def test_filter_sweep_fuzz_monotone(spark):
+    """Seeded fuzz over random scores/weights/NULLs: docs_kept and
+    weight_kept must be monotone non-increasing in the threshold
+    (descending mode) and the fractions bounded in [0, 1]."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.15 else rng.uniform(-2, 2),
+            rng.randint(0, 500),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, toks long")
+    ts = sorted(rng.uniform(-2.5, 2.5) for _ in range(15))
+    out = filter_sweep(df, "score", ts, weight_col="toks").collect()
+    assert [r["threshold"] for r in out] == ts
+    for a, b in zip(out, out[1:]):
+        assert a["docs_kept"] >= b["docs_kept"]
+        assert a["weight_kept"] >= b["weight_kept"]
+    for r in out:
+        assert 0.0 <= r["doc_frac"] <= 1.0
+        assert 0.0 <= r["weight_frac"] <= 1.0

@@ -732,3 +732,30 @@ def test_c4_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_gopher_fuzz_bounds(spark):
+    """Seeded fuzz over random text shapes: every emitted fraction
+    stays in [0, 1] (the dup/top caps included) and counts are
+    non-negative, across both Gopher bundles."""
+    import random
+
+    rng = random.Random(11)
+    pieces = ["word", "the", "###", "...", "•", "-", "…", "\n", "\n\n",
+              "a", "{", "xyzzy", "1234", "!"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 60)
+        rows.append((i, " ".join(rng.choice(pieces) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for g in gopher_quality_flags(df).collect():
+        assert g["n_words"] >= 0 and g["required_word_hits"] >= 0
+        for k in ("symbol_word_ratio",):
+            assert g[k] >= 0.0
+        for k in ("bullet_line_frac", "ellipsis_line_frac",
+                  "alpha_word_frac"):
+            assert 0.0 <= g[k] <= 1.0, (g["id"], k)
+    for r in gopher_repetition_flags(df).collect():
+        for k, v in r.asDict().items():
+            if k.endswith("_frac"):
+                assert 0.0 <= v <= 1.0, (r["id"], k, v)

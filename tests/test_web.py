@@ -448,3 +448,43 @@ def test_dedup_by_url_contract(spark):
     a = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     b = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert a == b and len(a) == 4
+
+
+def test_canonicalize_fuzz_batch(spark):
+    """Seeded adversarial fuzz: random compositions of URL fragments
+    (unicode hosts, empty segments, repeated separators, %-escapes,
+    nested ?/#) must match the stdlib twin AND be idempotent — one
+    Spark job over the whole batch."""
+    import random
+
+    rng = random.Random(20260815)
+    schemes = ["http", "HTTPS", "ftp", "wss", "x+y.z-1", ""]
+    hosts = ["Ex.COM", "ünï.example", "a..b", "[::1]", "x", ""]
+    ports = ["", ":0", ":80", ":443", ":65535", ":badport"]
+    paths = ["", "/", "//", "/a//b/", "/%2Fa", "/?", "/#", "/a b"]
+    queries = ["", "?", "?&&", "?a", "?a=&b", "?A=1&a=2&utm_x=9",
+               "?gclid=##", "?=v", "?a=b=c&fbclid"]
+    frags = ["", "#", "#f", "#a?b=c"]
+    urls = []
+    for _ in range(250):
+        s = rng.choice(schemes)
+        pre = f"{s}://" if s else rng.choice(["", "//"])
+        urls.append(
+            pre + rng.choice(hosts) + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "i", canonicalize_url("url").alias("c1")
+        ).select(
+            "i", "c1", canonicalize_url("c1").alias("c2")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        c1, c2 = got[i]
+        assert c1 == _py_canon(u), f"twin mismatch on {u!r}"
+        assert c2 == c1, f"not idempotent on {u!r} -> {c1!r} -> {c2!r}"
