@@ -194,3 +194,37 @@ def test_novelty_stream_exact_batch_stream_equivalence(spark, tmp_path):
         r["doc_id"] for r in spark.table("novelty_stream_t").collect()
     }
     assert stream_ids == batch_ids
+
+
+def test_quality_gates_batch_stream_equivalence(spark, sf_dir):
+    """The r7 map-only gates (Gopher rules, C4 cleaning) are stateless
+    projections, so they must run UNCHANGED on a streaming frame and
+    produce exactly the batch answer — the property that makes the
+    release gate reusable as an ingest-time monitor."""
+    from sparvi_core_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+    )
+    from sparvi_core_spark.streaming.profile_stream import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    batch = spark.read.parquet(path)
+
+    for name, op in (
+        ("gq", lambda d: gopher_quality_flags(d, min_required_words=0)),
+        ("c4", lambda d: c4_clean(d)),
+    ):
+        batch_rows = {r["id"]: r for r in op(batch).collect()}
+        stream = stream_events(spark, path)
+        out = op(stream)
+        assert out.isStreaming
+        run_stream_to_memory(out, f"gate_{name}", output_mode="append")
+        stream_rows = {
+            r["id"]: r for r in spark.table(f"gate_{name}").collect()
+        }
+        assert set(stream_rows) == set(batch_rows)
+        for k, v in batch_rows.items():
+            assert stream_rows[k] == v, (name, k)
