@@ -1,0 +1,247 @@
+"""End-to-end web-crawl pipeline: CommonCrawl-shaped WARC segments in,
+training-ready text out — the crawl-side counterpart of
+``corpus_pipeline.py`` (which starts from already-extracted text).
+
+    .warc.gz segments
+      → WARC ingest                   (streaming-capable binary parse)
+      → response/text dissection      (HTTP envelope, non-2xx dropped)
+      → canonical-URL recrawl dedup   (tracker/case variants collapse)
+      → markup strip + text hygiene   (tags/entities, unicode cleanup)
+      → C4 line + page rules          (terminal punct, javascript,
+                                       lorem ipsum, sentence minimum)
+      → Gopher quality + repetition   (the published document gates)
+      → PII scan + redaction          (release gate)
+      → MinHash near-dup dedup        (boilerplate page variants)
+      → shard export                  (hash shards + manifest)
+
+The crawl itself is SYNTHESIZED here (seeded, spec-conformant WARC
+bytes via ``sources.warc.make_warc_record``) because this sandbox has
+no network: ~120 pages of punctuated English article text with planted
+crawl pathologies — tracker-decorated refetches, near-duplicate page
+variants, javascript/boilerplate lines, lorem-ipsum stubs, PII, spam
+repetition, a 404 and an image (dropped at ingest).
+
+Run: python examples/web_pipeline.py   Prints one JSON attrition report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SUBJECTS = ["The committee", "A local researcher", "The city council",
+            "One senior editor", "The survey team", "A visiting professor",
+            "The review board", "Our correspondent"]
+VERBS = ["reported", "confirmed", "suggested", "noted", "found",
+         "argued", "explained", "observed"]
+ADJECTIVES = ["revised", "annual", "updated", "original", "joint",
+              "regional", "public", "final"]
+NOUNS = ["budget", "policy", "dataset", "schedule", "contract",
+         "proposal", "review", "estimate"]
+ACTIONS = ["change", "expand", "improve", "shrink", "stabilise",
+           "continue", "lapse", "recover"]
+
+
+def _page(rng: random.Random, kind: str, i: int) -> str:
+    """One HTML page of punctuated English prose, with a planted
+    pathology per kind. Sentences are COMPOSED (subject × verb × noun ×
+    action) with a unique mid-sentence token, so ordinary pages have
+    real variety and do not trip the duplicate-n-gram repetition gate —
+    which is exactly what the planted "spam" pages DO trip."""
+    body = " ".join(
+        "{} {} in case {}-{} that the {} {} would {} by point {}-{}.".format(
+            rng.choice(SUBJECTS), rng.choice(VERBS), i, j,
+            rng.choice(ADJECTIVES), rng.choice(NOUNS),
+            rng.choice(ACTIONS), i, j + 100,
+        )
+        for j in range(rng.randint(8, 14))
+    )
+    paras = [body[: len(body) // 2], body[len(body) // 2 :]]
+    extra = ""
+    if kind == "js":
+        extra = "<p>Please enable javascript to continue reading now.</p>"
+    elif kind == "lorem":
+        extra = "<p>Lorem ipsum dolor sit amet, consectetur elit.</p>"
+    elif kind == "pii":
+        extra = "<p>Contact editor{} at tips{}@example.com today.</p>".format(i, i)
+    elif kind == "spam":
+        extra = "<p>" + "Buy now best price. " * 40 + "</p>"
+    return (
+        "<html><head><title>Article {}</title>"
+        "<script>var x = 1;</script></head><body>"
+        "<p>{}</p><p>{}</p>{}"
+        "<div>About us. Privacy policy. Terms of service apply here always.</div>"
+        "</body></html>".format(i, paras[0], paras[1], extra)
+    )
+
+
+def synthesize_crawl(segment_dir: str, n_pages: int = 120) -> None:
+    """Write two .warc.gz segments of seeded synthetic pages."""
+    from sparvi_core_spark.sources.warc import (
+        make_warc_bytes,
+        make_warc_record,
+    )
+
+    rng = random.Random(7)
+    records = []
+    for i in range(n_pages):
+        kind = ["clean", "clean", "clean", "js", "lorem", "pii", "spam"][i % 7]
+        html = _page(rng, kind, i)
+        url = f"https://Site{i % 9}.Example.COM/articles/{i}"
+        records.append(
+            make_warc_record(url, html.encode(), record_id=f"<urn:uuid:{i}>")
+        )
+        if i % 6 == 0:  # tracker-decorated refetch of the SAME page
+            records.append(
+                make_warc_record(
+                    url.lower() + "/?utm_source=feed&fbclid=x",
+                    html.encode(),
+                    record_id=f"<urn:uuid:re-{i}>",
+                )
+            )
+        if i % 10 == 3:  # near-duplicate page variant on another host
+            variant = html.replace("Article", "Story", 1)
+            records.append(
+                make_warc_record(
+                    f"https://mirror.example.net/copy/{i}",
+                    variant.encode(),
+                    record_id=f"<urn:uuid:mi-{i}>",
+                )
+            )
+    records.append(
+        make_warc_record(
+            "https://gone.example.com/x", b"gone",
+            record_id="<urn:uuid:404>", http_status=404,
+            http_content_type="text/plain",
+        )
+    )
+    records.append(
+        make_warc_record(
+            "https://img.example.com/a.png", b"\x89PNG...",
+            record_id="<urn:uuid:img>", http_content_type="image/png",
+        )
+    )
+    half = len(records) // 2
+    for name, chunk in (("seg-00000", records[:half]), ("seg-00001", records[half:])):
+        with open(os.path.join(segment_dir, f"{name}.warc.gz"), "wb") as fh:
+            fh.write(make_warc_bytes(chunk, gzip_members=True))
+
+
+def main() -> None:
+    from sparvi_core_spark import get_spark
+    from sparvi_core_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+        strip_markup,
+    )
+    from sparvi_core_spark.functions.textnorm import clean_text_col
+    from sparvi_core_spark.functions.web import canonicalize_url
+    from sparvi_core_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from sparvi_core_spark.operators.ingest import latest_by_key
+    from sparvi_core_spark.operators.pii import pii_summary, redact_pii
+    from sparvi_core_spark.sources.warc import read_warc, warc_to_documents
+    from sparvi_core_spark.sources.writers import write_training_shards
+
+    spark = get_spark(app_name="web-pipeline-example", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {}
+    workdir = tempfile.mkdtemp(prefix="webcrawl_")
+    seg_dir = os.path.join(workdir, "segments")
+    os.makedirs(seg_dir)
+    synthesize_crawl(seg_dir)
+
+    # 1. WARC ingest: binary parse, HTTP dissection, non-2xx/non-text drop
+    raw = read_warc(spark, seg_dir)
+    report["warc_records"] = raw.count()
+    docs = warc_to_documents(raw).localCheckpoint()
+    report["text_responses"] = docs.count()
+
+    # 2. recrawl compaction on the CANONICAL url (tracker variants merge)
+    docs = latest_by_key(
+        docs.withColumn("canon_url", canonicalize_url("url", strip_www=True)),
+        ["canon_url"], "fetched_at", tie_col="doc_id",
+    ).localCheckpoint()
+    report["after_url_dedup"] = docs.count()
+
+    # 3. markup strip + unicode hygiene (pure expressions)
+    docs = docs.select(
+        "doc_id", "canon_url",
+        clean_text_col(strip_markup("text")).alias("text"),
+    ).localCheckpoint()
+
+    # 4. C4: line rules rewrite the text (javascript/boilerplate lines
+    #    drop), page rules gate it
+    c4 = c4_clean(docs, id_col="doc_id")
+    report["c4_line_attrition"] = {
+        k: v
+        for k, v in c4.agg(
+            F.sum("n_lines_kept").alias("lines_kept"),
+            F.sum("n_lines_dropped").alias("lines_dropped"),
+        ).first().asDict().items()
+    }
+    docs = (
+        docs.drop("text")
+        .join(
+            c4.filter("passes_c4").select(F.col("id").alias("doc_id"), "text"),
+            "doc_id",
+        )
+        .localCheckpoint()
+    )
+    report["after_c4"] = docs.count()
+
+    # 5. Gopher quality + repetition gates
+    gq = gopher_quality_flags(docs).filter("passes_gopher").select(
+        F.col("id").alias("doc_id"))
+    gr = gopher_repetition_flags(docs).filter("passes_repetition").select(
+        F.col("id").alias("doc_id"))
+    docs = docs.join(gq, "doc_id").join(gr, "doc_id").localCheckpoint()
+    report["after_gopher"] = docs.count()
+
+    # 6. PII: measure, then redact in place
+    before = pii_summary(docs).first()
+    docs = redact_pii(docs).localCheckpoint()
+    after = pii_summary(docs).first()
+    report["pii_gate"] = {
+        "before_docs_with_pii": before["docs_with_pii"],
+        "after_docs_with_pii": after["docs_with_pii"],
+    }
+
+    # 7. near-dup dedup (mirror-host page variants collapse onto the
+    #    min-id survivor)
+    pairs = minhash_dedup_pairs(docs, threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti").localCheckpoint()
+    report["after_near_dup"] = docs.count()
+
+    # 8. shard export
+    shard_dir = os.path.join(workdir, "shards")
+    manifest = write_training_shards(
+        docs.select("doc_id", "text"), shard_dir, n_shards=2,
+        id_col="doc_id",
+    )
+    report["shards"] = {
+        "n_shards": manifest["n_shards"],
+        "rows": manifest["rows"],
+        "path": shard_dir,
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
