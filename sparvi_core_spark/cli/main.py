@@ -854,12 +854,13 @@ def datacard(source, table, text_col, id_col, lang_col, no_required_words,
     from pyspark.sql import functions as F
 
     from sparvi_core_spark.functions.text import (
+        c4_clean,
         gopher_quality_flags,
+        gopher_repetition_flags,
         language_id,
         normalize_text,
         quality_features,
         token_counts,
-        gopher_repetition_flags,
     )
     from sparvi_core_spark.operators.diversity import corpus_diversity
     from sparvi_core_spark.operators.pii import pii_summary
@@ -912,19 +913,23 @@ def datacard(source, table, text_col, id_col, lang_col, no_required_words,
     qkw = {"min_required_words": 0} if no_required_words else {}
     gq = gopher_quality_flags(df, id_col=id_col, text_col=text_col, **qkw)
     gr = gopher_repetition_flags(df, id_col=id_col, text_col=text_col)
+    c4 = c4_clean(df, id_col=id_col, text_col=text_col)
     gates = gq.select("id", "passes_gopher").join(
         gr.select("id", "passes_repetition"), "id"
-    ).agg(
+    ).join(c4.select("id", "passes_c4"), "id").agg(
         F.sum(F.coalesce(F.col("passes_gopher"), F.lit(False)).cast("long")
               ).alias("pq"),
         F.sum(F.coalesce(F.col("passes_repetition"), F.lit(False)).cast(
             "long")).alias("pr"),
+        F.sum(F.coalesce(F.col("passes_c4"), F.lit(False)).cast("long")
+              ).alias("pc"),
     ).first()
     card["quality"] = {
         "mean_quality_score": q["mean"],
         "p50_quality_score": q["p50"],
         "gopher_quality_pass_frac": round(gates["pq"] / total, 4),
         "gopher_repetition_pass_frac": round(gates["pr"] / total, 4),
+        "c4_pass_frac": round(gates["pc"] / total, 4),
     }
 
     pii = pii_summary(df, text_col=text_col).first().asDict()

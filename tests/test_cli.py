@@ -390,6 +390,7 @@ def test_datacard_command(spark, sf_dir, tmp_path):
     assert 0 < card["tokens"]["doc_tokens_p50"] <= card["tokens"]["doc_tokens_p99"]
     assert abs(sum(card["languages"].values()) - 1.0) < 0.01
     assert 0 < card["quality"]["gopher_quality_pass_frac"] <= 1
+    assert 0 <= card["quality"]["c4_pass_frac"] <= 1
     assert card["exact_duplicates"]["duplicate_frac"] == 0.0
     # the --output artifact round-trips to the same card
     with open(out) as fh:
