@@ -1398,6 +1398,9 @@ _LOCAL_ONLY = (
     "corpus_divergence",
     "rrf_fuse",
     "hamming_near_pairs",
+    # late-round-7 additions: born as local pairs (no pin swap needed —
+    # each is a NEW extension operator, not a replacement), full
+    # cross-engine coverage via test_demoted_pair_parity
     "canonical_urls",
     "gopher_flags",
     "filter_sweep",
