@@ -1287,6 +1287,28 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_flags(planted)
 
 
+def q_host_quality(spark, sf_dir):
+    """Per-host quality rollup (functions/web.py host_quality_stats;
+    no reference analog — web-corpus extension surface): gate pass
+    fractions per host over planted URLs/flags derived from doc_id
+    identically in both engines. NULL flags count as failing but stay
+    in n_docs (pinned by the %7 NULL plant)."""
+    from sparvi_core_spark.functions.web import host_quality_stats
+
+    t = _views(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.col("doc_id") % 2 == 0).alias("f1"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("doc_id") % 3 == 0).alias("f2"),
+    )
+    return host_quality_stats(planted, ["f1", "f2"], tokens_col="n_chars")
+
+
 def q_c4_clean(spark, sf_dir):
     """The C4 cleaning recipe (functions/text.py c4_clean; no
     reference analog — training-data extension surface) over documents
@@ -1407,6 +1429,7 @@ _LOCAL_ONLY = (
     "gopher_repetition",
     "trimmed_spans",
     "c4_clean",
+    "host_quality",
 )
 
 
@@ -1506,6 +1529,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "trimmed_spans": q_trimmed_spans,
         "c4_clean": q_c4_clean,
+        "host_quality": q_host_quality,
     }
 
 
@@ -2825,6 +2849,23 @@ SELECT *,
     {_flag_sql},
     ({_pass_sql}) AS passes_repetition
 FROM stats"""
+
+    # host_quality: per-host gate pass fractions; NULL flags fail via
+    # COALESCE(flag, FALSE)
+    o["host_quality"] = """
+WITH planted AS (
+  SELECT doc_id, n_chars,
+    'h' || (doc_id % 5) || '.example.com' AS host,
+    (doc_id % 2 = 0) AS f1,
+    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE (doc_id % 3 = 0) END AS f2
+  FROM documents
+)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+  ROUND(AVG(CASE WHEN COALESCE(f1, FALSE) THEN 1.0 ELSE 0.0 END), 4) AS f1_frac,
+  ROUND(AVG(CASE WHEN COALESCE(f2, FALSE) THEN 1.0 ELSE 0.0 END), 4) AS f2_frac
+FROM planted GROUP BY host"""
 
     # c4_clean: line filter + page flags with nested list lambdas;
     # terminals interpolated from the module (zero drift); COALESCE on

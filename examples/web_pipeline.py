@@ -183,6 +183,7 @@ def main() -> None:
 
     # 4. C4: line rules rewrite the text (javascript/boilerplate lines
     #    drop), page rules gate it
+    pre_gate = docs  # (doc_id, canon_url, text) — host feedback needs it
     c4 = c4_clean(docs, id_col="doc_id")
     report["c4_line_attrition"] = {
         k: v
@@ -228,7 +229,21 @@ def main() -> None:
     docs = docs.join(losers, "doc_id", "left_anti").localCheckpoint()
     report["after_near_dup"] = docs.count()
 
-    # 8. shard export
+    # 8. crawl feedback: per-host gate pass rates over everything that
+    #    survived URL dedup — the frontier-priority table the next
+    #    crawl consumes (hosts that keep failing get de-prioritized)
+    from sparvi_core_spark.functions.web import host_quality_stats
+
+    gated = pre_gate.join(
+        c4.select(F.col("id").alias("doc_id"), "passes_c4"), "doc_id"
+    )
+    hq = host_quality_stats(gated, ["passes_c4"], url_col="canon_url")
+    report["host_quality"] = {
+        r["host"]: {"n_docs": r["n_docs"], "c4_frac": r["passes_c4_frac"]}
+        for r in hq.orderBy(F.desc("n_docs")).limit(5).collect()
+    }
+
+    # 9. shard export
     shard_dir = os.path.join(workdir, "shards")
     manifest = write_training_shards(
         docs.select("doc_id", "text"), shard_dir, n_shards=2,

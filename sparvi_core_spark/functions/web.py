@@ -528,3 +528,48 @@ def dedup_by_url(
         tmp, 1, id_col=id_col, order=order, order_col=order_col, salt=salt,
     )
     return out.drop(tmp)
+
+
+def host_quality_stats(
+    df: DataFrame,
+    flag_cols: list[str],
+    url_col: str = "url",
+    host_col: str | None = None,
+    by_domain: bool = False,
+    tokens_col: str | None = None,
+    extra_suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Per-host (or per-registered-domain) quality rollup: document
+    count, optional token mass, and the pass FRACTION of each boolean
+    ``flag_cols`` column — the crawl-feedback table (RefinedWeb-style
+    host prioritization: hosts whose pages keep failing the gates get
+    de-prioritized or blocklisted, hosts that pass get crawled deeper).
+    Join the gate outputs (``passes_gopher``, ``passes_c4``,
+    ``passes_repetition``, ...) onto the URL-bearing frame first; this
+    operator only aggregates.
+
+    NULL flags count as FAILING (a page that couldn't be scored is not
+    evidence of quality) but still count in ``n_docs``. Fractions
+    rounded to 4. One map-side-combined aggregation; output is one row
+    per host — broadcastable back against the corpus or exportable as
+    a frontier-priority table. Scales.
+    """
+    if not flag_cols:
+        raise ValueError("flag_cols must be non-empty")
+    key = F.col(host_col) if host_col else url_host(url_col)
+    if by_domain:
+        key = registered_domain(key, extra_suffixes)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).alias("n_tokens"))
+    for c in flag_cols:
+        aggs.append(
+            F.round(
+                F.avg(F.coalesce(F.col(c), F.lit(False)).cast("double")), 4
+            ).alias(f"{c}_frac")
+        )
+    return (
+        df.groupBy(key.alias("domain" if by_domain else "host"))
+        .agg(*aggs)
+        .orderBy(F.desc("n_docs"))
+    )

@@ -488,3 +488,61 @@ def test_canonicalize_fuzz_batch(spark):
         c1, c2 = got[i]
         assert c1 == _py_canon(u), f"twin mismatch on {u!r}"
         assert c2 == c1, f"not idempotent on {u!r} -> {c1!r} -> {c2!r}"
+
+
+# ---------------------------------------------------------------------------
+# host quality rollup
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.functions.web import host_quality_stats  # noqa: E402
+
+
+def test_host_quality_stats_hand_checked(spark):
+    rows = [
+        # host a: 4 docs, 2 pass_a, 1 NULL (counts as fail), toks 10 each
+        (1, "https://a.com/1", True, 10),
+        (2, "https://a.com/2", True, 10),
+        (3, "https://a.com/3", False, 10),
+        (4, "https://a.com/4", None, 10),
+        # host b: 2 docs, both pass
+        (5, "https://b.org/1", True, 7),
+        (6, "https://b.org/2", True, 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ok boolean, toks long")
+    out = {
+        r["host"]: r
+        for r in host_quality_stats(df, ["ok"], tokens_col="toks").collect()
+    }
+    assert out["a.com"]["n_docs"] == 4
+    assert out["a.com"]["ok_frac"] == 0.5
+    assert out["a.com"]["n_tokens"] == 40
+    assert out["b.org"]["ok_frac"] == 1.0
+    with pytest.raises(ValueError):
+        host_quality_stats(df, [])
+
+
+def test_host_quality_stats_by_domain_and_gates(spark, views):
+    """End-to-end with a real gate: per-domain Gopher pass rates over
+    planted URLs on the organic corpus."""
+    from sparvi_core_spark.functions.text import gopher_quality_flags
+
+    docs = spark.table("documents").limit(200)
+    with_url = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".site"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".co.uk/p/"), F.col("doc_id").cast("string")),
+    )
+    gates = gopher_quality_flags(docs, min_required_words=0).select(
+        F.col("id").alias("doc_id"), "passes_gopher"
+    )
+    joined = with_url.join(gates, "doc_id")
+    out = host_quality_stats(joined, ["passes_gopher"], by_domain=True)
+    rows = out.collect()
+    # registered-domain heuristic folds sub0..2 into 4 co.uk domains
+    assert {r["domain"] for r in rows} == {
+        f"site{i}.co.uk" for i in range(4)
+    }
+    assert sum(r["n_docs"] for r in rows) == 200
+    for r in rows:
+        assert 0.0 <= r["passes_gopher_frac"] <= 1.0
