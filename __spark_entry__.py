@@ -1206,9 +1206,10 @@ def q_embedding_health(spark, sf_dir):
 
 def q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/web.py; no reference analog —
-    web-corpus extension surface) over URLs PLANTED from doc_id (six
+    web-corpus extension surface) over URLs PLANTED from doc_id (seven
     variants covering case, default/explicit ports, userinfo, tracking
-    params, fragments, trailing slashes, and unparseable passthrough).
+    params, fragments — incl. a '?' that appears only INSIDE the
+    fragment — trailing slashes, and unparseable passthrough).
     The DuckDB oracle states the EXPECTED canonical form per variant
     in closed form — an independent derivation, not a re-run of the
     same algorithm."""
@@ -1216,7 +1217,7 @@ def q_canonical_urls(spark, sf_dir):
 
     t = _views(spark, sf_dir)
     d = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     url = (
         F.when(m == 0, F.concat(
             F.lit("HTTPS://WWW.Example.COM:443/Docs/"), d,
@@ -1227,6 +1228,8 @@ def q_canonical_urls(spark, sf_dir):
         .when(m == 3, F.concat(
             F.lit("https://cdn.example.net/a?z=9&y=8&gclid="), d))
         .when(m == 4, F.concat(F.lit("plain text "), d))
+        .when(m == 5, F.concat(
+            F.lit("https://h.example.com/p"), d, F.lit("#a?b=c")))
         .otherwise(F.concat(
             F.lit("ftp://Files.Example.com:21/pub/"), d, F.lit("/")))
     )
@@ -1570,7 +1573,7 @@ _COS = (
 
 _LANG_SCORES = {
     lang: (
-        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains(["
         + ", ".join(f"'{w}'" for w in words)
         + "], t)))"
     )
@@ -2204,10 +2207,10 @@ FROM scored"""
     o["quality_scores"] = f"""
 WITH base AS (
     SELECT doc_id AS id, text,
-           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-           LENGTH(REPLACE(text, ' ', '')) AS no_space,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+           LENGTH(regexp_replace(text, '\\s', '', 'g')) AS no_space,
            len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
-           len(list_filter(string_split(text, ' '), t -> list_contains([{en_stops}], t))) AS stop_hits
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains([{en_stops}], t))) AS stop_hits
     FROM documents WHERE doc_id < 100
 )
 SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2682,20 +2685,22 @@ FROM cnt"""
     # regex/array pipeline)
     o["canonical_urls"] = """
 SELECT doc_id AS id,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Docs/' || doc_id || '/?utm_source=x&b=2&a=1#f'
     WHEN 1 THEN 'http://user:pw@Site.example.org:8080//x/' || doc_id || '/'
     WHEN 2 THEN 'https://example' || doc_id || '.com'
     WHEN 3 THEN 'https://cdn.example.net/a?z=9&y=8&gclid=' || doc_id
     WHEN 4 THEN 'plain text ' || doc_id
+    WHEN 5 THEN 'https://h.example.com/p' || doc_id || '#a?b=c'
     ELSE 'ftp://Files.Example.com:21/pub/' || doc_id || '/'
   END AS url,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 0 THEN 'https://www.example.com/Docs/' || doc_id || '?a=1&b=2'
     WHEN 1 THEN 'http://site.example.org:8080//x/' || doc_id
     WHEN 2 THEN 'https://example' || doc_id || '.com/'
     WHEN 3 THEN 'https://cdn.example.net/a?y=8&z=9'
     WHEN 4 THEN 'plain text ' || doc_id
+    WHEN 5 THEN 'https://h.example.com/p' || doc_id
     ELSE 'ftp://files.example.com/pub/' || doc_id
   END AS canon
 FROM documents"""
@@ -2715,7 +2720,7 @@ WITH planted AS (
 ),
 base AS (
   SELECT doc_id AS id, text,
-    list_filter(string_split(text, ' '), w -> w <> '') AS words,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                 x -> x <> '') AS lines
   FROM planted
@@ -2726,7 +2731,7 @@ stats AS (
     ROUND(list_sum(list_transform(words, w -> len(w))) * 1.0
           / GREATEST(len(words), 1), 4) AS mean_word_len,
     ROUND((len(text) - len(replace(text, '#', ''))
-           + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+           + len(regexp_extract_all(text, '\\.\\.\\.|…'))) * 1.0
           / GREATEST(len(words), 1), 4) AS symbol_word_ratio,
     ROUND(len(list_filter(lines,
           x -> list_contains(['•','‣','▪','-','*'], substr(x, 1, 1)))) * 1.0
@@ -2802,7 +2807,7 @@ WITH planted AS (
 ),
 base AS (
   SELECT doc_id AS id, text, GREATEST(len(text), 1) AS chars,
-    list_filter(string_split(text, ' '), w -> w <> '') AS words
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
   FROM planted
 ),
 units AS (
@@ -2877,8 +2882,8 @@ FROM planted GROUP BY host"""
     )
     _line_ok = (
         f"({_ends}) "
-        "AND len(list_filter(string_split(ln, ' '), t -> t <> '')) >= 5 "
-        "AND NOT list_contains(list_filter(string_split(lower(ln), ' '), "
+        "AND len(list_filter(regexp_split_to_array(ln, '\\s+'), t -> t <> '')) >= 5 "
+        "AND NOT list_contains(list_filter(regexp_split_to_array(lower(ln), '\\s+'), "
         "t -> t <> ''), 'javascript')"
     )
     o["c4_clean"] = f"""
@@ -2891,18 +2896,18 @@ WITH planted AS (
   FROM documents WHERE doc_id < 150
 ),
 base AS (
-  SELECT doc_id AS id,
+  SELECT doc_id AS id, text AS orig,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                 x -> x <> '') AS lines
   FROM planted
 ),
 kept AS (
-  SELECT id, lines,
+  SELECT id, orig, lines,
     list_filter(lines, ln -> {_line_ok}) AS keep
   FROM base
 ),
 built AS (
-  SELECT id,
+  SELECT id, orig,
     COALESCE(array_to_string(keep, chr(10)), '') AS text,
     CAST(len(keep) AS BIGINT) AS n_lines_kept,
     CAST(len(lines) - len(keep) AS BIGINT) AS n_lines_dropped
@@ -2910,12 +2915,12 @@ built AS (
 )
 SELECT id, text, n_lines_kept, n_lines_dropped,
   (len(regexp_extract_all(text, '[.!?]')) >= 3) AS ok_sentences,
-  (NOT contains(lower(text), 'lorem ipsum')
-   AND NOT contains(lower(text), '{{')) AS ok_banned,
+  (NOT contains(lower(orig), 'lorem ipsum')
+   AND NOT contains(lower(orig), '{{')) AS ok_banned,
   TRUE AS ok_badwords,
   ((len(regexp_extract_all(text, '[.!?]')) >= 3)
-   AND NOT contains(lower(text), 'lorem ipsum')
-   AND NOT contains(lower(text), '{{')) AS passes_c4
+   AND NOT contains(lower(orig), 'lorem ipsum')
+   AND NOT contains(lower(orig), '{{')) AS passes_c4
 FROM built"""
 
     # trimmed_spans: flagged-position union removed with an indexed
@@ -2968,9 +2973,9 @@ FROM base b LEFT JOIN agg a ON b.id = a.fid"""
     o["filter_sweep"] = f"""
 WITH base AS (
   SELECT doc_id AS id, n_chars,
-    ROUND(0.4 * LEAST(1.0, len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0)
-      + 0.3 * (len(list_filter(string_split(text, ' '), t -> list_contains([{en_stops}], t))) * 1.0
-               / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1))
+    ROUND(0.4 * LEAST(1.0, len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) / 100.0)
+      + 0.3 * (len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains([{en_stops}], t))) * 1.0
+               / GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')), 1))
       + 0.3 * (1 - len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
                / GREATEST(LENGTH(text), 1)), 4) AS score
   FROM documents

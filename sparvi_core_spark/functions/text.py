@@ -26,7 +26,11 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    """Whitespace words: split on any whitespace run (``\\s+``), empties
+    dropped — the published Gopher/C4 tokenization. (Until round 8 this
+    split on a single space, silently merging words across newlines and
+    tabs; every consumer and its DuckDB oracle moved together.)"""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
 
 
 def _stop_hits(tokens: F.Column, words: list[str]) -> F.Column:
@@ -81,7 +85,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Per-doc quality features + composite score (rounded, deterministic):
 
     - n_tokens: whitespace tokens
-    - avg_token_len: chars-without-spaces / tokens
+    - avg_token_len: chars-without-whitespace / tokens
     - punct_ratio: punctuation chars / total chars
     - stopword_ratio: en-stopword occurrences / tokens
     - quality_score: 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio
@@ -89,7 +93,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
-    no_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    no_space = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_PATTERN), F.lit(0))
     )
@@ -459,7 +463,7 @@ def gopher_quality_flags(
       max_words].
     - ``ok_mean_word_len``: mean word length in [3, 10].
     - ``ok_symbol_ratio``: (# of ``#`` chars + non-overlapping ``...``
-      occurrences) / words ≤ 0.1.
+      or ``…`` occurrences) / words ≤ 0.1.
     - ``ok_bullet_lines``: fraction of non-empty lines starting with a
       bullet glyph ≤ 0.1 (the published "90% of lines must not start
       with a bullet").
@@ -498,8 +502,9 @@ def gopher_quality_flags(
         4,
     )
     hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    # both ASCII '...' and U+2026 '…' count (matching the line rule below)
     ellipses_doc = F.size(
-        F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0))
+        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
     )
     symbol_ratio = F.round((hashes + ellipses_doc) / wd, 4)
 
@@ -821,12 +826,14 @@ def c4_clean(
     contains none of ``banned_line_words`` (case-insensitive word
     match; the paper's "any line with the word Javascript");
 
-    page level, evaluated on the LINE-FILTERED text (as published) —
-    ``ok_sentences``: ≥ ``min_sentences`` sentences (terminal-mark
-    occurrences in the kept text, the paper's proxy);
-    ``ok_banned``: contains none of ``banned_substrings``
-    (case-insensitive; the paper's "lorem ipsum" and "{" rules);
-    ``ok_badwords``: no word from ``badwords`` (the published filter
+    page level — ``ok_sentences``: ≥ ``min_sentences`` sentences
+    (terminal-mark occurrences in the KEPT text, the paper's proxy);
+    ``ok_banned``: the ORIGINAL (pre-line-filter) text contains none
+    of ``banned_substrings`` (case-insensitive; the paper's
+    "lorem ipsum" and "{" rules abort the whole page wherever the
+    string appears, even on a line the line filter would drop);
+    ``ok_badwords``: no word from ``badwords`` in the kept text (the
+    published filter
     uses the "List of Dirty, Naughty …" list — that is a DATA file,
     so the default here is None = rule passes vacuously; pass the
     list to enable). ``passes_c4`` ANDs the three.
@@ -850,7 +857,7 @@ def c4_clean(
         for t in C4_TERMINALS:
             e = x.endswith(t)
             ends = e if ends is None else (ends | e)
-        words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
         ok = ends & (words >= min_words_per_line)
         if banned_line_words:
             # "contains the word" = whitespace-delimited token equality
@@ -858,7 +865,7 @@ def c4_clean(
             # attached variants are not matched — same trade the
             # published filter's word lists make)
             low_toks = F.filter(
-                F.split(F.lower(x), " "), lambda t: t != ""
+                F.split(F.lower(x), r"\s+"), lambda t: t != ""
             )
             banned = F.array(
                 *[F.lit(w.lower()) for w in banned_line_words]
@@ -876,9 +883,12 @@ def c4_clean(
     )
     ok_sent = sentences >= min_sentences
     low_clean = F.lower(cleaned)
+    # banned substrings abort the page wherever they appear in the
+    # ORIGINAL text (as published) — a brace on a dropped line still kills
+    low_orig = F.lower(text)
     ok_banned = None
     for s in banned_substrings:
-        c = ~low_clean.contains(s.lower())
+        c = ~low_orig.contains(s.lower())
         ok_banned = c if ok_banned is None else (ok_banned & c)
     if ok_banned is None:
         ok_banned = F.lit(True)

@@ -45,7 +45,10 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _PREFIX_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//"  # scheme:// or bare //
 _HOST_FROM_REST_RE = r"^(?:[^/?#@]*@)?([^/?#:\s]+)"
 _PATH_FROM_REST_RE = r"^[^/?#]*(/[^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored so a '?' that first appears INSIDE the fragment is never
+# parsed as a query: the query is what sits between the first '?' and
+# the first '#', and only when that '?' precedes any '#'
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _rest(url_col: str) -> F.Column:
@@ -521,10 +524,16 @@ def dedup_by_url(
     earliest-fetch-wins, pass a negated/inverted timestamp column).
     One shuffle on the canonical key.
     Unparseable URLs canonicalize to their trimmed selves, so distinct
-    garbage rows all survive."""
+    garbage rows all survive; NULL urls get a per-row unique key
+    (``\\x00null:<id>``), so they all survive too instead of
+    collapsing into one NULL group."""
     tmp = "__canon_url"
+    canon = F.coalesce(
+        canonicalize_url(url_col, strip_www=strip_www),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
     out = cap_per_group(
-        df.withColumn(tmp, canonicalize_url(url_col, strip_www=strip_www)),
+        df.withColumn(tmp, canon),
         tmp, 1, id_col=id_col, order=order, order_col=order_col, salt=salt,
     )
     return out.drop(tmp)

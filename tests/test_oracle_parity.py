@@ -1408,9 +1408,9 @@ def test_local_vocab_coverage_parity(spark, duck):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     spark_pdf = vocab_coverage(df, [10, 100, 1000]).toPandas()
     duck_pdf = duck.execute(
-        """
+        r"""
         WITH toks AS (
-          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
           FROM documents
         ),
         counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
@@ -1478,7 +1478,7 @@ def test_local_token_counts_parity(spark, duck):
     duck_pdf = duck.execute(
         r"""
         SELECT doc_id AS id,
-               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
         FROM documents WHERE doc_id < 100
         """

@@ -50,6 +50,28 @@ def test_token_counts(texts):
     assert got[5]["bpe_ish_tokens"] > got[5]["ws_tokens"]
 
 
+def test_whitespace_tokenization_newline_boundary(spark):
+    """Words separated by newlines/tabs are separate tokens (the
+    published Gopher/C4 whitespace contract — regression for the round-7
+    single-space split that merged them across line boundaries)."""
+    from sparvi_core_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(0, "foo\nbar baz"), (1, "a\tb\r\nc   d")],
+        "doc_id long, text string",
+    )
+    toks = {r["id"]: r for r in token_counts(df).collect()}
+    assert toks[0]["ws_tokens"] == 3
+    assert toks[1]["ws_tokens"] == 4
+    feats = {r["id"]: r for r in quality_features(df).collect()}
+    assert feats[0]["n_tokens"] == 3
+    # avg_token_len excludes ALL whitespace: "foobarbaz" / 3 tokens
+    assert feats[0]["avg_token_len"] == 3.0
+    g = {r["id"]: r for r in gopher_quality_flags(df).collect()}
+    assert g[0]["n_words"] == 3
+    assert g[0]["mean_word_len"] == 3.0
+
+
 def test_fingerprints_stability(spark):
     rows = [
         (0, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -348,11 +370,11 @@ def _py_gopher_stats(text):
     """Independent Python twin of the raw statistics (unrounded)."""
     import re as _re
 
-    words = [w for w in text.split(" ") if w != ""]
+    words = text.split()  # any-whitespace split, empties dropped (= \s+)
     wd = max(len(words), 1)
     mean_wl = sum(len(w) for w in words) / wd
     hashes = text.count("#")
-    ellipses = len(_re.findall(r"\.\.\.", text))
+    ellipses = len(_re.findall(r"\.\.\.|…", text))
     symbol_ratio = (hashes + ellipses) / wd
     lines = [ln.strip() for ln in text.split("\n")]
     lines = [ln for ln in lines if ln != ""]
@@ -492,7 +514,7 @@ def _py_rep_stats(text):
     from collections import Counter
 
     chars = max(len(text), 1)
-    words = [w for w in text.split(" ") if w]
+    words = text.split()  # any-whitespace split, empties dropped (= \s+)
 
     def unit_fracs(sep):
         units = [u.strip() for u in text.split(sep)]
@@ -625,8 +647,8 @@ def _py_c4(text, min_wpl=5, min_sent=3, banned=("lorem ipsum", "{"),
     lines = [ln for ln in lines if ln]
     kept = []
     for ln in lines:
-        toks = [t for t in ln.split(" ") if t]
-        low = [t for t in ln.lower().split(" ") if t]
+        toks = ln.split()
+        low = ln.lower().split()
         if (
             any(ln.endswith(t) for t in C4_TERMINALS)
             and len(toks) >= min_wpl
@@ -638,7 +660,8 @@ def _py_c4(text, min_wpl=5, min_sent=3, banned=("lorem ipsum", "{"),
 
     sent = len(_re.findall(r"[.!?]", cleaned))
     ok_sent = sent >= min_sent
-    ok_banned = all(s not in cleaned.lower() for s in banned)
+    # page-level ban applies to the ORIGINAL text (as published)
+    ok_banned = all(s not in text.lower() for s in banned)
     if badwords:
         toks = [t for t in _re.split(r"\s+", cleaned.lower()) if t]
         ok_bad = not (set(toks) & {w.lower() for w in badwords})
@@ -666,7 +689,9 @@ def test_c4_fixtures(spark):
         (2, good + "\nshort line.\nno terminal punctuation here at all", True),
         (3, good + "\nEnable javascript to view this page today.", True),
         (4, good.replace("another", "lorem ipsum"), False),
-        (5, good + "\nfunction() { return 1; }", True),  # "{" line dropped (no terminal), page clean
+        # a "{" anywhere in the ORIGINAL page kills it, even on a line
+        # the line filter drops (published C4 behavior)
+        (5, good + "\nfunction() { return 1; }", False),
         (6, "One sentence only, not enough of them here.", False),
         (7, None, None),
     ]

@@ -322,7 +322,7 @@ def _py_canon(url, strip_www=False, keep=None):
         path = "/"
     elif len(path) > 1 and path.endswith("/"):
         path = path[:-1]
-    mq = _re.search(r"\?([^#]*)", u)
+    mq = _re.match(r"^[^#?]*\?([^#]*)", u)
     q = mq.group(1) if mq else ""
     params = [p for p in q.split("&") if p != ""]
 
@@ -360,6 +360,8 @@ CANON_CASES = [
     ("https://example.com:8443/s?flag", "https://example.com:8443/s?flag"),
     ("https:///odd/path", "https:///odd/path"),
     ("wss://Hub.example.com:443/socket", "wss://hub.example.com/socket"),
+    # a '?' only inside the fragment is NOT a query (fragment dropped whole)
+    ("https://h.example.com/p#a?b=c", "https://h.example.com/p"),
 ]
 
 
@@ -448,6 +450,17 @@ def test_dedup_by_url_contract(spark):
     a = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     b = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert a == b and len(a) == 4
+
+
+def test_dedup_by_url_null_urls_stay_distinct(spark):
+    """NULL urls never collapse into one group — each gets a per-row
+    unique fallback key, so all NULL-url rows survive."""
+    rows = [(1, None), (2, None), (3, "https://example.com/x"),
+            (4, "https://example.com/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    ids = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert 1 in ids and 2 in ids          # both NULL rows kept
+    assert len([i for i in ids if i in (3, 4)]) == 1  # real dup collapsed
 
 
 def test_canonicalize_fuzz_batch(spark):
