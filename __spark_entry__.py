@@ -814,6 +814,48 @@ def q_quality_scores(spark, sf_dir):
     return quality_features(t["documents"].filter(F.col("doc_id") < 100))
 
 
+# planted multilingual sentences for the langid_ngram pair — already
+# lowercase (so cross-engine case-folding can never differ), no
+# apostrophes (so they inline into oracle SQL verbatim), and NOT in
+# the LANGID_SEEDS training set; %5==3 is UNSEGMENTED zh (no spaces),
+# the case the stopword tier is structurally blind to
+_LANGID_PLANTED = {
+    0: "the children walked home through the snow after school ended",
+    1: "les enfants sont rentrés à la maison sous la neige après les cours",
+    2: "los niños volvieron a casa bajo la nieve después de la escuela",
+    3: "孩子们放学以后冒着大雪走路回到了家里",
+    4: "die kinder gingen nach der schule durch den schnee nach hause",
+}
+
+
+def q_langid_ngram(spark, sf_dir):
+    """Char-n-gram Naive Bayes language ID (functions/text.py
+    train_langid + language_id(strategy='ngram'), operators/classify.py
+    char featurizer; no reference analog — training-data extension):
+    trains on the built-in 12-language seed corpus with exact char
+    1/2/3-gram features, classifies docs where 4 of every 5 carry a
+    planted multilingual sentence (incl. unsegmented zh) and the fifth
+    keeps its organic text. The oracle re-derives the ENTIRE pipeline
+    (normalization, gram extraction, NB counts/priors/add-k scores,
+    argmax with label-asc ties, the und rule) in DuckDB SQL from the
+    same seed constant."""
+    from sparvi_core_spark.functions.text import language_id, train_langid
+
+    t = _views(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    planted_text = F.coalesce(
+        *[F.when(m == k, F.lit(v)) for k, v in _LANGID_PLANTED.items()],
+        F.col("text"),
+    )
+    docs = (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", planted_text.alias("text"))
+    )
+    model = train_langid(spark)
+    return language_id(docs, strategy="ngram", model=model)
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR exact-mode log importance of every document, target = the
     English slice (operators/selection.py; no reference analog —
@@ -1433,6 +1475,8 @@ _LOCAL_ONLY = (
     "trimmed_spans",
     "c4_clean",
     "host_quality",
+    # round 8: char-n-gram NB language ID (the real lang-id tier)
+    "langid_ngram",
 )
 
 
@@ -1527,6 +1571,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse": q_rrf_fuse,
         "hamming_near_pairs": q_hamming_near_pairs,
         "canonical_urls": q_canonical_urls,
+        "langid_ngram": q_langid_ngram,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2704,6 +2749,75 @@ SELECT doc_id AS id,
     ELSE 'ftp://files.example.com/pub/' || doc_id
   END AS canon
 FROM documents"""
+
+    # langid_ngram: the ENTIRE char-n-gram NB pipeline re-derived in
+    # DuckDB SQL — seed corpus inlined from the module constant (zero
+    # drift), normalization, 1/2/3-gram extraction, add-1 NB scoring,
+    # label-asc argmax, and the und rule for featureless docs
+    from sparvi_core_spark.functions.text import LANGID_SEEDS as _LS
+
+    _seed_vals = ",\n    ".join(
+        f"('{lang}', '{s}')" for lang in sorted(_LS) for s in _LS[lang]
+    )
+    _planted_case = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in _LANGID_PLANTED.items()
+    )
+    _grams123 = (
+        "list_concat(list_concat("
+        "list_transform(range(1, len(t) - 1 + 2), i -> substr(t, i, 1)), "
+        "list_transform(range(1, len(t) - 2 + 2), i -> substr(t, i, 2))), "
+        "list_transform(range(1, len(t) - 3 + 2), i -> substr(t, i, 3)))"
+    )
+    o["langid_ngram"] = f"""
+WITH seeds(label, text) AS (VALUES
+    {_seed_vals}),
+docs AS (
+  SELECT doc_id AS id,
+         CASE doc_id % 5 {_planted_case} ELSE text END AS text
+  FROM documents WHERE doc_id < 100
+),
+snorm AS (SELECT label, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM seeds),
+dnorm AS (SELECT id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t FROM docs),
+sfeat AS (SELECT label, unnest({_grams123}) AS feature FROM snorm),
+counts AS (SELECT label, feature, count(*) AS n FROM sfeat GROUP BY ALL),
+classes AS (
+  SELECT c.label, c.total, d.n_docs FROM
+    (SELECT label, sum(n) AS total FROM counts GROUP BY label) c
+    JOIN (SELECT label, count(*) AS n_docs FROM seeds GROUP BY label) d USING (label)
+),
+dims AS (
+  SELECT (SELECT count(DISTINCT feature) FROM counts) AS d,
+         (SELECT count(*) FROM seeds) AS n_docs_all
+),
+dfeat AS (SELECT id, unnest({_grams123}) AS feature FROM dnorm),
+contrib AS (
+  SELECT f.id, c.label,
+         sum(ln(coalesce(cnt.n, 0) + 1.0)) AS loglik,
+         count(*) AS n_tokens
+  FROM dfeat f CROSS JOIN (SELECT label FROM classes) c
+  LEFT JOIN counts cnt ON cnt.feature = f.feature AND cnt.label = c.label
+  GROUP BY f.id, c.label
+),
+grid AS (
+  SELECT d0.id, c.label,
+         coalesce(ct.loglik, 0.0) AS loglik,
+         coalesce(ct.n_tokens, 0) AS n_tokens
+  FROM dnorm d0 CROSS JOIN (SELECT label FROM classes) c
+  LEFT JOIN contrib ct ON ct.id = d0.id AND ct.label = c.label
+),
+scored AS (
+  SELECT g.id, g.label, g.n_tokens,
+         round(ln(cl.n_docs * 1.0 / dims.n_docs_all) + g.loglik
+               - g.n_tokens * ln(cl.total + 1.0 * dims.d), 4) AS score
+  FROM grid g JOIN classes cl ON g.label = cl.label, dims
+),
+top AS (
+  SELECT id, label, n_tokens,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT id, CASE WHEN n_tokens = 0 THEN 'und' ELSE label END AS predicted_lang
+FROM top WHERE rn = 1"""
 
     # gopher_flags: every statistic and boolean recomputed with DuckDB
     # list lambdas over identically-planted text

@@ -352,10 +352,215 @@ def normalize_text(text_col: str = "text") -> F.Column:
     return F.trim(c)
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(
+# Built-in seed corpus for the char-n-gram language identifier: a few
+# ordinary sentences per language, authored for this package (public
+# knowledge — no external dataset). All lowercase so engine-specific
+# Unicode case-folding can never differ; no apostrophes so the seeds
+# inline safely into oracle SQL. Twelve languages across five scripts;
+# extend/replace via train_langid(seeds=...) for a real deployment
+# (the model is just NB counts — train on any labeled corpus).
+LANGID_SEEDS: dict[str, list[str]] = {
+    "en": [
+        "the weather was cold and the children stayed inside the house",
+        "she walked to the market and bought bread with her last coins",
+        "this is a simple sentence that should be easy to identify",
+        "many people believe that reading books makes life better",
+        "the train arrived late because of the heavy snow last night",
+        "we should meet again tomorrow after work if you have time",
+        "nothing in the garden was growing because it had not rained",
+        "he asked whether they would come back before the end of the week",
+        "the old man sat by the window and watched the street below",
+        "there are always more questions than answers in this world",
+    ],
+    "fr": [
+        "le temps était froid et les enfants sont restés dans la maison",
+        "elle est allée au marché pour acheter du pain et du fromage",
+        "ceci est une phrase simple qui devrait être facile à reconnaître",
+        "beaucoup de gens pensent que lire des livres rend la vie meilleure",
+        "le train est arrivé en retard à cause de la neige cette nuit",
+        "nous devrions nous revoir demain après le travail si tu as le temps",
+        "rien ne poussait dans le jardin parce quil navait pas plu",
+        "il a demandé si elles reviendraient avant la fin de la semaine",
+        "le vieil homme était assis près de la fenêtre et regardait la rue",
+        "il y a toujours plus de questions que de réponses dans ce monde",
+    ],
+    "es": [
+        "el tiempo estaba frío y los niños se quedaron dentro de la casa",
+        "ella fue al mercado y compró pan con sus últimas monedas",
+        "esta es una frase sencilla que debería ser fácil de identificar",
+        "mucha gente cree que leer libros hace la vida mejor",
+        "el tren llegó tarde por la nieve fuerte de anoche",
+        "deberíamos vernos otra vez mañana después del trabajo si tienes tiempo",
+        "nada crecía en el jardín porque no había llovido en semanas",
+        "él preguntó si ellas volverían antes del fin de la semana",
+        "el hombre viejo estaba sentado junto a la ventana mirando la calle",
+        "siempre hay más preguntas que respuestas en este mundo nuestro",
+    ],
+    "de": [
+        "das wetter war kalt und die kinder blieben im haus",
+        "sie ging zum markt und kaufte brot mit ihren letzten münzen",
+        "dies ist ein einfacher satz der leicht zu erkennen sein sollte",
+        "viele menschen glauben dass lesen das leben besser macht",
+        "der zug kam wegen des starken schnees letzte nacht zu spät",
+        "wir sollten uns morgen nach der arbeit wieder treffen wenn du zeit hast",
+        "nichts wuchs im garten weil es seit wochen nicht geregnet hatte",
+        "er fragte ob sie vor dem ende der woche zurückkommen würden",
+        "der alte mann sass am fenster und schaute auf die strasse hinunter",
+        "es gibt immer mehr fragen als antworten auf dieser welt",
+    ],
+    "it": [
+        "il tempo era freddo e i bambini sono rimasti dentro casa",
+        "lei è andata al mercato e ha comprato il pane con le ultime monete",
+        "questa è una frase semplice che dovrebbe essere facile da riconoscere",
+        "molte persone credono che leggere libri renda la vita migliore",
+        "il treno è arrivato in ritardo per la neve forte di stanotte",
+        "dovremmo vederci di nuovo domani dopo il lavoro se hai tempo",
+        "niente cresceva nel giardino perché non pioveva da settimane",
+        "lui ha chiesto se sarebbero tornate prima della fine della settimana",
+        "il vecchio era seduto vicino alla finestra e guardava la strada",
+        "ci sono sempre più domande che risposte in questo mondo",
+    ],
+    "pt": [
+        "o tempo estava frio e as crianças ficaram dentro de casa",
+        "ela foi ao mercado e comprou pão com as últimas moedas",
+        "esta é uma frase simples que deveria ser fácil de identificar",
+        "muitas pessoas acreditam que ler livros torna a vida melhor",
+        "o trem chegou atrasado por causa da neve forte de ontem à noite",
+        "deveríamos nos ver de novo amanhã depois do trabalho se você tiver tempo",
+        "nada crescia no jardim porque não chovia há várias semanas",
+        "ele perguntou se elas voltariam antes do fim da semana",
+        "o velho estava sentado junto à janela olhando para a rua",
+        "há sempre mais perguntas do que respostas neste mundo",
+    ],
+    "nl": [
+        "het weer was koud en de kinderen bleven binnen in het huis",
+        "zij liep naar de markt en kocht brood met haar laatste munten",
+        "dit is een eenvoudige zin die makkelijk te herkennen zou moeten zijn",
+        "veel mensen geloven dat boeken lezen het leven beter maakt",
+        "de trein kwam te laat door de zware sneeuw van afgelopen nacht",
+        "we zouden elkaar morgen na het werk weer moeten zien als je tijd hebt",
+        "niets groeide in de tuin omdat het al weken niet had geregend",
+        "hij vroeg of ze voor het einde van de week terug zouden komen",
+        "de oude man zat bij het raam en keek naar de straat beneden",
+        "er zijn altijd meer vragen dan antwoorden in deze wereld",
+    ],
+    "ru": [
+        "погода была холодная и дети остались дома весь день",
+        "она пошла на рынок и купила хлеб на последние деньги",
+        "это простое предложение которое легко узнать по буквам",
+        "многие люди считают что чтение книг делает жизнь лучше",
+        "поезд пришел поздно из за сильного снега прошлой ночью",
+        "мы должны встретиться снова завтра после работы если у тебя есть время",
+    ],
+    "ar": [
+        "كان الطقس باردا وبقي الاطفال داخل المنزل طوال اليوم",
+        "ذهبت الى السوق واشترت الخبز بما تبقى من النقود",
+        "هذه جملة بسيطة يجب ان يكون من السهل التعرف عليها",
+        "يعتقد كثير من الناس ان قراءة الكتب تجعل الحياة افضل",
+        "وصل القطار متاخرا بسبب الثلوج الكثيفة الليلة الماضية",
+        "يجب ان نلتقي مرة اخرى غدا بعد العمل اذا كان لديك وقت",
+    ],
+    "zh": [
+        "天气很冷孩子们整天都待在家里没有出门",
+        "她去市场用最后的钱买了一些面包和蔬菜",
+        "这是一个应该很容易识别出来的简单句子",
+        "很多人认为读书可以让生活变得更加美好",
+        "因为昨晚下了大雪火车到站的时间晚了很多",
+        "如果你明天下班以后有时间我们应该再见一面",
+    ],
+    "ja": [
+        "天気が寒かったので子供たちは一日中家の中にいました",
+        "彼女は市場へ行って最後のお金でパンを買いました",
+        "これは簡単に見分けられるはずの単純な文です",
+        "多くの人は本を読むことで生活が良くなると信じています",
+        "昨夜の大雪のせいで電車はとても遅れて到着しました",
+        "もし明日仕事の後に時間があればまた会いましょう",
+    ],
+    "ko": [
+        "날씨가 추워서 아이들은 하루 종일 집 안에 있었다",
+        "그녀는 시장에 가서 마지막 돈으로 빵을 샀다",
+        "이것은 쉽게 알아볼 수 있는 간단한 문장입니다",
+        "많은 사람들은 책을 읽으면 삶이 더 좋아진다고 믿는다",
+        "어젯밤 폭설 때문에 기차가 많이 늦게 도착했다",
+        "내일 퇴근 후에 시간이 있으면 우리 다시 만나요",
+    ],
+}
+
+
+def train_langid(
+    spark,
+    seeds: dict[str, list[str]] | None = None,
+    char_n: int | tuple[int, ...] = (1, 2, 3),
+    num_features: int | None = None,
+    min_count: int = 1,
+):
+    """Train the char-n-gram NB language identifier on ``seeds``
+    (default: the built-in :data:`LANGID_SEEDS`) → an
+    ``operators.classify.NBModel``. The seed frame is tiny, so the
+    model is a labels × seed-vocabulary counts table — broadcastable;
+    scoring any corpus with it is one map-side pass + one aggregate.
+    For a production identifier, pass your own labeled seeds (e.g. a
+    Wikipedia sample per language) — quality scales with the seeds,
+    the machinery is identical."""
+    from sparvi_core_spark.operators.classify import train_nb
+
+    seeds = LANGID_SEEDS if seeds is None else seeds
+    rows = [
+        (lang, s)
+        for lang in sorted(seeds)
+        for s in seeds[lang]
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    return train_nb(
+        df, "lang", text_col="text", num_features=num_features,
+        min_count=min_count, analyzer="char", char_n=char_n,
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "stopword",
+    model=None,
+) -> DataFrame:
+    """Per-doc language prediction → ``(id, predicted_lang)``.
+
+    ``strategy="stopword"`` (default): the cheap 5-language stopword
+    gate — whole-token matches over whitespace words, so it CANNOT see
+    unsegmented scripts (zh/ja text without spaces scores 0 — use the
+    ngram tier for those).
+
+    ``strategy="ngram"``: the char-n-gram Naive Bayes identifier
+    (``model`` defaults to :func:`train_langid` on the built-in
+    12-language seeds) — sees every script, including unsegmented
+    Chinese/Japanese, because features are characters, not words.
+    Docs with no features (NULL/empty/whitespace-only) → ``und``.
+    """
+    if strategy == "stopword":
+        return df.select(
+            F.col(id_col).alias("id"),
+            predicted_language(text_col).alias("predicted_lang"),
+        )
+    if strategy != "ngram":
+        raise ValueError(
+            f"strategy must be 'stopword' or 'ngram', got {strategy!r}"
+        )
+    from sparvi_core_spark.operators.classify import classify_nb
+
+    if model is None:
+        model = train_langid(df.sparkSession)
+    # round-4 scores before the argmax (the cross-engine float rule:
+    # libm/summation-order drift on long log-sums must not flip ties)
+    preds = classify_nb(
+        df, model, id_col=id_col, text_col=text_col,
+        with_tokens=True, round_to=4,
+    )
+    return preds.select(
         F.col(id_col).alias("id"),
-        predicted_language(text_col).alias("predicted_lang"),
+        F.when(F.col("n_tokens") == 0, F.lit("und"))
+        .otherwise(F.col("label"))
+        .alias("predicted_lang"),
     )
 
 

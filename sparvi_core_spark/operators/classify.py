@@ -54,15 +54,57 @@ from pyspark.sql import DataFrame, functions as F
 from sparvi_core_spark.operators.ranking import search_tokens
 
 
-def _features(text_col: str, num_features: int | None) -> F.Column:
+def _char_gram_array(norm: F.Column, n: int) -> F.Column:
+    """Overlapping character n-grams of a (normalized) string column as
+    an array — zip_with over shifted slices of the char array, the
+    linear-time construction (an indexed ``transform(sequence, i ->
+    substr(t, i, n))`` re-inlines the normalization per element; see
+    ``operators.dedup.shingles`` for the measured quadratic blowup).
+    Shorter-than-n strings yield an empty array."""
+    chars = F.filter(F.split(norm, ""), lambda c: c != "")
+    if n == 1:
+        return chars
+    m = F.greatest(F.size(chars) - (n - 1), F.lit(0))
+    acc = F.slice(chars, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(chars, j, m), lambda a, b: F.concat(a, b))
+    return acc
+
+
+def _features(
+    text_col: str,
+    num_features: int | None,
+    analyzer: str = "word",
+    char_n: int | tuple[int, ...] = 3,
+) -> F.Column:
     """array<string> of per-occurrence features for one document.
 
-    Exact mode keeps the token; hashing mode buckets it with
-    ``pmod(xxhash64(token), num_features)`` — non-negative, stable
+    ``analyzer="word"``: the lowercase-alnum tokens shared with
+    ``operators.ranking``. ``analyzer="char"``: overlapping character
+    n-grams (``char_n`` an int or a tuple of sizes, concatenated) over
+    the lowercased text with whitespace runs collapsed to one space —
+    the fastText-style featurization that sees UNSEGMENTED scripts
+    (Chinese/Japanese text has no spaces, so word features are blind
+    to it; character features are not).
+
+    Exact mode keeps the feature string; hashing mode buckets it with
+    ``pmod(xxhash64(feature), num_features)`` — non-negative, stable
     across sessions, and cast to string so both modes share one model
     schema.
     """
-    toks = search_tokens(text_col)
+    if analyzer == "word":
+        toks = search_tokens(text_col)
+    elif analyzer == "char":
+        ns = tuple(char_n) if isinstance(char_n, (tuple, list)) else (char_n,)
+        if not ns or any(int(n) < 1 for n in ns):
+            raise ValueError(f"char_n must be positive sizes, got {char_n!r}")
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        )
+        grams = [_char_gram_array(norm, int(n)) for n in ns]
+        toks = grams[0] if len(grams) == 1 else F.concat(*grams)
+    else:
+        raise ValueError(f"analyzer must be 'word' or 'char', got {analyzer!r}")
     if num_features is None:
         return toks
     return F.transform(
@@ -85,6 +127,8 @@ class NBModel:
     classes: DataFrame
     dims: DataFrame
     num_features: int | None
+    analyzer: str = "word"
+    char_n: int | tuple[int, ...] = 3
 
 
 def train_nb(
@@ -93,6 +137,8 @@ def train_nb(
     text_col: str = "text",
     num_features: int | None = None,
     min_count: int = 1,
+    analyzer: str = "word",
+    char_n: int | tuple[int, ...] = 3,
 ) -> NBModel:
     """Count (label, feature) occurrences over a labeled corpus →
     :class:`NBModel`.
@@ -106,7 +152,9 @@ def train_nb(
     labeled = docs.filter(F.col(label_col).isNotNull())
     pairs = labeled.select(
         F.col(label_col).cast("string").alias("label"),
-        F.explode(_features(text_col, num_features)).alias("feature"),
+        F.explode(
+            _features(text_col, num_features, analyzer, char_n)
+        ).alias("feature"),
     )
     counts = pairs.groupBy("label", "feature").agg(
         F.count(F.lit(1)).alias("n")
@@ -132,7 +180,8 @@ def train_nb(
     if min_count > 1:
         counts = counts.filter(F.col("n") >= min_count)
     return NBModel(
-        counts=counts, classes=classes, dims=dims, num_features=num_features
+        counts=counts, classes=classes, dims=dims,
+        num_features=num_features, analyzer=analyzer, char_n=char_n,
     )
 
 
@@ -177,9 +226,9 @@ def score_nb(
     # one map-side-combined groupBy, zero corpus-corpus joins
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(_features(text_col, model.num_features)).alias(
-            "feature"
-        ),
+        F.explode_outer(
+            _features(text_col, model.num_features, model.analyzer, model.char_n)
+        ).alias("feature"),
     ).crossJoin(labels)
     joined = tok.join(counts, ["feature", "label"], "left")
     contrib = F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
@@ -220,8 +269,12 @@ def classify_nb(
     add_k: float = 1.0,
     broadcast_model: bool = True,
     round_to: int = 6,
+    with_tokens: bool = False,
 ) -> DataFrame:
-    """Argmax prediction per document → (id, label, score, margin).
+    """Argmax prediction per document → (id, label, score, margin)
+    [+ ``n_tokens`` when ``with_tokens`` — the per-doc feature count,
+    0 for empty/NULL docs, which lets callers route "nothing to score"
+    docs (e.g. language-ID's ``und``) without a second corpus pass].
 
     ``margin`` is the winning score minus the runner-up (0.0 for a
     single-class model) — threshold it for precision/recall control.
@@ -245,7 +298,9 @@ def classify_nb(
         F.min_by("label", key).alias("label"),
         F.max("score").alias("score"),
         F.sort_array(F.collect_list("score"), asc=False).alias("_scores"),
+        F.max("n_tokens").alias("n_tokens"),
     )
+    extra = ["n_tokens"] if with_tokens else []
     return agg.select(
         id_col,
         "label",
@@ -257,6 +312,7 @@ def classify_nb(
             ).otherwise(F.lit(0.0)),
             round_to,
         ).alias("margin"),
+        *extra,
     )
 
 
@@ -308,6 +364,11 @@ def merge_nb_models(a: NBModel, b: NBModel, min_count: int = 1) -> NBModel:
             "cannot merge models with different feature spaces: "
             f"{a.num_features} vs {b.num_features}"
         )
+    if (a.analyzer, a.char_n) != (b.analyzer, b.char_n):
+        raise ValueError(
+            "cannot merge models with different featurizers: "
+            f"{(a.analyzer, a.char_n)} vs {(b.analyzer, b.char_n)}"
+        )
     counts = (
         a.counts.unionByName(b.counts)
         .groupBy("label", "feature")
@@ -336,5 +397,5 @@ def merge_nb_models(a: NBModel, b: NBModel, min_count: int = 1) -> NBModel:
         counts = counts.filter(F.col("n") >= min_count)
     return NBModel(
         counts=counts, classes=classes, dims=dims,
-        num_features=a.num_features,
+        num_features=a.num_features, analyzer=a.analyzer, char_n=a.char_n,
     )

@@ -210,3 +210,58 @@ def test_merge_equals_joint_retrain(spark, seeds):
             train_nb(half_a, "label"),
             train_nb(half_b, "label", num_features=8),
         )
+
+
+# ---------------------------------------------------------------------------
+# char-n-gram analyzer (round 8 — the language-ID featurizer)
+# ---------------------------------------------------------------------------
+
+
+def test_char_analyzer_features_hand_checked(spark):
+    """Char grams over the normalized text: lowercase, whitespace runs
+    collapsed to one space, overlapping grams of every requested size."""
+    from sparvi_core_spark.operators.classify import _features
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "Ab  c"), (2, ""), (3, None)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", _features("text", None, "char", (1, 2)).alias("f")
+    ).collect()}
+    # normalized "ab c": 1-grams a,b,' ',c then 2-grams ab,'b ',' c'
+    assert got[1] == ["a", "b", " ", "c", "ab", "b ", " c"]
+    assert got[2] == []
+    assert got[3] is None
+
+
+def test_char_analyzer_separates_unsegmented_scripts(spark):
+    """A char-gram model separates spaceless zh from en — the word
+    analyzer cannot (every zh doc is a single unseen token)."""
+    rows = [
+        (1, "the cat sat on the mat near the door", "en"),
+        (2, "a dog ran in the park with the kids", "en"),
+        (3, "这是一个中文句子没有空格", "zh"),
+        (4, "中文文本通常不使用空格分词", "zh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    model = train_nb(df, "label", analyzer="char", char_n=(1, 2))
+    test = spark.createDataFrame(
+        [(10, "the cat ran in the park"), (11, "另一个没有空格的中文例子")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["label"] for r in classify_nb(test, model).collect()}
+    assert got[10] == "en" and got[11] == "zh"
+
+
+def test_char_analyzer_guards(spark, seeds):
+    from sparvi_core_spark.operators.classify import _features, merge_nb_models
+
+    with pytest.raises(ValueError, match="analyzer"):
+        _features("text", None, "bogus")
+    with pytest.raises(ValueError, match="char_n"):
+        _features("text", None, "char", (0,))
+    with pytest.raises(ValueError, match="featurizers"):
+        merge_nb_models(
+            train_nb(seeds, "label", analyzer="char", char_n=2),
+            train_nb(seeds, "label", analyzer="word"),
+        )

@@ -32,6 +32,54 @@ def test_language_id(texts):
     assert got[4] == "und"
 
 
+def test_language_id_ngram_recovers_planted_languages(spark):
+    """The char-n-gram NB tier recovers the language of UNSEEN
+    sentences in every seeded script — including unsegmented Chinese
+    and Japanese, which the stopword tier is structurally blind to —
+    and routes empty/NULL docs to 'und'."""
+    planted = [
+        (0, "the quick brown fox jumps over the lazy dog near the river", "en"),
+        (1, "le chien dort sous la table pendant que le chat regarde la rue", "fr"),
+        (2, "el perro duerme bajo la mesa mientras el gato mira la calle", "es"),
+        (3, "der hund schlaeft unter dem tisch waehrend die katze zusieht", "de"),
+        (4, "il cane dorme sotto il tavolo mentre il gatto guarda la strada", "it"),
+        (5, "o cachorro dorme debaixo da mesa enquanto o gato olha a rua", "pt"),
+        (6, "de hond slaapt onder de tafel terwijl de kat naar buiten kijkt", "nl"),
+        (7, "собака спит под столом пока кошка смотрит в окно на улицу", "ru"),
+        (8, "الكلب ينام تحت الطاولة بينما القطة تنظر الى الشارع", "ar"),
+        # unsegmented zh/ja: NO spaces at all — the regression the
+        # stopword tier can never pass
+        (9, "小狗在桌子下面睡觉而猫咪正看着外面的街道", "zh"),
+        (10, "犬はテーブルの下で眠り猫は外の通りを見ています", "ja"),
+        (11, "강아지는 테이블 아래에서 자고 고양이는 거리를 본다", "ko"),
+        (12, "", "und"),
+        (13, None, "und"),
+        (14, "   \n\t ", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in planted], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["predicted_lang"]
+        for r in language_id(df, strategy="ngram").collect()
+    }
+    for i, _, want in planted:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_language_id_stopword_zh_limitation_documented(spark):
+    """The stopword tier's documented blind spot: unsegmented zh falls
+    to 'und'; the ngram tier on the SAME doc returns 'zh'."""
+    df = spark.createDataFrame(
+        [(0, "这是一个没有任何空格的中文句子所以按词匹配永远失败")],
+        "doc_id long, text string",
+    )
+    stop = language_id(df).collect()[0]["predicted_lang"]
+    ngram = language_id(df, strategy="ngram").collect()[0]["predicted_lang"]
+    assert stop == "und"
+    assert ngram == "zh"
+
+
 def test_quality_features(texts):
     got = {r["id"]: r for r in quality_features(texts).collect()}
     assert got[0]["n_tokens"] == 12
