@@ -1,0 +1,417 @@
+"""Binary-sketch index ON STORAGE — the cheapest rung of the stored
+ANN ladder (float32 ``ann_index`` → PQ codes ``ivfpq_index`` → THIS:
+1 bit per SRP projection, 32 bytes/vector at 256 bits). Sketches are
+written as parquet hive-partitioned by their low ``prefix_bits`` sign
+bits, so a Hamming search reads only the probed buckets' files via
+partition pruning at the file listing — the multi-probe LSH analog of
+``ann_index``'s IVF cell pruning, with the sketch ITSELF as the hash
+(no centroids to train, no codebooks to store).
+
+No analog in the reference engine (profiling/validation surface only —
+``/root/reference/sparvi/profiler/profile_engine.py:17``; SURVEY.md
+§2.8): part of the training-data-pipeline extension surface. The
+in-memory tier lives in ``operators.binary_sketch``; this module is
+its serving layout, completing the FAISS-style family
+(IndexBinaryFlat at ``prefix_bits=0``, IndexBinaryMultiHash-flavored
+prefix probing above it).
+
+Scale design (the part that matters at 100 TB):
+
+- **Codes at rest.** The data files carry ``(id, sketch)`` ONLY —
+  32 bytes + id per vector, so a billion-vector index is ~40 GB of
+  parquet and the brute-force scan of even the UNPRUNED index costs
+  ~1% of the float corpus bytes. Payload retrieval is an id-join back
+  to the caller's corpus, never a second vector copy.
+- **The sketch is the partition key.** ``bucket = sketch[word 0] &
+  (2^prefix_bits - 1)`` — the first ``prefix_bits`` hyperplane signs.
+  Cosine-similar vectors agree on each sign with probability
+  ``1 - θ/π`` (Charikar 2002), so a query's true neighbors
+  concentrate in buckets within small Hamming distance of the query's
+  own prefix. ``search_binary_index(radius=r)`` probes every bucket
+  whose prefix differs in ≤ r of the ``prefix_bits`` bits —
+  ``Σ_{i≤r} C(prefix_bits, i)`` buckets per distinct query prefix, a
+  driver-bounded combinatorial set, pruned at the FILE LISTING.
+  Expected recall of a neighbor at angle θ is
+  ``P[Binom(prefix_bits, θ/π) ≤ r]`` — e.g. at θ=30°, prefix 12,
+  r=2 → ~0.68, r=3 → ~0.87; ``radius=None`` scans flat (recall 1.0
+  vs ``hamming_topk`` by construction — pinned in tests).
+- **Rerank without a float-corpus scan.** ``store_vectors=True``
+  writes a ``_vectors/`` side-store partitioned by the SAME bucket,
+  so the exact-cosine rerank of the Q × rerank candidate pool reads
+  float bytes from the probed buckets only.
+- **Append is assign-and-add.** The manifest pins (bits, seed,
+  prefix_bits, dim); appends re-derive the identical hyperplanes from
+  the seed and parquet-append — no rebuild, no read-modify-write of
+  data files.
+"""
+
+from __future__ import annotations
+
+import json
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sparvi_core_spark.sources.ann_index import (
+    _read_text,
+    _require_unique_ids,
+    _write_text,
+)
+
+MANIFEST = "_binary_manifest.json"
+VECTORS_DIR = "_vectors"
+FORMAT = "sparvi-binary-index/1"
+
+
+def _bucket_expr(sketch_col: str, prefix_bits: int) -> F.Column:
+    """Low ``prefix_bits`` bits of word 0 = signs of hyperplanes
+    0..prefix_bits-1 (little-endian packing — pinned against the blas
+    packbits path in operators.binary_sketch tests)."""
+    mask = (1 << prefix_bits) - 1
+    return (
+        F.element_at(F.col(sketch_col), 1)
+        .bitwiseAND(F.lit(mask))
+        .cast("int")
+    )
+
+
+def _probe_buckets(prefixes: set[int], prefix_bits: int, radius: int) -> list[int]:
+    """Every bucket whose prefix differs from some query prefix in at
+    most ``radius`` of the ``prefix_bits`` bits — the multi-probe set.
+    Driver-side combinatorics, bounded by
+    |prefixes| × Σ_{i≤radius} C(prefix_bits, i)."""
+    out: set[int] = set()
+    positions = range(prefix_bits)
+    for p in prefixes:
+        for r in range(radius + 1):
+            for combo in combinations(positions, r):
+                flipped = p
+                for b in combo:
+                    flipped ^= 1 << b
+                out.add(flipped)
+    return sorted(out)
+
+
+def write_binary_index(
+    vectors: DataFrame,
+    path: str,
+    bits: int = 256,
+    seed: int = 42,
+    prefix_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    engine: str = "auto",
+    store_vectors: bool = True,
+    files_per_bucket: int = 1,
+    mode: str = "overwrite",
+) -> dict:
+    """Sketch every vector (``binarize_embeddings`` — one map-only
+    pass) and write ``(id, sketch)`` parquet-partitioned by the
+    sketch's sign prefix, plus an optional same-partitioned float
+    side-store for exact rerank and a manifest. NULL vectors sketch to
+    NULL and are NOT indexed (counted as ``dropped_null``). Returns
+    the manifest dict. ``prefix_bits=0`` writes a flat (single-bucket)
+    index — FAISS IndexBinaryFlat."""
+    from sparvi_core_spark.operators.binary_sketch import binarize_embeddings
+
+    if not 0 <= prefix_bits <= 20:
+        raise ValueError(
+            f"prefix_bits must be in [0, 20] (2^20 buckets already "
+            f"exceeds any sane file count), got {prefix_bits}"
+        )
+    if files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket}"
+        )
+    for c in ("bucket", "sketch", "__slice"):
+        if c in vectors.columns:
+            raise ValueError(f"vectors already has a {c!r} column")
+    spark = vectors.sparkSession
+    n_rows = _require_unique_ids(vectors, id_col, "vectors")
+    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).first()
+    if dim is None:
+        raise ValueError("vectors has no non-null embeddings to index")
+    dim = int(dim["d"])
+    sk = binarize_embeddings(
+        vectors.select(id_col, vec_col),
+        bits=bits,
+        seed=seed,
+        vec_col=vec_col,
+        engine=engine,
+        dim=dim,
+    ).filter(F.col("sketch").isNotNull())
+    data = sk.withColumn(
+        "bucket",
+        _bucket_expr("sketch", prefix_bits) if prefix_bits else F.lit(0),
+    )
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("bin-slice")),
+        F.lit(files_per_bucket),
+    )
+    clustered = (
+        data.withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+    )
+    (
+        clustered.select(id_col, "sketch", "bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    if store_vectors:
+        (
+            clustered.select(id_col, F.col(vec_col), "bucket")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    # per-bucket stats from the WRITTEN codes (cheapest possible scan;
+    # avoids re-running the sketch kernel a second time). Correct
+    # because this writer is for fresh indexes — incremental batches go
+    # through append_binary_index.
+    per_bucket = {
+        int(r["bucket"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_vectors = sum(per_bucket.values())
+    manifest = {
+        "format": FORMAT,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "bits": bits,
+        "seed": seed,
+        "prefix_bits": prefix_bits,
+        "dim": dim,
+        "n_vectors": n_vectors,
+        "dropped_null": n_rows - n_vectors,
+        "store_vectors": store_vectors,
+        "files_per_bucket": files_per_bucket,
+        "rows_per_bucket": {str(b): n for b, n in sorted(per_bucket.items())},
+    }
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def read_binary_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Open an index: ``(codes, manifest)``. ``codes`` is the full
+    partitioned sketch frame (bucket column included — filter it
+    yourself or use :func:`search_binary_index`, which prunes)."""
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") != FORMAT:
+        raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
+    return spark.read.parquet(path), manifest
+
+
+def append_binary_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame,
+    engine: str = "auto",
+) -> dict:
+    """Sketch a new batch with the manifest's (bits, seed) — the
+    hyperplanes re-derive identically from the seed — and
+    parquet-append into the same bucket layout. Ids must be unique
+    within the batch (cross-batch uniqueness is the caller's key
+    contract, as in ``append_ivf_index``). Returns the updated
+    manifest."""
+    from sparvi_core_spark.operators.binary_sketch import binarize_embeddings
+
+    _, manifest = read_binary_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    prefix_bits = manifest["prefix_bits"]
+    n_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
+    sk = binarize_embeddings(
+        new_vectors.select(id_col, vec_col),
+        bits=manifest["bits"],
+        seed=manifest["seed"],
+        vec_col=vec_col,
+        engine=engine,
+        dim=manifest["dim"],
+    ).filter(F.col("sketch").isNotNull())
+    data = sk.withColumn(
+        "bucket",
+        _bucket_expr("sketch", prefix_bits) if prefix_bits else F.lit(0),
+    )
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("bin-slice")),
+        F.lit(manifest["files_per_bucket"]),
+    )
+    clustered = (
+        data.withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+    )
+    (
+        clustered.select(id_col, "sketch", "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    if manifest["store_vectors"]:
+        (
+            clustered.select(id_col, F.col(vec_col), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    batch = {
+        int(r["bucket"]): int(r["n"])
+        for r in data.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_bucket = {
+        int(b): n for b, n in manifest["rows_per_bucket"].items()
+    }
+    for b, n in batch.items():
+        per_bucket[b] = per_bucket.get(b, 0) + n
+    appended = sum(batch.values())
+    manifest["n_vectors"] += appended
+    manifest["dropped_null"] += n_rows - appended
+    manifest["rows_per_bucket"] = {
+        str(b): n for b, n in sorted(per_bucket.items())
+    }
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def search_binary_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    radius: int | None = 2,
+    rerank: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Hamming top-k against a stored index, reading ONLY the probed
+    buckets: queries (float vectors, carrying the manifest's
+    id_col/vec_col) are sketched with the index's planes, their sign
+    prefixes expand to the ≤``radius``-bit-flip probe set, the
+    distinct probe buckets become a partition-pruning ``bucket IN``
+    on the codes scan, and ``hamming_topk`` finishes over the
+    survivors. ``radius=None`` (or ≥ prefix_bits) scans flat — EXACT
+    ``hamming_topk`` equality, pinned in tests.
+
+    ``rerank=n`` additionally exact-cosine-reranks the per-query
+    top-n Hamming candidates from the float side-store (pruned to the
+    same buckets) → ``(query_id, neighbor_id, cosine, rank)``,
+    ``hamming_topk_rerank``'s contract; requires
+    ``store_vectors=True`` at write time."""
+    from sparvi_core_spark.operators.binary_sketch import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+    from sparvi_core_spark.operators.similarity import _dot
+
+    codes, manifest = read_binary_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    prefix_bits = manifest["prefix_bits"]
+    for c in (id_col, vec_col):
+        if c not in queries.columns:
+            raise ValueError(
+                f"queries is missing the index's {c!r} column "
+                f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+    if rerank is not None:
+        if not manifest["store_vectors"]:
+            raise ValueError(
+                "rerank requires store_vectors=True at write time "
+                "(this index has no _vectors/ side-store)"
+            )
+        if rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    qsk = binarize_embeddings(
+        queries.select(id_col, vec_col),
+        bits=manifest["bits"],
+        seed=manifest["seed"],
+        vec_col=vec_col,
+        engine=engine,
+        dim=manifest["dim"],
+    ).filter(F.col("sketch").isNotNull())
+
+    if prefix_bits and radius is not None and radius < prefix_bits:
+        # queries are the small side by contract: their distinct
+        # prefixes are driver-bounded, the probe expansion is
+        # combinatorial on prefix_bits, and the resulting IN-list
+        # prunes the scan at the file listing
+        prefixes = {
+            int(r["p"])
+            for r in qsk.select(
+                _bucket_expr("sketch", prefix_bits).alias("p")
+            ).distinct().collect()
+        }
+        probed = _probe_buckets(prefixes, prefix_bits, radius)
+        pruned = codes.filter(F.col("bucket").isin(probed))
+    else:
+        probed = None
+        pruned = codes
+
+    hits = hamming_topk(
+        pruned.select(F.col(id_col), "sketch"),
+        qsk,
+        k=k if rerank is None else rerank,
+        id_col=id_col,
+        sketch_col="sketch",
+    )
+    if rerank is None:
+        return hits
+
+    floats = spark.read.parquet(f"{path}/{VECTORS_DIR}")
+    if probed is not None:
+        floats = floats.filter(F.col("bucket").isin(probed))
+    cands = hits.select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    nv = floats.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    nn = F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("nv")) / F.when(qn * nn > 0, qn * nn), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def binary_index_health(spark: SparkSession, path: str) -> DataFrame:
+    """Per-bucket audit: manifest rows vs actual rows on disk — the
+    quick drift/corruption gauge (mirrors ``ivf_index_health``)."""
+    codes, manifest = read_binary_index(spark, path)
+    actual = codes.groupBy("bucket").agg(F.count(F.lit(1)).alias("actual_rows"))
+    want = spark.createDataFrame(
+        [(int(b), n) for b, n in manifest["rows_per_bucket"].items()],
+        "bucket int, manifest_rows long",
+    )
+    return (
+        actual.join(want, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("manifest_rows", F.lit(0)).alias("manifest_rows"),
+            F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
+        )
+        .withColumn(
+            "ok", F.col("manifest_rows") == F.col("actual_rows")
+        )
+        .orderBy("bucket")
+    )

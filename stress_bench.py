@@ -557,10 +557,14 @@ def main() -> None:
 
     def _du_buckets(root):
         """Bytes at rest in the bucket=*/ data dirs only (manifest,
-        centroids, codebook, float side-store excluded)."""
+        centroids, codebook, float side-stores excluded)."""
         total = 0
         for dirpath, _, files in os.walk(root):
-            if "bucket=" not in dirpath or "_floats" in dirpath:
+            if (
+                "bucket=" not in dirpath
+                or "_floats" in dirpath
+                or "_vectors" in dirpath
+            ):
                 continue
             for f in files:
                 if not f.startswith((".", "_")):
@@ -624,6 +628,63 @@ def main() -> None:
         assert n == 100 * 10
 
     bench("idx_pq_rerank_sec", run_pq_rerank)
+
+    # binary index ON DISK: the ladder's cheapest stored tier (r8) —
+    # write (sketch + prefix-partitioned codes + bucketed float
+    # side-store), append, probed search (radius-2 file pruning),
+    # flat search (exact), and pruned exact rerank; bytes-at-rest vs
+    # the float layout recorded
+    from sparvi_core_spark.sources.binary_index import (
+        append_binary_index,
+        search_binary_index,
+        write_binary_index,
+    )
+
+    bidx = f"{idx_root}/binary"
+
+    def run_bin_write():
+        man = write_binary_index(
+            idx_corpus, bidx, bits=256, seed=7, prefix_bits=12,
+            engine="blas", files_per_bucket=1,
+        )
+        assert man["n_vectors"] == 190_000
+
+    bench("idx_bin_write_sec", run_bin_write)
+    entries["idx_bin_mb"] = round(_du_buckets(bidx) / 1e6, 1)
+    entries["idx_bin_vs_float_ratio"] = round(
+        entries["idx_float_mb"] / max(entries["idx_bin_mb"], 0.1), 1
+    )
+
+    def run_bin_append():
+        man = append_binary_index(spark, bidx, idx_batch, engine="blas")
+        assert man["n_vectors"] == 200_000
+
+    bench("idx_bin_append_sec", run_bin_append)
+
+    def run_bin_search_probed():
+        n = search_binary_index(
+            spark, bidx, idx_queries, k=10, radius=2, engine="blas"
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_bin_search_probed_sec", run_bin_search_probed)
+
+    def run_bin_search_flat():
+        n = search_binary_index(
+            spark, bidx, idx_queries, k=10, radius=None, engine="blas"
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_bin_search_flat_sec", run_bin_search_flat)
+
+    def run_bin_rerank():
+        n = search_binary_index(
+            spark, bidx, idx_queries, k=10, radius=2, rerank=50,
+            engine="blas",
+        ).count()
+        assert n == 100 * 10
+
+    bench("idx_bin_rerank_sec", run_bin_rerank)
     shutil.rmtree(idx_root, ignore_errors=True)
 
     # binary-sketch tier on the same 190k × dim-64 corpus: one
