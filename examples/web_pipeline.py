@@ -168,6 +168,33 @@ def main() -> None:
     docs = warc_to_documents(raw).localCheckpoint()
     report["text_responses"] = docs.count()
 
+    # 2a. the recrawl screen IN-STREAM: a live crawl tail dedups
+    #     recrawls before they land (dropDuplicatesWithinWatermark on
+    #     the canonical key — state bounded by the watermark horizon;
+    #     stage 2 below is the corpus-wide batch compaction, this is
+    #     the ingest-time gate the frontier runs continuously)
+    from sparvi_core_spark.streaming.dedup_stream import dedup_stream_by_url
+
+    tail_dir = os.path.join(workdir, "live_tail")
+    # WARC-Date is an ISO-8601 string; the watermark needs a timestamp
+    docs.select(
+        "doc_id", "url", F.to_timestamp("fetched_at").alias("fetched_at")
+    ).write.parquet(tail_dir)
+    tail = (
+        spark.readStream.schema(spark.read.parquet(tail_dir).schema)
+        .parquet(tail_dir)
+    )
+    screened = dedup_stream_by_url(tail, ts_col="fetched_at", delay="1 hour")
+    q = (
+        screened.writeStream.format("memory").queryName("live_screen")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    report["stream_url_screen"] = {
+        "raw": spark.read.parquet(tail_dir).count(),
+        "kept": spark.table("live_screen").count(),
+    }
+
     # 2. recrawl compaction on the CANONICAL url (tracker variants merge)
     docs = latest_by_key(
         docs.withColumn("canon_url", canonicalize_url("url", strip_www=True)),

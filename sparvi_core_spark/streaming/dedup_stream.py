@@ -42,6 +42,48 @@ def dedup_stream_exact(
     )
 
 
+def dedup_stream_by_url(
+    events: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    strip_www: bool = True,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Streaming canonical-URL dedup — the crawl-ingest recrawl
+    screen: canonicalize every URL (``functions.web.canonicalize_url``,
+    a pure map-side projection — tracker params, case, default ports,
+    fragments, trailing slashes all collapse) and drop rows whose
+    canonical key was already seen within the watermark horizon.
+
+    The composition is exactly :func:`dedup_stream_exact` over the
+    derived key, so the state story is identical: keys evict once the
+    watermark passes them, bounding state to O(horizon × arrival
+    rate). A page recrawled days later re-enters — which is the
+    CORRECT frontier behavior (recrawls outside the horizon are fresh
+    observations; batch ``functions.web.dedup_by_url`` is the
+    corpus-wide collapse). NULL urls get a per-row unique key
+    (md5 of the whole row's struct), so they never collapse into one
+    survivor — the batch operator's contract.
+
+    Batch inputs take the same path with a plain ``dropDuplicates``,
+    so one function serves live ingest and backfill. ``keep_key=True``
+    retains the canonical key column (``__canon_url``) for downstream
+    host rollups."""
+    from sparvi_core_spark.functions.web import canonicalize_url
+
+    tmp = "__canon_url"
+    keyed = events.withColumn(
+        tmp,
+        F.coalesce(
+            canonicalize_url(url_col, strip_www=strip_www),
+            F.concat(F.lit("\x00null:"), F.md5(F.to_json(F.struct("*")))),
+        ),
+    )
+    out = dedup_stream_exact(keyed, [tmp], ts_col=ts_col, delay=delay)
+    return out if keep_key else out.drop(tmp)
+
+
 def corpus_fingerprints(
     docs: DataFrame, text_col: str = "text", fp_col: str = "fingerprint"
 ) -> DataFrame:

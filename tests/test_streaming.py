@@ -228,3 +228,71 @@ def test_quality_gates_batch_stream_equivalence(spark, sf_dir):
         assert set(stream_rows) == set(batch_rows)
         for k, v in batch_rows.items():
             assert stream_rows[k] == v, (name, k)
+
+
+def test_dedup_stream_by_url_batch_stream_equivalence(spark, sf_dir, tmp_path):
+    """Crawl-ingest recrawl screen: streaming canonical-URL dedup keeps
+    the same canonical KEY SET as the batch path on a single-trigger
+    backfill; tracker/case/fragment spellings of one resource collapse,
+    NULL urls never collapse."""
+    from sparvi_core_spark.functions.web import canonicalize_url
+    from sparvi_core_spark.session import read_parquet_table
+    from sparvi_core_spark.streaming.dedup_stream import dedup_stream_by_url
+
+    src = read_parquet_table(spark, f"{sf_dir}/events.parquet").limit(400)
+    # two crawl spellings per user_id + a NULL-url row every 50th
+    fixture = src.select(
+        "ts",
+        "user_id",
+        F.when(F.col("event_id") % 50 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM/u/"),
+                F.col("user_id").cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/u/"),
+                F.col("user_id").cast("string"),
+                F.lit("?a=1&b=2"),
+            )
+        )
+        .alias("url"),
+    )
+    path = str(tmp_path / "crawl.parquet")
+    fixture.write.parquet(path)
+    batch = spark.read.parquet(path)
+    n_raw = batch.count()
+    n_null = batch.filter(F.col("url").isNull()).count()
+
+    batch_out = dedup_stream_by_url(batch, ts_col="ts")
+    assert not batch_out.isStreaming
+    batch_keys = {
+        r["k"]
+        for r in batch_out.select(
+            canonicalize_url("url", strip_www=True).alias("k")
+        ).collect()
+    }
+    # the two spellings collapsed; every NULL-url row survived
+    assert batch_out.count() == len(batch_keys - {None}) + n_null
+    assert batch_out.count() < n_raw
+
+    stream = stream_events(spark, path)
+    stream_out = dedup_stream_by_url(
+        stream, ts_col="ts", delay="1 hour", keep_key=True
+    )
+    assert stream_out.isStreaming
+    run_stream_to_memory(stream_out, "stream_url_dedup", output_mode="append")
+    stream_rows = spark.table("stream_url_dedup").collect()
+    stream_keys = {r["__canon_url"] for r in stream_rows}
+    want_keys = {
+        r["k"]
+        for r in dedup_stream_by_url(batch, ts_col="ts", keep_key=True)
+        .select(F.col("__canon_url").alias("k"))
+        .collect()
+    }
+    assert stream_keys == want_keys
+    assert len(stream_rows) == len(stream_keys), "exactly one row per key"
