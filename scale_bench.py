@@ -171,7 +171,14 @@ def main() -> None:
     from sparvi_core_spark.functions.lm import score_perplexity, train_bigram_lm
     from sparvi_core_spark.functions.knlm import score_perplexity_kn, train_kn_lm
     from sparvi_core_spark.operators.classify import classify_nb, train_nb
-    from sparvi_core_spark.functions.web import cap_per_host
+    from sparvi_core_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+        language_id,
+        train_langid,
+    )
+    from sparvi_core_spark.functions.web import cap_per_host, dedup_by_url
     from sparvi_core_spark.operators.bpe import bpe_train
     from sparvi_core_spark.operators.dedup import simhash
     from sparvi_core_spark.operators.frequent import heavy_hitters
@@ -386,6 +393,53 @@ def main() -> None:
                     ),
                     k=10,
                     rerank=50,
+                )
+            ),
+            # standing since r8 (VERDICT r7 #5: the r7 quality/URL tier
+            # measured only at corpus sizes where job overhead
+            # dominates — these put them on the real 10× curve).
+            # gopher_repetition is the heavy mover: 11 granularities,
+            # one tagged explode, 16-byte hashed shuffle keys.
+            "gopher_repetition": lambda: _force(
+                gopher_repetition_flags(views["documents"])
+            ),
+            "gopher_flags": lambda: _force(
+                gopher_quality_flags(views["documents"])
+            ),
+            "c4_clean": lambda: _force(c4_clean(views["documents"])),
+            # char-gram NB lang-id (r8): model is seed-bounded; scoring
+            # is the map-side gram explode × 12 labels + one combine
+            "langid_ngram": lambda: _force(
+                language_id(
+                    views["documents"], strategy="ngram",
+                    model=train_langid(spark),
+                )
+            ),
+            # URL canonicalize + exact dedup: two crawl spellings per
+            # doc, pure-codegen key + one shuffle on it
+            "url_dedup": lambda: _force(
+                dedup_by_url(
+                    views["documents"]
+                    .select(
+                        "doc_id",
+                        F.concat(
+                            F.lit("HTTPS://WWW.Example.COM/d/"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("/?utm_source=s&b=2&a=1#f"),
+                        ).alias("url"),
+                    )
+                    .unionByName(
+                        views["documents"].select(
+                            (F.col("doc_id") + 1_000_000_000).alias(
+                                "doc_id"
+                            ),
+                            F.concat(
+                                F.lit("https://example.com/d/"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("?a=1&b=2"),
+                            ).alias("url"),
+                        )
+                    ),
                 )
             ),
             # the 2-col Z-order layout pass: stats + range shuffle +

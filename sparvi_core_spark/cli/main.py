@@ -836,14 +836,19 @@ def gopher(source, table, text_col, id_col, no_required_words, keep_to,
 @click.option("--id-col", default="doc_id", help="Document id column")
 @click.option("--lang-col", default=None,
               help="Existing language column (default: predict)")
+@click.option("--lang-strategy", default="ngram",
+              type=click.Choice(["stopword", "ngram"]),
+              help="Prediction tier when --lang-col is absent: 'ngram' "
+                   "(char-gram NB, sees unsegmented scripts) or "
+                   "'stopword' (5-language cheap gate)")
 @click.option("--no-required-words", is_flag=True,
               help="Drop the English-specific Gopher rule")
 @click.option("--output", default=None, help="Write the JSON here")
 @click.option("--format", "fmt", default="json",
               type=click.Choice(["table", "json"]))
 @click.option("--cpus", default=None, help="local[N] cores")
-def datacard(source, table, text_col, id_col, lang_col, no_required_words,
-             output, fmt, cpus):
+def datacard(source, table, text_col, id_col, lang_col, lang_strategy,
+             no_required_words, output, fmt, cpus):
     """One-command dataset card for TABLE: the statistics section a
     corpus release publishes — sizes, token totals and length
     quantiles, language distribution, quality/Gopher pass rates, PII
@@ -894,7 +899,9 @@ def datacard(source, table, text_col, id_col, lang_col, no_required_words,
     lang = (
         df.select(F.col(lang_col).alias("predicted_lang"))
         if lang_col
-        else language_id(df, id_col=id_col, text_col=text_col)
+        else language_id(
+            df, id_col=id_col, text_col=text_col, strategy=lang_strategy
+        )
     )
     total = max(card["size"]["n_docs"], 1)
     card["languages"] = {

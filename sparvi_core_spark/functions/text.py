@@ -1,9 +1,12 @@
 """Text-analysis functions for training-data pipelines.
 
-Language ID (stopword heuristic), quality scoring, token counting,
-document fingerprinting — all built-in expressions (split / filter /
-regexp), no Python UDFs, so they run inside whole-stage codegen and
-are DuckDB-oracle comparable.
+Language ID (two tiers: a cheap 5-language stopword gate, and a
+char-n-gram Naive Bayes identifier over 12 seeded languages that sees
+unsegmented scripts), quality scoring, token counting, document
+fingerprinting — all built-in expressions (split / filter / regexp),
+no Python UDFs, so they run inside whole-stage codegen and are
+DuckDB-oracle comparable. Word tokenization throughout is
+any-whitespace (``\\s+``) splitting, the published Gopher/C4 contract.
 """
 
 from __future__ import annotations

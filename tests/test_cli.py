@@ -405,3 +405,13 @@ def test_datacard_command(spark, sf_dir, tmp_path):
     assert r2.exit_code == 0, r2.output
     card2 = _json.loads(r2.output.strip().splitlines()[-1])
     assert set(card2["languages"]) >= {"en"}
+
+    # explicit stopword tier still works (ngram is the default)
+    r3 = CliRunner().invoke(
+        cli,
+        ["datacard", sf_dir, "documents", "--lang-strategy", "stopword",
+         "--format", "json"],
+    )
+    assert r3.exit_code == 0, r3.output
+    card3 = _json.loads(r3.output.strip().splitlines()[-1])
+    assert abs(sum(card3["languages"].values()) - 1.0) < 0.01
