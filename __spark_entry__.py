@@ -1224,6 +1224,24 @@ def q_corpus_divergence(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (functions/lm.py
+    perplexity_buckets; no reference analog — training-data extension):
+    self-trained bigram LM, per-LANGUAGE exact terciles, bucket tags.
+    The oracle re-derives the LM, the per-doc perplexities, the
+    per-lang interpolated quantiles, and the tagging in DuckDB SQL."""
+    from sparvi_core_spark.functions.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    t = _views(spark, sf_dir)
+    lm = train_bigram_lm(t["documents"])
+    return perplexity_buckets(
+        t["documents"], lm, by="lang", exact=True
+    )
+
+
 def q_nb_scores(spark, sf_dir):
     """Naive Bayes per-(doc, class) log scores (operators.classify),
     self-trained on the lang labels — the fastText-style quality/
@@ -1477,6 +1495,8 @@ _LOCAL_ONLY = (
     "host_quality",
     # round 8: char-n-gram NB language ID (the real lang-id tier)
     "langid_ngram",
+    # round 8: CCNet per-language perplexity terciles
+    "ppl_buckets",
 )
 
 
@@ -1572,6 +1592,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_near_pairs": q_hamming_near_pairs,
         "canonical_urls": q_canonical_urls,
         "langid_ngram": q_langid_ngram,
+        "ppl_buckets": q_ppl_buckets,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2749,6 +2770,46 @@ SELECT doc_id AS id,
     ELSE 'ftp://files.example.com/pub/' || doc_id
   END AS canon
 FROM documents"""
+
+    # ppl_buckets: bigram-LM perplexity (the score_perplexity oracle
+    # arithmetic) + per-language exact interpolated terciles
+    # (quantile_cont == Spark's percentile) + head/middle/tail tags
+    o["ppl_buckets"] = """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(list_prepend('<s>', l), 1, len(l))) AS w1,
+         unnest(l) AS w2
+  FROM base WHERE len(l) > 0
+), counts AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY ALL),
+ctx AS (SELECT w1, sum(n) AS c_total FROM counts GROUP BY w1),
+v AS (SELECT count(*) AS v FROM ctx),
+logps AS (
+  SELECT bg.doc_id,
+         ln((coalesce(c.n, 0) + 0.1)/(coalesce(cx.c_total, 0) + 0.1*v.v)) AS logp
+  FROM bg LEFT JOIN counts c USING (w1, w2) LEFT JOIN ctx cx USING (w1), v
+),
+scored AS (
+  SELECT l.doc_id, b.lang, count(*) AS n_bigrams,
+         round(exp(-avg(l.logp)), 6) AS perplexity
+  FROM logps l JOIN base b USING (doc_id)
+  GROUP BY l.doc_id, b.lang
+),
+thr AS (
+  SELECT lang,
+         quantile_cont(perplexity, 1.0/3) AS t_lo,
+         quantile_cont(perplexity, 2.0/3) AS t_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+       s.perplexity,
+       CASE WHEN s.perplexity <= t.t_lo THEN 'head'
+            WHEN s.perplexity <= t.t_hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN thr t USING (lang)"""
 
     # langid_ngram: the ENTIRE char-n-gram NB pipeline re-derived in
     # DuckDB SQL — seed corpus inlined from the module constant (zero

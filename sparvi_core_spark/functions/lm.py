@@ -167,6 +167,75 @@ def score_perplexity(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: BigramLM,
+    cutoffs: tuple[float, float] = (1 / 3, 2 / 3),
+    by: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.1,
+    broadcast_model: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """CCNet's deployed split (Wenzek et al. 2020 §4.3): tag every
+    document ``head`` / ``middle`` / ``tail`` by where its perplexity
+    falls in the corpus distribution — per ``by`` group (CCNet
+    computes the terciles PER LANGUAGE, so pass the language column)
+    or corpus-wide when ``by`` is None. ``head`` = ppl ≤ the
+    ``cutoffs[0]`` quantile, ``middle`` ≤ ``cutoffs[1]``, else
+    ``tail``; CCNet trains on head+middle. Returns
+    ``(id, [by], n_bigrams, perplexity, bucket)`` — filter on
+    ``bucket`` to deploy (absolute thresholds live in
+    :func:`perplexity_filter`).
+
+    Scale shape: one scoring pass (broadcast model, map-only + the
+    per-doc aggregate), ONE tiny per-group quantile aggregate
+    (``percentile_approx`` by default — single-pass sketch;
+    ``exact=True`` flips to exact interpolated percentiles, the
+    oracle-comparable mode), then a broadcast threshold join — the
+    corpus never shuffles on anything but the per-doc score reduce.
+    Docs with zero tokens produce no score rows
+    (:func:`score_perplexity`'s contract) and are therefore absent
+    here — CCNet drops them too.
+    """
+    lo, hi = cutoffs
+    if not 0 < lo < hi < 1:
+        raise ValueError(
+            f"cutoffs must be ascending in (0, 1), got {cutoffs}"
+        )
+    scored = score_perplexity(
+        docs,
+        lm,
+        id_col=id_col,
+        text_col=text_col,
+        add_k=add_k,
+        broadcast_model=broadcast_model,
+    ).select(id_col, "n_bigrams", "perplexity")
+    group = [by] if by else []
+    if by:
+        scored = scored.join(docs.select(id_col, by), id_col)
+    pctl = F.percentile if exact else F.percentile_approx
+    thr = scored.groupBy(*group).agg(
+        pctl("perplexity", F.lit(lo)).alias("__t_lo"),
+        pctl("perplexity", F.lit(hi)).alias("__t_hi"),
+    )
+    joined = (
+        scored.join(F.broadcast(thr), group)
+        if group
+        else scored.crossJoin(F.broadcast(thr))
+    )
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= F.col("__t_lo"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("__t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col, *group, "n_bigrams", "perplexity", bucket.alias("bucket")
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: BigramLM,

@@ -95,3 +95,43 @@ def test_add_k_validation(spark, tiny):
     lm = train_bigram_lm(tiny)
     with pytest.raises(ValueError):
         score_perplexity(tiny, lm, add_k=0.0)
+
+
+def test_perplexity_buckets_thirds_and_modes(spark, views):
+    """CCNet split: per-language buckets are ~thirds (exact mode makes
+    the boundary deterministic); approx mode lands within sketch
+    error; guards fire on bad cutoffs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.functions.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    docs = spark.table("documents")
+    lm = train_bigram_lm(docs)
+    out = perplexity_buckets(docs, lm, by="lang", exact=True)
+    pdf = out.groupBy("lang", "bucket").count().collect()
+    per_lang = {}
+    for r in pdf:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r["count"]
+    for lang, b in per_lang.items():
+        n = sum(b.values())
+        assert set(b) == {"head", "middle", "tail"}, (lang, b)
+        # exact terciles: head is >= 1/3 (ties at the boundary fall
+        # INTO head via <=), tail <= 1/3 + slack
+        assert b["head"] >= n // 3, (lang, b)
+        for k in b:
+            assert abs(b[k] - n / 3) <= max(2, 0.15 * n), (lang, b)
+    # every scored doc got a bucket
+    assert out.filter(F.col("bucket").isNull()).count() == 0
+
+    # corpus-wide (no by) + approx mode: same schema minus the group
+    out2 = perplexity_buckets(docs, lm)
+    assert out2.columns == ["doc_id", "n_bigrams", "perplexity", "bucket"]
+    fr = out2.filter(F.col("bucket") == "head").count() / out2.count()
+    assert 0.2 <= fr <= 0.5
+
+    with pytest.raises(ValueError, match="cutoffs"):
+        perplexity_buckets(docs, lm, cutoffs=(0.7, 0.3))
