@@ -1242,6 +1242,29 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_para_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (operators/substring.py
+    dedup_paragraphs; no reference analog — the Dolma/RefinedWeb
+    boilerplate stage): planted shared banners (every 3rd / 7th doc)
+    over organic text, df>=2, keep-first semantics. The oracle
+    re-derives paragraph splitting, md5 keys, the global (id, pos)
+    keeper, and the indexed-rebuild in DuckDB SQL."""
+    from sparvi_core_spark.operators.substring import dedup_paragraphs
+
+    t = _views(spark, sf_dir)
+    planted = t["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n\nshared banner alpha here")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\n\nshared banner beta there")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(planted)
+
+
 def q_nb_scores(spark, sf_dir):
     """Naive Bayes per-(doc, class) log scores (operators.classify),
     self-trained on the lang labels — the fastText-style quality/
@@ -1497,6 +1520,8 @@ _LOCAL_ONLY = (
     "langid_ngram",
     # round 8: CCNet per-language perplexity terciles
     "ppl_buckets",
+    # round 8: Dolma-style corpus-wide paragraph dedup
+    "para_dedup",
 )
 
 
@@ -1593,6 +1618,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "langid_ngram": q_langid_ngram,
         "ppl_buckets": q_ppl_buckets,
+        "para_dedup": q_para_dedup,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2810,6 +2836,52 @@ SELECT s.doc_id, s.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
             WHEN s.perplexity <= t.t_hi THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scored s JOIN thr t USING (lang)"""
+
+    # para_dedup: paragraph split + md5 keys + df>=2 + global (id,pos)
+    # keeper + indexed list_filter rebuild (1-based i in DuckDB;
+    # Spark positions are 0-based); untouched docs pass byte-identical
+    o["para_dedup"] = """
+WITH planted AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || chr(10) || 'shared banner alpha here'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || chr(10) || 'shared banner beta there'
+            ELSE '' END AS text
+  FROM documents WHERE doc_id < 150
+),
+base AS (
+  SELECT doc_id AS id, text,
+    list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                               x -> trim(x)), x -> x <> '') AS paras
+  FROM planted
+),
+occ AS (
+  SELECT id, i.i - 1 AS pos, md5(paras[i.i]) AS phash
+  FROM base, unnest(range(1, len(paras) + 1)) AS i(i)
+),
+flagged AS (
+  SELECT phash, id, pos,
+         ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id, pos) AS rn
+  FROM occ
+  QUALIFY COUNT(DISTINCT id) OVER (PARTITION BY phash) >= 2
+),
+removals AS (SELECT id, pos FROM flagged WHERE rn > 1),
+per_doc AS (
+  SELECT id, list(pos) AS plist, CAST(COUNT(*) AS BIGINT) AS nrem
+  FROM removals GROUP BY id
+)
+SELECT b.id,
+  CASE WHEN p.id IS NULL THEN b.text
+       ELSE COALESCE(array_to_string(
+         list_filter(b.paras, (x, j) -> NOT list_contains(p.plist, j - 1)),
+         chr(10) || chr(10)), '')
+  END AS text,
+  CAST(len(b.paras) - COALESCE(p.nrem, 0) AS BIGINT) AS n_paras_kept,
+  COALESCE(p.nrem, 0) AS n_paras_removed
+FROM base b LEFT JOIN per_doc p ON b.id = p.id"""
 
     # langid_ngram: the ENTIRE char-n-gram NB pipeline re-derived in
     # DuckDB SQL — seed corpus inlined from the module constant (zero

@@ -205,3 +205,94 @@ def remove_duplicated_spans(
             "n_tokens_removed"
         ),
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    min_df: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup — the Dolma/RefinedWeb stage
+    between whole-doc near-dup and substring span trimming: a
+    paragraph (``\\n\\n``-separated, trimmed, empties dropped)
+    appearing in ≥ ``min_df`` documents is boilerplate fuel (cookie
+    banners, license blocks, navigation) and is excised from every
+    document — except, under ``keep="first"``, its one canonical
+    occurrence (globally smallest ``(doc id, position)``), Dolma's
+    seen-before semantics made deterministic; ``keep="none"`` removes
+    every occurrence (the paper's strict mode).
+
+    Returns ``(id, text, n_paras_kept, n_paras_removed)`` for EVERY
+    input document:
+
+    - docs with no removed paragraphs pass their text BYTE-IDENTICAL
+      (the untouched bulk of the corpus is never rewritten);
+    - rewritten docs are the surviving paragraphs re-joined with
+      ``\\n\\n`` (paragraph-internal text untouched; the original
+      inter-paragraph whitespace is canonicalized by construction);
+    - NULL text stays NULL with zero counts.
+
+    Scale shape: one posexplode to (md5, id, pos) rows — the shuffle
+    carries 32-byte hashes, never paragraph text — one map-side-
+    combined doc-frequency groupBy, an inner hash-join back (flagged
+    hashes only), one per-doc position collect (bounded by a doc's
+    paragraph count), and the rewrite is a map-side indexed filter.
+    No pair enumeration: a paragraph shared by 10⁶ docs costs 10⁶
+    rows. md5 keys keep it oracle-checkable (module convention).
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(paras).alias("pos", "p")
+    ).select("id", "pos", F.md5("p").alias("phash"))
+    flagged = (
+        exploded.groupBy("phash")
+        .agg(
+            F.count_distinct("id").alias("df"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keeper"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("phash", "keeper")
+    )
+    removals = exploded.join(flagged, "phash")
+    if keep == "first":
+        removals = removals.filter(
+            (F.col("id") != F.col("keeper.id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+    per_doc = removals.groupBy("id").agg(
+        F.collect_list("pos").alias("__drop"),
+        F.count(F.lit(1)).alias("__n_removed"),
+    )
+    rhs = per_doc.select(
+        F.col("id").alias("__rid"), "__drop", "__n_removed"
+    )
+    joined = docs.join(
+        rhs, docs[id_col] == rhs["__rid"], "left"
+    ).drop("__rid")
+    kept = F.filter(
+        paras, lambda x, i: ~F.array_contains(F.col("__drop"), i)
+    )
+    n_paras = F.size(paras)
+    return joined.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__drop").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, "\n\n"))
+        .alias("text"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(n_paras - F.coalesce("__n_removed", F.lit(0)))
+        .cast("bigint")
+        .alias("n_paras_kept"),
+        F.coalesce("__n_removed", F.lit(0)).cast("bigint").alias(
+            "n_paras_removed"
+        ),
+    )

@@ -161,3 +161,105 @@ def test_remove_duplicated_spans_merged_overlaps_and_python_twin(spark):
         else:
             assert out[i]["text"] == rows[i - 1][1], i
             assert out[i]["n_tokens_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup (round 8)
+# ---------------------------------------------------------------------------
+
+from sparvi_core_spark.operators.substring import dedup_paragraphs  # noqa: E402
+
+
+def test_dedup_paragraphs_first_and_none(spark):
+    banner = "accept all cookies to continue reading this site"
+    rows = [
+        (1, f"unique intro one.\n\n{banner}\n\nunique body one."),
+        (2, f"{banner}\n\nunique body two."),
+        (3, "totally unique document with no shared paragraphs."),
+        (4, None),
+        (5, f"unique five.\n\n{banner}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["id"]: r.asDict() for r in dedup_paragraphs(df).collect()}
+    # keep="first": the banner survives ONLY in doc 1 (smallest id/pos)
+    assert banner in got[1]["text"]
+    assert banner not in got[2]["text"] and banner not in got[5]["text"]
+    assert got[2]["text"] == "unique body two."
+    assert got[5]["text"] == "unique five."
+    # untouched docs pass byte-identical
+    assert got[3]["text"] == rows[2][1]
+    assert got[3]["n_paras_removed"] == 0 and got[3]["n_paras_kept"] == 1
+    # NULL stays NULL with zero counts
+    assert got[4]["text"] is None and got[4]["n_paras_kept"] == 0
+    assert got[1]["n_paras_kept"] == 3 and got[2]["n_paras_removed"] == 1
+
+    # keep="none": every occurrence of the banner goes
+    got_n = {r["id"]: r.asDict() for r in dedup_paragraphs(df, keep="none").collect()}
+    for i in (1, 2, 5):
+        assert banner not in (got_n[i]["text"] or "")
+    assert got_n[1]["text"] == "unique intro one.\n\nunique body one."
+
+
+def test_dedup_paragraphs_min_df_and_guards(spark):
+    import pytest
+
+    shared = "this paragraph appears in exactly two documents here"
+    rows = [(1, f"{shared}\n\na."), (2, f"{shared}\n\nb."), (3, "c.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_df=3: df=2 paragraph survives everywhere
+    out = {r["id"]: r["text"] for r in dedup_paragraphs(df, min_df=3).collect()}
+    assert shared in out[1] and shared in out[2]
+    with pytest.raises(ValueError, match="min_df"):
+        dedup_paragraphs(df, min_df=1)
+    with pytest.raises(ValueError, match="keep"):
+        dedup_paragraphs(df, keep="last")
+
+
+def test_dedup_paragraphs_python_twin_on_planted_corpus(spark, views):
+    """Independent Python twin over the organic corpus with planted
+    shared paragraphs (every 3rd doc gets banner A, every 7th gets
+    banner B appended as paragraphs)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 120)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n\nshared banner alpha here")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\n\nshared banner beta there")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    rows = {r["doc_id"]: r["text"] for r in planted.collect()}
+
+    # twin: global (id, pos) occurrence table, df >= 2, keep first
+    occ = defaultdict(list)
+    split = {}
+    for i in sorted(rows):
+        paras = [p.strip() for p in rows[i].split("\n\n")]
+        paras = [p for p in paras if p]
+        split[i] = paras
+        for pos, p in enumerate(paras):
+            occ[p].append((i, pos))
+    removed = set()
+    for p, occs in occ.items():
+        if len({i for i, _ in occs}) >= 2:
+            keeper = min(occs)
+            removed |= set(occs) - {keeper}
+    want = {}
+    for i, paras in split.items():
+        kept = [p for pos, p in enumerate(paras) if (i, pos) not in removed]
+        n_rem = sum(1 for pos in range(len(paras)) if (i, pos) in removed)
+        txt = rows[i] if n_rem == 0 else "\n\n".join(kept)
+        want[i] = (txt, len(paras) - n_rem, n_rem)
+
+    got = {
+        r["id"]: (r["text"], r["n_paras_kept"], r["n_paras_removed"])
+        for r in dedup_paragraphs(planted).collect()
+    }
+    assert got == want
