@@ -406,6 +406,26 @@ def build_suite(spark, sf_dir):
 
     suite.append(("langid_ngram", run_langid_ngram))
 
+    # corpus-wide paragraph dedup: hash explode + df groupBy + indexed
+    # rewrite (r8). The organic corpus has few shared paragraphs — the
+    # honest cost is the full hashing/grouping pass, not the rewrites.
+    from sparvi_core_spark.operators.substring import dedup_paragraphs
+
+    suite.append(
+        ("para_dedup",
+         lambda: _force(dedup_paragraphs(spark.table("documents"))))
+    )
+
+    # CCNet per-language perplexity terciles: LM train + score +
+    # per-group quantiles + broadcast tag join (r8)
+    from sparvi_core_spark.functions.lm import perplexity_buckets
+
+    def run_ppl_buckets():
+        lm = train_bigram_lm(spark.table("documents"))
+        _force(perplexity_buckets(spark.table("documents"), lm, by="lang"))
+
+    suite.append(("ppl_buckets", run_ppl_buckets))
+
     return suite
 
 

@@ -116,9 +116,10 @@ def score_perplexity(
     add_k: float = 0.1,
     broadcast_model: bool = False,
     round_to: int = 6,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document perplexity under ``lm`` →
-    (id, n_bigrams, avg_neg_logp, perplexity).
+    (id, [carry_cols], n_bigrams, avg_neg_logp, perplexity).
 
     ``perplexity = exp(−Σ ln p(w|c) / n_bigrams)`` with add-k smoothed
     probabilities. Documents with zero tokens drop out (no bigrams —
@@ -127,6 +128,11 @@ def score_perplexity(
     ``broadcast_model=True`` broadcasts counts AND context totals —
     scoring becomes a map-only pass over the corpus (use when the
     pruned model fits executor memory; the 100 TB default).
+
+    ``carry_cols`` (doc-level columns, e.g. the language) ride through
+    the per-doc aggregate as ``first()`` — free relative to a second
+    corpus join to re-attach them afterwards (the partial aggregation
+    shrinks rows BEFORE the shuffle either way).
     """
     if add_k <= 0:
         raise ValueError(f"add_k must be positive, got {add_k}")
@@ -136,9 +142,11 @@ def score_perplexity(
     from sparvi_core_spark.plans.fanout import fan_out_compact
 
     docs = fan_out_compact(docs)
+    carry = list(carry_cols or [])
     bgs = docs.select(
-        F.col(id_col).alias("id"), F.explode(_bigrams(text_col)).alias("bg")
-    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        F.col(id_col).alias("id"), *carry,
+        F.explode(_bigrams(text_col)).alias("bg"),
+    ).select("id", *carry, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     counts, contexts = lm.counts, lm.contexts
     if broadcast_model:
@@ -156,11 +164,13 @@ def score_perplexity(
         )
     )
     per_doc = joined.groupBy("id").agg(
+        *[F.first(c).alias(c) for c in carry],
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.avg(logp)).alias("nll"),
     )
     return per_doc.select(
         F.col("id").alias(id_col),
+        *carry,
         "n_bigrams",
         F.round(F.col("nll"), round_to).alias("avg_neg_logp"),
         F.round(F.exp(F.col("nll")), round_to).alias("perplexity"),
@@ -204,6 +214,7 @@ def perplexity_buckets(
         raise ValueError(
             f"cutoffs must be ascending in (0, 1), got {cutoffs}"
         )
+    group = [by] if by else []
     scored = score_perplexity(
         docs,
         lm,
@@ -211,10 +222,8 @@ def perplexity_buckets(
         text_col=text_col,
         add_k=add_k,
         broadcast_model=broadcast_model,
-    ).select(id_col, "n_bigrams", "perplexity")
-    group = [by] if by else []
-    if by:
-        scored = scored.join(docs.select(id_col, by), id_col)
+        carry_cols=group,  # rides the score aggregate — no second join
+    ).select(id_col, *group, "n_bigrams", "perplexity")
     pctl = F.percentile if exact else F.percentile_approx
     thr = scored.groupBy(*group).agg(
         pctl("perplexity", F.lit(lo)).alias("__t_lo"),
