@@ -229,10 +229,19 @@ def perplexity_buckets(
         pctl("perplexity", F.lit(lo)).alias("__t_lo"),
         pctl("perplexity", F.lit(hi)).alias("__t_hi"),
     )
+    # collect the (groups × 2 doubles) threshold table EAGERLY and
+    # rebuild it locally: leaving it lazy would inline the whole
+    # scoring pipeline TWICE into the returned plan (once under the
+    # quantile agg, once under the tag join), doubling the corpus
+    # scans of every downstream action — the search_ivf_index
+    # probe-collect lesson. One scoring job runs here, at call time.
+    thr_local = scored.sparkSession.createDataFrame(
+        thr.collect(), schema=thr.schema
+    )
     joined = (
-        scored.join(F.broadcast(thr), group)
+        scored.join(F.broadcast(thr_local), group)
         if group
-        else scored.crossJoin(F.broadcast(thr))
+        else scored.crossJoin(F.broadcast(thr_local))
     )
     bucket = (
         F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
