@@ -832,3 +832,20 @@ def test_gopher_fuzz_bounds(spark):
         for k, v in r.asDict().items():
             if k.endswith("_frac"):
                 assert 0.0 <= v <= 1.0, (r["id"], k, v)
+
+
+def test_language_id_ngram_hashed_features(spark):
+    """The hashing-trick mode (the 100 TB model-size bound) recovers
+    the same languages on clearly-separated scripts."""
+    from sparvi_core_spark.functions.text import language_id, train_langid
+
+    model = train_langid(spark, num_features=1 << 15)
+    df = spark.createDataFrame(
+        [(0, "the dog sleeps under the table while the cat watches"),
+         (1, "собака спит под столом пока кошка смотрит в окно"),
+         (2, "犬はテーブルの下で眠り猫は外を見ています")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["predicted_lang"]
+           for r in language_id(df, strategy="ngram", model=model).collect()}
+    assert got[0] == "en" and got[1] == "ru" and got[2] == "ja"
