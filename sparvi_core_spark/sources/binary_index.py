@@ -352,7 +352,14 @@ def search_binary_index(
             ).distinct().collect()
         }
         probed = _probe_buckets(prefixes, prefix_bits, radius)
-        pruned = codes.filter(F.col("bucket").isin(probed))
+        if len(probed) > (1 << prefix_bits) // 2:
+            # probing most of the buckets costs more than scanning
+            # flat (file-listing + IN-list overhead with no pruning
+            # benefit) — degrade gracefully to the exact path
+            probed = None
+            pruned = codes
+        else:
+            pruned = codes.filter(F.col("bucket").isin(probed))
     else:
         probed = None
         pruned = codes
