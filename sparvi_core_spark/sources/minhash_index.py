@@ -1,0 +1,385 @@
+"""MinHash-LSH dedup index ON STORAGE — signatures and band buckets
+at rest, so each new crawl batch dedups against the WHOLE historical
+corpus by reading only the band buckets the batch itself touches.
+This gives fuzzy dedup the same serving treatment the ANN ladder
+already has (``ann_index`` / ``ivfpq_index`` / ``binary_index``): the
+expensive global state is computed once, written parquet-partitioned
+by a probeable key, and incremental batches probe it with
+file-listing-level pruning instead of recomputing signatures for
+100 TB of history per crawl.
+
+No analog in the reference engine (profiling/validation surface only —
+``/root/reference/sparvi/profiler/profile_engine.py:17``; SURVEY.md
+§2.8): part of the training-data-pipeline extension surface. The
+in-memory tier lives in ``operators.dedup`` (``minhash_signatures`` /
+``lsh_candidate_pairs`` / ``minhash_dedup_pairs``); this module reuses
+those exact kernels, so a stored index and an in-memory run produce
+IDENTICAL signatures and band keys (pinned in tests).
+
+Scale design (the part that matters at 100 TB):
+
+- **Two stores, both bucketed.** Data files carry ``(id, band, bkey,
+  bucket)`` — ``bucket = pmod(xxhash64(band, bkey), n_buckets)`` is
+  the hive partition key, so a probe's ``bucket IN (...)`` prunes at
+  the FILE LISTING. A ``_sigs/`` side-store carries one ``(id,
+  h0..h{K-1})`` row per doc, partitioned by ``pmod(xxhash64(id),
+  n_buckets)`` — verification reads only the buckets that hold the
+  candidate ids.
+- **Probe cost scales with the BATCH, not the corpus.** The batch's
+  distinct band-buckets are a driver-bounded set (≤ ``n_buckets``, a
+  manifest constant); candidate generation is an equi-join of the
+  batch's band rows against only those stored buckets; verification
+  is an equi-join against only the candidate ids' signature buckets.
+  A small recrawl batch against a petabyte-scale index touches a
+  small fraction of its files. When a huge batch covers most buckets
+  the IN-list is dropped (flat fallback — pruning would cost listing
+  overhead with no benefit), which is exactly the full-corpus join
+  you would have run anyway.
+- **Degenerate buckets are capped, like the in-memory tier.** A
+  boilerplate band key shared by millions of stored docs would make
+  one probe row fan out by millions; ``max_bucket`` drops stored band
+  keys above the cap from candidate generation (broadcast anti-join
+  of a tiny over-cap list), the same guard and rationale as
+  ``lsh_candidate_pairs``.
+- **Append is sign-and-add.** The manifest pins (num_hashes, bands,
+  shingle_n, n_buckets); the MinHash salts are deterministic
+  constants of the hash index, so appended batches land in the same
+  key space with no rebuild and no read-modify-write.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparvi_core_spark.operators.dedup import (
+    _band_hashes,
+    minhash_signatures,
+    solve_lsh_bands,
+)
+from sparvi_core_spark.sources.ann_index import (
+    _read_text,
+    _require_unique_ids,
+    _write_text,
+)
+
+MANIFEST = "_minhash_manifest.json"
+SIGS_DIR = "_sigs"
+FORMAT = "sparvi-minhash-index/1"
+
+
+def _band_bucket(n_buckets: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col("band"), F.col("bkey")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _sig_bucket(id_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col(id_col), F.lit("mh-sig")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _signed(
+    docs: DataFrame, manifest: dict
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sigs) for a doc frame under the manifest's parameters.
+    ``banded`` is (id, band, bkey, bucket); ``sigs`` is (id, h0..hK-1,
+    sbucket). Docs shorter than ``shingle_n`` words have no signature
+    and drop out (the in-memory contract)."""
+    sig = minhash_signatures(
+        docs,
+        id_col=manifest["id_col"],
+        text_col=manifest["text_col"],
+        num_hashes=manifest["num_hashes"],
+        shingle_n=manifest["shingle_n"],
+    ).localCheckpoint()
+    banded = _band_hashes(
+        sig, manifest["num_hashes"], manifest["bands"]
+    ).withColumn("bucket", _band_bucket(manifest["n_buckets"]))
+    sigs = sig.withColumn("sbucket", _sig_bucket("id", manifest["n_buckets"]))
+    return banded, sigs
+
+
+def _write_stores(banded: DataFrame, sigs: DataFrame, path: str, mode: str):
+    (
+        banded.repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    (
+        sigs.repartition(F.col("sbucket"))
+        .write.mode(mode)
+        .partitionBy("sbucket")
+        .parquet(f"{path}/{SIGS_DIR}")
+    )
+
+
+def _bucket_counts(banded: DataFrame) -> dict[int, int]:
+    return {
+        int(r["bucket"]): int(r["n"])
+        for r in banded.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int | None = None,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> dict:
+    """MinHash-sign every doc once and write the band store + the
+    signature side-store, both hive-partitioned for probe-time
+    pruning. ``bands=None`` solves the banding from ``threshold``
+    (``solve_lsh_bands``) exactly as the in-memory tier does. Docs
+    with fewer than ``shingle_n`` words have no shingles and are NOT
+    indexed (counted as ``dropped_short``). Returns the manifest."""
+    if bands is None:
+        bands, _rows = solve_lsh_bands(threshold, num_hashes)
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    spark = docs.sparkSession
+    n_rows = _require_unique_ids(docs, id_col, "docs")
+    manifest = {
+        "format": FORMAT,
+        "id_col": id_col,
+        "text_col": text_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "threshold": threshold,
+        "n_buckets": n_buckets,
+    }
+    banded, sigs = _signed(docs.select(id_col, text_col), manifest)
+    _write_stores(banded, sigs, path, mode)
+    # stats from the WRITTEN band store (cheapest scan; this writer is
+    # for fresh indexes — incremental batches go through append)
+    per_bucket = _bucket_counts(spark.read.parquet(path))
+    n_docs = sum(per_bucket.values()) // bands
+    manifest.update(
+        n_docs=n_docs,
+        dropped_short=n_rows - n_docs,
+        rows_per_bucket={str(b): n for b, n in sorted(per_bucket.items())},
+    )
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def read_minhash_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Open an index: ``(band_rows, manifest)``. ``band_rows`` is the
+    full partitioned (id, band, bkey, bucket) frame — filter it
+    yourself or use :func:`probe_minhash_index`, which prunes."""
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") != FORMAT:
+        raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
+    return spark.read.parquet(path), manifest
+
+
+def append_minhash_index(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> dict:
+    """Sign a new batch under the manifest's parameters (the MinHash
+    salts are deterministic, so the key space is identical) and
+    parquet-append into both stores. Ids must be unique within the
+    batch; cross-batch uniqueness is the caller's key contract (as in
+    the other stored indexes). Returns the updated manifest."""
+    _, manifest = read_minhash_index(spark, path)
+    id_col = manifest["id_col"]
+    n_rows = _require_unique_ids(new_docs, id_col, "new_docs")
+    banded, sigs = _signed(
+        new_docs.select(id_col, manifest["text_col"]), manifest
+    )
+    _write_stores(banded, sigs, path, "append")
+    batch = _bucket_counts(banded)
+    per_bucket = {int(b): n for b, n in manifest["rows_per_bucket"].items()}
+    for b, n in batch.items():
+        per_bucket[b] = per_bucket.get(b, 0) + n
+    appended = sum(batch.values()) // manifest["bands"]
+    manifest["n_docs"] += appended
+    manifest["dropped_short"] += n_rows - appended
+    manifest["rows_per_bucket"] = {
+        str(b): n for b, n in sorted(per_bucket.items())
+    }
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs between a new batch and the stored corpus:
+    ``(batch_id, index_id, est_jaccard)`` with est_jaccard (fraction
+    of agreeing minhashes, the in-memory estimator) ≥ ``threshold``
+    (default: the manifest's). Reads only the band buckets the batch
+    touches and only the signature buckets holding candidate ids —
+    both pruned at the file listing via driver-bounded IN-lists (≤
+    ``n_buckets`` values each; when the batch covers most buckets the
+    list is dropped and the scan runs flat).
+
+    ``max_bucket`` drops stored band keys matched by more than that
+    many stored rows from candidate generation — the degenerate
+    boilerplate-bucket guard, same semantics as
+    ``lsh_candidate_pairs``. A batch id equal to a stored id is
+    skipped (a recrawl of the same key is not a *near-dup pair*).
+    """
+    band_rows, manifest = read_minhash_index(spark, path)
+    id_col = manifest["id_col"]
+    if threshold is None:
+        threshold = manifest["threshold"]
+    for c in (id_col, manifest["text_col"]):
+        if c not in batch.columns:
+            raise ValueError(
+                f"batch is missing the index's {c!r} column (manifest: "
+                f"id_col={manifest['id_col']!r}, "
+                f"text_col={manifest['text_col']!r})"
+            )
+    _require_unique_ids(batch, id_col, "batch")
+    qbanded, qsigs = _signed(
+        batch.select(id_col, manifest["text_col"]), manifest
+    )
+    qbanded = qbanded.localCheckpoint()
+
+    n_buckets = manifest["n_buckets"]
+    buckets = sorted(
+        int(r["bucket"]) for r in qbanded.select("bucket").distinct().collect()
+    )
+    if 0 < len(buckets) <= n_buckets // 2:
+        pruned = band_rows.filter(F.col("bucket").isin(buckets))
+    else:
+        pruned = band_rows  # flat fallback: pruning would not help
+
+    # degenerate-bucket cap on the stored side (broadcast anti-join of
+    # the tiny over-cap key list, as in the in-memory tier)
+    over = (
+        pruned.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+    pruned = pruned.join(F.broadcast(over), ["band", "bkey"], "left_anti")
+
+    cands = (
+        pruned.select(
+            F.col("id").alias("index_id"), F.col("band"), F.col("bkey")
+        )
+        .join(
+            qbanded.select(
+                F.col("id").alias("batch_id"), F.col("band"), F.col("bkey")
+            ),
+            ["band", "bkey"],
+        )
+        .filter(F.col("index_id") != F.col("batch_id"))
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+
+    # verification: stored signatures for candidate index ids only —
+    # their sig buckets are computable map-side and driver-bounded
+    sbuckets = sorted(
+        int(r["sb"])
+        for r in cands.select(
+            F.pmod(F.xxhash64(F.col("index_id"), F.lit("mh-sig")), F.lit(n_buckets))
+            .cast("int")
+            .alias("sb")
+        )
+        .distinct()
+        .collect()
+    )
+    sig_store = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    if not sbuckets:
+        # no candidates at all — prune the verification scan to nothing
+        # (PruneFilters folds this to an empty relation, no file reads)
+        sig_store = sig_store.filter(F.lit(False))
+    elif len(sbuckets) <= n_buckets // 2:
+        sig_store = sig_store.filter(F.col("sbucket").isin(sbuckets))
+
+    num_hashes = manifest["num_hashes"]
+    a = sig_store.select(
+        F.col("id").alias("index_id"),
+        *[F.col(f"h{k}").alias(f"ia_h{k}") for k in range(num_hashes)],
+    )
+    b = qsigs.select(
+        F.col("id").alias("batch_id"),
+        *[F.col(f"h{k}").alias(f"qb_h{k}") for k in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"ia_h{k}") == F.col(f"qb_h{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        cands.join(a, "index_id")
+        .join(b, "batch_id")
+        .select(
+            "batch_id",
+            "index_id",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def filter_new_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The incremental-crawl screen: batch rows whose text has NO
+    near-duplicate already in the index (the stored-corpus analog of
+    ``novelty_filter``). One probe + one anti-join; batch columns pass
+    through untouched. Batch-internal duplicates are out of scope —
+    run the batch dedup ops on what survives."""
+    _, manifest = read_minhash_index(spark, path)
+    hits = probe_minhash_index(spark, path, batch, threshold, max_bucket)
+    dup_ids = hits.select(
+        F.col("batch_id").alias(manifest["id_col"])
+    ).distinct()
+    return batch.join(dup_ids, manifest["id_col"], "left_anti")
+
+
+def minhash_index_health(spark: SparkSession, path: str) -> DataFrame:
+    """Per-bucket audit: manifest band rows vs actual rows on disk —
+    the quick drift/corruption gauge (mirrors the other stored
+    indexes' health checks)."""
+    band_rows, manifest = read_minhash_index(spark, path)
+    actual = band_rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    want = spark.createDataFrame(
+        [(int(b), n) for b, n in manifest["rows_per_bucket"].items()],
+        "bucket int, manifest_rows long",
+    )
+    return (
+        actual.join(want, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("manifest_rows", F.lit(0)).alias("manifest_rows"),
+            F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
+        )
+        .withColumn("ok", F.col("manifest_rows") == F.col("actual_rows"))
+        .orderBy("bucket")
+    )

@@ -1,0 +1,232 @@
+"""MinHash-LSH dedup index on storage: write → probe-prune → verify,
+with probe output EXACTLY equal to the in-memory minhash_dedup_pairs
+cross-pairs over the same parameters (same deterministic salts), and
+the pruning pinned in the file listing on BOTH stores."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_core_spark.sources.minhash_index import (
+    append_minhash_index,
+    filter_new_against_index,
+    minhash_index_health,
+    probe_minhash_index,
+    read_minhash_index,
+    write_minhash_index,
+)
+
+_WORDS = [f"w{i}" for i in range(120)]
+
+
+def _doc(rnd, n=30):
+    return " ".join(rnd.choice(_WORDS) for _ in range(n))
+
+
+def _mutate(rnd, text, k=2):
+    toks = text.split(" ")
+    for _ in range(k):
+        toks[rnd.randrange(len(toks))] = rnd.choice(_WORDS)
+    return " ".join(toks)
+
+
+def _corpus(spark, n=60, seed=3, offset=0, shorts=0):
+    """Docs with planted near-dup structure: every 5th doc is a light
+    mutation of its predecessor."""
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % 5 == 4 and rows:
+            rows.append((offset + i, _mutate(rnd, rows[-1][1])))
+        else:
+            rows.append((offset + i, _doc(rnd)))
+    for j in range(shorts):
+        rows.append((offset + n + j, "too short"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_write_read_roundtrip_and_manifest(spark, tmp_path):
+    df = _corpus(spark, shorts=2)
+    path = str(tmp_path / "mhidx")
+    man = write_minhash_index(
+        df, path, num_hashes=8, bands=4, n_buckets=32
+    )
+    rows, rman = read_minhash_index(spark, path)
+    assert rman == man
+    assert man["format"] == "sparvi-minhash-index/1"
+    assert man["n_docs"] == 60 and man["dropped_short"] == 2
+    assert man["num_hashes"] == 8 and man["bands"] == 4
+    # every indexed doc contributes exactly `bands` band rows
+    assert rows.count() == 60 * 4
+    assert sum(man["rows_per_bucket"].values()) == 60 * 4
+    assert all(r["ok"] for r in minhash_index_health(spark, path).collect())
+
+
+def test_bands_solved_from_threshold(spark, tmp_path):
+    from sparvi_core_spark.operators.dedup import solve_lsh_bands
+
+    df = _corpus(spark, n=20)
+    path = str(tmp_path / "mhidx")
+    man = write_minhash_index(
+        df, path, num_hashes=16, threshold=0.7, n_buckets=16
+    )
+    want_bands, _ = solve_lsh_bands(0.7, 16)
+    assert man["bands"] == want_bands
+
+
+def test_probe_equals_in_memory_cross_pairs(spark, tmp_path):
+    """probe(batch) == minhash_dedup_pairs(store ∪ batch) restricted to
+    cross pairs — identical ids AND identical est_jaccard, because the
+    index reuses the in-memory kernels verbatim."""
+    from sparvi_core_spark.operators.dedup import minhash_dedup_pairs
+
+    store = _corpus(spark, n=60, seed=3)
+    rnd = random.Random(11)
+    # batch: recrawls (mutations of stored docs) + fresh docs
+    stored_rows = store.collect()
+    batch_rows = [
+        (1000 + i, _mutate(rnd, stored_rows[i * 3][1], k=1))
+        for i in range(8)
+    ] + [(1100 + i, _doc(rnd)) for i in range(10)]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        store, path, num_hashes=8, bands=4, threshold=0.5, n_buckets=32
+    )
+    got = sorted(
+        (r["index_id"], r["batch_id"], r["est_jaccard"])
+        for r in probe_minhash_index(
+            spark, path, batch, threshold=0.5, max_bucket=10**6
+        ).collect()
+    )
+    assert got, "planted recrawls must surface as near-dup pairs"
+
+    union = store.union(batch)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_dedup_pairs(
+            union, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+        if (r["id_a"] < 1000) != (r["id_b"] < 1000)  # cross pairs only
+    )
+    assert got == want
+
+
+def _scan_partitions(df):
+    from tests.test_binary_index import _scan_metrics
+
+    return _scan_metrics(df)[1]
+
+
+def test_probe_prunes_both_stores(spark, tmp_path):
+    """A small batch's probe lists a strict subset of band buckets and
+    of signature buckets (PartitionFilters + Spark scan metrics)."""
+    store = _corpus(spark, n=200, seed=3)
+    # copies of 4 stored docs, so candidates (and the verification
+    # scan) exist — the sig-store prune is part of the pin
+    batch = spark.createDataFrame(
+        [(5000 + i, r["text"]) for i, r in enumerate(store.collect()[:4])],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    man = write_minhash_index(
+        store, path, num_hashes=8, bands=4, n_buckets=64
+    )
+    n_band_buckets = len(man["rows_per_bucket"])
+    assert n_band_buckets >= 32  # 64 possible; hashing fills most
+
+    probed = probe_minhash_index(spark, path, batch, threshold=0.0)
+    probed.collect()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # both stores' scans carry a partition IN-list
+    assert plan.count("bucket") >= 1 and plan.count("sbucket") >= 1
+    parts_read = _scan_partitions(probed)
+    # 4 docs x 4 bands = at most 16 band buckets + at most 16 sig
+    # buckets; far fewer than the index's population on both stores
+    assert 0 < parts_read < n_band_buckets
+
+
+def test_probe_flat_fallback_when_batch_covers_buckets(spark, tmp_path):
+    """A batch touching most buckets drops the IN-list (flat scan) and
+    still returns the right pairs."""
+    store = _corpus(spark, n=40, seed=3)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(store, path, num_hashes=8, bands=4, n_buckets=2)
+    batch = _corpus(spark, n=40, seed=3, offset=2000)  # same texts, new ids
+    hits = probe_minhash_index(spark, path, batch, threshold=0.9)
+    # every batch doc is an exact copy of a stored doc -> est 1.0 self
+    pairs = {(r["index_id"], r["batch_id"]) for r in hits.collect()}
+    assert all((i, i + 2000) in pairs for i in range(0, 40, 5))
+
+
+def test_append_then_probe_sees_both_generations(spark, tmp_path):
+    store = _corpus(spark, n=40, seed=3)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(store, path, num_hashes=8, bands=4, n_buckets=16)
+    gen2 = _corpus(spark, n=20, seed=8, offset=500, shorts=1)
+    man = append_minhash_index(spark, path, gen2)
+    assert man["n_docs"] == 60 and man["dropped_short"] == 1
+    assert sum(man["rows_per_bucket"].values()) == 60 * 4
+    assert all(r["ok"] for r in minhash_index_health(spark, path).collect())
+
+    # a batch copying one doc from EACH generation hits both
+    batch = spark.createDataFrame(
+        [(9000, store.collect()[0]["text"]), (9001, gen2.collect()[0]["text"])],
+        "doc_id long, text string",
+    )
+    hits = probe_minhash_index(spark, path, batch, threshold=0.9)
+    got = {(r["index_id"], r["batch_id"]) for r in hits.collect()}
+    assert (0, 9000) in got and (500, 9001) in got
+
+
+def test_filter_new_against_index(spark, tmp_path):
+    store = _corpus(spark, n=40, seed=3)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(store, path, num_hashes=8, bands=4, n_buckets=16)
+    rnd = random.Random(7)
+    dup_text = store.collect()[10]["text"]
+    batch = spark.createDataFrame(
+        [(8000, dup_text), (8001, _doc(rnd)), (8002, _doc(rnd))],
+        "doc_id long, text string",
+    )
+    kept = filter_new_against_index(spark, path, batch, threshold=0.9)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 8000 not in ids and {8001, 8002} <= ids
+    # batch columns pass through untouched
+    assert kept.columns == batch.columns
+
+
+def test_max_bucket_caps_degenerate_keys(spark, tmp_path):
+    """A band key held by more stored docs than max_bucket is excluded
+    from candidate generation (boilerplate-bucket guard)."""
+    boiler = " ".join(f"b{i}" for i in range(20))
+    store = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(store, path, num_hashes=8, bands=4, n_buckets=8)
+    batch = spark.createDataFrame([(900, boiler)], "doc_id long, text string")
+    capped = probe_minhash_index(spark, path, batch, threshold=0.5,
+                                 max_bucket=10)
+    assert capped.count() == 0
+    uncapped = probe_minhash_index(spark, path, batch, threshold=0.5,
+                                   max_bucket=10**6)
+    assert uncapped.count() == 30
+
+
+def test_guards(spark, tmp_path):
+    df = _corpus(spark, n=10)
+    path = str(tmp_path / "mhidx")
+    with pytest.raises(ValueError, match="divide"):
+        write_minhash_index(df, path, num_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_minhash_index(df, path, n_buckets=0)
+    dup = df.union(df.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        write_minhash_index(dup, path)
+    write_minhash_index(df, path, num_hashes=8, bands=4, n_buckets=8)
+    with pytest.raises(ValueError, match="missing"):
+        probe_minhash_index(spark, path, df.select("doc_id"))
