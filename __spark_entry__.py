@@ -660,6 +660,22 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     )
 
 
+def q_allpairs_jaccard(spark, sf_dir):
+    """LOSSLESS prefix-filter Jaccard join (operators/dedup.py
+    allpairs_candidates — the AllPairs/SSJoin primitive; no reference
+    analog): exact n-gram Jaccard ≥ 0.5 with candidate generation
+    guaranteed to miss no true pair. The oracle is the BRUTE-FORCE
+    all-pairs self-join, so parity proves losslessness on the organic
+    corpus, not just the planted fixtures."""
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+
+    t = _views(spark, sf_dir)
+    pairs = allpairs_jaccard_pairs(t["documents"], n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash (32-bit birthday-collides at corpus scale)."""
     from sparvi_core_spark.operators.dedup import simhash
@@ -1522,6 +1538,9 @@ _LOCAL_ONLY = (
     "ppl_buckets",
     # round 8: Dolma-style corpus-wide paragraph dedup
     "para_dedup",
+    # round 8: lossless AllPairs prefix-filter Jaccard join (oracle is
+    # the brute-force self-join — parity proves losslessness)
+    "allpairs_jaccard",
 )
 
 
@@ -1619,6 +1638,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram": q_langid_ngram,
         "ppl_buckets": q_ppl_buckets,
         "para_dedup": q_para_dedup,
+        "allpairs_jaccard": q_allpairs_jaccard,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2098,6 +2118,24 @@ SELECT id_a, id_b,
        ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8"""
+
+    # brute-force all-pairs (no prefix filter!) — identical output IS
+    # the losslessness proof for the AllPairs candidate generation
+    o["allpairs_jaccard"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, unnest({_SHINGLE3}) AS shingle
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5"""
 
     o["ngram_jaccard_lsh"] = f"""
 WITH {_MINHASH_SIG_CTE.lstrip()},

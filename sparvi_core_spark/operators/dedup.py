@@ -396,6 +396,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def allpairs_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LOSSLESS prefix-filter candidate pairs for Jaccard ≥ threshold
+    (the AllPairs / SSJoin primitive — Bayardo et al. WWW'07,
+    Chaudhuri et al. ICDE'06): every true pair is a candidate, by
+    construction, with no tuning knob to get wrong. The probabilistic
+    alternative (``lsh_candidate_pairs``) trades recall for cost; this
+    is the exact-recall tier for high thresholds, where prefixes are
+    short and the join stays small.
+
+    How: order each doc's shingle set by GLOBAL rarity (document
+    frequency asc, shingle asc — one total order for the corpus);
+    Jaccard ≥ t forces |A∩B| ≥ t·max(|A|,|B|), so a pair must share at
+    least one shingle among the first ``|x| - ⌈t·|x|⌉ + 1`` of each
+    side (sharing none leaves at most ⌈t·|x|⌉ - 1 < t·|x| shared). The
+    join is keyed on those prefix shingles only, plus the length
+    filter ``min ≥ ⌈t·max⌉`` riding the join condition.
+
+    Scale: one shingle-keyed equi-join (df lookup), one per-doc
+    aggregate (sort is per-doc, bounded by doc length), then an
+    equi-join whose fan-out is Σ over PREFIX tokens of df_prefix² —
+    prefixes prefer the corpus's rarest tokens, which is the whole
+    point of the global order. The adversarial case (a token rare
+    overall but ubiquitous in prefixes ⇒ a mass-duplicated doc) blows
+    up only when the TRUE result is itself quadratic (those docs all
+    pair with each other), so the fan-out tracks output size, not
+    wasted work. Positional/suffix refinements (PPJoin/PPJoin+) are
+    deliberately omitted: verification is exact and cheap over these
+    candidates.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingles(df, id_col, text_col, n).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+    )
+    size = F.size("ordered")
+    plen = (size - F.ceil(F.lit(threshold) * size) + 1).cast("int")
+    prefix = ordered.select(
+        "id",
+        size.alias("n_sh"),
+        F.explode(F.slice("ordered", F.lit(1), plen)).alias("p"),
+    ).select("id", "n_sh", F.col("p.shingle").alias("shingle"))
+    a = prefix.alias("pa")
+    b = prefix.alias("pb")
+    t = F.lit(threshold)
+    return (
+        a.join(
+            b,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            & (F.col("pb.n_sh") >= F.ceil(t * F.col("pa.n_sh")))
+            & (F.col("pa.n_sh") >= F.ceil(t * F.col("pb.n_sh"))),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold with LOSSLESS candidate
+    generation — identical output to the brute-force shingle self-join
+    (pinned in tests and the DuckDB pair) at prefix-join cost. Use
+    this when missed duplicates are unacceptable (decontamination,
+    licensing screens); use the LSH route when approximate recall is
+    an acceptable trade for the lower candidate volume at mid
+    thresholds."""
+    cands = allpairs_candidates(df, id_col, text_col, n, threshold)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cands
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

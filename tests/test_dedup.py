@@ -413,3 +413,83 @@ def test_ngram_metric_validation(spark):
     df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="metric"):
         ngram_jaccard_pairs(df, metric="dice")
+
+
+# ---------------------------------------------------------------------------
+# AllPairs prefix-filter join
+# ---------------------------------------------------------------------------
+
+
+def _rand_corpus(spark, seed, n_docs=40, vocab=60, doc_len=12):
+    import random
+
+    rnd = random.Random(seed)
+    words = [f"t{i}" for i in range(vocab)]
+    rows = []
+    for i in range(n_docs):
+        if i % 4 == 3 and rows:
+            toks = rows[-1][1].split(" ")
+            toks[rnd.randrange(len(toks))] = rnd.choice(words)
+            rows.append((i, " ".join(toks)))
+        else:
+            rows.append((i, " ".join(rnd.choice(words) for _ in range(doc_len))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.5), (2, 0.8), (3, 0.3)])
+def test_allpairs_lossless_vs_brute_force(spark, seed, threshold):
+    """allpairs_jaccard_pairs == the uncapped brute-force self-join,
+    exactly — the lossless claim, across thresholds and corpora."""
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+
+    df = _rand_corpus(spark, seed)
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in allpairs_jaccard_pairs(df, threshold=threshold).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, max_doc_freq=None
+        ).collect()
+    )
+    assert got == want and want, "planted near-dups must produce pairs"
+
+
+def test_allpairs_candidates_prune_vs_all_pairs(spark):
+    """On a diverse corpus at a high threshold, the prefix filter
+    generates far fewer candidates than all C(n,2) pairs."""
+    from sparvi_core_spark.operators.dedup import allpairs_candidates
+
+    df = _rand_corpus(spark, seed=7, n_docs=60)
+    n_cand = allpairs_candidates(df, threshold=0.8).count()
+    assert n_cand < (60 * 59) // 2 * 0.2  # <20% of the quadratic
+
+
+def test_allpairs_identical_docs_and_edge_thresholds(spark):
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, "x y z q r s t u v w")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in allpairs_jaccard_pairs(df, threshold=1.0).collect()
+    }
+    assert got == {(0, 1): 1.0, (0, 2): 1.0, (1, 2): 1.0}
+    with pytest.raises(ValueError, match="threshold"):
+        allpairs_jaccard_pairs(df, threshold=0.0).collect()
+
+
+def test_allpairs_plan_has_no_cartesian(spark):
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+
+    df = _rand_corpus(spark, seed=9)
+    plan = (
+        allpairs_jaccard_pairs(df, threshold=0.8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
