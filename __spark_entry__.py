@@ -676,6 +676,26 @@ def q_allpairs_jaccard(spark, sf_dir):
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-Min sketch (operators/sketch.py cms_build/cms_score; no
+    reference analog — Cormode & Muthukrishnan 2005): per-customer
+    order frequencies estimated from a 3×256 sketch, scored for every
+    distinct key. Deliberately narrow (real collisions at sf0.01) so
+    the oracle — which re-derives the ENTIRE sketch in DuckDB SQL via
+    the same md5-hex positions — checks the collision arithmetic, not
+    just the happy path."""
+    from sparvi_core_spark.operators.sketch import cms_build, cms_score
+
+    t = _views(spark, sf_dir)
+    orders = t["orders"]
+    sk = cms_build(orders, "o_custkey", depth=3, width=256)
+    keys = orders.select("o_custkey").distinct()
+    return cms_score(keys, sk, "o_custkey").select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash (32-bit birthday-collides at corpus scale)."""
     from sparvi_core_spark.operators.dedup import simhash
@@ -1541,6 +1561,9 @@ _LOCAL_ONLY = (
     # round 8: lossless AllPairs prefix-filter Jaccard join (oracle is
     # the brute-force self-join — parity proves losslessness)
     "allpairs_jaccard",
+    # round 8: Count-Min sketch (oracle re-derives the full counter
+    # matrix in SQL from the same md5-hex positions)
+    "cms_counts",
 )
 
 
@@ -1639,6 +1662,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "para_dedup": q_para_dedup,
         "allpairs_jaccard": q_allpairs_jaccard,
+        "cms_counts": q_cms_counts,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2136,6 +2160,37 @@ SELECT id_a, id_b,
        ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5"""
+
+    # the full Count-Min counter matrix re-derived in SQL: positions
+    # are the first 15 md5 hex chars cast via a 0x-literal, exactly
+    # the Spark side's conv(substring(md5(...),1,15),16,10) % width
+    o["cms_counts"] = """
+WITH rows_ AS (SELECT unnest(generate_series(0, 2)) AS r),
+occ AS (
+    SELECT o_custkey::VARCHAR AS key FROM orders WHERE o_custkey IS NOT NULL
+),
+cells AS (
+    SELECT r,
+           CAST(('0x' || substr(md5('sparvi-cms|' || r || '|' || key), 1, 15))
+                AS BIGINT) % 256 AS p,
+           COUNT(*) AS c
+    FROM occ CROSS JOIN rows_
+    GROUP BY 1, 2
+),
+keys AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+),
+probes AS (
+    SELECT k.o_custkey, r.r,
+           CAST(('0x' || substr(md5('sparvi-cms|' || r.r || '|' ||
+                                     k.o_custkey::VARCHAR), 1, 15))
+                AS BIGINT) % 256 AS p
+    FROM keys k CROSS JOIN rows_ r
+)
+SELECT pr.o_custkey::BIGINT AS o_custkey,
+       MIN(COALESCE(c.c, 0))::BIGINT AS est
+FROM probes pr LEFT JOIN cells c ON c.r = pr.r AND c.p = pr.p
+GROUP BY pr.o_custkey"""
 
     o["ngram_jaccard_lsh"] = f"""
 WITH {_MINHASH_SIG_CTE.lstrip()},

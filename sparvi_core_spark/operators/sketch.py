@@ -232,3 +232,214 @@ def corpus_overlap(
         [tuple(float(rep[c]) for c in sorted(rep))],
         ", ".join(f"{c} double" for c in sorted(rep)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The point-frequency sibling of the set sketches above (Cormode &
+# Muthukrishnan 2005, public): a depth × width counter matrix where
+# each occurrence increments one counter per row (position =
+# row-salted hash of the key mod width); the estimate for ANY key is
+# the min over its depth counters — always >= the true count, and
+# within eps·N (eps = e/width) with probability 1 - (1/2)^depth.
+# Misra-Gries (operators.frequent) answers "WHICH keys are heavy";
+# CMS answers "how often is THIS key" for keys chosen AFTER the scan,
+# merges across shards/streams by elementwise addition, and costs
+# depth × width counters regardless of corpus size.
+#
+# Scale design: the build is ONE explode(depth) + one map-side-combined
+# groupBy whose result is at most depth × width rows (a 5×2048 sketch
+# collects 10k rows however large the corpus); scoring a key frame is
+# a BROADCAST join against that cell table — map-only over the keys.
+# Hashes are md5-derived on purpose (not xxhash64): the same formula
+# is re-derivable in DuckDB SQL and driver-side Python, so sketches
+# are cross-engine-checkable (the oracle pair re-builds the whole CMS
+# in SQL) and point queries need no Spark session.
+
+_CMS_SALT = "sparvi-cms"
+_US = "\x1f"
+
+
+@dataclass(frozen=True)
+class CMSketch:
+    """depth × width counters + geometry. ``n_items`` is the total
+    added weight N, so ``error_bound`` = e·N/width is computable
+    without re-scanning."""
+
+    counts: tuple[tuple[int, ...], ...]
+    depth: int
+    width: int
+    salt: str
+    n_items: int
+
+    def error_bound(self) -> float:
+        """eps·N with eps = e/width: an estimate exceeds the true
+        count by more than this with probability < (1/2)^depth."""
+        import math
+
+        return math.e * self.n_items / self.width
+
+    def estimate(self, *key_parts) -> int:
+        """Driver-side point query (no Spark needed): min over the
+        depth counters at this key's positions. Key parts are joined
+        exactly as the build joined its columns."""
+        import hashlib
+
+        key = _US.join(str(p) for p in key_parts)
+        best = None
+        for r in range(self.depth):
+            h = hashlib.md5(
+                f"{self.salt}|{r}|{key}".encode()
+            ).hexdigest()
+            pos = int(h[:15], 16) % self.width
+            c = self.counts[r][pos]
+            best = c if best is None else min(best, c)
+        return int(best)
+
+
+def _cms_check(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"need depth >= 1 and width >= 2, got depth={depth} width={width}"
+        )
+    if depth * width > 50_000_000:
+        raise ValueError(
+            f"depth*width = {depth * width} counters will not collect "
+            f"comfortably; shrink the sketch"
+        )
+
+
+def _cms_pos(row_col, key_col, salt: str, width: int):
+    """Counter position for (row, key): first 60 bits of
+    md5('salt|row|key') mod width — byte-identical in Spark, DuckDB
+    (hex-literal cast) and Python (int(hex, 16)), which is the whole
+    reason this is md5 and not xxhash64."""
+    h = F.md5(
+        F.concat(
+            F.lit(f"{salt}|"), row_col.cast("string"), F.lit("|"), key_col
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(width)
+    )
+
+
+def _cms_key(cols: list[str]):
+    return F.concat_ws(_US, *[F.col(c).cast("string") for c in cols])
+
+
+def cms_build(
+    df: DataFrame,
+    cols: str | list[str],
+    depth: int = 5,
+    width: int = 2048,
+    weight_col: str | None = None,
+    salt: str = _CMS_SALT,
+) -> CMSketch:
+    """One pass over ``df`` → :class:`CMSketch` of the key ``cols``
+    (a column name or list joined as a tuple; NULL components skip
+    the row, the Bloom/KMV membership contract). ``weight_col`` adds
+    that column's value per row instead of 1 (token counts, bytes).
+    The shuffle carries at most depth × width cells."""
+    _cms_check(depth, width)
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    base = df.na.drop(subset=keys).select(
+        _cms_key(keys).alias("__key"), w.alias("__w")
+    )
+    cells = (
+        base.withColumn(
+            "__r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+        )
+        .groupBy(
+            F.col("__r"),
+            _cms_pos(F.col("__r"), F.col("__key"), salt, width).alias("__p"),
+        )
+        .agg(F.sum("__w").alias("__c"))
+        .collect()
+    )
+    counts = [[0] * width for _ in range(depth)]
+    for r in cells:
+        counts[r["__r"]][r["__p"]] = int(r["__c"])
+    n = sum(counts[0]) if depth else 0
+    return CMSketch(
+        counts=tuple(tuple(row) for row in counts),
+        depth=depth,
+        width=width,
+        salt=salt,
+        n_items=n,
+    )
+
+
+def merge_cms(a: CMSketch, b: CMSketch) -> CMSketch:
+    """Sketch of the concatenated corpora: elementwise counter sums —
+    exactly what one build over both would produce (pinned in tests).
+    Geometry and salt must match (different hashes are not addable)."""
+    if (a.depth, a.width, a.salt) != (b.depth, b.width, b.salt):
+        raise ValueError(
+            f"sketches are not mergeable: "
+            f"({a.depth}x{a.width}, {a.salt!r}) vs "
+            f"({b.depth}x{b.width}, {b.salt!r})"
+        )
+    counts = tuple(
+        tuple(x + y for x, y in zip(ra, rb))
+        for ra, rb in zip(a.counts, b.counts)
+    )
+    return CMSketch(
+        counts=counts,
+        depth=a.depth,
+        width=a.width,
+        salt=a.salt,
+        n_items=a.n_items + b.n_items,
+    )
+
+
+def cms_score(
+    keys_df: DataFrame,
+    sketch: CMSketch,
+    cols: str | list[str],
+    out: str = "est",
+) -> DataFrame:
+    """Estimated frequency for every key row in ``keys_df`` →
+    the key columns plus ``out``. Map-only over the keys: the sketch's
+    non-zero cells become a broadcast table (≤ depth × width rows),
+    each key explodes to its depth (row, pos) probes, and the min
+    comes back in one small aggregate. Duplicate key rows collapse
+    (the estimate is a property of the key)."""
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    spark = keys_df.sparkSession
+    cell_rows = [
+        (r, p, c)
+        for r, row in enumerate(sketch.counts)
+        for p, c in enumerate(row)
+        if c
+    ]
+    cells = spark.createDataFrame(
+        cell_rows or [(0, 0, 0)], "__r int, __p long, __c long"
+    )
+    if not cell_rows:
+        cells = cells.filter(F.lit(False))
+    probes = (
+        keys_df.na.drop(subset=keys)
+        .select(*keys, _cms_key(keys).alias("__key"))
+        .distinct()
+        .withColumn(
+            "__r",
+            F.explode(F.array(*[F.lit(r) for r in range(sketch.depth)])),
+        )
+        .withColumn(
+            "__p",
+            _cms_pos(F.col("__r"), F.col("__key"), sketch.salt, sketch.width),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cells), ["__r", "__p"], "left")
+        .groupBy(*keys)
+        .agg(F.min(F.coalesce(F.col("__c"), F.lit(0))).alias(out))
+    )

@@ -171,3 +171,108 @@ def test_sketch_is_tiny_and_picklable(spark, two_corpora):
     blob = pickle.dumps(sk)
     assert len(blob) < 64 * 1024
     assert pickle.loads(blob) == sk
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _zipf_rows(n=4000, keys=200, seed=4):
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        k = min(int(rnd.paretovariate(1.2)), keys)
+        rows.append((f"k{k}",))
+    return rows
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from collections import Counter
+
+    from sparvi_core_spark.operators.sketch import cms_build
+
+    rows = _zipf_rows()
+    true = Counter(r[0] for r in rows)
+    df = spark.createDataFrame(rows, "key string")
+    sk = cms_build(df, "key", depth=5, width=512)
+    assert sk.n_items == len(rows)
+    excesses = [sk.estimate(k) - c for k, c in true.items()]
+    assert all(e >= 0 for e in excesses)  # the one-sided guarantee
+    bound = sk.error_bound()
+    within = sum(1 for e in excesses if e <= bound)
+    assert within / len(excesses) >= 0.95
+
+
+def test_cms_exact_when_wide(spark):
+    from sparvi_core_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)], "key string"
+    )
+    sk = cms_build(df, "key", depth=4, width=4096)
+    assert sk.estimate("a") == 7
+    assert sk.estimate("b") == 3
+    assert sk.estimate("c") == 1
+
+
+def test_cms_merge_equals_union_build(spark):
+    from sparvi_core_spark.operators.sketch import cms_build, merge_cms
+
+    rows = _zipf_rows(n=1000)
+    a = spark.createDataFrame(rows[:600], "key string")
+    b = spark.createDataFrame(rows[600:], "key string")
+    u = spark.createDataFrame(rows, "key string")
+    sk = merge_cms(
+        cms_build(a, "key", depth=3, width=128),
+        cms_build(b, "key", depth=3, width=128),
+    )
+    want = cms_build(u, "key", depth=3, width=128)
+    assert sk.counts == want.counts and sk.n_items == want.n_items
+
+
+def test_cms_weighted_and_multicol(spark):
+    from sparvi_core_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [("a", "x", 5), ("a", "x", 2), ("a", "y", 1), (None, "x", 9)],
+        "k1 string, k2 string, w long",
+    )
+    sk = cms_build(df, ["k1", "k2"], depth=4, width=1024, weight_col="w")
+    assert sk.estimate("a", "x") == 7
+    assert sk.estimate("a", "y") == 1
+    assert sk.n_items == 8  # NULL-key row skipped
+
+
+def test_cms_score_matches_driver_estimate(spark):
+    """The Spark scoring path and the no-Spark Python path agree on
+    every key — the md5-position parity that makes the sketch
+    cross-engine-checkable."""
+    from sparvi_core_spark.operators.sketch import cms_build, cms_score
+
+    rows = _zipf_rows(n=1500, keys=80)
+    df = spark.createDataFrame(rows, "key string")
+    sk = cms_build(df, "key", depth=3, width=64)
+    scored = {
+        r["key"]: r["est"]
+        for r in cms_score(df.select("key"), sk, "key").collect()
+    }
+    assert scored  # distinct keys collapse to one row each
+    for k, est in scored.items():
+        assert est == sk.estimate(k)
+
+
+def test_cms_guards(spark):
+    import pytest as _pytest
+
+    from sparvi_core_spark.operators.sketch import cms_build, merge_cms
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError, match="depth"):
+        cms_build(df, "key", depth=0)
+    a = cms_build(df, "key", depth=2, width=32)
+    b = cms_build(df, "key", depth=2, width=64)
+    with _pytest.raises(ValueError, match="mergeable"):
+        merge_cms(a, b)
