@@ -127,3 +127,80 @@ def novelty_stream_exact(
         keyed["__fp"] == reference_fingerprints[fp_col],
         "left_anti",
     ).drop("__fp")
+
+
+def novelty_stream_fuzzy(
+    stream_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    threshold: float | None = None,
+    max_bucket: int = 1000,
+    grow_index: bool = True,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming NEAR-duplicate novelty screen against the stored
+    MinHash index (``sources.minhash_index``): per micro-batch, drop
+    docs with a near-dup already in the index, land the survivors in
+    ``sink_path`` (parquet append), and — with ``grow_index`` — append
+    the survivors' signatures into the index, so batch N+1 dedups
+    against everything batch N admitted. This is the in-stream form of
+    the crawl-ingest loop: the historical corpus is never re-signed;
+    each trigger pays O(batch) signing plus a probe that reads only the
+    batch's band buckets.
+
+    MinHash signatures are a per-doc aggregation, which Structured
+    Streaming can't express stream-natively (the reason
+    :func:`novelty_stream_exact` exists for the exact tier), so this
+    runs through ``foreachBatch`` like the ANN index sinks. Same
+    replay-skip commit semantics: the index manifest records
+    ``last_stream_batch_id`` and a replayed batch is skipped whole, so
+    the common replay (append landed, checkpoint didn't) is
+    exactly-once into BOTH the sink and the index. Batch-internal
+    duplicates are out of scope (they arrive together — the batch
+    dedup ops own them); a doc near-duplicating only same-batch peers
+    is admitted once with its peers.
+
+    Returns the started ``StreamingQuery``. The index must already
+    exist (``write_minhash_index``); single writer per index path, as
+    with every stored index."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
+        from sparvi_core_spark.sources.ann_index import (
+            _read_text,
+            _write_text,
+        )
+        from sparvi_core_spark.sources.minhash_index import (
+            MANIFEST,
+            append_minhash_index,
+            filter_new_against_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        manifest = json.loads(_read_text(spark, index_path, MANIFEST))
+        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+            return  # replayed batch: already screened + landed, skip
+        survivors = filter_new_against_index(
+            spark, index_path, batch_df, threshold, max_bucket
+        ).localCheckpoint()  # screen ONCE; sink and index see one answer
+        survivors.write.mode("append").parquet(sink_path)
+        if grow_index:
+            man = append_minhash_index(spark, index_path, survivors)
+        else:
+            man = manifest
+        man["last_stream_batch_id"] = int(batch_id)
+        _write_text(
+            spark, index_path, MANIFEST,
+            json.dumps(man, indent=1, sort_keys=True),
+        )
+
+    w = stream_df.writeStream.foreachBatch(_write)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -759,6 +759,135 @@ def main() -> None:
 
     bench("sketch_pairs_uncapped_sec", run_sketch_pairs_uncapped)
 
+    # --- minhash dedup index ON DISK (r8): write a 150k-doc corpus's
+    # band + signature stores once, then dedup a 1k recrawl batch
+    # against it two ways — the stored-index probe (reads only the
+    # batch's band buckets) vs recomputing signatures for the WHOLE
+    # corpus + batch (what every crawl would pay without the index).
+    # Same planted truth both ways: 500 batch docs are copies of
+    # stored docs; both paths must find all 500.
+    from sparvi_core_spark.sources.minhash_index import (
+        append_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    mh_root = tempfile.mkdtemp(prefix="stress_mhidx_")
+    mh_path = f"{mh_root}/idx"
+    n_mh = 150_000
+    mh_words = [
+        F.concat(
+            F.lit("w"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{k}|"), F.col("id").cast("string"))),
+                1, 6,
+            ),
+        )
+        for k in range(20)
+    ]
+    mh_corpus = spark.range(n_mh).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *mh_words).alias("text")
+    ).localCheckpoint()
+    # batch: 500 exact copies of stored docs (ids shifted) + 500 fresh
+    mh_batch = (
+        mh_corpus.filter(F.col("doc_id") < 500)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        .unionByName(
+            spark.range(500).select(
+                (F.col("id") + 6_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("f"),
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"fresh{k}|"),
+                                        F.col("id").cast("string"),
+                                    )
+                                ),
+                                1, 6,
+                            ),
+                        )
+                        for k in range(20)
+                    ],
+                ).alias("text"),
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def run_mh_write():
+        man = write_minhash_index(
+            mh_corpus, mh_path, num_hashes=16, threshold=0.8, n_buckets=256
+        )
+        assert man["n_docs"] == n_mh
+
+    bench("mhidx_write_sec", run_mh_write)
+
+    def run_mh_append():
+        man = append_minhash_index(
+            spark, mh_path, mh_batch.filter(F.col("doc_id") >= 6_000_000)
+        )
+        assert man["n_docs"] == n_mh + 500
+
+    bench("mhidx_append_sec", run_mh_append)
+
+    def run_mh_probe():
+        n = (
+            probe_minhash_index(spark, mh_path, mh_batch, threshold=0.9)
+            .filter(F.col("batch_id") >= 5_000_000)
+            .filter(F.col("batch_id") < 6_000_000)
+            .count()
+        )
+        assert n >= 500, n  # every planted copy found
+
+    bench("mhidx_probe_sec", run_mh_probe)
+
+    def run_mh_recompute_baseline():
+        # the no-index alternative: sign corpus + batch from scratch,
+        # band, join — the cost a stored index amortizes away
+        sig_all = minhash_signatures(
+            mh_corpus.unionByName(mh_batch), num_hashes=16
+        )
+        cand = lsh_candidate_pairs(
+            sig_all, num_hashes=16, bands=4, max_bucket=1 << 40
+        )
+        n = cand.filter(
+            (F.col("id_a") < 5_000_000) & (F.col("id_b") >= 5_000_000)
+            & (F.col("id_b") < 6_000_000)
+        ).count()
+        assert n >= 500, n
+
+    bench("mhidx_recompute_baseline_sec", run_mh_recompute_baseline)
+    shutil.rmtree(mh_root, ignore_errors=True)
+
+    # --- AllPairs lossless prefix-filter join (r8) on the pathological
+    # corpus: the prefix filter must survive the mass-duplicate pile
+    # (its fan-out is output-bound there — those docs ARE all pairs of
+    # each other at jaccard 1.0, quadratic output) — so run it on the
+    # UNIQUE half only, where the answer is sparse and the filter's
+    # candidate volume (vs brute force) is the point.
+    from sparvi_core_spark.operators.dedup import (
+        allpairs_candidates,
+        allpairs_jaccard_pairs,
+    )
+
+    def run_allpairs():
+        n = allpairs_jaccard_pairs(uniq, threshold=0.8).count()
+        entries["allpairs_pairs"] = n
+
+    bench("allpairs_sec", run_allpairs)
+    entries["allpairs_candidates"] = allpairs_candidates(
+        uniq, threshold=0.8
+    ).count()
+
+    def run_allpairs_brute():
+        ngram_jaccard_pairs(uniq, max_doc_freq=None, threshold=0.8).count()
+
+    bench("allpairs_brute_sec", run_allpairs_brute)
+
     print(
         json.dumps(
             {

@@ -230,3 +230,54 @@ def test_guards(spark, tmp_path):
     write_minhash_index(df, path, num_hashes=8, bands=4, n_buckets=8)
     with pytest.raises(ValueError, match="missing"):
         probe_minhash_index(spark, path, df.select("doc_id"))
+
+
+def test_novelty_stream_fuzzy_grows_and_screens(spark, tmp_path):
+    """Two-trigger run: batch 2's copy of a STORED doc is dropped, its
+    copy of a batch-1 SURVIVOR is dropped (the index grew), fresh docs
+    land; a replayed batch id is skipped whole."""
+    import json
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import MANIFEST
+    from sparvi_core_spark.streaming.dedup_stream import novelty_stream_fuzzy
+
+    store = _corpus(spark, n=30, seed=3)
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(store, idx, num_hashes=8, bands=4, n_buckets=16)
+
+    rnd = random.Random(21)
+    fresh1 = _doc(rnd)
+    fresh2 = _doc(rnd)
+    stored_text = store.collect()[5]["text"]
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(100, fresh1), (101, stored_text)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(200, fresh1), (201, fresh2), (202, stored_text)],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "sink")
+    q = novelty_stream_fuzzy(
+        stream, idx, sink, threshold=0.9,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # 101/202 duplicate the stored corpus; 200 duplicates survivor 100
+    # (ordering of the two files is lexicographic: b1 then b2)
+    assert landed == {100, 201}
+    man = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man["n_docs"] == 32  # 30 stored + 2 admitted
+    assert man["last_stream_batch_id"] == 1
