@@ -426,6 +426,30 @@ def build_suite(spark, sf_dir):
 
     suite.append(("ppl_buckets", run_ppl_buckets))
 
+    # lossless AllPairs prefix-filter Jaccard join (r8): candidate
+    # generation from rarest-shingle prefixes + exact verification —
+    # the exact-recall sibling of ngram_jaccard's capped self-join
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+
+    suite.append(
+        ("allpairs_jaccard",
+         lambda: _force(
+             allpairs_jaccard_pairs(spark.table("documents"), threshold=0.8)
+         ))
+    )
+
+    # Count-Min sketch build + whole-key-set scoring (r8): one
+    # explode(3) + cell groupBy collect, then a broadcast-join score
+    from sparvi_core_spark.operators.sketch import cms_build, cms_score
+
+    def run_cms():
+        orders = spark.table("orders")
+        sk = cms_build(orders, "o_custkey", depth=3, width=4096)
+        _force(cms_score(orders.select("o_custkey").distinct(), sk,
+                         "o_custkey"))
+
+    suite.append(("cms_counts", run_cms))
+
     return suite
 
 
