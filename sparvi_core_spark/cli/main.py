@@ -1017,5 +1017,133 @@ def test_connection(source, cpus):
         sys.exit(1)
 
 
+@cli.group(name="dedup-index")
+def dedup_index():
+    """Stored MinHash dedup index: build once, then screen every new
+    crawl batch against the whole historical corpus reading only the
+    band buckets the batch touches (sources/minhash_index.py).
+    Extension command — no reference analog."""
+
+
+@dedup_index.command("build")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--id-col", default="doc_id", help="Document id column")
+@click.option("--text-col", default="text", help="Text column")
+@click.option("--num-hashes", default=16, show_default=True)
+@click.option("--threshold", default=0.8, show_default=True,
+              help="Jaccard threshold the banding is solved for")
+@click.option("--bands", default=None, type=int,
+              help="Override the solved banding")
+@click.option("--shingle-n", default=3, show_default=True)
+@click.option("--n-buckets", default=256, show_default=True,
+              help="Hive partition count per store (probe IN-list bound)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_build(source, table, index_path, id_col, text_col,
+                      num_hashes, threshold, bands, shingle_n, n_buckets,
+                      cpus):
+    """Sign TABLE once and write the band + signature stores."""
+    from sparvi_core_spark.sources.minhash_index import write_minhash_index
+
+    spark = _session(cpus)
+    df = _load_table_df(spark, source, table)
+    man = write_minhash_index(
+        df, index_path, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, shingle_n=shingle_n, n_buckets=n_buckets,
+        id_col=id_col, text_col=text_col,
+    )
+    click.echo(json.dumps(
+        {k: man[k] for k in ("format", "n_docs", "dropped_short",
+                             "num_hashes", "bands", "shingle_n",
+                             "threshold", "n_buckets")}))
+
+
+@dedup_index.command("append")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_append(source, table, index_path, cpus):
+    """Sign TABLE under the index's parameters and add it."""
+    from sparvi_core_spark.sources.minhash_index import append_minhash_index
+
+    spark = _session(cpus)
+    df = _load_table_df(spark, source, table)
+    man = append_minhash_index(spark, index_path, df)
+    click.echo(json.dumps(
+        {"n_docs": man["n_docs"], "dropped_short": man["dropped_short"]}))
+
+
+@dedup_index.command("screen")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--threshold", default=None, type=float,
+              help="Jaccard threshold (default: the index manifest's)")
+@click.option("--max-bucket", default=1000, show_default=True,
+              help="Degenerate stored-band-key cap")
+@click.option("--keep-to", default=None,
+              help="Write surviving (novel) rows as parquet here")
+@click.option("--append-survivors", is_flag=True, default=False,
+              help="Also add the survivors to the index")
+@click.option("--format", "fmt", default="table",
+              type=click.Choice(["table", "json"]))
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_screen(source, table, index_path, threshold, max_bucket,
+                       keep_to, append_survivors, fmt, cpus):
+    """Drop TABLE rows near-duplicating the indexed corpus; report
+    attrition (and optionally land + index the survivors)."""
+    from sparvi_core_spark.sources.minhash_index import (
+        append_minhash_index,
+        filter_new_against_index,
+    )
+
+    spark = _session(cpus)
+    df = _load_table_df(spark, source, table)
+    survivors = filter_new_against_index(
+        spark, index_path, df, threshold, max_bucket
+    )
+    if keep_to or append_survivors:
+        survivors = survivors.localCheckpoint()
+    n_in, n_kept = df.count(), survivors.count()
+    if keep_to:
+        survivors.write.mode("overwrite").parquet(keep_to)
+    if append_survivors:
+        append_minhash_index(spark, index_path, survivors)
+    rep = {
+        "rows_in": n_in,
+        "rows_kept": n_kept,
+        "rows_dropped": n_in - n_kept,
+        "drop_rate": round((n_in - n_kept) / n_in, 4) if n_in else 0.0,
+    }
+    if fmt == "json":
+        click.echo(json.dumps(rep))
+        return
+    click.echo(_header(f"Dedup screen: {table} vs {index_path}"))
+    click.echo(_render_table(
+        ["rows_in", "rows_kept", "rows_dropped", "drop_rate"],
+        [[rep["rows_in"], rep["rows_kept"], rep["rows_dropped"],
+          rep["drop_rate"]]],
+    ))
+
+
+@dedup_index.command("health")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_health_cmd(index_path, cpus):
+    """Manifest vs on-disk bucket audit."""
+    from sparvi_core_spark.sources.minhash_index import minhash_index_health
+
+    spark = _session(cpus)
+    rows = minhash_index_health(spark, index_path).collect()
+    bad = [r for r in rows if not r["ok"]]
+    click.echo(json.dumps(
+        {"buckets": len(rows), "bad": len(bad),
+         "bad_buckets": [r["bucket"] for r in bad[:20]]}))
+    if bad:
+        sys.exit(1)
+
+
 if __name__ == "__main__":
     cli()

@@ -415,3 +415,36 @@ def test_datacard_command(spark, sf_dir, tmp_path):
     assert r3.exit_code == 0, r3.output
     card3 = _json.loads(r3.output.strip().splitlines()[-1])
     assert abs(sum(card3["languages"].values()) - 1.0) < 0.01
+
+
+def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
+    """build → screen (self-screen drops near-everything) → health
+    through the CLI surface."""
+    idx = str(tmp_path / "mhidx")
+    r = CliRunner().invoke(
+        cli,
+        ["dedup-index", "build", sf_dir, "documents", idx,
+         "--num-hashes", "8", "--n-buckets", "16"],
+    )
+    assert r.exit_code == 0, r.output
+    man = json.loads(r.output.strip().splitlines()[-1])
+    assert man["n_docs"] > 0 and man["bands"] >= 1
+
+    out = tmp_path / "kept"
+    r = CliRunner().invoke(
+        cli,
+        ["dedup-index", "screen", sf_dir, "documents", idx,
+         "--threshold", "0.9", "--keep-to", str(out), "--format", "json"],
+    )
+    assert r.exit_code == 0, r.output
+    rep = json.loads(r.output.strip().splitlines()[-1])
+    # screening the indexed corpus against itself: ids match so
+    # self-pairs are skipped, but every doc with a distinct-id twin
+    # (planted dups) is dropped; fresh singletons survive
+    assert rep["rows_in"] == rep["rows_kept"] + rep["rows_dropped"]
+    assert spark.read.parquet(str(out)).count() == rep["rows_kept"]
+
+    r = CliRunner().invoke(cli, ["dedup-index", "health", idx])
+    assert r.exit_code == 0, r.output
+    h = json.loads(r.output.strip().splitlines()[-1])
+    assert h["bad"] == 0
