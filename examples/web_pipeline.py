@@ -281,6 +281,40 @@ def main() -> None:
         "rows": manifest["rows"],
         "path": shard_dir,
     }
+
+    # 10. the NEXT crawl's increment: persist this corpus's dedup
+    #     state ONCE (sources.minhash_index — band buckets + signature
+    #     side-store at rest), then screen a later recrawl against the
+    #     whole admitted corpus without ever re-signing history. The
+    #     second crawl here re-fetches the first 60 pages (the
+    #     synthesizer is seeded), so recrawls of ADMITTED pages drop;
+    #     what survives is pages the gates rejected last time (the
+    #     index only knows what was admitted — re-filtering those is
+    #     the gates' job, exactly as in a real frontier loop).
+    from sparvi_core_spark.sources.minhash_index import (
+        filter_new_against_index,
+        write_minhash_index,
+    )
+
+    idx_dir = os.path.join(workdir, "dedup_index")
+    man = write_minhash_index(
+        docs.select("doc_id", "text"), idx_dir,
+        num_hashes=16, threshold=0.6, n_buckets=64,
+    )
+    seg2 = os.path.join(workdir, "segments2")
+    os.makedirs(seg2)
+    synthesize_crawl(seg2, n_pages=60)
+    docs2 = warc_to_documents(read_warc(spark, seg2)).select(
+        F.concat(F.lit("recrawl-"), F.col("doc_id")).alias("doc_id"),
+        clean_text_col(strip_markup("text")).alias("text"),
+    ).localCheckpoint()
+    novel = filter_new_against_index(spark, idx_dir, docs2, threshold=0.6)
+    report["incremental_crawl"] = {
+        "indexed_docs": man["n_docs"],
+        "recrawl_batch": docs2.count(),
+        "novel_after_screen": novel.count(),
+    }
+
     print(json.dumps(report))
     spark.stop()
 
