@@ -330,6 +330,38 @@ def _cms_key(cols: list[str]):
     return F.concat_ws(_US, *[F.col(c).cast("string") for c in cols])
 
 
+def _cms_cells(
+    df: DataFrame,
+    keys: list[str],
+    depth: int,
+    width: int,
+    weight_col: str | None,
+    salt: str,
+) -> DataFrame:
+    """The counter-cell frame ``(__r, __p, __c)`` — at most
+    depth × width rows after the map-side-combined aggregate. The
+    batch tier collects it; the streaming tier appends it to a store
+    per micro-batch."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    base = df.na.drop(subset=keys).select(
+        _cms_key(keys).alias("__key"), w.alias("__w")
+    )
+    return (
+        base.withColumn(
+            "__r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+        )
+        .groupBy(
+            F.col("__r"),
+            _cms_pos(F.col("__r"), F.col("__key"), salt, width).alias("__p"),
+        )
+        .agg(F.sum("__w").alias("__c"))
+    )
+
+
 def cms_build(
     df: DataFrame,
     cols: str | list[str],
@@ -345,25 +377,7 @@ def cms_build(
     The shuffle carries at most depth × width cells."""
     _cms_check(depth, width)
     keys = [cols] if isinstance(cols, str) else list(cols)
-    w = (
-        F.col(weight_col).cast("long")
-        if weight_col
-        else F.lit(1).cast("long")
-    )
-    base = df.na.drop(subset=keys).select(
-        _cms_key(keys).alias("__key"), w.alias("__w")
-    )
-    cells = (
-        base.withColumn(
-            "__r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
-        )
-        .groupBy(
-            F.col("__r"),
-            _cms_pos(F.col("__r"), F.col("__key"), salt, width).alias("__p"),
-        )
-        .agg(F.sum("__w").alias("__c"))
-        .collect()
-    )
+    cells = _cms_cells(df, keys, depth, width, weight_col, salt).collect()
     counts = [[0] * width for _ in range(depth)]
     for r in cells:
         counts[r["__r"]][r["__p"]] = int(r["__c"])

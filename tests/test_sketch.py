@@ -276,3 +276,50 @@ def test_cms_guards(spark):
     b = cms_build(df, "key", depth=2, width=64)
     with _pytest.raises(ValueError, match="mergeable"):
         merge_cms(a, b)
+
+
+def test_cms_stream_store_equals_batch_build(spark, tmp_path):
+    """Two-trigger streamed store merges to EXACTLY cms_build over the
+    concatenated batches; a batch-range read isolates one batch."""
+    from sparvi_core_spark.operators.sketch import cms_build
+    from sparvi_core_spark.streaming.cms_stream import (
+        cms_from_store,
+        cms_stream_batches,
+    )
+
+    r1 = _zipf_rows(n=800, seed=5)
+    r2 = _zipf_rows(n=700, seed=6)
+    b1 = spark.createDataFrame(r1, "key string")
+    b2 = spark.createDataFrame(r2, "key string")
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    store = str(tmp_path / "cms_store")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = cms_stream_batches(
+        stream, "key", store, depth=3, width=128,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    merged = cms_from_store(spark, store)
+    want = cms_build(
+        spark.createDataFrame(r1 + r2, "key string"),
+        "key", depth=3, width=128,
+    )
+    assert merged.counts == want.counts and merged.n_items == want.n_items
+
+    only_b2 = cms_from_store(spark, store, min_batch_id=1)
+    want_b2 = cms_build(b2, "key", depth=3, width=128)
+    assert only_b2.counts == want_b2.counts
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stored batches"):
+        cms_from_store(spark, store, min_batch_id=99)
