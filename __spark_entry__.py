@@ -676,6 +676,35 @@ def q_allpairs_jaccard(spark, sf_dir):
     )
 
 
+def q_main_content(spark, sf_dir):
+    """Block-level link-density main-content extraction
+    (functions/text.py main_content; no reference analog — the
+    trafilatura/readability step of a web pipeline as pure
+    expressions): organic docs wrapped in synthetic chrome (nav +
+    footer link blocks, a script header), the extractor must return
+    exactly the prose. The oracle re-derives the whole block/anchor/
+    density pipeline in DuckDB lambdas over the same RE2 patterns."""
+    from sparvi_core_spark.functions.text import main_content
+
+    t = _views(spark, sf_dir)
+    pages = t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><script>var x=1;</script></head><body>'
+                '<nav><a href="/">Home</a> <a href="/a">About</a> '
+                '<a href="/c">Contact</a></nav><p>'
+            ),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><footer><a href="/p">Privacy</a> '
+                '<a href="/t">Terms</a></footer></body></html>'
+            ),
+        ).alias("text"),
+    )
+    return pages.select("doc_id", main_content("text").alias("main"))
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-Min sketch (operators/sketch.py cms_build/cms_score; no
     reference analog — Cormode & Muthukrishnan 2005): per-customer
@@ -1564,6 +1593,9 @@ _LOCAL_ONLY = (
     # round 8: Count-Min sketch (oracle re-derives the full counter
     # matrix in SQL from the same md5-hex positions)
     "cms_counts",
+    # round 8: main-content extraction (oracle re-derives the block /
+    # anchor / link-density pipeline in DuckDB lambdas)
+    "main_content",
 )
 
 
@@ -1663,6 +1695,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cms_counts": q_cms_counts,
+        "main_content": q_main_content,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2191,6 +2224,68 @@ SELECT pr.o_custkey::BIGINT AS o_custkey,
        MIN(COALESCE(c.c, 0))::BIGINT AS est
 FROM probes pr LEFT JOIN cells c ON c.r = pr.r AND c.p = pr.p
 GROUP BY pr.o_custkey"""
+
+    # the block/anchor/link-density pipeline re-derived in DuckDB
+    # lambdas over the same RE2 patterns as the Spark expressions
+    _MC_BLOCK_RE = (
+        r"(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|main|header|"
+        r"footer|nav|aside|br|tr|table|ul|ol|dl|blockquote|pre|form|"
+        r"figure|figcaption)\b[^>]*>"
+    )
+    _MC_PLAIN = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace(replace("
+        "regexp_replace({X}, '</?[a-zA-Z][^>]*>', ' ', 'g'),"
+        "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+        "'&quot;', '\"'), '&#39;', chr(39)), '&apos;', chr(39)),"
+        r" '\s+', ' ', 'g'))"
+    )
+    _MC_LINKS = (
+        "coalesce(list_sum(list_transform("
+        "regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),"
+        f"x -> length({_MC_PLAIN.format(X='x')}))), 0)"
+    )
+    o["main_content"] = f"""
+WITH pages AS (
+    SELECT doc_id,
+           '<html><head><script>var x=1;</script></head><body>'
+           || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+           || '<a href="/c">Contact</a></nav><p>'
+           || COALESCE(text, '')
+           || '</p><footer><a href="/p">Privacy</a> '
+           || '<a href="/t">Terms</a></footer></body></html>' AS html
+    FROM documents WHERE doc_id < 200
+),
+blocks AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                   '{_MC_BLOCK_RE}', chr(10), 'g'),
+               chr(10)) AS bs
+    FROM pages
+),
+scored AS (
+    SELECT doc_id,
+           list_transform(bs, b -> struct_pack(
+               t := {_MC_PLAIN.format(X='b')},
+               l := {_MC_LINKS}
+           )) AS ss
+    FROM blocks
+)
+SELECT doc_id,
+       array_to_string(
+           list_transform(
+               list_filter(ss, s -> length(s.t) >= 25
+                                AND s.l <= 0.3 * length(s.t)),
+               s -> s.t),
+           chr(10)) AS main
+FROM scored"""
 
     o["ngram_jaccard_lsh"] = f"""
 WITH {_MINHASH_SIG_CTE.lstrip()},

@@ -320,20 +320,97 @@ def strip_markup(text_col: str = "text") -> F.Column:
     # comments, then any remaining tag
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"</?[a-zA-Z][^>]*>", " ")
-    # the five XML predefined entities + nbsp + numeric code points for
-    # space-ish chars are the bulk of real-web entity mass
-    for ent, rep in (
-        ("&nbsp;", " "),
-        ("&amp;", "&"),
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#39;", "'"),
-        ("&apos;", "'"),
-    ):
-        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = _decode_entities(c)
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+# the five XML predefined entities + nbsp are the bulk of real-web
+# entity mass (shared by strip_markup and main_content)
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def _decode_entities(c: F.Column) -> F.Column:
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+# block-level boundaries for main_content: tags that visually break
+# text flow; inline tags (a, b, span, em, …) stay inside their block
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|main|header|"
+    r"footer|nav|aside|br|tr|table|ul|ol|dl|blockquote|pre|form|"
+    r"figure|figcaption)\b[^>]*>"
+)
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def main_content(
+    text_col: str = "text",
+    min_chars: int = 25,
+    max_link_density: float = 0.3,
+) -> F.Column:
+    """Main-content extraction from raw HTML by block-level link
+    density — the expression-tier cousin of trafilatura/readability
+    (the extractor step of RefinedWeb-style pipelines), for clusters
+    where a per-row Python HTML parser is the slow path.
+
+    The classic signal (Kohlschütter et al., WSDM'10 boilerplate
+    detection — public): navigation chrome, footers, and link farms
+    are SHORT blocks whose characters mostly live inside anchors;
+    article prose is long and link-sparse. So: drop script/style/
+    comments whole, split on block-level tags, and keep blocks whose
+    visible text has ≥ ``min_chars`` characters AND whose
+    anchor-enclosed character fraction is ≤ ``max_link_density``; the
+    kept blocks' visible text joins with newlines (one block per
+    line — ready for the C4 line rules, which expect exactly that).
+
+    All Java-regex ∩ RE2 patterns and higher-order functions —
+    JVM-side, no Python, and re-derivable in the DuckDB oracle.
+    ``strip_markup`` is the recall-first sibling (keeps everything);
+    this is the precision-first extractor (drops chrome). Input is
+    HTML by contract: plain text with short lines will lose them —
+    run it on pages, not on already-extracted text.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(F.regexp_replace(c, _BLOCK_TAG_RE, "\n"), "\n")
+
+    def _plain(b):
+        t = F.regexp_replace(b, r"</?[a-zA-Z][^>]*>", " ")
+        t = _decode_entities(t)
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    def _link_chars(b):
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(_ANCHOR_RE), F.lit(1)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(_plain(x)),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _plain(b).alias("t"), _link_chars(b).alias("l")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= min_chars)
+        & (s["l"] <= F.lit(float(max_link_density)) * F.length(s["t"])),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
 
 
 def extract_text(

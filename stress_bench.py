@@ -863,28 +863,39 @@ def main() -> None:
     bench("mhidx_recompute_baseline_sec", run_mh_recompute_baseline)
     shutil.rmtree(mh_root, ignore_errors=True)
 
-    # --- AllPairs lossless prefix-filter join (r8) on the pathological
-    # corpus: the prefix filter must survive the mass-duplicate pile
-    # (its fan-out is output-bound there — those docs ARE all pairs of
-    # each other at jaccard 1.0, quadratic output) — so run it on the
-    # UNIQUE half only, where the answer is sparse and the filter's
-    # candidate volume (vs brute force) is the point.
+    # --- AllPairs lossless prefix-filter join (r8): the unique corpus
+    # plus ONE planted near-dup per unique doc (a one-word tail
+    # append: jaccard 12/13 ≈ 0.92), so the planted truth is exactly
+    # n_uniq pairs and both paths do real verification work. The
+    # mass-duplicate pile is deliberately excluded — there the TRUE
+    # answer is quadratic (every copy pairs with every copy), which
+    # measures output size, not the filter.
     from sparvi_core_spark.operators.dedup import (
         allpairs_candidates,
         allpairs_jaccard_pairs,
     )
 
+    near = uniq.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ztail")).alias("text"),
+    )
+    ap_corpus = uniq.unionByName(near).localCheckpoint()
+
     def run_allpairs():
-        n = allpairs_jaccard_pairs(uniq, threshold=0.8).count()
+        n = allpairs_jaccard_pairs(ap_corpus, threshold=0.8).count()
+        assert n == n_uniq, n
         entries["allpairs_pairs"] = n
 
     bench("allpairs_sec", run_allpairs)
     entries["allpairs_candidates"] = allpairs_candidates(
-        uniq, threshold=0.8
+        ap_corpus, threshold=0.8
     ).count()
 
     def run_allpairs_brute():
-        ngram_jaccard_pairs(uniq, max_doc_freq=None, threshold=0.8).count()
+        n = ngram_jaccard_pairs(
+            ap_corpus, max_doc_freq=None, threshold=0.8
+        ).count()
+        assert n == n_uniq, n
 
     bench("allpairs_brute_sec", run_allpairs_brute)
 

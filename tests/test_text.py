@@ -849,3 +849,58 @@ def test_language_id_ngram_hashed_features(spark):
     got = {r["id"]: r["predicted_lang"]
            for r in language_id(df, strategy="ngram", model=model).collect()}
     assert got[0] == "en" and got[1] == "ru" and got[2] == "ja"
+
+
+# ---------------------------------------------------------------------------
+# main_content (block-level link-density extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_main_content_drops_chrome_keeps_prose(spark):
+    from sparvi_core_spark.functions.text import main_content
+
+    prose = ("This is the real article body with plenty of sentences and "
+             "no links at all, long enough to clear the size floor easily.")
+    half_links = ('Short menu <a href="/a">one</a> <a href="/b">two</a> '
+                  '<a href="/c">three four five six</a>')
+    html = (
+        "<html><head><script>var x = 1 + 2;</script>"
+        "<style>.x{color:red}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+        f"<div>{prose}</div>"
+        f"<p>{half_links}</p>"
+        '<p>Tiny.</p>'
+        "<!-- a comment with enough text to pass the floor if leaked -->"
+        '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    out = df.select(main_content("text").alias("m")).first()["m"]
+    assert out == prose  # nav, link-dense menu, tiny block, footer, comment: gone
+
+
+def test_main_content_entities_and_inline_links(spark):
+    from sparvi_core_spark.functions.text import main_content
+
+    html = ("<p>Fish &amp; chips are mostly prose here with one "
+            '<a href="x">inline link</a> and enough surrounding text '
+            "that the density stays low overall.</p>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    out = df.select(main_content("text").alias("m")).first()["m"]
+    assert out.startswith("Fish & chips")
+    assert "inline link" in out  # anchor TEXT survives; only density gates
+
+
+def test_main_content_null_and_linkfarm(spark):
+    from sparvi_core_spark.functions.text import main_content
+
+    farm = "".join(f'<a href="/{i}">click here now please {i}</a> '
+                   for i in range(20))
+    df = spark.createDataFrame(
+        [(1, None), (2, f"<div>{farm}</div>")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["m"]
+            for r in df.select("doc_id",
+                               main_content("text").alias("m")).collect()}
+    assert rows[1] is None
+    assert rows[2] == ""  # long but ~100% link chars -> dropped
