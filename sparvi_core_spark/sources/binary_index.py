@@ -422,3 +422,47 @@ def binary_index_health(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def filter_new_against_binary_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    min_cosine: float = 0.95,
+    k: int = 10,
+    radius: int | None = 2,
+    rerank: int | None = 50,
+) -> DataFrame:
+    """The EMBEDDING-side incremental-ingest screen (the
+    ``minhash_index.filter_new_against_index`` twin): batch rows whose
+    vector has an exact-cosine near-duplicate ≥ ``min_cosine`` already
+    in the index are dropped; everything else passes through with its
+    columns untouched. One probed search + one anti-join — per-batch
+    cost is O(batch × probed buckets), never O(index).
+
+    ``rerank`` (requires ``store_vectors=True`` at write time) makes
+    the threshold an EXACT cosine decision over the Hamming candidate
+    pool; ``rerank=None`` is not allowed here — a Hamming distance has
+    no fixed cosine meaning, so a cosine threshold needs the float
+    rerank. ``radius`` trades recall for probe cost exactly as in
+    :func:`search_binary_index` (``None`` scans flat: full recall of
+    the Hamming pool). A batch id equal to a stored id is skipped (a
+    re-embed of the same key is not a near-duplicate)."""
+    if rerank is None:
+        raise ValueError(
+            "rerank is required: the cosine threshold needs the exact "
+            "rerank from the float side-store (radius=None for full "
+            "recall instead)"
+        )
+    _, manifest = read_binary_index(spark, path)
+    id_col = manifest["id_col"]
+    hits = search_binary_index(
+        spark, path, batch, k=k, radius=radius, rerank=rerank
+    )
+    dup_ids = (
+        hits.filter(F.col("cosine") >= min_cosine)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")

