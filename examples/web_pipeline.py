@@ -6,7 +6,8 @@ training-ready text out — the crawl-side counterpart of
       → WARC ingest                   (streaming-capable binary parse)
       → response/text dissection      (HTTP envelope, non-2xx dropped)
       → canonical-URL recrawl dedup   (tracker/case variants collapse)
-      → markup strip + text hygiene   (tags/entities, unicode cleanup)
+      → main-content extraction       (block-level link density:
+                                       nav/footer chrome drops)
       → C4 line + page rules          (terminal punct, javascript,
                                        lorem ipsum, sentence minimum)
       → Gopher quality + repetition   (the published document gates)
@@ -140,9 +141,8 @@ def main() -> None:
         c4_clean,
         gopher_quality_flags,
         gopher_repetition_flags,
-        strip_markup,
+        main_content,
     )
-    from sparvi_core_spark.functions.textnorm import clean_text_col
     from sparvi_core_spark.functions.web import canonicalize_url
     from sparvi_core_spark.operators.dedup import (
         dedup_clusters,
@@ -202,10 +202,17 @@ def main() -> None:
     ).localCheckpoint()
     report["after_url_dedup"] = docs.count()
 
-    # 3. markup strip + unicode hygiene (pure expressions)
+    # 3. main-content extraction (precision-first: link-dense nav /
+    #    footer chrome drops at the block level; strip_markup is the
+    #    recall-first alternative when losing content is worse than
+    #    keeping chrome). Block-per-line output is exactly the line
+    #    structure the C4 rules in stage 4 expect — collapse only
+    #    intra-line whitespace so it survives.
     docs = docs.select(
         "doc_id", "canon_url",
-        clean_text_col(strip_markup("text")).alias("text"),
+        F.regexp_replace(
+            main_content("text"), r"[ \t]+", " "
+        ).alias("text"),
     ).localCheckpoint()
 
     # 4. C4: line rules rewrite the text (javascript/boilerplate lines
@@ -304,9 +311,20 @@ def main() -> None:
     seg2 = os.path.join(workdir, "segments2")
     os.makedirs(seg2)
     synthesize_crawl(seg2, n_pages=60)
-    docs2 = warc_to_documents(read_warc(spark, seg2)).select(
+    # screen at the SAME pipeline point the index was built at: the
+    # indexed text is post-extraction AND post-C4-line-rewrite, so the
+    # recrawl runs the same extract + C4 rewrite before probing —
+    # otherwise lines the cleaner drops (e.g. the mid-paragraph split
+    # without terminal punctuation) push true recrawls below the
+    # jaccard threshold
+    extracted2 = warc_to_documents(read_warc(spark, seg2)).select(
         F.concat(F.lit("recrawl-"), F.col("doc_id")).alias("doc_id"),
-        clean_text_col(strip_markup("text")).alias("text"),
+        F.regexp_replace(
+            main_content("text"), r"[ \t]+", " "
+        ).alias("text"),
+    )
+    docs2 = c4_clean(extracted2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "text"
     ).localCheckpoint()
     novel = filter_new_against_index(spark, idx_dir, docs2, threshold=0.6)
     report["incremental_crawl"] = {
