@@ -86,8 +86,10 @@ def _signed(
 ) -> tuple[DataFrame, DataFrame]:
     """(banded, sigs) for a doc frame under the manifest's parameters.
     ``banded`` is (id, band, bkey, bucket); ``sigs`` is (id, h0..hK-1,
-    sbucket). Docs shorter than ``shingle_n`` words have no signature
-    and drop out (the in-memory contract)."""
+    bucket) — BOTH stores partition on a column named ``bucket`` (the
+    sig store computes it from the id) so the shared journaled
+    compaction fold serves both. Docs shorter than ``shingle_n`` words
+    have no signature and drop out (the in-memory contract)."""
     sig = minhash_signatures(
         docs,
         id_col=manifest["id_col"],
@@ -98,7 +100,7 @@ def _signed(
     banded = _band_hashes(
         sig, manifest["num_hashes"], manifest["bands"]
     ).withColumn("bucket", _band_bucket(manifest["n_buckets"]))
-    sigs = sig.withColumn("sbucket", _sig_bucket("id", manifest["n_buckets"]))
+    sigs = sig.withColumn("bucket", _sig_bucket("id", manifest["n_buckets"]))
     return banded, sigs
 
 
@@ -110,17 +112,17 @@ def _write_stores(banded: DataFrame, sigs: DataFrame, path: str, mode: str):
         .parquet(path)
     )
     (
-        sigs.repartition(F.col("sbucket"))
+        sigs.repartition(F.col("bucket"))
         .write.mode(mode)
-        .partitionBy("sbucket")
+        .partitionBy("bucket")
         .parquet(f"{path}/{SIGS_DIR}")
     )
 
 
-def _bucket_counts(banded: DataFrame) -> dict[int, int]:
+def _bucket_counts(frame: DataFrame) -> dict[int, int]:
     return {
         int(r["bucket"]): int(r["n"])
-        for r in banded.groupBy("bucket")
+        for r in frame.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -166,14 +168,20 @@ def write_minhash_index(
     }
     banded, sigs = _signed(docs.select(id_col, text_col), manifest)
     _write_stores(banded, sigs, path, mode)
-    # stats from the WRITTEN band store (cheapest scan; this writer is
+    # stats from the WRITTEN stores (cheapest scan; this writer is
     # for fresh indexes — incremental batches go through append)
     per_bucket = _bucket_counts(spark.read.parquet(path))
+    sig_per_bucket = _bucket_counts(
+        spark.read.parquet(f"{path}/{SIGS_DIR}")
+    )
     n_docs = sum(per_bucket.values()) // bands
     manifest.update(
         n_docs=n_docs,
         dropped_short=n_rows - n_docs,
         rows_per_bucket={str(b): n for b, n in sorted(per_bucket.items())},
+        sig_rows_per_bucket={
+            str(b): n for b, n in sorted(sig_per_bucket.items())
+        },
     )
     _write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
@@ -207,16 +215,27 @@ def append_minhash_index(
     banded, sigs = _signed(
         new_docs.select(id_col, manifest["text_col"]), manifest
     )
+    sigs = sigs.localCheckpoint()  # consumed by the write AND the count
     _write_stores(banded, sigs, path, "append")
     batch = _bucket_counts(banded)
     per_bucket = {int(b): n for b, n in manifest["rows_per_bucket"].items()}
     for b, n in batch.items():
         per_bucket[b] = per_bucket.get(b, 0) + n
+    sig_batch = _bucket_counts(sigs)
+    sig_per_bucket = {
+        int(b): n
+        for b, n in manifest.get("sig_rows_per_bucket", {}).items()
+    }
+    for b, n in sig_batch.items():
+        sig_per_bucket[b] = sig_per_bucket.get(b, 0) + n
     appended = sum(batch.values()) // manifest["bands"]
     manifest["n_docs"] += appended
     manifest["dropped_short"] += n_rows - appended
     manifest["rows_per_bucket"] = {
         str(b): n for b, n in sorted(per_bucket.items())
+    }
+    manifest["sig_rows_per_bucket"] = {
+        str(b): n for b, n in sorted(sig_per_bucket.items())
     }
     _write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
@@ -314,7 +333,7 @@ def probe_minhash_index(
         # (PruneFilters folds this to an empty relation, no file reads)
         sig_store = sig_store.filter(F.lit(False))
     elif len(sbuckets) <= n_buckets // 2:
-        sig_store = sig_store.filter(F.col("sbucket").isin(sbuckets))
+        sig_store = sig_store.filter(F.col("bucket").isin(sbuckets))
 
     num_hashes = manifest["num_hashes"]
     a = sig_store.select(
@@ -383,3 +402,61 @@ def minhash_index_health(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("ok", F.col("manifest_rows") == F.col("actual_rows"))
         .orderBy("bucket")
     )
+
+
+def repair_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Heal a crashed compaction swap on either store (band root or
+    ``_sigs/``) — the same journal/roll-forward/roll-back protocol as
+    the ANN indexes, applied per store root. Idempotent; no-op on a
+    clean index."""
+    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+
+    return {
+        "bands": repair_ivf_index(spark, path)["action"],
+        "sigs": repair_ivf_index(spark, f"{path}/{SIGS_DIR}")["action"],
+    }
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Fold appended small files back to one file per bucket in BOTH
+    stores — the hygiene pass for the append/streaming pipeline (each
+    append adds one file to every touched bucket; after N crawl
+    batches a probe opens ~N files per probed bucket). Cost is
+    proportional to the FRAGMENTED fraction: buckets already at one
+    file are not read or touched. Row identity is checked against the
+    manifest per store BEFORE each swap; the swap is journaled and
+    crash-healed by :func:`repair_minhash_index` (run here first).
+    Single writer by contract; quiesce probes across the swap window
+    (a concurrently probed bucket can briefly see its rows twice —
+    duplicated candidates, which the pair `distinct` absorbs, but the
+    verification join can then double-count agreements, so don't).
+    Returns per-store ``{"cells_compacted", "files_before",
+    "files_after", "rows_rewritten"}``."""
+    from sparvi_core_spark.sources.ann_index import _compact_cells
+
+    repair_minhash_index(spark, path)
+    band_rows, manifest = read_minhash_index(spark, path)
+    if "sig_rows_per_bucket" not in manifest:
+        raise ValueError(
+            "this index predates compaction support (no "
+            "sig_rows_per_bucket in the manifest) — rebuild it with "
+            "write_minhash_index"
+        )
+    # both stores carry the signature kernel's "id" column (the
+    # manifest's id_col is the CALLER-side name)
+    band_stats = _compact_cells(
+        spark, path, band_rows, "id",
+        manifest["rows_per_bucket"], 1, slice_salt="mh-band-slice",
+    )
+    sig_stats = _compact_cells(
+        spark, f"{path}/{SIGS_DIR}",
+        spark.read.parquet(f"{path}/{SIGS_DIR}"), "id",
+        manifest["sig_rows_per_bucket"], 1, slice_salt="mh-sig-slice",
+    )
+    if band_stats["cells_compacted"] or sig_stats["cells_compacted"]:
+        manifest["compactions"] = manifest.get("compactions", 0) + 1
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+    return {"bands": band_stats, "sigs": sig_stats}

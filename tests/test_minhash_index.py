@@ -140,9 +140,10 @@ def test_probe_prunes_both_stores(spark, tmp_path):
     probed = probe_minhash_index(spark, path, batch, threshold=0.0)
     probed.collect()
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    # both stores' scans carry a partition IN-list
-    assert plan.count("bucket") >= 1 and plan.count("sbucket") >= 1
+    # both stores' scans carry a bucket partition IN-list
+    assert plan.count("PartitionFilters: [bucket") >= 2 or (
+        "PartitionFilters" in plan and plan.count("bucket#") >= 2
+    )
     parts_read = _scan_partitions(probed)
     # 4 docs x 4 bands = at most 16 band buckets + at most 16 sig
     # buckets; far fewer than the index's population on both stores
@@ -281,3 +282,57 @@ def test_novelty_stream_fuzzy_grows_and_screens(spark, tmp_path):
     man = json.loads(_read_text(spark, idx, MANIFEST))
     assert man["n_docs"] == 32  # 30 stored + 2 admitted
     assert man["last_stream_batch_id"] == 1
+
+
+def test_compact_after_appends_preserves_answers(spark, tmp_path):
+    """Three appended generations fragment both stores; compaction
+    folds each bucket back to one file, the manifest still matches
+    disk, and the probe answer is BYTE-IDENTICAL pre/post."""
+    import os
+
+    from sparvi_core_spark.sources.minhash_index import (
+        compact_minhash_index,
+        repair_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=40, seed=3), path,
+        num_hashes=8, bands=4, n_buckets=8,
+    )
+    for g, seed in enumerate((8, 9, 10), start=1):
+        append_minhash_index(
+            spark, path, _corpus(spark, n=20, seed=seed, offset=1000 * g)
+        )
+
+    def _files(root):
+        out = 0
+        for dirpath, _, files in os.walk(root):
+            if "bucket=" in dirpath:
+                out += sum(
+                    1 for f in files if not f.startswith((".", "_"))
+                )
+        return out
+
+    batch = _corpus(spark, n=6, seed=3, offset=90_000)  # copies of gen-0
+    before_files = _files(path)
+    before = sorted(
+        map(tuple, probe_minhash_index(spark, path, batch).collect())
+    )
+    assert repair_minhash_index(spark, path) == {
+        "bands": "clean", "sigs": "clean",
+    }
+    stats = compact_minhash_index(spark, path)
+    assert stats["bands"]["cells_compacted"] > 0
+    assert stats["sigs"]["cells_compacted"] > 0
+    after_files = _files(path)
+    assert after_files < before_files
+    after = sorted(
+        map(tuple, probe_minhash_index(spark, path, batch).collect())
+    )
+    assert after == before and before
+    assert all(r["ok"] for r in minhash_index_health(spark, path).collect())
+    # second compaction is a no-op
+    again = compact_minhash_index(spark, path)
+    assert again["bands"]["cells_compacted"] == 0
+    assert again["sigs"]["cells_compacted"] == 0
