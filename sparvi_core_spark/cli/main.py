@@ -1128,6 +1128,21 @@ def dedup_index_screen(source, table, index_path, threshold, max_bucket,
     ))
 
 
+@dedup_index.command("compact")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_compact(index_path, cpus):
+    """Fold appended small files back to one per bucket (both stores;
+    journaled, crash-healed). Run in the append maintenance window."""
+    from sparvi_core_spark.sources.minhash_index import (
+        compact_minhash_index,
+    )
+
+    spark = _session(cpus)
+    stats = compact_minhash_index(spark, index_path)
+    click.echo(json.dumps(stats))
+
+
 @dedup_index.command("health")
 @click.argument("index_path")
 @click.option("--cpus", default=None, help="local[N] cores")

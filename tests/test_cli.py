@@ -444,6 +444,11 @@ def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
     assert rep["rows_in"] == rep["rows_kept"] + rep["rows_dropped"]
     assert spark.read.parquet(str(out)).count() == rep["rows_kept"]
 
+    r = CliRunner().invoke(cli, ["dedup-index", "compact", idx])
+    assert r.exit_code == 0, r.output
+    st = json.loads(r.output.strip().splitlines()[-1])
+    assert "bands" in st and "sigs" in st
+
     r = CliRunner().invoke(cli, ["dedup-index", "health", idx])
     assert r.exit_code == 0, r.output
     h = json.loads(r.output.strip().splitlines()[-1])
