@@ -460,3 +460,78 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
             json.dumps(manifest, indent=1, sort_keys=True),
         )
     return {"bands": band_stats, "sigs": sig_stats}
+
+
+def reband_minhash_index(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    threshold: float | None = None,
+    bands: int | None = None,
+    n_buckets: int | None = None,
+) -> dict:
+    """Build a NEW index at ``dest`` with a different banding (and so
+    a different operating threshold) from the SIGNATURES already at
+    rest — the corpus text is never touched. Band keys are pure
+    functions of the stored ``h0..h{K-1}`` columns, so re-banding a
+    petabyte-scale corpus costs one scan of the K×16-byte signature
+    store instead of re-shingling 100 TB of text. Blue/green like
+    ``retrain_ivf_index``: never in place (``dest == path`` raises);
+    the old index serves until the caller flips the path.
+
+    ``bands=None`` solves the banding for ``threshold`` over the
+    stored ``num_hashes``; at least one of the two must be given.
+    Returns the new manifest."""
+    if path.rstrip("/") == dest.rstrip("/"):
+        raise ValueError(
+            "reband_minhash_index is blue/green by contract: dest must "
+            "differ from the source index path"
+        )
+    _, manifest = read_minhash_index(spark, path)
+    num_hashes = manifest["num_hashes"]
+    if bands is None:
+        if threshold is None:
+            raise ValueError("give threshold or bands (or both)")
+        bands, _rows = solve_lsh_bands(threshold, num_hashes)
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if threshold is None:
+        threshold = manifest["threshold"]
+    if n_buckets is None:
+        n_buckets = manifest["n_buckets"]
+    sigs = spark.read.parquet(f"{path}/{SIGS_DIR}").drop("bucket")
+    new_man = dict(
+        manifest,
+        bands=bands,
+        threshold=threshold,
+        n_buckets=n_buckets,
+    )
+    banded = _band_hashes(sigs, num_hashes, bands).withColumn(
+        "bucket", _band_bucket(n_buckets)
+    )
+    new_sigs = sigs.withColumn("bucket", _sig_bucket("id", n_buckets))
+    _write_stores(banded, new_sigs, dest, "overwrite")
+    per_bucket = _bucket_counts(spark.read.parquet(dest))
+    sig_per_bucket = _bucket_counts(
+        spark.read.parquet(f"{dest}/{SIGS_DIR}")
+    )
+    n_docs = sum(sig_per_bucket.values())
+    if n_docs != manifest["n_docs"]:
+        raise ValueError(
+            f"reband saw {n_docs} signatures where the source manifest "
+            f"records {manifest['n_docs']} — source index inconsistent"
+        )
+    new_man.update(
+        rows_per_bucket={str(b): n for b, n in sorted(per_bucket.items())},
+        sig_rows_per_bucket={
+            str(b): n for b, n in sorted(sig_per_bucket.items())
+        },
+    )
+    new_man.pop("compactions", None)
+    new_man.pop("last_stream_batch_id", None)
+    _write_text(
+        spark, dest, MANIFEST, json.dumps(new_man, indent=1, sort_keys=True)
+    )
+    return new_man

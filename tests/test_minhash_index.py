@@ -336,3 +336,39 @@ def test_compact_after_appends_preserves_answers(spark, tmp_path):
     again = compact_minhash_index(spark, path)
     assert again["bands"]["cells_compacted"] == 0
     assert again["sigs"]["cells_compacted"] == 0
+
+
+def test_reband_from_signatures_equals_fresh_build(spark, tmp_path):
+    """Re-banding from the stored signature store produces an index
+    whose probe output is EXACTLY a fresh build's at the new banding —
+    without touching any text."""
+    import pytest as _pytest
+
+    from sparvi_core_spark.sources.minhash_index import (
+        reband_minhash_index,
+    )
+
+    docs = _corpus(spark, n=60, seed=3)
+    src = str(tmp_path / "src_idx")
+    write_minhash_index(docs, src, num_hashes=16, bands=4, n_buckets=16)
+
+    dest = str(tmp_path / "rebanded")
+    man = reband_minhash_index(spark, src, dest, threshold=0.5)
+    fresh = str(tmp_path / "fresh")
+    fman = write_minhash_index(
+        docs, fresh, num_hashes=16, bands=man["bands"],
+        threshold=0.5, n_buckets=16,
+    )
+    assert man["bands"] == fman["bands"]
+    assert man["rows_per_bucket"] == fman["rows_per_bucket"]
+    assert man["n_docs"] == fman["n_docs"] == 60
+
+    batch = _corpus(spark, n=10, seed=3, offset=7000)  # copies
+    got = sorted(map(tuple, probe_minhash_index(spark, dest, batch).collect()))
+    want = sorted(map(tuple, probe_minhash_index(spark, fresh, batch).collect()))
+    assert got == want and got
+
+    with _pytest.raises(ValueError, match="blue/green"):
+        reband_minhash_index(spark, src, src, threshold=0.5)
+    with _pytest.raises(ValueError, match="threshold or bands"):
+        reband_minhash_index(spark, src, dest)
