@@ -705,6 +705,48 @@ def q_main_content(spark, sf_dir):
     return pages.select("doc_id", main_content("text").alias("main"))
 
 
+_ROBOTS_RULES = [
+    # (host, agent, allow, pattern) — planted; mixes prefix rules,
+    # a wildcard, a $-anchor, nested allow-over-disallow, and an
+    # agent-specific group that must NOT apply to '*'
+    ("h.example", "*", False, "/p1/"),
+    ("h.example", "*", True, "/p1/q2"),
+    ("h.example", "*", False, "/p2/*/end$"),
+    ("h.example", "*", True, "/p3"),
+    ("h.example", "*", False, "/p3/q"),
+    ("h.example", "googlebot", False, "/"),
+]
+
+
+def q_robots_screen(spark, sf_dir):
+    """RFC 9309 robots matching (functions/web.py robots_allowed; no
+    reference analog): planted rule table over doc_id-derived URLs.
+    The oracle re-derives path extraction, the REP-pattern → regex
+    conversion, longest-match-wins and allow-wins-ties in DuckDB."""
+    from sparvi_core_spark.functions.web import robots_allowed
+
+    t = _views(spark, sf_dir)
+    urls = t["documents"].filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h.example/p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/q"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/end")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES,
+        "host string, agent string, allow boolean, pattern string",
+    )
+    return robots_allowed(urls, rules, agent="*").select(
+        "doc_id", "url", "allowed"
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-Min sketch (operators/sketch.py cms_build/cms_score; no
     reference analog — Cormode & Muthukrishnan 2005): per-customer
@@ -1596,6 +1638,9 @@ _LOCAL_ONLY = (
     # round 8: main-content extraction (oracle re-derives the block /
     # anchor / link-density pipeline in DuckDB lambdas)
     "main_content",
+    # round 8: RFC 9309 robots matching (oracle re-derives pattern →
+    # regex conversion and the longest-match/allow-ties decision)
+    "robots_screen",
 )
 
 
@@ -1696,6 +1741,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "cms_counts": q_cms_counts,
         "main_content": q_main_content,
+        "robots_screen": q_robots_screen,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2286,6 +2332,55 @@ SELECT doc_id,
                s -> s.t),
            chr(10)) AS main
 FROM scored"""
+
+    # RFC 9309 decision rule re-derived: REP pattern -> RE2 regex
+    # (metachars escaped, * -> .*, trailing $ stays an anchor), then
+    # longest-match wins with allow winning ties, no match = allowed
+    _robots_vals = ",\n  ".join(
+        f"('{h}', '{a}', {str(al).upper()}, '{p}')"
+        for h, a, al, p in _ROBOTS_RULES
+    )
+    o["robots_screen"] = """
+WITH urls AS (
+    SELECT doc_id,
+           'https://h.example/p' || (doc_id % 7) || '/q' || (doc_id % 3)
+           || CASE WHEN doc_id % 5 = 0 THEN '/end' ELSE '' END AS url
+    FROM documents WHERE doc_id < 300
+),
+rules(host, agent, allow, pattern) AS (VALUES
+  __VALS__),
+grp AS (
+    SELECT host, allow, pattern,
+           '^' || regexp_replace(
+                      regexp_replace(
+                          regexp_replace(pattern,
+                              '([\\^$.|?+()\\[\\]{}])', '\\\\\\1', 'g'),
+                          '\\*', '.*', 'g'),
+                      '\\\\\\$$', '$') AS rx
+    FROM rules WHERE agent = '*'
+),
+pathed AS (
+    SELECT doc_id, url,
+           COALESCE(NULLIF(regexp_extract(url,
+               '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*(/[^?#]*)', 1),
+               ''), '/') AS path,
+           lower(regexp_extract(url,
+               '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)',
+               1)) AS host
+    FROM urls
+),
+win AS (
+    SELECT p.doc_id, g.allow,
+           row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY length(g.pattern) DESC, g.allow DESC
+           ) AS rn
+    FROM pathed p JOIN grp g
+      ON g.host = p.host AND regexp_matches(p.path, g.rx)
+)
+SELECT p.doc_id, p.url, COALESCE(w.allow, TRUE) AS allowed
+FROM pathed p LEFT JOIN win w ON p.doc_id = w.doc_id AND w.rn = 1
+""".replace("__VALS__", _robots_vals)
 
     o["ngram_jaccard_lsh"] = f"""
 WITH {_MINHASH_SIG_CTE.lstrip()},

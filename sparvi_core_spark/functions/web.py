@@ -582,3 +582,179 @@ def host_quality_stats(
         .agg(*aggs)
         .orderBy(F.desc("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl politeness as data
+# ---------------------------------------------------------------------------
+#
+# A compliant crawl pipeline carries each host's robots.txt as a row
+# of config data; whether a URL may be fetched is then a JOIN, not a
+# per-URL network call. Parsing runs Arrow-batched (robots bodies are
+# a per-HOST side table — millions of rows at web scale, never
+# corpus-sized); matching is pure expressions over a broadcast rule
+# table: longest-match wins, allow wins ties, no rule means allowed —
+# the RFC 9309 semantics (NOT the 1997 first-match rule).
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt bodies → one rule per row: ``(host, agent, allow,
+    pattern)``. Consecutive ``User-agent`` lines form a group whose
+    Allow/Disallow rules fan out to every agent in it; rules before
+    any ``User-agent`` line are ignored (RFC 9309 §2.2.1); an empty
+    ``Disallow:`` (or Allow) carries no restriction and emits nothing;
+    comments (#) and unknown directives (Sitemap, Crawl-delay, …) are
+    skipped. Agents lower-case; patterns verbatim."""
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            hosts, agents_out, allows, pats = [], [], [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                if text is None or host is None:
+                    continue
+                agents: list[str] = []
+                rules_started = False
+                for raw in str(text).splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, val = line.split(":", 1)
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        if rules_started:
+                            agents, rules_started = [], False
+                        if val:
+                            agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        rules_started = True
+                        if not val or not agents:
+                            continue
+                        for a in agents:
+                            hosts.append(host)
+                            agents_out.append(a)
+                            allows.append(key == "allow")
+                            pats.append(val)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "agent": pd.Series(agents_out, dtype="object"),
+                    "allow": pd.Series(allows, dtype="bool"),
+                    "pattern": pd.Series(pats, dtype="object"),
+                }
+            )
+
+    return df.select(host_col, text_col).mapInPandas(
+        kern, "host string, agent string, allow boolean, pattern string"
+    )
+
+
+def _robots_group(rules: DataFrame, agent: str) -> DataFrame:
+    """Per host, the ONE group that applies to ``agent``: rules whose
+    agent token the crawler's token starts with, keeping only the
+    longest such token per host; the ``*`` group only when no specific
+    group matched (RFC 9309 §2.2.1 most-specific-group rule)."""
+    ours = agent.lower()
+    scored = rules.withColumn(
+        "__m",
+        F.when(F.col("agent") == "*", F.lit(0))
+        .when(
+            F.lit(ours).startswith(F.lower(F.col("agent"))),
+            F.length("agent"),
+        )
+        .otherwise(F.lit(-1)),
+    ).filter(F.col("__m") >= 0)
+    best = scored.groupBy("host").agg(F.max("__m").alias("__best"))
+    return (
+        scored.join(F.broadcast(best), "host")
+        .filter(F.col("__m") == F.col("__best"))
+        .select("host", "allow", "pattern")
+    )
+
+
+def _robots_pattern_regex(pattern: F.Column) -> F.Column:
+    """REP pattern → anchored Java/RE2 regex: metachars escaped,
+    ``*`` → ``.*``, a trailing ``$`` stays an anchor."""
+    esc = F.regexp_replace(pattern, r"([\\^$.|?+()\[\]{}])", r"\\$1")
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    # Java replacement syntax: "\$" injects a literal dollar (bare "$"
+    # would be a group reference and throws)
+    rx = F.regexp_replace(rx, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), rx)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    out: str = "allowed",
+) -> DataFrame:
+    """``urls`` plus a boolean ``out`` column: may ``agent`` fetch this
+    URL under the ``rules`` table (from :func:`parse_robots_txt`)?
+    RFC 9309 decision rule: among the applicable group's rules whose
+    pattern matches the URL's path+query, the LONGEST pattern wins and
+    allow wins length ties; no matching rule — or no robots.txt for
+    the host at all — means allowed.
+
+    Scale shape: the rule table is per-host config (broadcast); each
+    URL fans out only by its own host's group size. The per-row regex
+    match is the cost of REP wildcards — rule tables are small, the
+    corpus side stays one pass."""
+    for c in ("__rid", "__path", "__host"):
+        if c in urls.columns:
+            raise ValueError(f"urls already has a {c!r} column")
+    group = _robots_group(rules, agent).withColumn(
+        "__rx", _robots_pattern_regex(F.col("pattern"))
+    )
+    path = F.coalesce(
+        F.nullif(url_path(url_col), F.lit("")), F.lit("/")
+    )
+    q = url_query(url_col)
+    pathq = F.when(q == "", path).otherwise(
+        F.concat(path, F.lit("?"), q)
+    )
+    keyed = urls.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).withColumn("__host", url_host(url_col)).withColumn("__path", pathq)
+    j = keyed.join(
+        F.broadcast(group), keyed["__host"] == group["host"], "left"
+    )
+    hit = F.expr("__path rlike __rx")
+    verdict = (
+        j.filter(F.col("pattern").isNotNull() & hit)
+        .groupBy("__rid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("pattern").alias("plen"),
+                    F.col("allow").alias("allow"),
+                )
+            ).alias("__w")
+        )
+        .select("__rid", F.col("__w.allow").alias("__allow"))
+    )
+    return (
+        keyed.join(verdict, "__rid", "left")
+        .withColumn(out, F.coalesce(F.col("__allow"), F.lit(True)))
+        .drop("__rid", "__host", "__path", "__allow")
+    )
+
+
+def filter_robots_disallowed(
+    df: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Split into ``(fetchable, disallowed)`` under the rules — the
+    frontier gate, one call."""
+    flagged = robots_allowed(df, rules, agent, url_col, out="__ok")
+    return (
+        flagged.filter(F.col("__ok")).drop("__ok"),
+        flagged.filter(~F.col("__ok")).drop("__ok"),
+    )

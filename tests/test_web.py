@@ -559,3 +559,145 @@ def test_host_quality_stats_by_domain_and_gates(spark, views):
     assert sum(r["n_docs"] for r in rows) == 200
     for r in rows:
         assert 0.0 <= r["passes_gopher_frac"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# ---------------------------------------------------------------------------
+
+ROBOTS_A = """
+# group for everyone
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+
+User-agent: GoodBot
+User-agent: NiceBot
+Disallow: /good-only/
+Allow: /good-only/*.css
+Disallow: /ends$
+Sitemap: https://a.example/sitemap.xml
+Crawl-delay: 10
+Disallow:
+"""
+
+
+def _rules(spark):
+    from sparvi_core_spark.functions.web import parse_robots_txt
+
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("empty.example", ""), ("x.example", None)],
+        "host string, robots_txt string",
+    )
+    return parse_robots_txt(df)
+
+
+def test_parse_robots_groups_and_edges(spark):
+    rows = {
+        (r["host"], r["agent"], r["allow"], r["pattern"])
+        for r in _rules(spark).collect()
+    }
+    assert ("a.example", "*", False, "/private/") in rows
+    assert ("a.example", "*", True, "/private/ok.html") in rows
+    # both agents of the second group carry each rule
+    assert ("a.example", "goodbot", False, "/good-only/") in rows
+    assert ("a.example", "nicebot", False, "/good-only/") in rows
+    assert ("a.example", "goodbot", True, "/good-only/*.css") in rows
+    # empty Disallow emits nothing; Sitemap/Crawl-delay skipped;
+    # empty/None bodies parse to zero rules
+    assert not any(p == "" for *_xs, p in rows)
+    assert not any(h in ("empty.example", "x.example") for h, *_ in rows)
+
+
+def test_robots_allowed_rfc_semantics(spark):
+    from sparvi_core_spark.functions.web import robots_allowed
+
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example/public/page.html"),   # no rule -> ok
+            (2, "https://a.example/private/x"),           # disallow
+            (3, "https://a.example/private/ok.html"),     # longer allow wins
+            (4, "https://noidx.example/anything"),        # no robots -> ok
+            (5, "https://a.example/ends"),                # $-anchored
+            (6, "https://a.example/ends-not"),            # past anchor -> ok
+        ],
+        "id long, url string",
+    )
+    star = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules, agent="*").collect()
+    }
+    assert star == {1: True, 2: False, 3: True, 4: True, 5: True, 6: True}
+
+    good = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules, agent="GoodBot/1.2").collect()
+    }
+    # a specific group EXCLUDES the * group: /private/ is fine for
+    # GoodBot, /ends is $-anchored-disallowed, /ends-not escapes it
+    assert good[2] is True and good[5] is False and good[6] is True
+    g2 = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(
+            spark.createDataFrame(
+                [(7, "https://a.example/good-only/site.css"),
+                 (8, "https://a.example/good-only/page.html")],
+                "id long, url string",
+            ),
+            rules, agent="nicebot",
+        ).collect()
+    }
+    assert g2 == {7: True, 8: False}  # wildcard allow beats shorter disallow
+
+
+def test_robots_longest_match_twin_randomized(spark):
+    """Randomized parity against a 12-line Python twin of the RFC
+    longest-match rule (allow wins ties; no match = allowed)."""
+    import random
+    import re
+
+    from sparvi_core_spark.functions.web import robots_allowed
+
+    rnd = random.Random(13)
+    segs = ["a", "b", "c", "dd", "e1"]
+    pats, rows = [], []
+    for _ in range(25):
+        depth = rnd.randint(1, 3)
+        p = "/" + "/".join(rnd.choice(segs) for _ in range(depth))
+        if rnd.random() < 0.3:
+            p += "*"
+        elif rnd.random() < 0.2:
+            p += "$"
+        pats.append((rnd.random() < 0.5, p))
+    rules = spark.createDataFrame(
+        [("h.example", "*", a, p) for a, p in pats],
+        "host string, agent string, allow boolean, pattern string",
+    )
+    for i in range(120):
+        depth = rnd.randint(1, 4)
+        rows.append(
+            (i, "https://h.example/" + "/".join(
+                rnd.choice(segs) for _ in range(depth)))
+        )
+    urls = spark.createDataFrame(rows, "id long, url string")
+
+    def twin(path):
+        best = None
+        for allow, p in pats:
+            rx = "^" + re.escape(p).replace(r"\*", ".*")
+            rx = re.sub(r"\\\$$", "$", rx)
+            if re.match(rx, path):
+                key = (len(p), allow)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    want = {
+        i: twin("/" + u.split("/", 3)[3]) for i, u in rows
+    }
+    assert got == want
