@@ -5,6 +5,7 @@ training-ready text out — the crawl-side counterpart of
     .warc.gz segments
       → WARC ingest                   (streaming-capable binary parse)
       → response/text dissection      (HTTP envelope, non-2xx dropped)
+      → robots compliance audit       (RFC 9309 rules as a join)
       → canonical-URL recrawl dedup   (tracker/case variants collapse)
       → main-content extraction       (block-level link density:
                                        nav/footer chrome drops)
@@ -167,6 +168,34 @@ def main() -> None:
     report["warc_records"] = raw.count()
     docs = warc_to_documents(raw).localCheckpoint()
     report["text_responses"] = docs.count()
+
+    # 1b. robots compliance audit (RFC 9309): each host's robots.txt
+    #     is config data; whether a fetched URL was fetchable is a
+    #     broadcast join. Site0 disallows its /articles/ section for
+    #     everyone except "goodbot" — our crawler ("sparvibot") must
+    #     flag those fetches and drop them before any processing.
+    from sparvi_core_spark.functions.web import (
+        filter_robots_disallowed,
+        parse_robots_txt,
+    )
+
+    robots_bodies = spark.createDataFrame(
+        [(
+            "site0.example.com",
+            "User-agent: goodbot\nAllow: /\n\n"
+            "User-agent: *\nDisallow: /articles/\n",
+        )],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_txt(robots_bodies)
+    fetchable, disallowed = filter_robots_disallowed(
+        docs, rules, agent="sparvibot"
+    )
+    report["robots_screen"] = {
+        "fetched": docs.count(),
+        "disallowed": disallowed.count(),
+    }
+    docs = fetchable.localCheckpoint()
 
     # 2a. the recrawl screen IN-STREAM: a live crawl tail dedups
     #     recrawls before they land (dropDuplicatesWithinWatermark on
