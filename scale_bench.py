@@ -198,6 +198,11 @@ def main() -> None:
         binarize_embeddings,
         hamming_topk_rerank,
     )
+    from sparvi_core_spark.operators.dedup import allpairs_jaccard_pairs
+    from sparvi_core_spark.sources.minhash_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
     from sparvi_core_spark.sources.writers import write_zordered
 
     def run_range_join(events):
@@ -238,6 +243,24 @@ def main() -> None:
             clean, report = prepare_corpus(spark.table("documents"), keep_cache=True)
             _force(clean.select("doc_id", "quality_score"))
             report["cache"].unpersist()
+
+        mhidx_path = os.path.join(DST, f"_mhidx_{sf_name}")
+
+        def run_mhidx_build(docs):
+            man = write_minhash_index(
+                docs.select("doc_id", "text"), mhidx_path,
+                num_hashes=16, threshold=0.8, n_buckets=256,
+            )
+            assert man["n_docs"] > 0
+
+        def run_mhidx_probe(docs):
+            batch = docs.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
+            )
+            n = probe_minhash_index(
+                spark, mhidx_path, batch, threshold=0.9
+            ).count()
+            assert n >= 100, n  # every copied doc finds its original
 
         cases = {
             "profile_lineitem": lambda: profile_table(spark, "lineitem"),
@@ -442,6 +465,19 @@ def main() -> None:
                     ),
                 )
             ),
+            # lossless AllPairs prefix-filter join (r8): the
+            # replica-suffixed corpus keeps the dup fraction constant,
+            # so candidate volume — and the true pair set — grow
+            # ~linearly; expect ~linear
+            "allpairs_jaccard": lambda: _force(
+                allpairs_jaccard_pairs(views["documents"], threshold=0.8)
+            ),
+            # stored minhash index (r8): build cost is the corpus sign
+            # pass (~linear); the PROBE of a CONSTANT 100-doc batch is
+            # the money cell — file-listing pruning should keep it
+            # near-flat while the indexed corpus grows 10×
+            "mhidx_build": lambda: run_mhidx_build(views["documents"]),
+            "mhidx_probe_100": lambda: run_mhidx_probe(views["documents"]),
             # the 2-col Z-order layout pass: stats + range shuffle +
             # in-file sort + real parquet write (the write IS the op)
             "zorder_shuffle": lambda: write_zordered(
