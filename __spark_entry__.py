@@ -911,7 +911,13 @@ def q_language_id(spark, sf_dir):
     from sparvi_core_spark.functions.text import language_id
 
     t = _views(spark, sf_dir)
-    return language_id(t["documents"].filter(F.col("doc_id") < 50))
+    # pinned to the stopword tier explicitly: this query's DuckDB
+    # oracle re-derives the stopword gate, and the API default flipped
+    # to 'ngram' in round 9 (the ngram tier is pinned by the demoted
+    # pair `langid_ngram`)
+    return language_id(
+        t["documents"].filter(F.col("doc_id") < 50), strategy="stopword"
+    )
 
 
 def q_quality_scores(spark, sf_dir):
@@ -2308,12 +2314,14 @@ blocks AS (
                regexp_replace(
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(html,
-                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                       '(?s)<!--.*?-->', ' ', 'g'),
-                   '{_MC_BLOCK_RE}', chr(10), 'g'),
-               chr(10)) AS bs
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                       '[\\s\x1e]+', ' ', 'g'),
+                   '{_MC_BLOCK_RE}', chr(30), 'g'),
+               chr(30)) AS bs
     FROM pages
 ),
 scored AS (

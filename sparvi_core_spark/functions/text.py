@@ -385,7 +385,15 @@ def main_content(
     c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    blocks = F.split(F.regexp_replace(c, _BLOCK_TAG_RE, "\n"), "\n")
+    # collapse pre-existing whitespace FIRST: literal newlines in the
+    # source (hard-wrapped prose, pretty-printed markup) are rendering
+    # whitespace, not block boundaries — without this, wrapped
+    # paragraph lines shorter than min_chars were silently dropped
+    # mid-paragraph (round-9 ADVICE).  \x1e is folded into the same
+    # collapse so the record-separator sentinel below cannot pre-exist
+    # in the input.
+    c = F.regexp_replace(c, "[\\s\x1e]+", " ")
+    blocks = F.split(F.regexp_replace(c, _BLOCK_TAG_RE, "\x1e"), "\x1e")
 
     def _plain(b):
         t = F.regexp_replace(b, r"</?[a-zA-Z][^>]*>", " ")
@@ -601,21 +609,23 @@ def language_id(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    strategy: str = "stopword",
+    strategy: str = "ngram",
     model=None,
 ) -> DataFrame:
     """Per-doc language prediction → ``(id, predicted_lang)``.
 
-    ``strategy="stopword"`` (default): the cheap 5-language stopword
-    gate — whole-token matches over whitespace words, so it CANNOT see
-    unsegmented scripts (zh/ja text without spaces scores 0 — use the
-    ngram tier for those).
+    ``strategy="ngram"`` (default): the char-n-gram Naive Bayes
+    identifier (``model`` defaults to :func:`train_langid` on the
+    built-in 12-language seeds) — sees every script, including
+    unsegmented Chinese/Japanese, because features are characters,
+    not words.  Docs with no features (NULL/empty/whitespace-only)
+    → ``und``.
 
-    ``strategy="ngram"``: the char-n-gram Naive Bayes identifier
-    (``model`` defaults to :func:`train_langid` on the built-in
-    12-language seeds) — sees every script, including unsegmented
-    Chinese/Japanese, because features are characters, not words.
-    Docs with no features (NULL/empty/whitespace-only) → ``und``.
+    ``strategy="stopword"``: the explicit opt-in fast path — a
+    5-language whole-token stopword gate over whitespace words.  It is
+    structurally blind to unsegmented scripts (zh/ja text without
+    spaces scores 0 → ``und``), so it is NOT the default; use it only
+    as a cheap pre-gate on corpora known to be space-segmented.
     """
     if strategy == "stopword":
         return df.select(

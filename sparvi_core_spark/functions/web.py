@@ -701,15 +701,35 @@ def robots_allowed(
     allow wins length ties; no matching rule — or no robots.txt for
     the host at all — means allowed.
 
-    Scale shape: the rule table is per-host config (broadcast); each
-    URL fans out only by its own host's group size. The per-row regex
-    match is the cost of REP wildcards — rule tables are small, the
-    corpus side stays one pass."""
-    for c in ("__rid", "__path", "__host"):
+    Matching is over the path as extracted from the URL — no
+    percent-encoding normalization is applied, so a rule written as
+    ``/caf%C3%A9/`` only matches URLs carrying the same encoded
+    spelling (RFC 9309 matches over the percent-encoded octets;
+    canonicalize both sides upstream if your corpus mixes encodings).
+
+    Scale shape: each host's group folds to ONE broadcast row holding
+    its rule array, so the corpus side is a single map-only pass — no
+    fan-out, no row-id, no verdict shuffle; the winner is picked by a
+    higher-order ``filter``/``array_max`` over the (tiny, per-host)
+    rule array. The per-element regex match is the cost of REP
+    wildcards. Deterministic under task retry by construction (no
+    ``monotonically_increasing_id``)."""
+    for c in ("__path", "__host", "__rules", "__matched"):
         if c in urls.columns:
             raise ValueError(f"urls already has a {c!r} column")
     group = _robots_group(rules, agent).withColumn(
         "__rx", _robots_pattern_regex(F.col("pattern"))
+    )
+    # one row per host: the applicable group's rules as an array of
+    # (plen, allow, rx) structs — per-host config, broadcast-small
+    host_rules = group.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("pattern").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("__rx").alias("rx"),
+            )
+        ).alias("__rules")
     )
     path = F.coalesce(
         F.nullif(url_path(url_col), F.lit("")), F.lit("/")
@@ -718,30 +738,30 @@ def robots_allowed(
     pathq = F.when(q == "", path).otherwise(
         F.concat(path, F.lit("?"), q)
     )
-    keyed = urls.withColumn(
-        "__rid", F.monotonically_increasing_id()
-    ).withColumn("__host", url_host(url_col)).withColumn("__path", pathq)
+    keyed = urls.withColumn("__host", url_host(url_col)).withColumn(
+        "__path", pathq
+    )
     j = keyed.join(
-        F.broadcast(group), keyed["__host"] == group["host"], "left"
+        F.broadcast(host_rules),
+        keyed["__host"] == host_rules["host"],
+        "left",
+    ).drop(host_rules["host"])
+    # matching rules, reduced to (plen, allow); array_max's struct
+    # ordering IS the RFC rule: longest pattern first, and on a length
+    # tie true > false so allow wins
+    j = j.withColumn(
+        "__matched",
+        F.expr(
+            "transform(filter(__rules, r -> __path rlike r.rx),"
+            " r -> struct(r.plen AS plen, r.allow AS allow))"
+        ),
     )
-    hit = F.expr("__path rlike __rx")
-    verdict = (
-        j.filter(F.col("pattern").isNotNull() & hit)
-        .groupBy("__rid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.length("pattern").alias("plen"),
-                    F.col("allow").alias("allow"),
-                )
-            ).alias("__w")
-        )
-        .select("__rid", F.col("__w.allow").alias("__allow"))
-    )
-    return (
-        keyed.join(verdict, "__rid", "left")
-        .withColumn(out, F.coalesce(F.col("__allow"), F.lit(True)))
-        .drop("__rid", "__host", "__path", "__allow")
+    verdict = F.when(
+        F.col("__matched").isNull() | (F.size("__matched") == 0),
+        F.lit(True),
+    ).otherwise(F.array_max("__matched")["allow"])
+    return j.withColumn(out, verdict).drop(
+        "__host", "__path", "__rules", "__matched"
     )
 
 

@@ -339,6 +339,10 @@ def search_binary_index(
         engine=engine,
         dim=manifest["dim"],
     ).filter(F.col("sketch").isNotNull())
+    # queries are small by contract, but the prefix collect below is an
+    # action over qsk and the returned top-k plan re-sketches the same
+    # queries — one cheap checkpoint makes the sketch pass run once
+    qsk = qsk.localCheckpoint()
 
     if prefix_bits and radius is not None and radius < prefix_bits:
         # queries are the small side by contract: their distinct

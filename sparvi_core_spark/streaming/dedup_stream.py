@@ -152,14 +152,27 @@ def novelty_stream_fuzzy(
     MinHash signatures are a per-doc aggregation, which Structured
     Streaming can't express stream-natively (the reason
     :func:`novelty_stream_exact` exists for the exact tier), so this
-    runs through ``foreachBatch`` like the ANN index sinks. Same
-    replay-skip commit semantics: the index manifest records
-    ``last_stream_batch_id`` and a replayed batch is skipped whole, so
-    the common replay (append landed, checkpoint didn't) is
-    exactly-once into BOTH the sink and the index. Batch-internal
-    duplicates are out of scope (they arrive together — the batch
-    dedup ops own them); a doc near-duplicating only same-batch peers
-    is admitted once with its peers.
+    runs through ``foreachBatch`` like the ANN index sinks. Replay
+    safety is idempotence, in three layers: (1) the index manifest
+    records ``last_stream_batch_id``, so a batch replayed after a full
+    commit is skipped whole; (2) the sink lands each batch under its
+    own ``batch_id=N`` partition directory with overwrite, so a replay
+    that re-runs the batch rewrites the same directory instead of
+    appending duplicate rows; (3) survivors are screened through
+    ``filter_unindexed_ids`` before the index append, so a crash in
+    the window between the sink/index writes and the manifest commit
+    re-appends nothing on replay (the probe's self-id exclusion would
+    otherwise re-admit the same survivors). A crash in the MIDDLE of
+    an index append (band store written, sig store not) is the
+    stores' own crash-repair domain — run ``repair_minhash_index``
+    before restarting the stream after an unclean stop.
+    Batch-internal duplicates are out of scope (they arrive together —
+    the batch dedup ops own them); a doc near-duplicating only
+    same-batch peers is admitted once with its peers.
+
+    Readers see the sink as ordinary partitioned parquet
+    (``spark.read.parquet(sink_path)``) with a synthesized
+    ``batch_id`` column for provenance.
 
     Returns the started ``StreamingQuery``. The index must already
     exist (``write_minhash_index``); single writer per index path, as
@@ -176,6 +189,7 @@ def novelty_stream_fuzzy(
             MANIFEST,
             append_minhash_index,
             filter_new_against_index,
+            filter_unindexed_ids,
         )
 
         if batch_df.isEmpty():
@@ -187,9 +201,17 @@ def novelty_stream_fuzzy(
         survivors = filter_new_against_index(
             spark, index_path, batch_df, threshold, max_bucket
         ).localCheckpoint()  # screen ONCE; sink and index see one answer
-        survivors.write.mode("append").parquet(sink_path)
+        # idempotent sink: a replayed batch rewrites its own partition
+        # directory instead of appending duplicates
+        survivors.write.mode("overwrite").parquet(
+            f"{sink_path}/batch_id={int(batch_id)}"
+        )
         if grow_index:
-            man = append_minhash_index(spark, index_path, survivors)
+            # idempotent index append: ids already at rest (a replay
+            # whose append landed before the crash) are dropped, so
+            # re-running the batch re-appends nothing
+            to_index = filter_unindexed_ids(spark, index_path, survivors)
+            man = append_minhash_index(spark, index_path, to_index)
         else:
             man = manifest
         man["last_stream_batch_id"] = int(batch_id)

@@ -284,6 +284,69 @@ def test_novelty_stream_fuzzy_grows_and_screens(spark, tmp_path):
     assert man["last_stream_batch_id"] == 1
 
 
+def test_write_minhash_index_rejects_append_mode(spark, tmp_path):
+    """mode='append' on the fresh-index writer is a trap (whole-store
+    stats recount, no cross-call id check) — it must raise and point
+    at append_minhash_index."""
+    docs = _corpus(spark, n=10, seed=3)
+    with pytest.raises(ValueError, match="append_minhash_index"):
+        write_minhash_index(
+            docs, str(tmp_path / "idx"), num_hashes=8, bands=4, mode="append"
+        )
+
+
+def test_stream_replay_window_is_idempotent(spark, tmp_path):
+    """The crash window the round-9 ADVICE flagged: sink + index
+    append landed, manifest's last_stream_batch_id did NOT.  A replay
+    of the same micro-batch must re-land the same sink rows (not
+    duplicates) and re-append nothing to the index."""
+    import json
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        filter_unindexed_ids,
+    )
+
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=30, seed=3), idx, num_hashes=8, bands=4, n_buckets=16
+    )
+    rnd = random.Random(77)
+    batch = spark.createDataFrame(
+        [(500, _doc(rnd)), (501, _doc(rnd))], "doc_id long, text string"
+    )
+    sink = str(tmp_path / "sink")
+
+    def run_batch_body():
+        # the foreachBatch body of novelty_stream_fuzzy, sans the
+        # manifest batch-id commit — i.e. the crash window itself
+        survivors = filter_new_against_index(spark, idx, batch, 0.9)
+        survivors.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
+        to_index = filter_unindexed_ids(spark, idx, survivors)
+        append_minhash_index(spark, idx, to_index)
+
+    run_batch_body()
+    landed1 = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    man1 = json.loads(_read_text(spark, idx, MANIFEST))
+    assert landed1 == [500, 501]
+    assert man1["n_docs"] == 32
+
+    run_batch_body()  # the replay
+    landed2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    man2 = json.loads(_read_text(spark, idx, MANIFEST))
+    assert landed2 == landed1  # sink rewritten, not duplicated
+    assert man2["n_docs"] == 32  # index unchanged
+    assert man2["rows_per_bucket"] == man1["rows_per_bucket"]
+    assert man2["sig_rows_per_bucket"] == man1["sig_rows_per_bucket"]
+    # and the screen itself reports nothing left to append
+    assert filter_unindexed_ids(spark, idx, batch).count() == 0
+
+
 def test_compact_after_appends_preserves_answers(spark, tmp_path):
     """Three appended generations fragment both stores; compaction
     folds each bucket back to one file, the manifest still matches

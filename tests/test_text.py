@@ -24,12 +24,30 @@ def texts(spark):
 
 
 def test_language_id(texts):
-    got = {r["id"]: r["predicted_lang"] for r in language_id(texts).collect()}
+    got = {
+        r["id"]: r["predicted_lang"]
+        for r in language_id(texts, strategy="stopword").collect()
+    }
     assert got[0] == "en"
     assert got[1] == "fr"
     assert got[2] == "es"
     assert got[3] == "de"
     assert got[4] == "und"
+
+
+def test_language_id_default_is_ngram(spark):
+    """The API default is the ngram tier (round 9): a default-path call
+    on unsegmented Chinese — the input the stopword tier is blind to —
+    must return 'zh', proving no caller gets the dead-on-zh gate
+    without asking for it."""
+    df = spark.createDataFrame(
+        [(0, "这是一个没有任何空格的中文句子所以按词匹配永远失败"),
+         (1, None)],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert got[0] == "zh"
+    assert got[1] == "und"
 
 
 def test_language_id_ngram_recovers_planted_languages(spark):
@@ -74,7 +92,7 @@ def test_language_id_stopword_zh_limitation_documented(spark):
         [(0, "这是一个没有任何空格的中文句子所以按词匹配永远失败")],
         "doc_id long, text string",
     )
-    stop = language_id(df).collect()[0]["predicted_lang"]
+    stop = language_id(df, strategy="stopword").collect()[0]["predicted_lang"]
     ngram = language_id(df, strategy="ngram").collect()[0]["predicted_lang"]
     assert stop == "und"
     assert ngram == "zh"
@@ -904,3 +922,34 @@ def test_main_content_null_and_linkfarm(spark):
                                main_content("text").alias("m")).collect()}
     assert rows[1] is None
     assert rows[2] == ""  # long but ~100% link chars -> dropped
+
+
+def test_main_content_hard_wrapped_prose_is_one_block(spark):
+    """Literal newlines in the HTML source (hard-wrapped prose,
+    pretty-printed markup) are rendering whitespace, NOT block
+    boundaries: a paragraph hard-wrapped into short source lines must
+    survive as one block, and link density must be scored per block,
+    not per source line (round-9 ADVICE fix)."""
+    from sparvi_core_spark.functions.text import main_content
+
+    # every source line is < 25 chars, so per-line splitting would
+    # drop the whole paragraph; as one block it clears the floor
+    wrapped = ("<p>The quick brown\nfox jumps over\nthe lazy dog and\n"
+               "keeps on running\nacross the field.</p>")
+    # pretty-printed markup: newlines between tags, one real paragraph
+    pretty = ("<div>\n  <p>\n    A single real paragraph that is "
+              "plenty long enough to keep.\n  </p>\n</div>")
+    # a \x1e in the input must not fabricate a block boundary
+    ctl = ("<p>Control char \x1e inside prose does not split this "
+           "long-enough paragraph in two.</p>")
+    df = spark.createDataFrame(
+        [(1, wrapped), (2, pretty), (3, ctl)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["m"]
+            for r in df.select("doc_id",
+                               main_content("text").alias("m")).collect()}
+    assert rows[1] == ("The quick brown fox jumps over the lazy dog and "
+                       "keeps on running across the field.")
+    assert rows[2] == ("A single real paragraph that is plenty long "
+                       "enough to keep.")
+    assert "\n" not in rows[3] and rows[3].startswith("Control char")
