@@ -1132,14 +1132,32 @@ def dedup_index_screen(source, table, index_path, threshold, max_bucket,
 @click.argument("index_path")
 @click.option("--cpus", default=None, help="local[N] cores")
 def dedup_index_compact(index_path, cpus):
-    """Fold appended small files back to one per bucket (both stores;
-    journaled, crash-healed). Run in the append maintenance window."""
+    """Fold pending deletes, then appended small files, back to one
+    file per bucket (both stores; journaled, crash-healed). Run in
+    the append maintenance window."""
     from sparvi_core_spark.sources.minhash_index import (
         compact_minhash_index,
     )
 
     spark = _session(cpus)
     stats = compact_minhash_index(spark, index_path)
+    click.echo(json.dumps(stats))
+
+
+@dedup_index.command("delete")
+@click.argument("index_path")
+@click.option("--id", "ids", multiple=True, required=True,
+              help="Document id to delete (repeatable)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_delete(index_path, ids, cpus):
+    """Takedown: tombstone ids (probes exclude them immediately);
+    the next `dedup-index compact` purges them physically."""
+    from sparvi_core_spark.sources.minhash_index import (
+        delete_from_minhash_index,
+    )
+
+    spark = _session(cpus)
+    stats = delete_from_minhash_index(spark, index_path, list(ids))
     click.echo(json.dumps(stats))
 
 

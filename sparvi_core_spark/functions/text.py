@@ -459,6 +459,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "he asked whether they would come back before the end of the week",
         "the old man sat by the window and watched the street below",
         "there are always more questions than answers in this world",
+        "the cars were moving too fast along the wet city street",
+        "when we reached the beach there was nowhere left to sit down",
+        "the doctor said that he needed to rest for a few days",
+        "before the meeting starts we have to prepare the documents",
+        "that afternoon the neighbours went out together to walk in the park",
     ],
     "fr": [
         "le temps était froid et les enfants sont restés dans la maison",
@@ -471,6 +476,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "il a demandé si elles reviendraient avant la fin de la semaine",
         "le vieil homme était assis près de la fenêtre et regardait la rue",
         "il y a toujours plus de questions que de réponses dans ce monde",
+        "les voitures passaient trop vite dans la rue mouillée de la ville",
+        "quand nous sommes arrivés à la plage il ne restait plus de place",
+        "le médecin a dit quil devait se reposer pendant quelques jours",
+        "avant que la réunion commence nous devons préparer les documents",
+        "cet après midi les voisins sont sortis ensemble se promener au parc",
     ],
     "es": [
         "el tiempo estaba frío y los niños se quedaron dentro de la casa",
@@ -483,6 +493,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "él preguntó si ellas volverían antes del fin de la semana",
         "el hombre viejo estaba sentado junto a la ventana mirando la calle",
         "siempre hay más preguntas que respuestas en este mundo nuestro",
+        "los coches pasaban muy deprisa por la calle mojada de la ciudad",
+        "cuando llegamos a la playa ya no quedaba sitio para sentarse",
+        "el médico dijo que necesitaba descansar durante algunos días",
+        "antes de que empiece la reunión tenemos que preparar los papeles",
+        "aquella tarde los vecinos salieron juntos a pasear por el parque",
     ],
     "de": [
         "das wetter war kalt und die kinder blieben im haus",
@@ -495,6 +510,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "er fragte ob sie vor dem ende der woche zurückkommen würden",
         "der alte mann sass am fenster und schaute auf die strasse hinunter",
         "es gibt immer mehr fragen als antworten auf dieser welt",
+        "die autos fuhren viel zu schnell über die nasse strasse der stadt",
+        "als wir am strand ankamen gab es keinen platz mehr zum sitzen",
+        "der arzt sagte dass er sich einige tage ausruhen müsse",
+        "bevor die besprechung beginnt müssen wir die unterlagen vorbereiten",
+        "an jenem nachmittag gingen die nachbarn zusammen im park spazieren",
     ],
     "it": [
         "il tempo era freddo e i bambini sono rimasti dentro casa",
@@ -507,6 +527,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "lui ha chiesto se sarebbero tornate prima della fine della settimana",
         "il vecchio era seduto vicino alla finestra e guardava la strada",
         "ci sono sempre più domande che risposte in questo mondo",
+        "le macchine passavano troppo veloci sulla strada bagnata della città",
+        "quando siamo arrivati alla spiaggia non era rimasto posto per sedersi",
+        "il medico ha detto che doveva riposare per qualche giorno",
+        "prima che cominci la riunione dobbiamo preparare i documenti",
+        "quel pomeriggio i vicini sono usciti insieme a passeggiare nel parco",
     ],
     "pt": [
         "o tempo estava frio e as crianças ficaram dentro de casa",
@@ -519,6 +544,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "ele perguntou se elas voltariam antes do fim da semana",
         "o velho estava sentado junto à janela olhando para a rua",
         "há sempre mais perguntas do que respostas neste mundo",
+        "os carros passavam depressa demais pela rua molhada da cidade",
+        "quando chegamos à praia já não havia lugar para nos sentarmos",
+        "o médico disse que ele precisava descansar durante alguns dias",
+        "antes de começar a reunião temos que preparar os documentos",
+        "naquela tarde os vizinhos saíram juntos para passear no parque",
     ],
     "nl": [
         "het weer was koud en de kinderen bleven binnen in het huis",
@@ -531,6 +561,11 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "hij vroeg of ze voor het einde van de week terug zouden komen",
         "de oude man zat bij het raam en keek naar de straat beneden",
         "er zijn altijd meer vragen dan antwoorden in deze wereld",
+        "de autos reden veel te hard over de natte straat van de stad",
+        "toen we bij het strand aankwamen was er geen plek meer om te zitten",
+        "de dokter zei dat hij een paar dagen moest uitrusten",
+        "voordat de vergadering begint moeten we de stukken voorbereiden",
+        "die middag gingen de buren samen wandelen in het park",
     ],
     "ru": [
         "погода была холодная и дети остались дома весь день",
@@ -539,6 +574,10 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "многие люди считают что чтение книг делает жизнь лучше",
         "поезд пришел поздно из за сильного снега прошлой ночью",
         "мы должны встретиться снова завтра после работы если у тебя есть время",
+        "ничего не росло в саду потому что давно не было дождя",
+        "он спросил вернутся ли они до конца этой недели",
+        "старик сидел у окна и смотрел на улицу внизу",
+        "в этом мире всегда больше вопросов чем ответов",
     ],
     "ar": [
         "كان الطقس باردا وبقي الاطفال داخل المنزل طوال اليوم",
@@ -547,6 +586,10 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "يعتقد كثير من الناس ان قراءة الكتب تجعل الحياة افضل",
         "وصل القطار متاخرا بسبب الثلوج الكثيفة الليلة الماضية",
         "يجب ان نلتقي مرة اخرى غدا بعد العمل اذا كان لديك وقت",
+        "لم ينمو شيء في الحديقة لانها لم تمطر منذ اسابيع",
+        "سال الرجل هل سيعودون قبل نهاية هذا الاسبوع",
+        "جلس الرجل العجوز قرب النافذة ينظر الى الشارع",
+        "في هذا العالم توجد دائما اسئلة اكثر من الاجوبة",
     ],
     "zh": [
         "天气很冷孩子们整天都待在家里没有出门",
@@ -555,6 +598,10 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "很多人认为读书可以让生活变得更加美好",
         "因为昨晚下了大雪火车到站的时间晚了很多",
         "如果你明天下班以后有时间我们应该再见一面",
+        "花园里什么都没有长出来因为好几个星期没有下雨了",
+        "他问她们会不会在这个星期结束之前回来",
+        "老人坐在窗户旁边看着下面街道上来往的行人",
+        "这个世界上的问题总是比答案要多得多",
     ],
     "ja": [
         "天気が寒かったので子供たちは一日中家の中にいました",
@@ -563,6 +610,10 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "多くの人は本を読むことで生活が良くなると信じています",
         "昨夜の大雪のせいで電車はとても遅れて到着しました",
         "もし明日仕事の後に時間があればまた会いましょう",
+        "何週間も雨が降らなかったので庭には何も育ちませんでした",
+        "彼は彼女たちが今週の終わりまでに戻るかどうか尋ねました",
+        "老人は窓のそばに座って下の通りを眺めていました",
+        "この世界にはいつも答えよりも質問のほうが多いのです",
     ],
     "ko": [
         "날씨가 추워서 아이들은 하루 종일 집 안에 있었다",
@@ -571,6 +622,91 @@ LANGID_SEEDS: dict[str, list[str]] = {
         "많은 사람들은 책을 읽으면 삶이 더 좋아진다고 믿는다",
         "어젯밤 폭설 때문에 기차가 많이 늦게 도착했다",
         "내일 퇴근 후에 시간이 있으면 우리 다시 만나요",
+        "몇 주 동안 비가 오지 않아서 정원에는 아무것도 자라지 않았다",
+        "그는 그들이 이번 주말 전에 돌아올지 물어보았다",
+        "노인은 창가에 앉아 아래 거리를 내려다보고 있었다",
+        "이 세상에는 언제나 대답보다 질문이 더 많다",
+    ],
+}
+
+# Held-out evaluation corpus: authored sentences per language that do
+# NOT appear in LANGID_SEEDS (same authorship rules: lowercase, no
+# apostrophes), deliberately weighted toward the CLOSE pairs (pt/es,
+# nl/de, es/it) where a char-n-gram identifier actually fails. This is
+# the acceptance bar for seed/model changes — langid_eval() measures
+# the confusion matrix over it, and a test pins the macro accuracy.
+LANGID_HELDOUT: dict[str, list[str]] = {
+    "en": [
+        "a small dog ran across the road before the cars could stop",
+        "my sister always drinks her coffee black in the early morning",
+        "they finished the project two days before anyone expected it",
+        "the library closes early on sundays during the summer months",
+    ],
+    "fr": [
+        "un petit chien a traversé la route avant que les voitures arrivent",
+        "ma soeur boit toujours son café noir très tôt le matin",
+        "ils ont fini le projet deux jours plus tôt que prévu",
+        "la bibliothèque ferme plus tôt le dimanche pendant les mois dété",
+    ],
+    "es": [
+        "un perro pequeño cruzó la calle antes de que pasaran los coches",
+        "mi hermana siempre toma su café solo por la mañana temprano",
+        "terminaron el proyecto dos días antes de lo que nadie esperaba",
+        "la biblioteca cierra temprano los domingos durante el verano",
+    ],
+    "de": [
+        "ein kleiner hund lief über die strasse bevor die autos kamen",
+        "meine schwester trinkt ihren kaffee morgens immer schwarz",
+        "sie beendeten das projekt zwei tage früher als erwartet",
+        "die bibliothek schliesst sonntags im sommer früher als sonst",
+    ],
+    "it": [
+        "un piccolo cane ha attraversato la strada prima delle macchine",
+        "mia sorella beve sempre il suo caffè nero la mattina presto",
+        "hanno finito il progetto due giorni prima del previsto",
+        "la biblioteca chiude presto la domenica durante i mesi estivi",
+    ],
+    "pt": [
+        "um cachorro pequeno atravessou a rua antes dos carros chegarem",
+        "minha irmã sempre bebe o café dela puro de manhã cedo",
+        "eles terminaram o projeto dois dias antes do que todos esperavam",
+        "a biblioteca fecha cedo aos domingos durante os meses de verão",
+    ],
+    "nl": [
+        "een kleine hond rende de weg over voordat de autos eraan kwamen",
+        "mijn zus drinkt haar koffie altijd zwart in de vroege ochtend",
+        "ze maakten het project twee dagen eerder af dan iedereen dacht",
+        "de bibliotheek sluit op zondag vroeger tijdens de zomermaanden",
+    ],
+    "ru": [
+        "маленькая собака перебежала дорогу перед самыми машинами",
+        "моя сестра всегда пьет черный кофе рано утром перед работой",
+        "они закончили проект на два дня раньше чем все ожидали",
+        "библиотека закрывается рано по воскресеньям летом",
+    ],
+    "ar": [
+        "ركض كلب صغير عبر الطريق قبل ان تصل السيارات",
+        "اختي تشرب قهوتها دائما بدون سكر في الصباح الباكر",
+        "انهوا المشروع قبل يومين مما كان يتوقعه الجميع",
+        "تغلق المكتبة ابوابها مبكرا ايام الاحد في الصيف",
+    ],
+    "zh": [
+        "一只小狗在汽车开过来之前跑过了那条马路",
+        "我姐姐每天清早都喝不加糖的黑咖啡",
+        "他们比所有人预计的提前两天完成了这个项目",
+        "图书馆在夏天的每个星期天都会提前关门",
+    ],
+    "ja": [
+        "小さな犬が車が来る前に道路を走って渡りました",
+        "私の姉は毎朝早くブラックコーヒーを飲みます",
+        "彼らは誰の予想よりも二日早くその計画を終えました",
+        "図書館は夏の日曜日にはいつもより早く閉まります",
+    ],
+    "ko": [
+        "작은 개 한 마리가 차들이 오기 전에 길을 건너 뛰어갔다",
+        "우리 언니는 아침 일찍 항상 블랙 커피를 마신다",
+        "그들은 모두가 예상한 것보다 이틀 일찍 프로젝트를 끝냈다",
+        "도서관은 여름 동안 일요일마다 일찍 문을 닫는다",
     ],
 }
 
@@ -652,6 +788,81 @@ def language_id(
         .otherwise(F.col("label"))
         .alias("predicted_lang"),
     )
+
+
+def langid_confusion(
+    spark,
+    heldout: dict[str, list[str]] | None = None,
+    model=None,
+) -> DataFrame:
+    """Confusion matrix of the ngram language identifier over a
+    labeled held-out corpus → ``(true_lang, predicted_lang, n)``.
+    ``heldout`` defaults to the built-in :data:`LANGID_HELDOUT`
+    (disjoint from the training seeds, weighted toward the close
+    pairs pt/es, nl/de, es/it); pass your own ``{lang: [sentences]}``
+    to evaluate a production seed set. The eval corpus is tiny by
+    design — this runs in seconds and is the acceptance bar for any
+    seed or featurizer change (see ``langid_eval`` for the scalar
+    summary and the regression test that pins it)."""
+    heldout = LANGID_HELDOUT if heldout is None else heldout
+    rows = [
+        (i, lang, s)
+        for i, (lang, s) in enumerate(
+            (lang, s) for lang in sorted(heldout) for s in heldout[lang]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, true_lang string, text string"
+    )
+    preds = language_id(df, strategy="ngram", model=model)
+    return (
+        df.select(F.col("doc_id").alias("id"), "true_lang")
+        .join(preds, "id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+def langid_eval(
+    spark,
+    heldout: dict[str, list[str]] | None = None,
+    model=None,
+) -> dict:
+    """Scalar summary of :func:`langid_confusion`:
+    ``{"macro_accuracy", "micro_accuracy", "n", "per_lang": {lang:
+    accuracy}, "confusions": [(true, predicted, n), ...]}`` (only
+    off-diagonal cells listed in ``confusions``). Macro = unweighted
+    mean of per-language accuracy — the number the regression test
+    pins, so a seed change that silently breaks one language cannot
+    hide behind the others."""
+    cells = langid_confusion(spark, heldout, model).collect()
+    per_lang_total: dict[str, int] = {}
+    per_lang_hit: dict[str, int] = {}
+    confusions = []
+    for r in cells:
+        t, p, n = r["true_lang"], r["predicted_lang"], int(r["n"])
+        per_lang_total[t] = per_lang_total.get(t, 0) + n
+        if t == p:
+            per_lang_hit[t] = per_lang_hit.get(t, 0) + n
+        else:
+            confusions.append((t, p, n))
+    per_lang = {
+        t: round(per_lang_hit.get(t, 0) / per_lang_total[t], 4)
+        for t in sorted(per_lang_total)
+    }
+    n = sum(per_lang_total.values())
+    return {
+        "macro_accuracy": round(
+            sum(per_lang.values()) / len(per_lang), 4
+        ) if per_lang else 0.0,
+        "micro_accuracy": round(
+            sum(per_lang_hit.values()) / n, 4
+        ) if n else 0.0,
+        "n": n,
+        "per_lang": per_lang,
+        "confusions": sorted(confusions),
+    }
 
 
 def vocab_coverage(

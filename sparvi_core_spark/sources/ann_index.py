@@ -49,6 +49,7 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -56,6 +57,7 @@ MANIFEST = "_ivf_manifest.json"
 CENTROIDS_DIR = "_centroids"
 JOURNAL = "_compact_journal.json"
 TMP_DIR = "_compact_tmp"
+TOMBSTONES_DIR = "_tombstones"
 
 
 def _write_text(spark: SparkSession, dir_path: str, name: str, text: str):
@@ -121,6 +123,320 @@ def _require_unique_ids(df: DataFrame, id_col: str, what: str) -> int:
             f"index ids must be unique within a write/append batch"
         )
     return int(stats["n_rows"])
+
+
+WRITER_LOCK = "_writer.lock"
+# index roots whose lock THIS driver process currently holds — makes
+# writer_lock reentrant within one process (a streaming foreachBatch
+# that calls append under its own lock must not deadlock) while still
+# fencing a second PROCESS (e.g. a concurrent CLI `compact`)
+_HELD_LOCKS: set[str] = set()
+
+
+def _lock_is_stale(payload: dict) -> bool:
+    """A lock is stale when its holder was THIS host and the pid is
+    gone — the crash case. A lock from another host is never declared
+    stale automatically (no liveness signal); break it explicitly."""
+    import os
+    import socket
+
+    if payload.get("host") != socket.gethostname():
+        return False
+    pid = payload.get("pid")
+    if not isinstance(pid, int):
+        return True
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, owned by someone else
+
+
+def break_writer_lock(spark: SparkSession, path: str) -> dict | None:
+    """Forcibly remove an index's writer lock (operator verb for a
+    lock orphaned by a crash on another host). Returns the removed
+    lock's payload, or None if there was no lock."""
+    _, fs, mkpath = _index_fs(spark, path)
+    lp = mkpath(f"{path}/{WRITER_LOCK}")
+    if not fs.exists(lp):
+        return None
+    payload = json.loads(_read_text(spark, path, WRITER_LOCK))
+    fs.delete(lp, False)
+    _HELD_LOCKS.discard(path.rstrip("/"))
+    return payload
+
+
+@contextmanager
+def writer_lock(spark: SparkSession, path: str, op: str):
+    """Single-writer fence for a stored index root: create
+    ``_writer.lock`` with create-if-absent semantics; a second writer
+    process fails CLEANLY (naming the holder) instead of interleaving
+    file swaps and corrupting a store. Reentrant within one process.
+    A lock whose holder pid is dead on this host is auto-broken
+    (crash recovery); a lock from another host must be removed with
+    :func:`break_writer_lock`. Best-effort by design — object stores
+    without atomic create can still race pathologically; the lock
+    turns the overwhelmingly common accident (cron compact vs live
+    stream) into a clean error."""
+    import os
+    import socket
+    import time
+    import uuid
+
+    key = path.rstrip("/")
+    if key in _HELD_LOCKS:
+        yield
+        return
+    _, fs, mkpath = _index_fs(spark, path)
+    lp = mkpath(f"{path}/{WRITER_LOCK}")
+    payload = json.dumps(
+        {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "op": op,
+            "token": uuid.uuid4().hex,
+            "acquired_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+    )
+
+    def _try_create() -> bool:
+        try:
+            out = fs.create(lp, False)  # fails if the lock exists
+        except Exception:
+            return False
+        out.write(payload.encode("utf-8"))
+        out.close()
+        return True
+
+    if not _try_create():
+        try:
+            holder = json.loads(_read_text(spark, path, WRITER_LOCK))
+        except Exception:
+            holder = {}
+        if _lock_is_stale(holder) and fs.exists(lp):
+            fs.delete(lp, False)  # crashed same-host holder
+        if not _try_create():
+            raise RuntimeError(
+                f"index at {path} is locked by another writer "
+                f"(holder: {holder or 'unreadable'}); wait for it, or "
+                f"break_writer_lock() if it crashed on another host"
+            )
+    _HELD_LOCKS.add(key)
+    try:
+        yield
+    finally:
+        _HELD_LOCKS.discard(key)
+        if fs.exists(lp):
+            fs.delete(lp, False)
+
+
+def _locked(op: str):
+    """Decorator form of :func:`writer_lock` for mutating index verbs
+    whose signature starts ``(spark, path, ...)``."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, path, *args, **kwargs):
+            with writer_lock(spark, path, op):
+                return fn(spark, path, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def _locked_df_first(op: str):
+    """Same fence for verbs whose signature starts ``(df, path, ...)``
+    (the append family)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(df, path, *args, **kwargs):
+            with writer_lock(df.sparkSession, path, op):
+                return fn(df, path, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def _read_tombstones(
+    spark: SparkSession, path: str, id_col: str
+) -> DataFrame | None:
+    """Distinct tombstoned ids as a one-column frame named ``id_col``,
+    or None when the index has no ``_tombstones/`` store. The store is
+    tiny by design (delete requests, not corpus rows) — every consumer
+    broadcasts it."""
+    _, fs, mkpath = _index_fs(spark, path)
+    if not fs.exists(mkpath(f"{path}/{TOMBSTONES_DIR}")):
+        return None
+    df = spark.read.parquet(f"{path}/{TOMBSTONES_DIR}")
+    return df.select(F.col(df.columns[0]).alias(id_col)).distinct()
+
+
+def _normalize_delete_ids(
+    spark: SparkSession, ids, id_col: str, id_type
+) -> DataFrame:
+    """Accept a python sequence of id values or a DataFrame carrying
+    ``id_col``; return a distinct one-column frame typed like the
+    stored ids."""
+    if isinstance(ids, DataFrame):
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"ids frame is missing the index's id column {id_col!r}"
+            )
+        out = ids.select(id_col)
+    else:
+        ids = list(ids)
+        if not ids:
+            raise ValueError("delete called with no ids")
+        out = spark.createDataFrame([(i,) for i in ids], [id_col])
+    return out.select(
+        F.col(id_col).cast(id_type).alias(id_col)
+    ).distinct()
+
+
+def _append_tombstones(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str
+) -> int:
+    """Append NEW ids into ``_tombstones/`` (already-tombstoned ids
+    are not rewritten — delete is idempotent). Returns the total
+    distinct tombstone count after the append."""
+    existing = _read_tombstones(spark, path, id_col)
+    fresh = ids
+    n_existing = 0
+    if existing is not None:
+        existing = existing.localCheckpoint()  # counted AND anti-joined
+        n_existing = existing.count()
+        fresh = ids.join(F.broadcast(existing), id_col, "left_anti")
+    n_fresh = fresh.count()
+    if n_fresh:
+        fresh.coalesce(1).write.mode("append").parquet(
+            f"{path}/{TOMBSTONES_DIR}"
+        )
+    return n_existing + n_fresh
+
+
+def _clear_tombstones(spark: SparkSession, path: str):
+    _, fs, mkpath = _index_fs(spark, path)
+    p = mkpath(f"{path}/{TOMBSTONES_DIR}")
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _reject_tombstoned(
+    spark: SparkSession, path: str, batch: DataFrame, id_col: str, what: str
+):
+    """Appending an id that is tombstoned but not yet purged would
+    resurrect rows the pending purge then deletes — refuse with the
+    remedy in the message."""
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is None:
+        return
+    n = batch.join(F.broadcast(tomb), id_col, "left_semi").count()
+    if n:
+        raise ValueError(
+            f"{what} contains {n} id(s) that are tombstoned but not yet "
+            f"purged — run the index's compaction (which folds deletes) "
+            f"before re-using deleted ids"
+        )
+
+
+def _purge_cells(
+    spark: SparkSession,
+    root: str,
+    data: DataFrame,
+    id_col: str,
+    drop: DataFrame,
+    slice_salt: str,
+    fpb: int = 1,
+) -> dict:
+    """Journaled rewrite of exactly the cells holding rows whose id is
+    in ``drop``, excluding those rows — the physical half of
+    delete-by-id, sharing :func:`repair_ivf_index`'s swap protocol
+    (the caller must run repair on ``root`` first, and owns the
+    manifest). Verification is self-consistent rather than
+    manifest-based: the kept-row count expected from the locating scan
+    must equal the rewrite's observed row count, so a purge re-run
+    after a crash (when the manifest may be stale) still verifies.
+    Cost: one column-pruned (id, bucket) scan of the store to locate
+    touched cells, then a rewrite of ONLY those cells. Returns
+    ``{"cells_rewritten", "rows_dropped", "rows_kept"}``."""
+    from pyspark.sql import Observation
+
+    _, fs, mkpath = _index_fs(spark, root)
+    marked = drop.withColumn("__del", F.lit(True))
+    per_cell = (
+        data.join(F.broadcast(marked), id_col, "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("__del"), 1)).alias("dropped"),
+        )
+        .filter(F.col("dropped") > 0)
+        .collect()
+    )
+    if not per_cell:
+        return {"cells_rewritten": 0, "rows_dropped": 0, "rows_kept": 0}
+    cells = sorted(int(r["bucket"]) for r in per_cell)
+    rows_dropped = sum(int(r["dropped"]) for r in per_cell)
+    expected_kept = sum(int(r["total"]) - int(r["dropped"]) for r in per_cell)
+    old_files = {str(b): _cell_files(fs, mkpath, root, b) for b in cells}
+    obs = Observation()
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(slice_salt)), F.lit(fpb)
+    )
+    tmp = f"{root}/{TMP_DIR}"
+    (
+        data.filter(F.col("bucket").isin(cells))
+        .join(F.broadcast(drop), id_col, "left_anti")
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    kept = int(obs.get["rows"])
+    if kept != expected_kept:
+        fs.delete(mkpath(tmp), True)
+        raise ValueError(
+            f"purge rewrite kept {kept} rows where the locating scan "
+            f"expected {expected_kept} for cells {cells} — store left "
+            f"untouched (concurrent writer?)"
+        )
+    produced = {b: _cell_files(fs, mkpath, tmp, b) for b in cells}
+    journal = {
+        "cells": {
+            str(b): {"new": produced[b], "old": old_files[str(b)]}
+            for b in cells
+        }
+    }
+    _write_text(spark, root, JOURNAL, json.dumps(journal))
+    for b in cells:
+        for name in produced[b]:
+            fs.rename(
+                mkpath(f"{tmp}/bucket={b}/{name}"),
+                mkpath(f"{root}/bucket={b}/{name}"),
+            )
+    for b in cells:
+        for old in old_files[str(b)]:
+            fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
+    if fs.exists(mkpath(tmp)):
+        fs.delete(mkpath(tmp), True)
+    fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
+    return {
+        "cells_rewritten": len(cells),
+        "rows_dropped": rows_dropped,
+        "rows_kept": kept,
+    }
 
 
 def write_ivf_index(
@@ -201,6 +517,7 @@ def write_ivf_index(
     return manifest
 
 
+@_locked_df_first("append")
 def append_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -334,6 +651,7 @@ def repair_ivf_index(spark: SparkSession, path: str) -> dict:
     return {"action": action}
 
 
+@_locked("compact")
 def compact_ivf_index(
     spark: SparkSession,
     path: str,

@@ -53,9 +53,18 @@ from itertools import combinations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparvi_core_spark.sources.ann_index import (
+    _append_tombstones,
+    _locked,
+    _clear_tombstones,
+    _compact_cells,
+    _normalize_delete_ids,
+    _purge_cells,
     _read_text,
+    _read_tombstones,
+    _reject_tombstoned,
     _require_unique_ids,
     _write_text,
+    repair_ivf_index,
 )
 
 MANIFEST = "_binary_manifest.json"
@@ -212,6 +221,7 @@ def read_binary_index(
     return spark.read.parquet(path), manifest
 
 
+@_locked("append")
 def append_binary_index(
     spark: SparkSession, path: str, new_vectors: DataFrame,
     engine: str = "auto",
@@ -228,6 +238,7 @@ def append_binary_index(
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     prefix_bits = manifest["prefix_bits"]
     n_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
+    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
     sk = binarize_embeddings(
         new_vectors.select(id_col, vec_col),
         bits=manifest["bits"],
@@ -368,6 +379,12 @@ def search_binary_index(
         probed = None
         pruned = codes
 
+    # tombstoned ids (deleted, not yet purged) never surface as
+    # neighbors — the delete takes effect on the very next search
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
+
     hits = hamming_topk(
         pruned.select(F.col(id_col), "sketch"),
         qsk,
@@ -426,6 +443,159 @@ def binary_index_health(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_locked("delete")
+def delete_from_binary_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete-by-id — the takedown verb for the binary-sketch index.
+    ``ids`` is a python sequence of id values or a DataFrame carrying
+    the index's id column. Logical and immediate: tombstoned ids stop
+    surfacing as neighbors on the next search;
+    :func:`compact_binary_index` folds the tombstones in (rewriting
+    only the cells that held the deleted rows, in the codes store AND
+    the float side-store) and reconciles the manifest. Until then,
+    deleted ids may not be re-appended. Idempotent. Returns
+    ``{"requested", "tombstones_total", "pending_purge"}``."""
+    codes, manifest = read_binary_index(spark, path)
+    id_col = manifest["id_col"]
+    id_type = codes.schema[id_col].dataType
+    drop = _normalize_delete_ids(spark, ids, id_col, id_type)
+    drop = drop.localCheckpoint()  # counted, appended, presence-joined
+    requested = drop.count()
+    total = _append_tombstones(spark, path, drop, id_col)
+    # presence: a code's bucket is a function of its SKETCH, not its
+    # id, so this check is a column-pruned id scan of the codes store
+    tomb = _read_tombstones(spark, path, id_col)
+    pending = codes.join(F.broadcast(tomb), id_col, "left_semi").count()
+    manifest["n_tombstones"] = total
+    manifest["n_deleted_pending"] = pending
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return {
+        "requested": requested,
+        "tombstones_total": total,
+        "pending_purge": pending,
+    }
+
+
+def repair_binary_index(spark: SparkSession, path: str) -> dict:
+    """Heal a crashed compaction/purge swap on either store (codes
+    root or ``_vectors/``) — the shared journal protocol. Idempotent;
+    no-op on a clean index."""
+    _, manifest = read_binary_index(spark, path)
+    out = {"codes": repair_ivf_index(spark, path)["action"]}
+    if manifest["store_vectors"]:
+        out["vectors"] = repair_ivf_index(
+            spark, f"{path}/{VECTORS_DIR}"
+        )["action"]
+    return out
+
+
+@_locked("compact")
+def compact_binary_index(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """Maintenance pass for the append/delete pipeline: fold pending
+    deletes (tombstoned cells rewritten without the deleted rows —
+    codes store and float side-store — manifest re-measured from
+    disk, tombstones cleared), then fold appended small files back to
+    ``files_per_bucket`` per cell in both stores. Journaled and
+    crash-healed via :func:`repair_binary_index` (run here first);
+    single writer by contract, quiesce searches across the swap
+    window. Returns per-store compaction stats plus a ``"purge"``
+    block when tombstones were folded."""
+    repair_binary_index(spark, path)
+    codes, manifest = read_binary_index(spark, path)
+    id_col = manifest["id_col"]
+    fpb = (
+        manifest["files_per_bucket"]
+        if files_per_bucket is None
+        else files_per_bucket
+    )
+    purge = None
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint()  # drives both store purges
+        code_purge = _purge_cells(
+            spark, path, codes, id_col, tomb,
+            slice_salt="bin-slice", fpb=fpb,
+        )
+        vec_purge = None
+        if manifest["store_vectors"]:
+            vec_purge = _purge_cells(
+                spark,
+                f"{path}/{VECTORS_DIR}",
+                spark.read.parquet(f"{path}/{VECTORS_DIR}"),
+                id_col,
+                tomb,
+                slice_salt="bin-slice",
+                fpb=fpb,
+            )
+        # re-measure the manifest from disk (bucket is the partition
+        # key — parquet-footer counts), so a crash-interrupted purge
+        # re-run always ends consistent
+        per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["rows_per_bucket"] = {
+            str(b): n for b, n in sorted(per_bucket.items())
+        }
+        manifest["n_vectors"] = sum(per_bucket.values())
+        manifest["purged_total"] = manifest.get("purged_total", 0) + int(
+            code_purge["rows_dropped"]
+        )
+        manifest.pop("n_tombstones", None)
+        manifest.pop("n_deleted_pending", None)
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        _clear_tombstones(spark, path)
+        purge = {"codes": code_purge}
+        if vec_purge is not None:
+            purge["vectors"] = vec_purge
+        codes, manifest = read_binary_index(spark, path)
+    code_stats = _compact_cells(
+        spark, path, codes, id_col,
+        manifest["rows_per_bucket"], fpb, slice_salt="bin-slice",
+    )
+    out = {"codes": code_stats}
+    if manifest["store_vectors"]:
+        out["vectors"] = _compact_cells(
+            spark,
+            f"{path}/{VECTORS_DIR}",
+            spark.read.parquet(f"{path}/{VECTORS_DIR}"),
+            id_col,
+            manifest["rows_per_bucket"],
+            fpb,
+            slice_salt="bin-slice",
+        )
+    if code_stats["cells_compacted"] or (
+        out.get("vectors", {}).get("cells_compacted", 0)
+    ):
+        manifest["compactions"] = manifest.get("compactions", 0) + 1
+    if files_per_bucket is not None:
+        manifest["files_per_bucket"] = fpb
+    if (
+        code_stats["cells_compacted"]
+        or out.get("vectors", {}).get("cells_compacted", 0)
+        or files_per_bucket is not None
+    ):
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+    out2 = dict(out)
+    if purge is not None:
+        out2["purge"] = purge
+    return out2
 
 
 def filter_new_against_binary_index(

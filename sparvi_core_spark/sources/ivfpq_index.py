@@ -67,6 +67,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparvi_core_spark.sources.ann_index import (
+    _locked,
+    _locked_df_first,
     _read_text,
     _require_unique_ids,
     _write_text,
@@ -276,6 +278,7 @@ def read_ivfpq_index(
     return coded, cents, codebook, manifest
 
 
+@_locked_df_first("append")
 def append_ivfpq_index(
     new_vectors: DataFrame,
     path: str,
@@ -384,6 +387,7 @@ def append_ivfpq_index(
     return manifest
 
 
+@_locked("compact")
 def compact_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -59,7 +59,14 @@ from sparvi_core_spark.operators.dedup import (
     solve_lsh_bands,
 )
 from sparvi_core_spark.sources.ann_index import (
+    _append_tombstones,
+    _locked,
+    _clear_tombstones,
+    _normalize_delete_ids,
+    _purge_cells,
     _read_text,
+    _read_tombstones,
+    _reject_tombstoned,
     _require_unique_ids,
     _write_text,
 )
@@ -211,6 +218,7 @@ def read_minhash_index(
     return spark.read.parquet(path), manifest
 
 
+@_locked("append")
 def append_minhash_index(
     spark: SparkSession, path: str, new_docs: DataFrame
 ) -> dict:
@@ -222,6 +230,7 @@ def append_minhash_index(
     _, manifest = read_minhash_index(spark, path)
     id_col = manifest["id_col"]
     n_rows = _require_unique_ids(new_docs, id_col, "new_docs")
+    _reject_tombstoned(spark, path, new_docs, id_col, "new_docs")
     banded, sigs = _signed(
         new_docs.select(id_col, manifest["text_col"]), manifest
     )
@@ -309,6 +318,13 @@ def probe_minhash_index(
         .filter(F.col("n") > max_bucket)
     )
     pruned = pruned.join(F.broadcast(over), ["band", "bkey"], "left_anti")
+
+    # tombstoned ids (deleted but not yet purged by compaction) are
+    # excluded at candidate generation, so a delete takes effect on
+    # the very next probe
+    tomb = _read_tombstones(spark, path, "id")
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), "id", "left_anti")
 
     cands = (
         pruned.select(
@@ -427,6 +443,55 @@ def filter_unindexed_ids(
     return batch.join(existing, id_col, "left_anti")
 
 
+@_locked("delete")
+def delete_from_minhash_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete-by-id — the takedown/robots-retroactive-removal verb.
+    ``ids`` is a python sequence of id values or a DataFrame carrying
+    the index's id column. The delete is LOGICAL and immediate:
+    tombstoned ids stop appearing in probe results on the next probe;
+    the next :func:`compact_minhash_index` folds the tombstones in,
+    physically rewriting only the cells that held the deleted rows
+    and reconciling the manifest. Until then, deleted ids may not be
+    re-appended (``append_minhash_index`` refuses — purge first).
+    Idempotent: re-deleting an id is a no-op. Returns
+    ``{"requested", "tombstones_total", "pending_purge"}``."""
+    _, manifest = read_minhash_index(spark, path)
+    id_col = manifest["id_col"]
+    sig_store = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    id_type = sig_store.schema["id"].dataType
+    drop = _normalize_delete_ids(spark, ids, id_col, id_type)
+    drop = drop.localCheckpoint()  # counted, appended, and presence-joined
+    requested = drop.count()
+    total = _append_tombstones(spark, path, drop, id_col)
+    # how many tombstones (all, not just this call's) name a row that
+    # is actually at rest — bucket-pruned presence check
+    tomb = _read_tombstones(spark, path, id_col).localCheckpoint()
+    buckets = sorted(
+        int(r["bucket"])
+        for r in tomb.withColumn("bucket", _sig_bucket(id_col, manifest["n_buckets"]))
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if buckets and len(buckets) <= manifest["n_buckets"] // 2:
+        sig_store = sig_store.filter(F.col("bucket").isin(buckets))
+    pending = sig_store.join(
+        F.broadcast(tomb.select(F.col(id_col).alias("id"))),
+        "id",
+        "left_semi",
+    ).count()
+    manifest["n_tombstones"] = total
+    manifest["n_deleted_pending"] = pending
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return {
+        "requested": requested,
+        "tombstones_total": total,
+        "pending_purge": pending,
+    }
+
+
 def minhash_index_health(spark: SparkSession, path: str) -> DataFrame:
     """Per-bucket audit: manifest band rows vs actual rows on disk —
     the quick drift/corruption gauge (mirrors the other stored
@@ -464,6 +529,7 @@ def repair_minhash_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+@_locked("compact")
 def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     """Fold appended small files back to one file per bucket in BOTH
     stores — the hygiene pass for the append/streaming pipeline (each
@@ -477,8 +543,16 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     (a concurrently probed bucket can briefly see its rows twice —
     duplicated candidates, which the pair `distinct` absorbs, but the
     verification join can then double-count agreements, so don't).
-    Returns per-store ``{"cells_compacted", "files_before",
-    "files_after", "rows_rewritten"}``."""
+
+    Pending deletes (:func:`delete_from_minhash_index`) are folded in
+    FIRST: the cells holding tombstoned rows are rewritten without
+    them (same journaled swap), per-bucket manifest counts are
+    re-measured from disk (so a crash-interrupted purge re-run ends
+    consistent no matter where the previous attempt died), and the
+    tombstone store is cleared — after which the deleted ids may be
+    re-appended. Returns per-store ``{"cells_compacted",
+    "files_before", "files_after", "rows_rewritten"}`` plus a
+    ``"purge"`` block when tombstones were folded."""
     from sparvi_core_spark.sources.ann_index import _compact_cells
 
     repair_minhash_index(spark, path)
@@ -489,6 +563,47 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
             "sig_rows_per_bucket in the manifest) — rebuild it with "
             "write_minhash_index"
         )
+    purge = None
+    tomb = _read_tombstones(spark, path, "id")
+    if tomb is not None:
+        tomb = tomb.localCheckpoint()  # drives two purges
+        band_purge = _purge_cells(
+            spark, path, band_rows, "id", tomb, slice_salt="mh-band-slice"
+        )
+        sig_purge = _purge_cells(
+            spark,
+            f"{path}/{SIGS_DIR}",
+            spark.read.parquet(f"{path}/{SIGS_DIR}"),
+            "id",
+            tomb,
+            slice_salt="mh-sig-slice",
+        )
+        # reconcile the manifest from DISK (bucket is the partition
+        # key, so these counts come from parquet footers, not data
+        # pages) — measured truth survives any crash/replay history
+        per_bucket = _bucket_counts(spark.read.parquet(path))
+        sig_per_bucket = _bucket_counts(
+            spark.read.parquet(f"{path}/{SIGS_DIR}")
+        )
+        manifest["rows_per_bucket"] = {
+            str(b): n for b, n in sorted(per_bucket.items())
+        }
+        manifest["sig_rows_per_bucket"] = {
+            str(b): n for b, n in sorted(sig_per_bucket.items())
+        }
+        manifest["n_docs"] = sum(sig_per_bucket.values())
+        manifest["purged_total"] = manifest.get("purged_total", 0) + int(
+            sig_purge["rows_dropped"]
+        )
+        manifest.pop("n_tombstones", None)
+        manifest.pop("n_deleted_pending", None)
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        _clear_tombstones(spark, path)
+        purge = {"bands": band_purge, "sigs": sig_purge}
+        band_rows, manifest = read_minhash_index(spark, path)
     # both stores carry the signature kernel's "id" column (the
     # manifest's id_col is the CALLER-side name)
     band_stats = _compact_cells(
@@ -506,7 +621,10 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
-    return {"bands": band_stats, "sigs": sig_stats}
+    out = {"bands": band_stats, "sigs": sig_stats}
+    if purge is not None:
+        out["purge"] = purge
+    return out
 
 
 def reband_minhash_index(
@@ -533,6 +651,13 @@ def reband_minhash_index(
         raise ValueError(
             "reband_minhash_index is blue/green by contract: dest must "
             "differ from the source index path"
+        )
+    if _read_tombstones(spark, path, "id") is not None:
+        raise ValueError(
+            "source index has pending deletes — run "
+            "compact_minhash_index (which purges tombstones) before "
+            "rebanding, or the deleted docs would be carried into the "
+            "new index"
         )
     _, manifest = read_minhash_index(spark, path)
     num_hashes = manifest["num_hashes"]

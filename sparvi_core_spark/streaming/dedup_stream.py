@@ -192,33 +192,41 @@ def novelty_stream_fuzzy(
             filter_unindexed_ids,
         )
 
+        from sparvi_core_spark.sources.ann_index import writer_lock
+
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        manifest = json.loads(_read_text(spark, index_path, MANIFEST))
-        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
-            return  # replayed batch: already screened + landed, skip
-        survivors = filter_new_against_index(
-            spark, index_path, batch_df, threshold, max_bucket
-        ).localCheckpoint()  # screen ONCE; sink and index see one answer
-        # idempotent sink: a replayed batch rewrites its own partition
-        # directory instead of appending duplicates
-        survivors.write.mode("overwrite").parquet(
-            f"{sink_path}/batch_id={int(batch_id)}"
-        )
-        if grow_index:
-            # idempotent index append: ids already at rest (a replay
-            # whose append landed before the crash) are dropped, so
-            # re-running the batch re-appends nothing
-            to_index = filter_unindexed_ids(spark, index_path, survivors)
-            man = append_minhash_index(spark, index_path, to_index)
-        else:
-            man = manifest
-        man["last_stream_batch_id"] = int(batch_id)
-        _write_text(
-            spark, index_path, MANIFEST,
-            json.dumps(man, indent=1, sort_keys=True),
-        )
+        # hold the index's writer lock across the WHOLE batch body
+        # (screen -> sink -> append -> manifest commit), so a
+        # concurrent maintenance writer (e.g. a cron `dedup-index
+        # compact`) fails cleanly instead of interleaving file swaps
+        # with this batch; the inner append's own lock is reentrant
+        with writer_lock(spark, index_path, "stream-batch"):
+            manifest = json.loads(_read_text(spark, index_path, MANIFEST))
+            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+                return  # replayed batch: already screened + landed, skip
+            survivors = filter_new_against_index(
+                spark, index_path, batch_df, threshold, max_bucket
+            ).localCheckpoint()  # screen ONCE; sink and index see one answer
+            # idempotent sink: a replayed batch rewrites its own
+            # partition directory instead of appending duplicates
+            survivors.write.mode("overwrite").parquet(
+                f"{sink_path}/batch_id={int(batch_id)}"
+            )
+            if grow_index:
+                # idempotent index append: ids already at rest (a replay
+                # whose append landed before the crash) are dropped, so
+                # re-running the batch re-appends nothing
+                to_index = filter_unindexed_ids(spark, index_path, survivors)
+                man = append_minhash_index(spark, index_path, to_index)
+            else:
+                man = manifest
+            man["last_stream_batch_id"] = int(batch_id)
+            _write_text(
+                spark, index_path, MANIFEST,
+                json.dumps(man, indent=1, sort_keys=True),
+            )
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

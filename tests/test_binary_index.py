@@ -232,6 +232,131 @@ def test_guards(spark, tmp_path):
         search_binary_index(spark, str(tmp_path / "b2"), q, k=5, rerank=2)
 
 
+def test_delete_by_id_lifecycle(spark, tmp_path):
+    """Takedown on the binary index: delete is logical + immediate
+    (next search never returns the ids), re-append of a tombstoned id
+    refuses, compaction purges BOTH stores (codes + float side-store),
+    reconciles the manifest, clears tombstones, and frees the ids."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.binary_index import (
+        MANIFEST,
+        compact_binary_index,
+        delete_from_binary_index,
+        repair_binary_index,
+    )
+
+    df = _corpus(spark, n=160)
+    path = str(tmp_path / "bidx")
+    write_binary_index(df, path, bits=128, seed=9, prefix_bits=4)
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+
+    before = search_binary_index(spark, path, queries, k=5, radius=None)
+    victims = sorted(
+        {r["neighbor_id"] for r in before.collect()} - {0, 40, 80, 120}
+    )[:3]
+
+    stats = delete_from_binary_index(spark, path, victims)
+    assert stats["requested"] == 3
+    assert stats["pending_purge"] == 3
+    assert delete_from_binary_index(
+        spark, path, victims
+    )["tombstones_total"] == 3
+
+    def neighbors(**kw):
+        return {
+            r["neighbor_id"]
+            for r in search_binary_index(spark, path, queries, **kw).collect()
+        }
+
+    assert not (neighbors(k=5, radius=None) & set(victims))
+    # rerank path excludes them too (floats join only hits survivors)
+    assert not (neighbors(k=3, radius=2, rerank=8) & set(victims))
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_binary_index(
+            spark, path, df.filter(F.col("vec_id") == victims[0])
+        )
+
+    logical = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["distance"])
+        for r in search_binary_index(
+            spark, path, queries, k=5, radius=None
+        ).collect()
+    )
+    assert repair_binary_index(spark, path) == {
+        "codes": "clean", "vectors": "clean",
+    }
+    out = compact_binary_index(spark, path)
+    assert out["purge"]["codes"]["rows_dropped"] == 3
+    assert out["purge"]["vectors"]["rows_dropped"] == 3
+    man = json.loads(_read_text(spark, path, MANIFEST))
+    assert man["n_vectors"] == 157
+    assert man["purged_total"] == 3
+    assert "n_tombstones" not in man and "n_deleted_pending" not in man
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    assert all(r["ok"] for r in binary_index_health(spark, path).collect())
+
+    physical = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["distance"])
+        for r in search_binary_index(
+            spark, path, queries, k=5, radius=None
+        ).collect()
+    )
+    assert physical == logical
+
+    # ids are free again post-purge
+    man2 = append_binary_index(
+        spark, path, df.filter(F.col("vec_id") == victims[0])
+    )
+    assert man2["n_vectors"] == 158
+    assert "purge" not in compact_binary_index(spark, path)
+
+
+def test_compact_binary_index_folds_append_fragments(spark, tmp_path):
+    """Appends fragment cells; compaction folds both stores back to
+    files_per_bucket with search answers byte-identical pre/post."""
+    import os
+
+    from sparvi_core_spark.sources.binary_index import compact_binary_index
+
+    path = str(tmp_path / "bidx")
+    write_binary_index(_corpus(spark, n=120), path, bits=128, seed=9,
+                       prefix_bits=3)
+    for g, seed in enumerate((11, 12), start=1):
+        append_binary_index(
+            spark, path, _corpus(spark, n=40, seed=seed, offset=1000 * g)
+        )
+
+    def _files(root):
+        out = 0
+        for dirpath, _, files in os.walk(root):
+            if "bucket=" in dirpath:
+                out += sum(1 for f in files if not f.startswith((".", "_")))
+        return out
+
+    queries = _corpus(spark, n=4, seed=99, offset=50_000)
+    before_files = _files(path)
+    before = sorted(
+        map(tuple, search_binary_index(
+            spark, path, queries, k=5, radius=None, rerank=10
+        ).collect())
+    )
+    stats = compact_binary_index(spark, path)
+    assert stats["codes"]["cells_compacted"] > 0
+    assert stats["vectors"]["cells_compacted"] > 0
+    assert _files(path) < before_files
+    assert all(r["ok"] for r in binary_index_health(spark, path).collect())
+    after = sorted(
+        map(tuple, search_binary_index(
+            spark, path, queries, k=5, radius=None, rerank=10
+        ).collect())
+    )
+    assert after == before
+
+
 def test_probe_bucket_combinatorics():
     from sparvi_core_spark.sources.binary_index import _probe_buckets
 

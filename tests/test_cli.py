@@ -453,3 +453,20 @@ def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
     assert r.exit_code == 0, r.output
     h = json.loads(r.output.strip().splitlines()[-1])
     assert h["bad"] == 0
+
+    # takedown verb: tombstone one doc, then compact purges it
+    r = CliRunner().invoke(
+        cli, ["dedup-index", "delete", idx, "--id", "0"]
+    )
+    assert r.exit_code == 0, r.output
+    d = json.loads(r.output.strip().splitlines()[-1])
+    assert d["requested"] == 1 and d["tombstones_total"] == 1
+
+    r = CliRunner().invoke(cli, ["dedup-index", "compact", idx])
+    assert r.exit_code == 0, r.output
+    st = json.loads(r.output.strip().splitlines()[-1])
+    assert st["purge"]["sigs"]["rows_dropped"] == d["pending_purge"]
+
+    r = CliRunner().invoke(cli, ["dedup-index", "health", idx])
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output.strip().splitlines()[-1])["bad"] == 0

@@ -347,6 +347,154 @@ def test_stream_replay_window_is_idempotent(spark, tmp_path):
     assert filter_unindexed_ids(spark, idx, batch).count() == 0
 
 
+def test_delete_by_id_lifecycle(spark, tmp_path):
+    """The takedown verb: delete is logical + immediate (next probe
+    excludes the ids), append of a tombstoned id refuses, compaction
+    physically purges (manifest reconciles, health green, tombstones
+    cleared), after which the id may be re-appended; reband refuses
+    while deletes are pending."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        reband_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    corpus = _corpus(spark, n=40, seed=3)
+    write_minhash_index(corpus, path, num_hashes=8, bands=4, n_buckets=8)
+
+    # probe with exact copies of stored docs 0..7 under fresh ids
+    batch = spark.createDataFrame(
+        [(9000 + r["doc_id"], r["text"]) for r in corpus.collect()[:8]],
+        "doc_id long, text string",
+    )
+    before = {
+        (r["batch_id"], r["index_id"])
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+    victims = sorted({i for _, i in before})[:2]
+    assert victims, "probe must hit before the delete test can mean anything"
+
+    stats = delete_from_minhash_index(spark, path, victims)
+    assert stats["requested"] == 2
+    assert stats["pending_purge"] == 2
+    # idempotent: re-delete changes nothing
+    stats2 = delete_from_minhash_index(spark, path, victims)
+    assert stats2["tombstones_total"] == 2
+
+    after_del = {
+        (r["batch_id"], r["index_id"])
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+    assert after_del == {p for p in before if p[1] not in set(victims)}
+
+    # tombstoned ids cannot be re-appended pre-purge
+    rnd = random.Random(99)
+    readd = spark.createDataFrame(
+        [(victims[0], _doc(rnd))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_minhash_index(spark, path, readd)
+    # and reband refuses to carry pending deletes forward
+    with pytest.raises(ValueError, match="pending deletes"):
+        reband_minhash_index(spark, path, str(tmp_path / "idx2"), bands=4)
+
+    out = compact_minhash_index(spark, path)
+    assert out["purge"]["sigs"]["rows_dropped"] == 2
+    assert out["purge"]["bands"]["rows_dropped"] == 2 * 4  # bands per doc
+    man = json.loads(_read_text(spark, path, MANIFEST))
+    assert man["n_docs"] == 38
+    assert man["purged_total"] == 2
+    assert "n_tombstones" not in man and "n_deleted_pending" not in man
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    health = minhash_index_health(spark, path)
+    assert health.filter(~F.col("ok")).count() == 0
+
+    # physical answer identical to the logical one
+    after_purge = {
+        (r["batch_id"], r["index_id"])
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+    assert after_purge == after_del
+
+    # the id is free again post-purge
+    man2 = append_minhash_index(spark, path, readd)
+    assert man2["n_docs"] == 39
+    # second compact with no tombstones: no purge block
+    assert "purge" not in compact_minhash_index(spark, path)
+
+
+def test_writer_lock_fences_second_writer(spark, tmp_path):
+    """Two writers, one index: the loser fails CLEANLY (naming the
+    holder) instead of interleaving file swaps; a crashed same-host
+    holder's lock is auto-broken; a foreign-host lock needs the
+    explicit break verb; the lock is reentrant in-process and always
+    released afterwards."""
+    import json
+    import os
+    import socket
+
+    from sparvi_core_spark.sources.ann_index import (
+        break_writer_lock,
+        writer_lock,
+    )
+    from sparvi_core_spark.sources.minhash_index import (
+        compact_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=20, seed=3), path, num_hashes=8, bands=4,
+        n_buckets=8,
+    )
+    rnd = random.Random(5)
+    batch = spark.createDataFrame(
+        [(700, _doc(rnd))], "doc_id long, text string"
+    )
+    lockfile = os.path.join(path, "_writer.lock")
+
+    def plant(pid, host):
+        with open(lockfile, "w") as f:
+            json.dump({"pid": pid, "host": host, "op": "compact",
+                       "token": "t"}, f)
+
+    # live holder (pid 1 is always alive) on THIS host → clean refusal
+    plant(1, socket.gethostname())
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        append_minhash_index(spark, path, batch)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        compact_minhash_index(spark, path)
+    assert os.path.exists(lockfile)  # loser must not remove it
+
+    # crashed same-host holder (dead pid) → auto-broken, verb proceeds
+    plant(999_999_999, socket.gethostname())
+    man = append_minhash_index(spark, path, batch)
+    assert man["n_docs"] == 21
+    assert not os.path.exists(lockfile)  # released on exit
+
+    # foreign-host lock: never auto-broken, explicit break verb works
+    plant(1, "some-other-host")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        compact_minhash_index(spark, path)
+    broken = break_writer_lock(spark, path)
+    assert broken["host"] == "some-other-host"
+    compact_minhash_index(spark, path)  # proceeds now
+
+    # reentrant: a held lock admits this process's own nested verbs
+    with writer_lock(spark, path, "outer"):
+        batch2 = spark.createDataFrame(
+            [(701, _doc(rnd))], "doc_id long, text string"
+        )
+        append_minhash_index(spark, path, batch2)
+        assert os.path.exists(lockfile)  # still held by the outer scope
+    assert not os.path.exists(lockfile)
+
+
 def test_compact_after_appends_preserves_answers(spark, tmp_path):
     """Three appended generations fragment both stores; compaction
     folds each bucket back to one file, the manifest still matches

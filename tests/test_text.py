@@ -85,6 +85,32 @@ def test_language_id_ngram_recovers_planted_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_langid_eval_macro_accuracy_floor(spark):
+    """The acceptance bar for seed/featurizer changes: macro accuracy
+    on the built-in held-out corpus (disjoint from the seeds, weighted
+    toward the close pairs pt/es, nl/de, es/it) must stay >= 0.95, and
+    NO confusion may ever cross scripts (a Latin/CJK/Cyrillic/Arabic
+    mixup would mean the featurizer itself broke, not just a close
+    pair). Measured at round 9: 0.9792 (one pt->it miss); recorded in
+    COVERAGE.md."""
+    from sparvi_core_spark.functions.text import langid_eval
+
+    r = langid_eval(spark)
+    assert r["n"] == 48
+    assert r["macro_accuracy"] >= 0.95, r
+    script = {
+        "en": "latin", "fr": "latin", "es": "latin", "de": "latin",
+        "it": "latin", "pt": "latin", "nl": "latin",
+        "ru": "cyrillic", "ar": "arabic",
+        "zh": "cjk", "ja": "cjk", "ko": "hangul",
+    }
+    cross = [
+        (t, p, n) for t, p, n in r["confusions"]
+        if script[t] != script.get(p, "?")
+    ]
+    assert not cross, cross
+
+
 def test_language_id_stopword_zh_limitation_documented(spark):
     """The stopword tier's documented blind spot: unsegmented zh falls
     to 'und'; the ngram tier on the SAME doc returns 'zh'."""
