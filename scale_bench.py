@@ -493,6 +493,75 @@ def main() -> None:
         for name, fn in cases.items():
             results.setdefault(name, {})[sf_name] = timed(fn)
 
+        # --- probe-under-appends study (r9: VERDICT r8 next-round #7).
+        # The standing cells leave mhidx_path freshly built (clean);
+        # mhidx_probe_100 above is the CLEAN probe number. Now: 20
+        # streamed-size appends fragment every touched bucket (each
+        # append adds one file per bucket it touches), probe again
+        # (the drift the compactor exists to fix), compact, probe a
+        # third time (the recovery). Appends and compaction are
+        # one-shot lifecycle costs, probes are min-of-2 like the
+        # standing cells.
+        from sparvi_core_spark.sources.minhash_index import (
+            append_minhash_index,
+            compact_minhash_index,
+        )
+
+        def _count_files(root):
+            total = 0
+            for dirpath, _, files in os.walk(root):
+                if "bucket=" in dirpath:
+                    total += sum(
+                        1 for f in files if not f.startswith((".", "_"))
+                    )
+            return total
+
+        docs = views["documents"]
+
+        def probe_once():
+            run_mhidx_probe(docs)
+
+        t0 = time.time()
+        for i in range(20):
+            app = (
+                docs.filter(F.col("doc_id") % 20 == i)
+                .limit(200)
+                .select(
+                    (F.col("doc_id") + (i + 1) * 1_000_000_000).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                )
+            )
+            append_minhash_index(spark, mhidx_path, app)
+        t_appends = round(time.time() - t0, 3)
+        files_frag = _count_files(mhidx_path)
+        results.setdefault("mhidx_append_20x200", {})[sf_name] = t_appends
+        results.setdefault("mhidx_probe_20appends", {})[sf_name] = timed(
+            probe_once
+        )
+        t0 = time.time()
+        cstats = compact_minhash_index(spark, mhidx_path)
+        results.setdefault("mhidx_compact_folds", {})[sf_name] = round(
+            time.time() - t0, 3
+        )
+        files_post = _count_files(mhidx_path)
+        results.setdefault("mhidx_probe_postcompact", {})[sf_name] = timed(
+            probe_once
+        )
+        print(
+            json.dumps(
+                {
+                    "record": "mhidx_fragmentation",
+                    "sf": sf_name,
+                    "files_fragmented": files_frag,
+                    "files_postcompact": files_post,
+                    "cells_compacted": cstats["bands"]["cells_compacted"]
+                    + cstats["sigs"]["cells_compacted"],
+                }
+            )
+        )
+
     for name, r in results.items():
         r["ratio"] = round(r[SF_LABEL] / r["sf0.1"], 2)
     print(

@@ -552,6 +552,7 @@ def append_ivf_index(
                 f"new_vectors is missing the index's {c!r} column "
                 f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
             )
+    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
     for c in ("bucket", "__slice"):
         if c in new_vectors.columns:
             raise ValueError(f"new_vectors already has a {c!r} column")
@@ -603,6 +604,39 @@ def append_ivf_index(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
     )
     return manifest
+
+
+@_locked("delete")
+def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete-by-id — the takedown verb for the float IVF index.
+    ``ids`` is a python sequence of id values or a DataFrame carrying
+    the index's id column. Logical and immediate: tombstoned ids stop
+    surfacing as neighbors on the next search;
+    :func:`compact_ivf_index` folds the tombstones in (rewriting only
+    the cells that held the deleted rows) and reconciles the manifest.
+    Until then, deleted ids may not be re-appended. Idempotent.
+    Returns ``{"requested", "tombstones_total", "pending_purge"}``."""
+    data, _, manifest = read_ivf_index(spark, path)
+    id_col = manifest["id_col"]
+    id_type = data.schema[id_col].dataType
+    drop = _normalize_delete_ids(spark, ids, id_col, id_type)
+    drop = drop.localCheckpoint()  # counted, appended, presence-joined
+    requested = drop.count()
+    total = _append_tombstones(spark, path, drop, id_col)
+    tomb = _read_tombstones(spark, path, id_col)
+    # presence: cell is a function of the VECTOR, so this check is a
+    # column-pruned id scan of the data store
+    pending = data.join(F.broadcast(tomb), id_col, "left_semi").count()
+    manifest["n_tombstones"] = total
+    manifest["n_deleted_pending"] = pending
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return {
+        "requested": requested,
+        "tombstones_total": total,
+        "pending_purge": pending,
+    }
 
 
 def repair_ivf_index(spark: SparkSession, path: str) -> dict:
@@ -689,6 +723,38 @@ def compact_ivf_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+    purge = None
+    tomb = _read_tombstones(spark, path, manifest["id_col"])
+    if tomb is not None:
+        purge = _purge_cells(
+            spark, path, data, manifest["id_col"],
+            tomb.localCheckpoint(), slice_salt="ivf-slice", fpb=fpb,
+        )
+        # re-measure the manifest from disk (bucket is the partition
+        # key — parquet-footer counts), so a crash-interrupted purge
+        # re-run always ends consistent
+        per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["rows_per_bucket"] = {
+            str(b): n for b, n in sorted(per_bucket.items())
+        }
+        manifest["n_vectors"] = sum(per_bucket.values())
+        manifest["purged_total"] = manifest.get("purged_total", 0) + int(
+            purge["rows_dropped"]
+        )
+        manifest.pop("n_tombstones", None)
+        manifest.pop("n_deleted_pending", None)
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        _clear_tombstones(spark, path)
+        data, _, manifest = read_ivf_index(spark, path)
     stats = _compact_cells(
         spark,
         path,
@@ -706,6 +772,9 @@ def compact_ivf_index(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+    if purge is not None:
+        stats = dict(stats)
+        stats["purge"] = purge
     return stats
 
 
@@ -824,7 +893,10 @@ def retrain_ivf_index(
     ``sample_fraction`` fits the k-means on a sample (the standard
     move at corpus scale — centroid quality needs a representative
     sample, not every row) while ALL rows are still assigned and
-    written. Returns ``(new_manifest, kmeans_info)``."""
+    written. Pending deletes on the source are EXCLUDED from both the
+    fit and the rewrite (a retrain is a physical purge for free); the
+    source keeps its tombstones until its own compaction. Returns
+    ``(new_manifest, kmeans_info)``."""
     from sparvi_core_spark.operators.similarity import kmeans_fit
 
     if path.rstrip("/") == dest.rstrip("/"):
@@ -834,6 +906,9 @@ def retrain_ivf_index(
         )
     data, _, manifest = read_ivf_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    _tomb = _read_tombstones(spark, path, id_col)
+    if _tomb is not None:
+        data = data.join(F.broadcast(_tomb), id_col, "left_anti")
     vecs = data.drop("bucket")
     fit_on = (
         vecs.sample(fraction=sample_fraction, seed=seed)
@@ -944,6 +1019,11 @@ def search_ivf_index(
     probed = sorted({r["bucket"] for r in probe_rows})
     qp_local = spark.createDataFrame(probe_rows, schema=qp.schema)
     pruned = data.filter(F.col("bucket").isin(probed))
+    # tombstoned ids (deleted, not yet purged by compaction) never
+    # surface as neighbors
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     q = queries.select(id_col, vec_col).join(qp_local, id_col)
     return cosine_topk_bucketed(
         pruned,

@@ -311,6 +311,9 @@ def append_ivfpq_index(
                 f"new_vectors is missing the index's {c!r} column "
                 f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
             )
+    from sparvi_core_spark.sources.ann_index import _reject_tombstoned
+
+    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
     for c in ("bucket", "__slice"):
         if c in new_vectors.columns:
             raise ValueError(f"new_vectors already has a {c!r} column")
@@ -388,6 +391,44 @@ def append_ivfpq_index(
 
 
 @_locked("compact")
+@_locked("delete")
+def delete_from_ivfpq_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete-by-id - the takedown verb for the IVF-PQ index. ``ids``
+    is a python sequence of id values or a DataFrame carrying the
+    index's id column. Logical and immediate: tombstoned ids stop
+    surfacing as neighbors (ADC and reranked paths) on the next
+    search; :func:`compact_ivfpq_index` folds the tombstones in
+    (codes store AND the ``_floats/`` side-store) and reconciles the
+    manifest. Until then, deleted ids may not be re-appended.
+    Idempotent. Returns ``{"requested", "tombstones_total",
+    "pending_purge"}``."""
+    from sparvi_core_spark.sources.ann_index import (
+        _append_tombstones,
+        _normalize_delete_ids,
+        _read_tombstones,
+    )
+
+    coded, _, _, manifest = read_ivfpq_index(spark, path)
+    id_col = manifest["id_col"]
+    id_type = coded.schema[id_col].dataType
+    drop = _normalize_delete_ids(spark, ids, id_col, id_type)
+    drop = drop.localCheckpoint()  # counted, appended, presence-joined
+    requested = drop.count()
+    total = _append_tombstones(spark, path, drop, id_col)
+    tomb = _read_tombstones(spark, path, id_col)
+    pending = coded.join(F.broadcast(tomb), id_col, "left_semi").count()
+    manifest["n_tombstones"] = total
+    manifest["n_deleted_pending"] = pending
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return {
+        "requested": requested,
+        "tombstones_total": total,
+        "pending_purge": pending,
+    }
+
+
 def compact_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -405,7 +446,10 @@ def compact_ivfpq_index(
     stats dict, with the float store's stats under ``"floats"`` when
     present."""
     from sparvi_core_spark.sources.ann_index import (
+        _clear_tombstones,
         _compact_cells,
+        _purge_cells,
+        _read_tombstones,
         repair_ivf_index,
     )
 
@@ -417,6 +461,48 @@ def compact_ivfpq_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+    purge = None
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint()  # drives both store purges
+        purge = {
+            "codes": _purge_cells(
+                spark, path, coded, id_col, tomb,
+                slice_salt="ivfpq-slice", fpb=fpb,
+            )
+        }
+        if manifest.get("store_floats"):
+            froot = f"{path}/{FLOATS_DIR}"
+            repair_ivf_index(spark, froot)
+            purge["floats"] = _purge_cells(
+                spark, froot, spark.read.parquet(froot), id_col, tomb,
+                slice_salt="ivfpq-slice", fpb=fpb,
+            )
+        # re-measure the manifest from disk (bucket is the partition
+        # key - parquet-footer counts), so a crash-interrupted purge
+        # re-run always ends consistent
+        per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["rows_per_bucket"] = {
+            str(b): n for b, n in sorted(per_bucket.items())
+        }
+        manifest["n_vectors"] = sum(per_bucket.values())
+        manifest["purged_total"] = manifest.get("purged_total", 0) + int(
+            purge["codes"]["rows_dropped"]
+        )
+        manifest.pop("n_tombstones", None)
+        manifest.pop("n_deleted_pending", None)
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        _clear_tombstones(spark, path)
+        coded, _, _, manifest = read_ivfpq_index(spark, path)
     stats = _compact_cells(
         spark,
         path,
@@ -449,6 +535,9 @@ def compact_ivfpq_index(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+    if purge is not None:
+        stats = dict(stats)
+        stats["purge"] = purge
     return stats
 
 
@@ -505,6 +594,14 @@ def retrain_ivfpq_index(
                 "`vectors`"
             )
         vectors = spark.read.parquet(f"{path}/{FLOATS_DIR}").drop("bucket")
+        # pending deletes are excluded from the refit and the rewrite
+        # (a retrain is a physical purge for free); the source keeps
+        # its tombstones until its own compaction
+        from sparvi_core_spark.sources.ann_index import _read_tombstones
+
+        _tomb = _read_tombstones(spark, path, id_col)
+        if _tomb is not None:
+            vectors = vectors.join(F.broadcast(_tomb), id_col, "left_anti")
         if rotation is not None:
             # the float store lives in rotated space; recover the
             # original space (orthogonal ⇒ inverse = transpose) so the
@@ -644,6 +741,13 @@ def search_ivfpq_index(
     )
     probed = sorted(r["bucket"] for r in probe_rows)  # bounded by k cells
     pruned = coded.filter(F.col("bucket").isin(probed))
+    # tombstoned ids (deleted, not yet purged) never surface as
+    # neighbors - delete takes effect on the very next search
+    from sparvi_core_spark.sources.ann_index import _read_tombstones
+
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     adc_k = k if rerank is None else rerank
     adc = ivfpq_search(
         queries,

@@ -469,3 +469,62 @@ def test_retrain_blue_green(spark, tmp_path):
     )
     want = sorted(map(tuple, cosine_topk(base, queries, k=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_delete_by_id_lifecycle(spark, tmp_path):
+    """Takedown on the float IVF index: delete is logical + immediate,
+    re-append of a tombstoned id refuses, compaction purges and
+    reconciles the manifest, retrain-to-new-path excludes pending
+    deletes (purge for free)."""
+    import json
+
+    from sparvi_core_spark.sources.ann_index import (
+        MANIFEST,
+        _read_text,
+        append_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        retrain_ivf_index,
+    )
+
+    df = _corpus(spark, n=120)
+    cents = _centroids(spark, df)
+    path = str(tmp_path / "idx")
+    write_ivf_index(df, cents, path)
+    queries = df.filter(F.col("vec_id") % 30 == 0).drop("payload")
+
+    before = search_ivf_index(spark, path, queries, k=5, nprobe=6)
+    victims = sorted(
+        {r["neighbor_id"] for r in before.collect()} - {0, 30, 60, 90}
+    )[:3]
+
+    stats = delete_from_ivf_index(spark, path, victims)
+    assert stats["requested"] == 3 and stats["pending_purge"] == 3
+
+    after = {
+        r["neighbor_id"]
+        for r in search_ivf_index(spark, path, queries, k=5, nprobe=6).collect()
+    }
+    assert not (after & set(victims))
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_ivf_index(df.filter(F.col("vec_id") == victims[0]), path)
+
+    # retrain to a new path excludes the pending deletes
+    dest = str(tmp_path / "idx2")
+    new_man, _info = retrain_ivf_index(spark, path, dest, k=6)
+    assert new_man["n_vectors"] == 117
+
+    out = compact_ivf_index(spark, path)
+    assert out["purge"]["rows_dropped"] == 3
+    man = json.loads(_read_text(spark, path, MANIFEST))
+    assert man["n_vectors"] == 117 and man["purged_total"] == 3
+    assert "n_tombstones" not in man
+
+    final = {
+        r["neighbor_id"]
+        for r in search_ivf_index(spark, path, queries, k=5, nprobe=6).collect()
+    }
+    assert not (final & set(victims))
+    append_ivf_index(df.filter(F.col("vec_id") == victims[0]), path)
+    assert "purge" not in compact_ivf_index(spark, path)

@@ -548,3 +548,67 @@ def test_opq_rotated_index(spark, built, tmp_path):
         write_ivfpq_index(
             df, cents, cb, str(tmp_path / "bad"), rotation=bad
         )
+
+
+def test_delete_by_id_lifecycle(spark, built, tmp_path):
+    """Takedown on the IVF-PQ index: tombstoned ids vanish from ADC
+    AND reranked search immediately; compaction purges codes + floats
+    and reconciles the manifest; a fresh index is built so the shared
+    fixture is never mutated."""
+    import json
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.ivfpq_index import (
+        MANIFEST,
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(
+        built["df"], built["cents"], built["cb"], path,
+        store_floats=True, files_per_bucket=1,
+    )
+    queries = built["df"].filter(F.col("vec_id") % 45 == 0)
+    n0 = built["man"]["n_vectors"]
+
+    before = search_ivfpq_index(spark, path, queries, k=5, nprobe=6)
+    victims = sorted(
+        {r["neighbor_id"] for r in before.collect()}
+        - {r["vec_id"] for r in queries.collect()}
+    )[:3]
+
+    stats = delete_from_ivfpq_index(spark, path, victims)
+    assert stats["requested"] == 3 and stats["pending_purge"] == 3
+
+    def neighbors(**kw):
+        return {
+            r["neighbor_id"]
+            for r in search_ivfpq_index(
+                spark, path, queries, nprobe=6, **kw
+            ).collect()
+        }
+
+    assert not (neighbors(k=5) & set(victims))          # ADC path
+    assert not (neighbors(k=3, rerank=8) & set(victims))  # rerank path
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_ivfpq_index(
+            built["df"].filter(F.col("vec_id") == victims[0]), path
+        )
+
+    out = compact_ivfpq_index(spark, path)
+    assert out["purge"]["codes"]["rows_dropped"] == 3
+    assert out["purge"]["floats"]["rows_dropped"] == 3
+    man = json.loads(_read_text(spark, path, MANIFEST))
+    assert man["n_vectors"] == n0 - 3 and man["purged_total"] == 3
+    assert "n_tombstones" not in man
+    assert not (neighbors(k=5) & set(victims))
+
+    append_ivfpq_index(
+        built["df"].filter(F.col("vec_id") == victims[0]), path
+    )
+    assert "purge" not in compact_ivfpq_index(spark, path)
