@@ -362,6 +362,26 @@ def main() -> None:
         "novel_after_screen": novel.count(),
     }
 
+    # 11. takedown: a removal request arrives for an ADMITTED doc.
+    #     delete_from_minhash_index tombstones it (the very next
+    #     screen stops treating recrawls of it as duplicates — they
+    #     surface again, for the frontier to refetch-or-skip by
+    #     policy) and the next compaction purges it physically.
+    from sparvi_core_spark.sources.minhash_index import (
+        compact_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    victim = docs.select("doc_id").first()["doc_id"]
+    del_stats = delete_from_minhash_index(spark, idx_dir, [victim])
+    cstats = compact_minhash_index(spark, idx_dir)
+    report["takedown"] = {
+        "deleted_id": victim,
+        "pending_before_compact": del_stats["pending_purge"],
+        "purged_rows": cstats["purge"]["sigs"]["rows_dropped"],
+        "docs_after": man["n_docs"] - del_stats["pending_purge"],
+    }
+
     print(json.dumps(report))
     spark.stop()
 
