@@ -1161,6 +1161,20 @@ def dedup_index_delete(index_path, ids, cpus):
     click.echo(json.dumps(stats))
 
 
+@dedup_index.command("break-lock")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_break_lock(index_path, cpus):
+    """Remove a writer lock orphaned by a crash on ANOTHER host
+    (same-host stale locks auto-break; live locks should be waited
+    out — breaking one risks interleaving two writers)."""
+    from sparvi_core_spark.sources.ann_index import break_writer_lock
+
+    spark = _session(cpus)
+    removed = break_writer_lock(spark, index_path)
+    click.echo(json.dumps({"removed": removed}))
+
+
 @dedup_index.command("health")
 @click.argument("index_path")
 @click.option("--cpus", default=None, help="local[N] cores")

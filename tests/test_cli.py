@@ -470,3 +470,16 @@ def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
     r = CliRunner().invoke(cli, ["dedup-index", "health", idx])
     assert r.exit_code == 0, r.output
     assert json.loads(r.output.strip().splitlines()[-1])["bad"] == 0
+
+    # break-lock: no lock -> removed null; planted foreign lock -> payload
+    r = CliRunner().invoke(cli, ["dedup-index", "break-lock", idx])
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output.strip().splitlines()[-1])["removed"] is None
+    with open(f"{idx}/_writer.lock", "w") as f:
+        json.dump({"pid": 1, "host": "elsewhere", "op": "compact",
+                   "token": "t"}, f)
+    r = CliRunner().invoke(cli, ["dedup-index", "break-lock", idx])
+    assert r.exit_code == 0, r.output
+    assert json.loads(
+        r.output.strip().splitlines()[-1]
+    )["removed"]["host"] == "elsewhere"
