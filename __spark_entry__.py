@@ -747,6 +747,57 @@ def q_robots_screen(spark, sf_dir):
     )
 
 
+# planted HTML pages for the html_meta pair — one per attribute-order /
+# quoting / entity / absence case the extractor must handle. No bare
+# apostrophes outside case 5 (which TESTS single-quoted attributes and
+# is SQL-escaped where inlined).
+_HTML_META_PAGES = {
+    0: '<html lang="en"><head><title>Welcome Home</title>'
+       '<meta name="description" content="A fine page">'
+       '<link rel="canonical" href="https://ex.com/home"></head>'
+       "<body>plain body text</body></html>",
+    1: '<html LANG="FR"><head><title> Bonjour  le  monde </title>'
+       '<meta content="Ordre inverse" name="description">'
+       '<link href="https://ex.com/fr" rel="canonical"></head></html>',
+    2: '<html lang="de"><head><title>Kein Index</title>'
+       '<meta name="robots" content="NOINDEX, nofollow"></head></html>',
+    3: "<html><head></head><body>no metadata at all</body></html>",
+    4: '<html lang="es-MX"><head><title>Fish &amp; Chips\n'
+       "  &quot;Daily&quot;</title></head></html>",
+    5: "<html lang='pt'><head><title>Aspas simples</title>"
+       "<meta name='description' content='conteudo simples'>"
+       "<link rel='canonical' href='https://ex.com/pt'></head></html>",
+}
+
+
+def q_html_meta(spark, sf_dir):
+    """HTML page metadata extraction (functions/web.py html_metadata;
+    no reference analog — the crawl stage between fetch and
+    extraction): title, meta description, html lang, rel=canonical,
+    robots-meta noindex, over planted pages covering both attribute
+    orders, single/double quoting, entities, case-insensitivity, and
+    total absence. The oracle re-derives every regex + the entity
+    decode chain in DuckDB."""
+    from sparvi_core_spark.functions.web import html_metadata
+
+    t = _views(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    page = F.coalesce(
+        *[F.when(m == k, F.lit(v)) for k, v in _HTML_META_PAGES.items()]
+    )
+    pages = t["documents"].filter(F.col("doc_id") < 240).select(
+        "doc_id", page.alias("text")
+    )
+    return html_metadata(pages).select(
+        F.col("id").alias("doc_id"),
+        "title",
+        "description",
+        "html_lang",
+        "canonical_url",
+        "noindex",
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-Min sketch (operators/sketch.py cms_build/cms_score; no
     reference analog — Cormode & Muthukrishnan 2005): per-customer
@@ -1647,6 +1698,9 @@ _LOCAL_ONLY = (
     # round 8: RFC 9309 robots matching (oracle re-derives pattern →
     # regex conversion and the longest-match/allow-ties decision)
     "robots_screen",
+    # round 9: HTML page metadata (title/description/lang/canonical/
+    # noindex — oracle re-derives every regex + the entity decode)
+    "html_meta",
 )
 
 
@@ -1748,6 +1802,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "main_content": q_main_content,
         "robots_screen": q_robots_screen,
+        "html_meta": q_html_meta,
         "gopher_flags": q_gopher_flags,
         "filter_sweep": q_filter_sweep,
         "gopher_repetition": q_gopher_repetition,
@@ -2348,6 +2403,67 @@ FROM scored"""
         f"('{h}', '{a}', {str(al).upper()}, '{p}')"
         for h, a, al, p in _ROBOTS_RULES
     )
+    # html_meta: every extractor regex imported from the SAME web.py
+    # helpers the operator uses (zero drift), entity decode + collapse
+    # replicated in the exact replace order
+    from sparvi_core_spark.functions.web import _attr_pair as _hm_ap
+
+    def _hm_sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    def _hm_dec(x: str) -> str:
+        # the _ENTITIES chain, same order as functions/text.py
+        return (
+            "replace(replace(replace(replace(replace(replace(replace("
+            + x
+            + ", '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),"
+            " '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)),"
+            " '&apos;', chr(39))"
+        )
+
+    def _hm_norm(x: str) -> str:
+        return (
+            "NULLIF(trim(regexp_replace(" + _hm_dec(x)
+            + r", '\s+', ' ', 'g')), '')"
+        )
+
+    def _hm_pair(tag, k1, v1, k2):
+        fwd, rev = _hm_ap(tag, k1, v1, k2)
+        return (
+            f"COALESCE(NULLIF(regexp_extract(text, '{_hm_sq(fwd)}', 1), ''),"
+            f" NULLIF(regexp_extract(text, '{_hm_sq(rev)}', 1), ''))"
+        )
+
+    _hm_title = "regexp_extract(text, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    _hm_lang = (
+        "NULLIF(lower(regexp_extract(text,"
+        " '(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"'']?"
+        "([a-zA-Z][a-zA-Z-]*)', 1)), '')"
+    )
+    _hm_pages_case = (
+        "CASE doc_id % 6 "
+        + " ".join(
+            f"WHEN {k} THEN '{_hm_sq(v)}'"
+            for k, v in _HTML_META_PAGES.items()
+        )
+        + " END"
+    )
+    o["html_meta"] = f"""
+WITH pages AS (
+    SELECT doc_id, {_hm_pages_case} AS text
+    FROM documents WHERE doc_id < 240
+)
+SELECT doc_id,
+       {_hm_norm(_hm_title)} AS title,
+       {_hm_norm(_hm_pair("meta", "name", "description", "content"))}
+           AS description,
+       {_hm_lang} AS html_lang,
+       {_hm_pair("link", "rel", "canonical", "href")} AS canonical_url,
+       contains(lower(coalesce(
+           {_hm_norm(_hm_pair("meta", "name", "robots", "content"))},
+           '')), 'noindex') AS noindex
+FROM pages"""
+
     o["robots_screen"] = """
 WITH urls AS (
     SELECT doc_id,

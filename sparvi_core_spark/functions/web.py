@@ -597,6 +597,115 @@ def host_quality_stats(
 # the RFC 9309 semantics (NOT the 1997 first-match rule).
 
 
+# ---------------------------------------------------------------------------
+# HTML document metadata
+# ---------------------------------------------------------------------------
+
+
+def _attr_pair(tag_re: str, key1: str, val1: str, key2: str) -> tuple[str, str]:
+    """Two regexes (both attribute orders) extracting ``key2``'s value
+    from a tag matching ``key1="val1"`` — HTML attribute order is
+    free, so every extractor needs the swapped variant too."""
+    fwd = (
+        rf"(?is)<{tag_re}\b[^>]*{key1}\s*=\s*[\"']{val1}[\"']"
+        rf"[^>]*{key2}\s*=\s*[\"']([^\"']*)"
+    )
+    rev = (
+        rf"(?is)<{tag_re}\b[^>]*{key2}\s*=\s*[\"']([^\"']*)[\"']"
+        rf"[^>]*{key1}\s*=\s*[\"']{val1}[\"']"
+    )
+    return fwd, rev
+
+
+def _first_nonempty(c: F.Column, *patterns: str) -> F.Column:
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(c, p, 1), F.lit("")) for p in patterns]
+    )
+
+
+def html_title(text_col: str = "text") -> F.Column:
+    """First ``<title>`` text: entity-decoded, whitespace-collapsed,
+    trimmed; NULL when absent/empty."""
+    from sparvi_core_spark.functions.text import _decode_entities
+
+    raw = F.regexp_extract(
+        F.col(text_col), r"(?is)<title[^>]*>(.*?)</title>", 1
+    )
+    t = F.trim(F.regexp_replace(_decode_entities(raw), r"\s+", " "))
+    return F.nullif(t, F.lit(""))
+
+
+def html_lang(text_col: str = "text") -> F.Column:
+    """The ``<html lang=...>`` attribute, lowercased (a cheap
+    publisher-declared prior for :func:`~...text.language_id` — trust
+    but verify: crawls are full of template-default ``lang="en"`` on
+    non-English pages). NULL when absent."""
+    return F.nullif(
+        F.lower(
+            F.regexp_extract(
+                F.col(text_col),
+                r"(?is)<html\b[^>]*\blang\s*=\s*[\"']?([a-zA-Z][a-zA-Z-]*)",
+                1,
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def html_canonical(text_col: str = "text") -> F.Column:
+    """``<link rel="canonical" href=...>`` target (either attribute
+    order) — the publisher's own dedup key; feed it to
+    ``canonicalize_url``/``dedup_by_url`` ahead of the content tiers.
+    NULL when absent."""
+    fwd, rev = _attr_pair("link", "rel", "canonical", "href")
+    return _first_nonempty(F.col(text_col), fwd, rev)
+
+
+def html_meta(text_col: str, name: str) -> F.Column:
+    """``<meta name="<name>" content=...>`` value (either attribute
+    order), entity-decoded, whitespace-collapsed; NULL when absent."""
+    from sparvi_core_spark.functions.text import _decode_entities
+
+    fwd, rev = _attr_pair("meta", "name", name, "content")
+    raw = _first_nonempty(F.col(text_col), fwd, rev)
+    return F.nullif(
+        F.trim(F.regexp_replace(_decode_entities(raw), r"\s+", " ")),
+        F.lit(""),
+    )
+
+
+def html_noindex(text_col: str = "text") -> F.Column:
+    """True when a robots meta tag carries ``noindex`` — the in-page
+    counterpart of robots.txt (RFC 9309 gates the FETCH; the robots
+    meta gates INDEXING of a page already fetched). Pipelines honoring
+    publisher opt-outs drop these before the corpus store."""
+    robots = F.lower(F.coalesce(html_meta(text_col, "robots"), F.lit("")))
+    return robots.contains("noindex")
+
+
+def html_metadata(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Page-level metadata in one map-only pass → ``(id, title,
+    description, html_lang, canonical_url, noindex)``.
+
+    The crawl stage between fetch and extraction: the canonical link
+    keys publisher-declared dedup, the robots meta drives opt-out
+    compliance, the lang attribute is a (noisy) language prior, and
+    title/description are quality/context signals for curation. All
+    Java-regex ∩ RE2 expressions — JVM-side, whole-stage-codegen'd,
+    re-derivable in the DuckDB oracle; column-pruned scans read only
+    (id, text)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        html_title(text_col).alias("title"),
+        html_meta(text_col, "description").alias("description"),
+        html_lang(text_col).alias("html_lang"),
+        html_canonical(text_col).alias("canonical_url"),
+        html_noindex(text_col).alias("noindex"),
+    )
+
+
 def parse_robots_txt(
     df: DataFrame,
     host_col: str = "host",

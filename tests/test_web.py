@@ -701,3 +701,45 @@ def test_robots_longest_match_twin_randomized(spark):
         i: twin("/" + u.split("/", 3)[3]) for i, u in rows
     }
     assert got == want
+
+
+def test_html_metadata_extraction(spark):
+    """Title/description/lang/canonical/noindex across attribute
+    orders, quoting styles, entities, hard-wrapped titles, and total
+    absence — the fetch→extraction metadata stage."""
+    from sparvi_core_spark.functions.web import html_metadata
+
+    pages = [
+        (0, '<html lang="en"><head><title>Home &amp; Garden</title>'
+            '<meta name="description" content="Nice &quot;page&quot;">'
+            '<link rel="canonical" href="https://ex.com/a"></head></html>'),
+        # reversed attribute order + uppercase attr names
+        (1, '<html LANG="FR"><head><title> Deux   mots </title>'
+            '<meta content="ordre inverse" name="description">'
+            '<link href="https://ex.com/b" rel="canonical"></head></html>'),
+        # single-quoted attributes
+        (2, "<html lang='pt-BR'><head>"
+            "<meta name='robots' content='NOINDEX, nofollow'>"
+            "<title>simples</title></head></html>"),
+        # hard-wrapped title; no other metadata
+        (3, "<html><head><title>line one\n   line two</title></head></html>"),
+        (4, None),
+        (5, "<p>not even an html element</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in html_metadata(df).collect()}
+    assert got[0]["title"] == "Home & Garden"
+    assert got[0]["description"] == 'Nice "page"'
+    assert got[0]["html_lang"] == "en"
+    assert got[0]["canonical_url"] == "https://ex.com/a"
+    assert got[0]["noindex"] is False
+    assert got[1]["description"] == "ordre inverse"
+    assert got[1]["html_lang"] == "fr"
+    assert got[1]["canonical_url"] == "https://ex.com/b"
+    assert got[2]["html_lang"] == "pt-br"
+    assert got[2]["noindex"] is True
+    assert got[3]["title"] == "line one line two"
+    assert got[3]["html_lang"] is None
+    assert got[3]["canonical_url"] is None
+    assert got[4]["title"] is None and got[4]["noindex"] is False
+    assert got[5]["title"] is None and got[5]["html_lang"] is None
