@@ -97,6 +97,12 @@ def synthesize_crawl(segment_dir: str, n_pages: int = 120) -> None:
         kind = ["clean", "clean", "clean", "js", "lorem", "pii", "spam"][i % 7]
         html = _page(rng, kind, i)
         url = f"https://Site{i % 9}.Example.COM/articles/{i}"
+        if i % 20 == 1:  # publisher opt-out: robots META, not robots.txt
+            html = html.replace(
+                "<head>",
+                '<head><meta name="robots" content="noindex, nofollow">',
+                1,
+            )
         records.append(
             make_warc_record(url, html.encode(), record_id=f"<urn:uuid:{i}>")
         )
@@ -108,8 +114,13 @@ def synthesize_crawl(segment_dir: str, n_pages: int = 120) -> None:
                     record_id=f"<urn:uuid:re-{i}>",
                 )
             )
-        if i % 10 == 3:  # near-duplicate page variant on another host
-            variant = html.replace("Article", "Story", 1)
+        if i % 10 == 3:  # near-duplicate page variant on another host,
+            # declaring its origin via rel=canonical (mirrors often do)
+            variant = html.replace("Article", "Story", 1).replace(
+                "<head>",
+                f'<head><link rel="canonical" href="{url.lower()}">',
+                1,
+            )
             records.append(
                 make_warc_record(
                     f"https://mirror.example.net/copy/{i}",
@@ -196,6 +207,34 @@ def main() -> None:
         "disallowed": disallowed.count(),
     }
     docs = fetchable.localCheckpoint()
+
+    # 1c. page-metadata compliance + canonical rewrite: the robots
+    #     META is the in-page opt-out the fetch gate cannot see (RFC
+    #     9309 gates the FETCH; noindex gates KEEPING a page already
+    #     fetched), and a publisher-declared rel=canonical is the
+    #     dedup key of record — mirrors pointing at their origin
+    #     collapse at the URL tier, before any content dedup runs.
+    from sparvi_core_spark.functions.web import html_metadata
+
+    meta = html_metadata(docs, id_col="doc_id").localCheckpoint()
+    n_noindex = meta.filter("noindex").count()
+    n_canon = meta.filter(F.col("canonical_url").isNotNull()).count()
+    docs = (
+        docs.join(
+            meta.select(
+                F.col("id").alias("doc_id"), "noindex", "canonical_url"
+            ),
+            "doc_id",
+        )
+        .filter(~F.col("noindex"))
+        .withColumn("url", F.coalesce("canonical_url", "url"))
+        .drop("noindex", "canonical_url")
+        .localCheckpoint()
+    )
+    report["meta_screen"] = {
+        "noindexed_dropped": n_noindex,
+        "canonical_rewrites": n_canon,
+    }
 
     # 2a. the recrawl screen IN-STREAM: a live crawl tail dedups
     #     recrawls before they land (dropDuplicatesWithinWatermark on
