@@ -748,9 +748,8 @@ def q_robots_screen(spark, sf_dir):
 
 
 # planted HTML pages for the html_meta pair — one per attribute-order /
-# quoting / entity / absence case the extractor must handle. No bare
-# apostrophes outside case 5 (which TESTS single-quoted attributes and
-# is SQL-escaped where inlined).
+# quoting / entity / absence case the extractor must handle (bare
+# apostrophes are fine anywhere: the oracle SQL-escapes page text).
 _HTML_META_PAGES = {
     0: '<html lang="en"><head><title>Welcome Home</title>'
        '<meta name="description" content="A fine page">'
@@ -767,6 +766,17 @@ _HTML_META_PAGES = {
     5: "<html lang='pt'><head><title>Aspas simples</title>"
        "<meta name='description' content='conteudo simples'>"
        "<link rel='canonical' href='https://ex.com/pt'></head></html>",
+    # apostrophes inside a double-quoted value (must NOT truncate at
+    # the quote of the other kind) + data-lang must not shadow lang
+    6: '<html data-lang="xx" lang="en"><head>'
+       "<title>Tom's Diner</title>"
+       '<meta name="description" content="It\'s Tom\'s place, truly">'
+       "</head></html>",
+    # xml:lang alone is NOT the lang attribute (html_lang stays NULL);
+    # reversed attribute order with single quotes
+    7: '<html xml:lang="zz"><head><title>Sem atributo lang</title>'
+       "<meta content='ordem inversa simples' name='description'>"
+       "</head></html>",
 }
 
 
@@ -781,7 +791,7 @@ def q_html_meta(spark, sf_dir):
     from sparvi_core_spark.functions.web import html_metadata
 
     t = _views(spark, sf_dir)
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 8
     page = F.coalesce(
         *[F.when(m == k, F.lit(v)) for k, v in _HTML_META_PAGES.items()]
     )
@@ -2403,10 +2413,35 @@ FROM scored"""
         f"('{h}', '{a}', {str(al).upper()}, '{p}')"
         for h, a, al, p in _ROBOTS_RULES
     )
-    # html_meta: every extractor regex imported from the SAME web.py
-    # helpers the operator uses (zero drift), entity decode + collapse
-    # replicated in the exact replace order
-    from sparvi_core_spark.functions.web import _attr_pair as _hm_ap
+    # html_meta: every extractor regex spelled out as a LITERAL below —
+    # deliberately NOT imported from functions/web.py, so the oracle
+    # stays blind to a bug in the implementation's pattern constants
+    # (sharing planted DATA with the query is fine; sharing matching
+    # LOGIC would make parity vacuous). Entity decode + collapse are
+    # replicated in the exact replace order. Coalesce order matches
+    # the implementation: (double-quote fwd, rev), (single-quote fwd,
+    # rev) — value classes are quote-specific so a double-quoted value
+    # containing an apostrophe is not truncated.
+    _HM_PATS = {
+        "description": [
+            r"""(?is)<meta\b[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*"([^"]*)""",
+            r"""(?is)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']description["']""",
+            r"""(?is)<meta\b[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*'([^']*)""",
+            r"""(?is)<meta\b[^>]*content\s*=\s*'([^']*)'[^>]*name\s*=\s*["']description["']""",
+        ],
+        "robots": [
+            r"""(?is)<meta\b[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*"([^"]*)""",
+            r"""(?is)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']robots["']""",
+            r"""(?is)<meta\b[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*'([^']*)""",
+            r"""(?is)<meta\b[^>]*content\s*=\s*'([^']*)'[^>]*name\s*=\s*["']robots["']""",
+        ],
+        "canonical": [
+            r"""(?is)<link\b[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*"([^"]*)""",
+            r"""(?is)<link\b[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*["']canonical["']""",
+            r"""(?is)<link\b[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*'([^']*)""",
+            r"""(?is)<link\b[^>]*href\s*=\s*'([^']*)'[^>]*rel\s*=\s*["']canonical["']""",
+        ],
+    }
 
     def _hm_sq(s: str) -> str:
         return s.replace("'", "''")
@@ -2427,21 +2462,26 @@ FROM scored"""
             + r", '\s+', ' ', 'g')), '')"
         )
 
-    def _hm_pair(tag, k1, v1, k2):
-        fwd, rev = _hm_ap(tag, k1, v1, k2)
+    def _hm_pair(which):
         return (
-            f"COALESCE(NULLIF(regexp_extract(text, '{_hm_sq(fwd)}', 1), ''),"
-            f" NULLIF(regexp_extract(text, '{_hm_sq(rev)}', 1), ''))"
+            "COALESCE("
+            + ", ".join(
+                f"NULLIF(regexp_extract(text, '{_hm_sq(p)}', 1), '')"
+                for p in _HM_PATS[which]
+            )
+            + ")"
         )
 
     _hm_title = "regexp_extract(text, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    # lang needs a preceding delimiter ([\s"']) — \b treats :/- as word
+    # boundaries, so a bare \blang would match data-lang / xml:lang
     _hm_lang = (
         "NULLIF(lower(regexp_extract(text,"
-        " '(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"'']?"
+        " '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']?"
         "([a-zA-Z][a-zA-Z-]*)', 1)), '')"
     )
     _hm_pages_case = (
-        "CASE doc_id % 6 "
+        "CASE doc_id % 8 "
         + " ".join(
             f"WHEN {k} THEN '{_hm_sq(v)}'"
             for k, v in _HTML_META_PAGES.items()
@@ -2455,12 +2495,12 @@ WITH pages AS (
 )
 SELECT doc_id,
        {_hm_norm(_hm_title)} AS title,
-       {_hm_norm(_hm_pair("meta", "name", "description", "content"))}
+       {_hm_norm(_hm_pair("description"))}
            AS description,
        {_hm_lang} AS html_lang,
-       {_hm_pair("link", "rel", "canonical", "href")} AS canonical_url,
+       {_hm_pair("canonical")} AS canonical_url,
        contains(lower(coalesce(
-           {_hm_norm(_hm_pair("meta", "name", "robots", "content"))},
+           {_hm_norm(_hm_pair("robots"))},
            '')), 'noindex') AS noindex
 FROM pages"""
 

@@ -602,19 +602,24 @@ def host_quality_stats(
 # ---------------------------------------------------------------------------
 
 
-def _attr_pair(tag_re: str, key1: str, val1: str, key2: str) -> tuple[str, str]:
-    """Two regexes (both attribute orders) extracting ``key2``'s value
-    from a tag matching ``key1="val1"`` — HTML attribute order is
-    free, so every extractor needs the swapped variant too."""
-    fwd = (
-        rf"(?is)<{tag_re}\b[^>]*{key1}\s*=\s*[\"']{val1}[\"']"
-        rf"[^>]*{key2}\s*=\s*[\"']([^\"']*)"
-    )
-    rev = (
-        rf"(?is)<{tag_re}\b[^>]*{key2}\s*=\s*[\"']([^\"']*)[\"']"
-        rf"[^>]*{key1}\s*=\s*[\"']{val1}[\"']"
-    )
-    return fwd, rev
+def _attr_pair(
+    tag_re: str, key1: str, val1: str, key2: str
+) -> tuple[str, str, str, str]:
+    """Four regexes (both attribute orders × both value quote styles)
+    extracting ``key2``'s value from a tag matching ``key1="val1"`` —
+    HTML attribute order is free, so every extractor needs the swapped
+    variant, and the value class must be QUOTE-SPECIFIC: a shared
+    ``[^"']*`` class stops at the first quote of either kind, silently
+    truncating a double-quoted value containing an apostrophe
+    (``content="it's fine"`` → ``it``) — and apostrophes are common in
+    real meta descriptions/titles."""
+    pre = rf"(?is)<{tag_re}\b[^>]*"
+    k1 = rf"{key1}\s*=\s*[\"']{val1}[\"']"
+    pats = []
+    for q in ('"', "'"):
+        pats.append(pre + k1 + rf"[^>]*{key2}\s*=\s*{q}([^{q}]*)")
+        pats.append(pre + rf"{key2}\s*=\s*{q}([^{q}]*){q}[^>]*" + k1)
+    return tuple(pats)
 
 
 def _first_nonempty(c: F.Column, *patterns: str) -> F.Column:
@@ -639,12 +644,17 @@ def html_lang(text_col: str = "text") -> F.Column:
     """The ``<html lang=...>`` attribute, lowercased (a cheap
     publisher-declared prior for :func:`~...text.language_id` — trust
     but verify: crawls are full of template-default ``lang="en"`` on
-    non-English pages). NULL when absent."""
+    non-English pages). NULL when absent. The attribute name requires
+    a preceding delimiter (``[\\s"']``) because ``\\b`` treats ``:``
+    and ``-`` as word boundaries — a bare ``\\blang`` would match
+    ``data-lang``/``xml:lang`` and could shadow a real ``lang``
+    attribute; ``xml:lang`` is deliberately NOT read (XHTML-only, and
+    HTML5 defines ``lang`` as the one that wins)."""
     return F.nullif(
         F.lower(
             F.regexp_extract(
                 F.col(text_col),
-                r"(?is)<html\b[^>]*\blang\s*=\s*[\"']?([a-zA-Z][a-zA-Z-]*)",
+                r"(?is)<html\b[^>]*[\s\"']lang\s*=\s*[\"']?([a-zA-Z][a-zA-Z-]*)",
                 1,
             )
         ),
@@ -657,8 +667,9 @@ def html_canonical(text_col: str = "text") -> F.Column:
     order) — the publisher's own dedup key; feed it to
     ``canonicalize_url``/``dedup_by_url`` ahead of the content tiers.
     NULL when absent."""
-    fwd, rev = _attr_pair("link", "rel", "canonical", "href")
-    return _first_nonempty(F.col(text_col), fwd, rev)
+    return _first_nonempty(
+        F.col(text_col), *_attr_pair("link", "rel", "canonical", "href")
+    )
 
 
 def html_meta(text_col: str, name: str) -> F.Column:
@@ -666,8 +677,9 @@ def html_meta(text_col: str, name: str) -> F.Column:
     order), entity-decoded, whitespace-collapsed; NULL when absent."""
     from sparvi_core_spark.functions.text import _decode_entities
 
-    fwd, rev = _attr_pair("meta", "name", name, "content")
-    raw = _first_nonempty(F.col(text_col), fwd, rev)
+    raw = _first_nonempty(
+        F.col(text_col), *_attr_pair("meta", "name", name, "content")
+    )
     return F.nullif(
         F.trim(F.regexp_replace(_decode_entities(raw), r"\s+", " ")),
         F.lit(""),

@@ -191,12 +191,13 @@ def writer_lock(spark: SparkSession, path: str, op: str):
         return
     _, fs, mkpath = _index_fs(spark, path)
     lp = mkpath(f"{path}/{WRITER_LOCK}")
+    token = uuid.uuid4().hex
     payload = json.dumps(
         {
             "pid": os.getpid(),
             "host": socket.gethostname(),
             "op": op,
-            "token": uuid.uuid4().hex,
+            "token": token,
             "acquired_utc": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -230,8 +231,18 @@ def writer_lock(spark: SparkSession, path: str, op: str):
         yield
     finally:
         _HELD_LOCKS.discard(key)
-        if fs.exists(lp):
-            fs.delete(lp, False)
+        # release ONLY a lock we still own: if someone break_writer_lock'd
+        # a live holder and a new writer acquired, the on-disk token no
+        # longer matches ours — deleting it would silently unfence the
+        # new holder and re-open the two-writer window. Best-effort
+        # read-check-delete (an unreadable/garbage lock is not ours).
+        try:
+            current = json.loads(_read_text(spark, path, WRITER_LOCK))
+        except Exception:
+            current = None
+        if current is not None and current.get("token") == token:
+            if fs.exists(lp):
+                fs.delete(lp, False)
 
 
 def _locked(op: str):

@@ -390,7 +390,6 @@ def append_ivfpq_index(
     return manifest
 
 
-@_locked("compact")
 @_locked("delete")
 def delete_from_ivfpq_index(spark: SparkSession, path: str, ids) -> dict:
     """Delete-by-id - the takedown verb for the IVF-PQ index. ``ids``

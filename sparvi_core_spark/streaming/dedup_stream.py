@@ -158,11 +158,14 @@ def novelty_stream_fuzzy(
     commit is skipped whole; (2) the sink lands each batch under its
     own ``batch_id=N`` partition directory with overwrite, so a replay
     that re-runs the batch rewrites the same directory instead of
-    appending duplicate rows; (3) survivors are screened through
-    ``filter_unindexed_ids`` before the index append, so a crash in
-    the window between the sink/index writes and the manifest commit
-    re-appends nothing on replay (the probe's self-id exclusion would
-    otherwise re-admit the same survivors). A crash in the MIDDLE of
+    appending duplicate rows; (3) the batch is split FIRST by
+    ``filter_unindexed_ids``: rows whose ids are already at rest (a
+    replay whose index append landed before the manifest commit) are
+    re-admitted to the sink verbatim — making the sink content
+    id-stable across replays even for mutual batch-internal near-dups,
+    which would otherwise screen each other out via their peers' index
+    copies — while only the unindexed split is near-dup screened and
+    appended, so the replay re-appends nothing. A crash in the MIDDLE of
     an index append (band store written, sig store not) is the
     stores' own crash-repair domain — run ``repair_minhash_index``
     before restarting the stream after an unclean stop.
@@ -206,20 +209,38 @@ def novelty_stream_fuzzy(
             manifest = json.loads(_read_text(spark, index_path, MANIFEST))
             if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
                 return  # replayed batch: already screened + landed, skip
+            id_col = manifest["id_col"]
+            # split the batch FIRST on ids already at rest in the index.
+            # On the normal path `landed` is empty. On a replay whose
+            # index append landed before the crash (crash in the window
+            # between append and manifest commit), `landed` is exactly
+            # the set the first run admitted — re-admit it to the sink
+            # verbatim instead of re-screening: mutual batch-internal
+            # near-dups (admitted together the first time) would
+            # otherwise screen each other out via their peers' index
+            # copies, shrinking the rewritten sink partition while the
+            # index keeps them — breaking the "admitted once with its
+            # peers" invariant. Sink content is thereby id-stable
+            # across replays.
+            unindexed = filter_unindexed_ids(
+                spark, index_path, batch_df
+            ).localCheckpoint()  # one answer for the screen AND the split
+            landed = batch_df.join(
+                unindexed.select(id_col), id_col, "left_anti"
+            )
             survivors = filter_new_against_index(
-                spark, index_path, batch_df, threshold, max_bucket
+                spark, index_path, unindexed, threshold, max_bucket
             ).localCheckpoint()  # screen ONCE; sink and index see one answer
             # idempotent sink: a replayed batch rewrites its own
             # partition directory instead of appending duplicates
-            survivors.write.mode("overwrite").parquet(
+            survivors.unionByName(landed).write.mode("overwrite").parquet(
                 f"{sink_path}/batch_id={int(batch_id)}"
             )
             if grow_index:
-                # idempotent index append: ids already at rest (a replay
-                # whose append landed before the crash) are dropped, so
-                # re-running the batch re-appends nothing
-                to_index = filter_unindexed_ids(spark, index_path, survivors)
-                man = append_minhash_index(spark, index_path, to_index)
+                # idempotent index append: survivors are unindexed by
+                # construction (screened from the `unindexed` split), so
+                # a replay whose append landed re-appends nothing
+                man = append_minhash_index(spark, index_path, survivors)
             else:
                 man = manifest
             man["last_stream_batch_id"] = int(batch_id)

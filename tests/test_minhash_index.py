@@ -321,10 +321,17 @@ def test_stream_replay_window_is_idempotent(spark, tmp_path):
     def run_batch_body():
         # the foreachBatch body of novelty_stream_fuzzy, sans the
         # manifest batch-id commit — i.e. the crash window itself
-        survivors = filter_new_against_index(spark, idx, batch, 0.9)
-        survivors.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
-        to_index = filter_unindexed_ids(spark, idx, survivors)
-        append_minhash_index(spark, idx, to_index)
+        unindexed = filter_unindexed_ids(spark, idx, batch).localCheckpoint()
+        landed = batch.join(
+            unindexed.select("doc_id"), "doc_id", "left_anti"
+        )
+        survivors = filter_new_against_index(
+            spark, idx, unindexed, 0.9
+        ).localCheckpoint()
+        survivors.unionByName(landed).write.mode("overwrite").parquet(
+            f"{sink}/batch_id=0"
+        )
+        append_minhash_index(spark, idx, survivors)
 
     run_batch_body()
     landed1 = sorted(
@@ -345,6 +352,63 @@ def test_stream_replay_window_is_idempotent(spark, tmp_path):
     assert man2["sig_rows_per_bucket"] == man1["sig_rows_per_bucket"]
     # and the screen itself reports nothing left to append
     assert filter_unindexed_ids(spark, idx, batch).count() == 0
+
+
+def test_stream_replay_keeps_mutual_near_dups(spark, tmp_path):
+    """The round-10 ADVICE crash case: a batch whose survivors are
+    MUTUAL near-dups of each other (admitted together — batch-internal
+    dups are out of scope) crashes after the index append but before
+    the manifest commit.  On replay, each would find its PEER's index
+    copy and be screened out — unless already-indexed batch rows are
+    re-admitted verbatim.  The sink content must be id-stable."""
+    import json
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        filter_unindexed_ids,
+    )
+
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=30, seed=3), idx, num_hashes=8, bands=4, n_buckets=16
+    )
+    rnd = random.Random(88)
+    twin_text = _doc(rnd)  # 600/601 are exact peers → mutual near-dups
+    stored_text = _corpus(spark, n=30, seed=3).collect()[4]["text"]
+    batch = spark.createDataFrame(
+        [(600, twin_text), (601, twin_text), (602, stored_text)],
+        "doc_id long, text string",
+    )
+    sink = str(tmp_path / "sink")
+
+    def run_batch_body():
+        # novelty_stream_fuzzy's foreachBatch body, sans the manifest
+        # batch-id commit — the crash window itself
+        unindexed = filter_unindexed_ids(spark, idx, batch).localCheckpoint()
+        landed = batch.join(
+            unindexed.select("doc_id"), "doc_id", "left_anti"
+        )
+        survivors = filter_new_against_index(
+            spark, idx, unindexed, 0.9
+        ).localCheckpoint()
+        survivors.unionByName(landed).write.mode("overwrite").parquet(
+            f"{sink}/batch_id=0"
+        )
+        append_minhash_index(spark, idx, survivors)
+
+    run_batch_body()
+    landed1 = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert landed1 == [600, 601]  # peers admitted together; 602 screened
+    man1 = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man1["n_docs"] == 32
+
+    run_batch_body()  # the replay
+    landed2 = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert landed2 == [600, 601]  # NOT screened out via their peers
+    man2 = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man2["n_docs"] == 32
+    assert man2["rows_per_bucket"] == man1["rows_per_bucket"]
 
 
 def test_delete_by_id_lifecycle(spark, tmp_path):
@@ -492,6 +556,49 @@ def test_writer_lock_fences_second_writer(spark, tmp_path):
         )
         append_minhash_index(spark, path, batch2)
         assert os.path.exists(lockfile)  # still held by the outer scope
+    assert not os.path.exists(lockfile)
+
+
+def test_writer_lock_release_checks_ownership(spark, tmp_path):
+    """Round-10 ADVICE: if an operator break_writer_lock's a LIVE
+    holder and a new writer acquires, the original holder's exit must
+    NOT delete the new holder's lock (token mismatch) — deleting it
+    would silently re-open the two-writer window the lock exists to
+    prevent."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import (
+        break_writer_lock,
+        writer_lock,
+    )
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=10, seed=3), path, num_hashes=8, bands=4,
+        n_buckets=8,
+    )
+    lockfile = os.path.join(path, "_writer.lock")
+
+    with writer_lock(spark, path, "op-a"):
+        assert os.path.exists(lockfile)
+        break_writer_lock(spark, path)  # operator error on a live holder
+        # a second writer (another process) acquires the freed lock
+        with open(lockfile, "w") as f:
+            json.dump(
+                {"pid": 1, "host": "other-host", "op": "append",
+                 "token": "theirs"}, f,
+            )
+    # op-a's exit saw a foreign token and left the lock alone
+    assert os.path.exists(lockfile)
+    with open(lockfile) as f:
+        assert json.load(f)["token"] == "theirs"
+    break_writer_lock(spark, path)  # cleanup
+    assert not os.path.exists(lockfile)
+
+    # normal path: own token → released on exit
+    with writer_lock(spark, path, "op-b"):
+        assert os.path.exists(lockfile)
     assert not os.path.exists(lockfile)
 
 

@@ -725,6 +725,13 @@ def test_html_metadata_extraction(spark):
         (3, "<html><head><title>line one\n   line two</title></head></html>"),
         (4, None),
         (5, "<p>not even an html element</p>"),
+        # apostrophe inside a double-quoted value must not truncate;
+        # data-lang must not shadow the real lang attribute
+        (6, '<html data-lang="xx" lang="en"><head>'
+            '<meta name="description" content="It\'s Tom\'s place">'
+            "</head></html>"),
+        # xml:lang alone is not the lang attribute
+        (7, '<html xml:lang="zz"><head><title>no lang</title></head></html>'),
     ]
     df = spark.createDataFrame(pages, "doc_id long, text string")
     got = {r["id"]: r.asDict() for r in html_metadata(df).collect()}
@@ -743,3 +750,6 @@ def test_html_metadata_extraction(spark):
     assert got[3]["canonical_url"] is None
     assert got[4]["title"] is None and got[4]["noindex"] is False
     assert got[5]["title"] is None and got[5]["html_lang"] is None
+    assert got[6]["description"] == "It's Tom's place"
+    assert got[6]["html_lang"] == "en"
+    assert got[7]["html_lang"] is None and got[7]["title"] == "no lang"
