@@ -1063,16 +1063,30 @@ def dedup_index_build(source, table, index_path, id_col, text_col,
 @click.argument("source")
 @click.argument("table")
 @click.argument("index_path")
+@click.option("--auto-compact", default=None, type=int, metavar="N",
+              help="After the append, compact if any bucket exceeds N "
+                   "files (keeps probe latency flat across many small "
+                   "appends; below N it costs one directory listing)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def dedup_index_append(source, table, index_path, cpus):
+def dedup_index_append(source, table, index_path, auto_compact, cpus):
     """Sign TABLE under the index's parameters and add it."""
-    from sparvi_core_spark.sources.minhash_index import append_minhash_index
+    from sparvi_core_spark.sources.minhash_index import (
+        append_minhash_index,
+        compact_minhash_index_if,
+    )
 
     spark = _session(cpus)
     df = _load_table_df(spark, source, table)
     man = append_minhash_index(spark, index_path, df)
-    click.echo(json.dumps(
-        {"n_docs": man["n_docs"], "dropped_short": man["dropped_short"]}))
+    rep = {"n_docs": man["n_docs"], "dropped_short": man["dropped_short"]}
+    if auto_compact is not None:
+        out = compact_minhash_index_if(spark, index_path, auto_compact)
+        rep["auto_compact"] = {
+            "max_files_per_bucket": out["max_files_per_bucket"],
+            "threshold": out["threshold"],
+            "compacted": out["compacted"],
+        }
+    click.echo(json.dumps(rep))
 
 
 @dedup_index.command("screen")
@@ -1130,17 +1144,24 @@ def dedup_index_screen(source, table, index_path, threshold, max_bucket,
 
 @dedup_index.command("compact")
 @click.argument("index_path")
+@click.option("--if-over", default=None, type=int, metavar="N",
+              help="Only compact when some bucket exceeds N files "
+                   "(cheap no-op otherwise — cron-safe)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def dedup_index_compact(index_path, cpus):
+def dedup_index_compact(index_path, if_over, cpus):
     """Fold pending deletes, then appended small files, back to one
     file per bucket (both stores; journaled, crash-healed). Run in
     the append maintenance window."""
     from sparvi_core_spark.sources.minhash_index import (
         compact_minhash_index,
+        compact_minhash_index_if,
     )
 
     spark = _session(cpus)
-    stats = compact_minhash_index(spark, index_path)
+    if if_over is not None:
+        stats = compact_minhash_index_if(spark, index_path, if_over)
+    else:
+        stats = compact_minhash_index(spark, index_path)
     click.echo(json.dumps(stats))
 
 

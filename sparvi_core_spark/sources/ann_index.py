@@ -883,6 +883,92 @@ def _compact_cells(
     }
 
 
+def store_fragmentation(spark: SparkSession, root: str) -> dict:
+    """Files-per-bucket gauge for one cell-partitioned store root — a
+    pure directory listing (no data read, no Spark job), O(n_buckets)
+    LIST calls: the same order of FS work the append that fragmented
+    the store just performed. Returns ``{"n_buckets", "total_files",
+    "max_files_per_bucket"}``; a missing root gauges as empty (0s).
+
+    This is the measurement half of the auto-compaction knob: the
+    round-9 lifecycle study showed ~20 small appends fragment buckets
+    to ~16 files and cost the constant-latency probe ~2.7× until a
+    compaction folds them back — a maintenance policy should trigger
+    on THIS number instead of relying on an operator reading docs."""
+    _, fs, mkpath = _index_fs(spark, root)
+    rp = mkpath(root)
+    counts: list[int] = []
+    if fs.exists(rp):
+        for st in fs.listStatus(rp):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("bucket="):
+                counts.append(
+                    len(_cell_files(fs, mkpath, root, name.split("=", 1)[1]))
+                )
+    return {
+        "n_buckets": len(counts),
+        "total_files": sum(counts),
+        "max_files_per_bucket": max(counts, default=0),
+    }
+
+
+def compact_index_if(
+    spark: SparkSession,
+    path: str,
+    stores: dict[str, str],
+    max_files_per_bucket: int,
+    compact,
+    op: str = "compact-if",
+) -> dict:
+    """The shared auto-compaction trigger: gauge every store root's
+    fragmentation (:func:`store_fragmentation`), and when ANY bucket
+    holds more than ``max_files_per_bucket`` files, run ``compact()``
+    — all under the index's writer lock, so the gauge, the decision,
+    and the fold are atomic against a concurrent writer (the inner
+    compact verb's own lock is reentrant). Returns ``{"fragmentation":
+    {store: gauge}, "max_files_per_bucket", "threshold", "compacted",
+    "stats": <compact output when it ran>}``. Cost when below the
+    threshold is the listing alone — safe to call after every append
+    (the CLI's ``--auto-compact`` and the novelty stream do)."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    with writer_lock(spark, path, op):
+        frag = {
+            name: store_fragmentation(spark, root)
+            for name, root in stores.items()
+        }
+        worst = max(
+            (g["max_files_per_bucket"] for g in frag.values()), default=0
+        )
+        out = {
+            "fragmentation": frag,
+            "max_files_per_bucket": worst,
+            "threshold": max_files_per_bucket,
+            "compacted": False,
+        }
+        if worst > max_files_per_bucket:
+            out["stats"] = compact()
+            out["compacted"] = True
+        return out
+
+
+def compact_ivf_index_if(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 16,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """:func:`compact_ivf_index` iff some cell exceeds
+    ``max_files_per_bucket`` files — the append pipeline's hygiene
+    policy as a knob instead of a runbook note."""
+    return compact_index_if(
+        spark, path, {"vectors": path}, max_files_per_bucket,
+        lambda: compact_ivf_index(spark, path, files_per_bucket),
+    )
+
+
 def retrain_ivf_index(
     spark: SparkSession,
     path: str,

@@ -598,6 +598,26 @@ def compact_binary_index(
     return out2
 
 
+def compact_binary_index_if(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 16,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """:func:`compact_binary_index` iff some bucket of the codes store
+    or the ``_vectors/`` side-store exceeds ``max_files_per_bucket``
+    files — the auto-compaction trigger (one directory listing when
+    below the threshold; gauge + fold atomic under the writer lock)."""
+    from sparvi_core_spark.sources.ann_index import compact_index_if
+
+    return compact_index_if(
+        spark, path,
+        {"codes": path, "vectors": f"{path}/{VECTORS_DIR}"},
+        max_files_per_bucket,
+        lambda: compact_binary_index(spark, path, files_per_bucket),
+    )
+
+
 def filter_new_against_binary_index(
     spark: SparkSession,
     path: str,

@@ -540,6 +540,26 @@ def compact_ivfpq_index(
     return stats
 
 
+def compact_ivfpq_index_if(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 16,
+    files_per_bucket: int | None = None,
+) -> dict:
+    """:func:`compact_ivfpq_index` iff some cell of the codes store or
+    the ``_floats/`` side-store exceeds ``max_files_per_bucket`` files
+    — the auto-compaction trigger (one directory listing when below
+    the threshold; gauge + fold atomic under the writer lock)."""
+    from sparvi_core_spark.sources.ann_index import compact_index_if
+
+    return compact_index_if(
+        spark, path,
+        {"codes": path, "floats": f"{path}/{FLOATS_DIR}"},
+        max_files_per_bucket,
+        lambda: compact_ivfpq_index(spark, path, files_per_bucket),
+    )
+
+
 def retrain_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -627,6 +627,26 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def compact_minhash_index_if(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 16
+) -> dict:
+    """:func:`compact_minhash_index` iff some bucket of EITHER store
+    (band root or ``_sigs/``) exceeds ``max_files_per_bucket`` files —
+    the auto-compaction trigger for the append/streaming pipeline
+    (``dedup-index append --auto-compact`` and
+    ``novelty_stream_fuzzy(auto_compact=N)`` call this after every
+    append). Below the threshold the cost is one directory listing;
+    gauge + fold run atomically under the writer lock."""
+    from sparvi_core_spark.sources.ann_index import compact_index_if
+
+    return compact_index_if(
+        spark, path,
+        {"bands": path, "sigs": f"{path}/{SIGS_DIR}"},
+        max_files_per_bucket,
+        lambda: compact_minhash_index(spark, path),
+    )
+
+
 def reband_minhash_index(
     spark: SparkSession,
     path: str,

@@ -138,6 +138,7 @@ def novelty_stream_fuzzy(
     grow_index: bool = True,
     checkpoint: str | None = None,
     available_now: bool = True,
+    auto_compact: int | None = None,
 ):
     """Streaming NEAR-duplicate novelty screen against the stored
     MinHash index (``sources.minhash_index``): per micro-batch, drop
@@ -176,6 +177,16 @@ def novelty_stream_fuzzy(
     Readers see the sink as ordinary partitioned parquet
     (``spark.read.parquet(sink_path)``) with a synthesized
     ``batch_id`` column for provenance.
+
+    ``auto_compact=N`` runs ``compact_minhash_index_if(path, N)``
+    after each batch's manifest commit (still inside the batch's
+    writer lock): every small append fragments both stores, and a
+    stream that appends for days without maintenance ends with probes
+    ~2.7× slower (round-9 lifecycle study) — the knob folds buckets
+    back once any exceeds N files, keeping probe latency flat without
+    an operator-scheduled compact. It runs AFTER the commit, so a
+    crash mid-compaction replays nothing (the journaled swap heals via
+    ``repair_minhash_index``).
 
     Returns the started ``StreamingQuery``. The index must already
     exist (``write_minhash_index``); single writer per index path, as
@@ -248,6 +259,16 @@ def novelty_stream_fuzzy(
                 spark, index_path, MANIFEST,
                 json.dumps(man, indent=1, sort_keys=True),
             )
+            if auto_compact is not None and grow_index:
+                # after the commit: a crash here replays nothing, and
+                # compaction reads the manifest fresh from disk (the
+                # batch-id commit above is preserved). Reentrant under
+                # this batch's writer lock.
+                from sparvi_core_spark.sources.minhash_index import (
+                    compact_minhash_index_if,
+                )
+
+                compact_minhash_index_if(spark, index_path, auto_compact)
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

@@ -528,3 +528,44 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
     assert not (final & set(victims))
     append_ivf_index(df.filter(F.col("vec_id") == victims[0]), path)
     assert "purge" not in compact_ivf_index(spark, path)
+
+
+def test_compact_if_trigger(spark, tmp_path):
+    """Auto-compaction knob on the float IVF index: gauge-only below
+    the threshold, fold above it, search identical, no-op once clean."""
+    from sparvi_core_spark.sources.ann_index import (
+        append_ivf_index,
+        compact_ivf_index_if,
+        store_fragmentation,
+    )
+
+    base = _corpus(spark, n=120, seed=21)
+    cents = _centroids(spark, base, k=4)
+    path = str(tmp_path / "idx_if")
+    write_ivf_index(base, cents, path)
+    for g in range(3):
+        batch = _corpus(spark, n=30, seed=40 + g).withColumn(
+            "vec_id", F.col("vec_id") + 1000 * (g + 1)
+        )
+        append_ivf_index(batch, path)
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] >= 3
+
+    queries = base.limit(10).select("vec_id", "embedding")
+    before = sorted(
+        map(tuple, search_ivf_index(spark, path, queries, k=4).collect())
+    )
+
+    out = compact_ivf_index_if(spark, path, max_files_per_bucket=64)
+    assert out["compacted"] is False and "stats" not in out
+
+    out2 = compact_ivf_index_if(spark, path, max_files_per_bucket=2)
+    assert out2["compacted"] is True
+    assert out2["stats"]["cells_compacted"] > 0
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
+    after = sorted(
+        map(tuple, search_ivf_index(spark, path, queries, k=4).collect())
+    )
+    assert after == before
+
+    out3 = compact_ivf_index_if(spark, path, max_files_per_bucket=2)
+    assert out3["compacted"] is False

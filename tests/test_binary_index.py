@@ -416,3 +416,44 @@ def test_filter_new_against_binary_index(spark, tmp_path):
         filter_new_against_binary_index(
             spark, path, batch, rerank=None
         ).collect()
+
+
+def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
+    """Auto-compaction knob on the binary index: the gauge covers the
+    codes store AND the float side-store; the fold brings both back to
+    the manifest's files_per_bucket and answers are unchanged."""
+    from sparvi_core_spark.sources.ann_index import store_fragmentation
+    from sparvi_core_spark.sources.binary_index import (
+        compact_binary_index_if,
+    )
+
+    df = _corpus(spark, n=160)
+    path = str(tmp_path / "bidx")
+    write_binary_index(df, path, bits=128, seed=9, prefix_bits=2)
+    for g in range(3):
+        append_binary_index(
+            spark, path, _corpus(spark, n=40, seed=50 + g, offset=1000 * (g + 1))
+        )
+    frag = store_fragmentation(spark, path)
+    assert frag["max_files_per_bucket"] >= 3
+
+    queries = df.limit(8).select("vec_id", "embedding")
+    before = sorted(
+        map(tuple, search_binary_index(spark, path, queries, k=5).collect())
+    )
+
+    out = compact_binary_index_if(spark, path, max_files_per_bucket=64)
+    assert out["compacted"] is False
+    assert set(out["fragmentation"]) == {"codes", "vectors"}
+
+    out2 = compact_binary_index_if(spark, path, max_files_per_bucket=2)
+    assert out2["compacted"] is True
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
+    assert (
+        store_fragmentation(spark, f"{path}/_vectors")["max_files_per_bucket"]
+        == 1
+    )
+    after = sorted(
+        map(tuple, search_binary_index(spark, path, queries, k=5).collect())
+    )
+    assert after == before

@@ -690,3 +690,143 @@ def test_reband_from_signatures_equals_fresh_build(spark, tmp_path):
         reband_minhash_index(spark, src, src, threshold=0.5)
     with _pytest.raises(ValueError, match="threshold or bands"):
         reband_minhash_index(spark, src, dest)
+
+
+def test_compact_if_trigger_gauges_both_stores(spark, tmp_path):
+    """The auto-compaction knob: below the threshold the gauge is a
+    pure directory listing (nothing compacts); once small appends push
+    some bucket past it, the fold runs and the probe answer is
+    unchanged; a repeat call is a no-op again."""
+    from sparvi_core_spark.sources.ann_index import store_fragmentation
+    from sparvi_core_spark.sources.minhash_index import (
+        compact_minhash_index_if,
+    )
+
+    path = str(tmp_path / "mhidx")
+    corpus = _corpus(spark, n=40, seed=3)
+    write_minhash_index(corpus, path, num_hashes=8, bands=4, n_buckets=8)
+    for g, seed in enumerate((8, 9, 10), start=1):
+        append_minhash_index(
+            spark, path, _corpus(spark, n=15, seed=seed, offset=1000 * g)
+        )
+    frag0 = store_fragmentation(spark, path)
+    assert frag0["max_files_per_bucket"] >= 3  # base + 3 appends fragment
+
+    batch = spark.createDataFrame(
+        [(9000 + r["doc_id"], r["text"]) for r in corpus.collect()[:8]],
+        "doc_id long, text string",
+    )
+    before = {
+        (r["batch_id"], r["index_id"])
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+
+    # high threshold: gauge only, nothing folds
+    out = compact_minhash_index_if(spark, path, max_files_per_bucket=64)
+    assert out["compacted"] is False and "stats" not in out
+    assert set(out["fragmentation"]) == {"bands", "sigs"}
+    assert out["max_files_per_bucket"] == max(
+        out["fragmentation"]["bands"]["max_files_per_bucket"],
+        out["fragmentation"]["sigs"]["max_files_per_bucket"],
+    )
+
+    # low threshold: the fold runs, both stores end at 1 file/bucket
+    out2 = compact_minhash_index_if(spark, path, max_files_per_bucket=2)
+    assert out2["compacted"] is True
+    assert out2["stats"]["bands"]["cells_compacted"] > 0
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
+    assert (
+        store_fragmentation(spark, f"{path}/_sigs")["max_files_per_bucket"]
+        == 1
+    )
+    after = {
+        (r["batch_id"], r["index_id"])
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+    assert after == before
+
+    # already folded: listing no-op
+    out3 = compact_minhash_index_if(spark, path, max_files_per_bucket=2)
+    assert out3["compacted"] is False
+
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        compact_minhash_index_if(spark, path, max_files_per_bucket=0)
+
+
+def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
+    """Takedown between two foreachBatch ticks: the deleted doc (a)
+    stops screening new near-dups immediately — the next trigger
+    ADMITS a copy of it — and (b) is physically purged by the
+    in-stream auto-compact, which also folds the appended small files
+    (probe latency stays flat without an operator-scheduled compact)."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import (
+        _read_text,
+        store_fragmentation,
+    )
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        delete_from_minhash_index,
+    )
+    from sparvi_core_spark.streaming.dedup_stream import novelty_stream_fuzzy
+
+    store = _corpus(spark, n=30, seed=3)
+    victim = store.collect()[5]
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(store, idx, num_hashes=8, bands=4, n_buckets=16)
+
+    rnd = random.Random(33)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(100, _doc(rnd)), (101, victim["text"])], schema
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = novelty_stream_fuzzy(
+            stream, idx, sink, threshold=0.9, checkpoint=ckpt,
+            auto_compact=1,
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # trigger 1: 101 duplicates the stored victim
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert landed == {100}
+
+    # takedown between ticks
+    delete_from_minhash_index(spark, idx, [victim["doc_id"]])
+
+    b2 = spark.createDataFrame(
+        [(200, victim["text"]), (201, _doc(rnd))], schema
+    )
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    run_stream()  # trigger 2
+
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # (a) the deleted doc no longer screens its near-copies: 200 lands
+    assert landed == {100, 200, 201}
+    # (b) the in-stream auto-compact physically purged the tombstone
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+    man = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man["purged_total"] == 1
+    assert man["last_stream_batch_id"] == 1
+    # 30 stored - 1 purged + 3 admitted across both triggers
+    assert man["n_docs"] == 32
+    # and the appends were folded: both stores back at 1 file/bucket
+    assert store_fragmentation(spark, idx)["max_files_per_bucket"] == 1
+    assert (
+        store_fragmentation(spark, f"{idx}/_sigs")["max_files_per_bucket"]
+        == 1
+    )
+    health = minhash_index_health(spark, idx)
+    assert health.filter(~F.col("ok")).count() == 0
