@@ -11,6 +11,8 @@ any-whitespace (``\\s+``) splitting, the published Gopher/C4 contract.
 
 from __future__ import annotations
 
+import os.path as _osp
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -739,6 +741,59 @@ def train_langid(
         df, "lang", text_col="text", num_features=num_features,
         min_count=min_count, analyzer="char", char_n=char_n,
     )
+
+
+# Checked-in demonstration corpus for the public-data training recipe:
+# one file per language (stem = label) under train/ and heldout/, 28
+# languages across 9 scripts, parallel content so close-pair eval is
+# honest. See its README.md for authorship/provenance.
+LANGID_SAMPLE_DIR = _osp.join(
+    _osp.dirname(_osp.dirname(_osp.abspath(__file__))),
+    "data", "langid_sample",
+)
+
+
+def load_langid_corpus(path: str) -> dict[str, list[str]]:
+    """Read a one-file-per-language seed directory into the
+    ``{lang: [sentences]}`` shape :func:`train_langid` and
+    :func:`langid_eval` take: every ``*.txt`` file's stem is the
+    label; one sentence per line; blank lines and ``#`` comments
+    skipped; text lowercased (the featurizer's authorship rule, so a
+    corpus with original casing trains identically to authored seeds).
+
+    Driver-side by design: seed corpora for an NB char-n-gram model
+    are small (the MODEL is labels × seed-vocabulary — it must stay
+    broadcastable), so plain file reads are the right tool. For seeds
+    living on a cluster filesystem, read them with ``spark.read.text``
+    and pass the dict to ``train_langid(seeds=...)`` yourself."""
+    import os
+
+    out: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".txt"):
+            continue
+        with open(os.path.join(path, name), encoding="utf-8") as f:
+            lines = [
+                ln.strip().lower()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        if lines:
+            out[name[: -len(".txt")]] = lines
+    if not out:
+        raise ValueError(f"no *.txt language files found under {path!r}")
+    return out
+
+
+def train_langid_from_dir(spark, path: str, **train_kw):
+    """The public-corpus training recipe: point at a directory of
+    ``{lang}.txt`` files (UDHR translations, a Wikipedia sample per
+    language, or the checked-in :data:`LANGID_SAMPLE_DIR`/train) and
+    get a scoring-ready NB model. Pair it with
+    ``langid_eval(heldout=load_langid_corpus(<heldout dir>), model=m)``
+    as the acceptance gate — the regression test runs exactly that
+    over the checked-in 28-language sample."""
+    return train_langid(spark, seeds=load_langid_corpus(path), **train_kw)
 
 
 def language_id(
