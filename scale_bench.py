@@ -562,6 +562,46 @@ def main() -> None:
             )
         )
 
+        # --- staged-append study (r10: VERDICT r9 next-round #5).
+        # The same 20 micro-appends through the STAGING store: two
+        # file creations per append instead of one per touched bucket
+        # of both stores — the ingest floor the r9 verdict flagged.
+        # Probe with staging pending (readers union it), fold via the
+        # auto-compaction trigger, probe again. Starts from the
+        # compacted state the previous study left behind.
+        from sparvi_core_spark.sources.minhash_index import (
+            compact_minhash_index_if,
+        )
+
+        t0 = time.time()
+        for i in range(20):
+            app = (
+                docs.filter(F.col("doc_id") % 20 == i)
+                .limit(200)
+                .select(
+                    (F.col("doc_id") + (i + 41) * 1_000_000_000).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                )
+            )
+            append_minhash_index(spark, mhidx_path, app, staged=True)
+        results.setdefault("mhidx_append_20x200_staged", {})[
+            sf_name
+        ] = round(time.time() - t0, 3)
+        results.setdefault("mhidx_probe_20staged", {})[sf_name] = timed(
+            probe_once
+        )
+        t0 = time.time()
+        fold = compact_minhash_index_if(spark, mhidx_path, 16)
+        assert fold["compacted"], fold
+        results.setdefault("mhidx_staged_fold", {})[sf_name] = round(
+            time.time() - t0, 3
+        )
+        results.setdefault("mhidx_probe_post_stagedfold", {})[
+            sf_name
+        ] = timed(probe_once)
+
     for name, r in results.items():
         r["ratio"] = round(r[SF_LABEL] / r["sf0.1"], 2)
     print(

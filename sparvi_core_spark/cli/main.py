@@ -1067,8 +1067,14 @@ def dedup_index_build(source, table, index_path, id_col, text_col,
               help="After the append, compact if any bucket exceeds N "
                    "files (keeps probe latency flat across many small "
                    "appends; below N it costs one directory listing)")
+@click.option("--staged", is_flag=True, default=False,
+              help="Land the batch in the staging store (2 file "
+                   "creations instead of one per touched bucket — the "
+                   "micro-batch ingest path; fold with compact or "
+                   "--auto-compact)")
 @click.option("--cpus", default=None, help="local[N] cores")
-def dedup_index_append(source, table, index_path, auto_compact, cpus):
+def dedup_index_append(source, table, index_path, auto_compact, staged,
+                       cpus):
     """Sign TABLE under the index's parameters and add it."""
     from sparvi_core_spark.sources.minhash_index import (
         append_minhash_index,
@@ -1077,7 +1083,7 @@ def dedup_index_append(source, table, index_path, auto_compact, cpus):
 
     spark = _session(cpus)
     df = _load_table_df(spark, source, table)
-    man = append_minhash_index(spark, index_path, df)
+    man = append_minhash_index(spark, index_path, df, staged=staged)
     rep = {"n_docs": man["n_docs"], "dropped_short": man["dropped_short"]}
     if auto_compact is not None:
         out = compact_minhash_index_if(spark, index_path, auto_compact)

@@ -682,6 +682,13 @@ def repair_ivf_index(spark: SparkSession, path: str) -> dict:
                 p = mkpath(f"{path}/bucket={b}/{old}")
                 if fs.exists(p):
                     fs.delete(p, False)
+        # staging files folded by this swap (absolute paths) are
+        # deleted on roll-forward only — on roll-back they are still
+        # the sole copy of their rows
+        for extra in journal.get("extra_old", ()):
+            p = mkpath(extra)
+            if fs.exists(p):
+                fs.delete(p, False)
         action = "rolled_forward"
     else:
         for b, entry in cells.items():
@@ -797,6 +804,8 @@ def _compact_cells(
     rows_per_bucket: dict,
     fpb: int,
     slice_salt: str,
+    force_cells=None,
+    extra_old: list[str] | None = None,
 ) -> dict:
     """The journaled fold shared by every cell-partitioned store
     (float IVF index, IVF-PQ code index, its ``_floats/`` side-store):
@@ -806,7 +815,17 @@ def _compact_cells(
     crash at any point (the caller must run it on ``root`` first).
     Touches no manifest (the caller owns that). Returns
     ``{"cells_compacted", "files_before", "files_after",
-    "rows_rewritten"}``."""
+    "rows_rewritten"}``.
+
+    ``force_cells`` rewrites those cells even when their file count is
+    at or under ``fpb`` — the staging-fold hook: the caller passes
+    ``data`` = store ∪ staging and the staged buckets, so staged rows
+    land in their cell dirs during the same journaled swap.
+    ``extra_old`` (absolute paths — e.g. the staging files whose rows
+    the rewrite just folded in) is recorded in the journal and deleted
+    strictly after the per-cell old files; on a crash,
+    :func:`repair_ivf_index` deletes them on roll-forward and leaves
+    them intact on roll-back (the fold never happened)."""
     from pyspark.sql import Observation
 
     if fpb < 1:
@@ -817,6 +836,8 @@ def _compact_cells(
     }
     files_before = sum(len(v) for v in listing.values())
     frag = {b: v for b, v in listing.items() if len(v) > fpb}
+    for b in force_cells or ():
+        frag.setdefault(str(b), listing.get(str(b), []))
     if not frag:
         return {
             "cells_compacted": 0,
@@ -860,6 +881,8 @@ def _compact_cells(
             for b in cells
         }
     }
+    if extra_old:
+        journal["extra_old"] = list(extra_old)
     _write_text(spark, root, JOURNAL, json.dumps(journal))
     for b in cells:
         for name in produced[b]:
@@ -870,6 +893,9 @@ def _compact_cells(
     for b in cells:
         for old in frag[str(b)]:
             fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
+    for p in extra_old or ():
+        if fs.exists(mkpath(p)):
+            fs.delete(mkpath(p), False)
     fs.delete(mkpath(tmp), True)
     fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
     files_after = files_before - sum(
@@ -935,9 +961,14 @@ def compact_index_if(
             f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
         )
     with writer_lock(spark, path, op):
+        # a store may be a root path (gauged by store_fragmentation)
+        # or a callable returning a gauge dict — the hook for stores
+        # whose probe fan-in is not bucket-dir shaped (e.g. a staging
+        # store every probe reads in full)
         frag = {
-            name: store_fragmentation(spark, root)
-            for name, root in stores.items()
+            name: (src(spark) if callable(src)
+                   else store_fragmentation(spark, src))
+            for name, src in stores.items()
         }
         worst = max(
             (g["max_files_per_bucket"] for g in frag.values()), default=0

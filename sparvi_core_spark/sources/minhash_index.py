@@ -45,6 +45,17 @@ Scale design (the part that matters at 100 TB):
   shingle_n, n_buckets); the MinHash salts are deterministic
   constants of the hash index, so appended batches land in the same
   key space with no rebuild and no read-modify-write.
+- **Micro-batches stage.** A partitioned append creates one small
+  file in every touched bucket of BOTH stores (up to 2×n_buckets file
+  creations — constants-dominated for streaming-grain batches).
+  ``append_minhash_index(staged=True)`` lands the batch as exactly
+  two unpartitioned files under ``_staging/``; every reader unions
+  staging in (it is O(pending micro-batches)), and the next
+  compaction folds staged rows into their bucket partitions through
+  the same journaled swap (staging files ride the journal, deleted on
+  roll-forward only). ``compact_minhash_index_if`` counts staged
+  files as per-bucket fan-in, so the auto-compaction knob bounds both
+  fragmentation AND staging debt.
 """
 
 from __future__ import annotations
@@ -73,6 +84,7 @@ from sparvi_core_spark.sources.ann_index import (
 
 MANIFEST = "_minhash_manifest.json"
 SIGS_DIR = "_sigs"
+STAGING_DIR = "_staging"
 FORMAT = "sparvi-minhash-index/1"
 
 
@@ -133,6 +145,70 @@ def _bucket_counts(frame: DataFrame) -> dict[int, int]:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# staging store — O(1)-file appends for micro-batch ingest
+# ---------------------------------------------------------------------------
+#
+# A normal append writes one small file into EVERY touched bucket of
+# BOTH stores (up to 2×n_buckets file creations), so tiny streaming
+# batches are dominated by file creation (~6.9 s/append measured at
+# round 9 regardless of batch size). ``append_minhash_index(...,
+# staged=True)`` instead lands the batch UNPARTITIONED as exactly two
+# files under ``_staging/{bands,sigs}/`` (bucket carried as an
+# ordinary column). Readers union the staging files into every scan —
+# staging is O(pending micro-batches), so every probe reads all of it,
+# which is why ``compact_minhash_index_if`` gauges the staging file
+# count like a per-bucket fan-in and the next compaction folds staged
+# rows into their bucket partitions (journaled: the staging files ride
+# the swap journal's ``extra_old`` list, deleted on roll-forward only).
+# Manifest bucket counts are LOGICAL (they include staged rows), so
+# health checks and compaction identity checks hold in every state.
+
+
+def _staging_files(spark: SparkSession, path: str, sub: str) -> list[str]:
+    """Absolute paths of the data files staged under
+    ``_staging/<sub>/`` (hidden/marker files excluded)."""
+    from sparvi_core_spark.sources.ann_index import _index_fs
+
+    _, fs, mkpath = _index_fs(spark, path)
+    root = f"{path}/{STAGING_DIR}/{sub}"
+    rp = mkpath(root)
+    if not fs.exists(rp):
+        return []
+    out = []
+    for st in fs.listStatus(rp):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith((".", "_")):
+            out.append(f"{root}/{name}")
+    return sorted(out)
+
+
+def _read_staging(
+    spark: SparkSession, path: str, sub: str
+) -> DataFrame | None:
+    """The staged frame for one store (bucket as a plain column), or
+    None when nothing is staged."""
+    files = _staging_files(spark, path, sub)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def _band_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The logical band store: partitioned files ∪ staged appends."""
+    rows = spark.read.parquet(path)
+    staged = _read_staging(spark, path, "bands")
+    return rows if staged is None else rows.unionByName(staged)
+
+
+def _sig_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The logical signature store: partitioned files ∪ staged
+    appends."""
+    rows = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    staged = _read_staging(spark, path, "sigs")
+    return rows if staged is None else rows.unionByName(staged)
 
 
 def write_minhash_index(
@@ -210,23 +286,36 @@ def read_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict]:
     """Open an index: ``(band_rows, manifest)``. ``band_rows`` is the
-    full partitioned (id, band, bkey, bucket) frame — filter it
-    yourself or use :func:`probe_minhash_index`, which prunes."""
+    full LOGICAL (id, band, bkey, bucket) frame — the partitioned
+    store plus any staged appends — filter it yourself or use
+    :func:`probe_minhash_index`, which prunes."""
     manifest = json.loads(_read_text(spark, path, MANIFEST))
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
-    return spark.read.parquet(path), manifest
+    return _band_rows(spark, path), manifest
 
 
 @_locked("append")
 def append_minhash_index(
-    spark: SparkSession, path: str, new_docs: DataFrame
+    spark: SparkSession, path: str, new_docs: DataFrame,
+    staged: bool = False,
 ) -> dict:
     """Sign a new batch under the manifest's parameters (the MinHash
     salts are deterministic, so the key space is identical) and
     parquet-append into both stores. Ids must be unique within the
     batch; cross-batch uniqueness is the caller's key contract (as in
-    the other stored indexes). Returns the updated manifest."""
+    the other stored indexes). Returns the updated manifest.
+
+    ``staged=True`` lands the batch in the staging store instead —
+    exactly TWO file creations (one per store, bucket carried as a
+    column) instead of one small file per touched bucket of both
+    stores, turning the constants-dominated micro-batch append floor
+    into O(1). Probes/screens read staged rows transparently; the next
+    compaction (or ``compact_minhash_index_if`` / the novelty stream's
+    ``auto_compact``) folds them into their bucket partitions. Use it
+    for streaming-grain batches; corpus-sized batches should keep the
+    partitioned write (their staging scan cost would exceed the file
+    savings)."""
     _, manifest = read_minhash_index(spark, path)
     id_col = manifest["id_col"]
     n_rows = _require_unique_ids(new_docs, id_col, "new_docs")
@@ -235,7 +324,17 @@ def append_minhash_index(
         new_docs.select(id_col, manifest["text_col"]), manifest
     )
     sigs = sigs.localCheckpoint()  # consumed by the write AND the count
-    _write_stores(banded, sigs, path, "append")
+    if staged:
+        # banded derives from the checkpointed sig frame, so the count
+        # below recomputes only the cheap banding expressions
+        banded.coalesce(1).write.mode("append").parquet(
+            f"{path}/{STAGING_DIR}/bands"
+        )
+        sigs.coalesce(1).write.mode("append").parquet(
+            f"{path}/{STAGING_DIR}/sigs"
+        )
+    else:
+        _write_stores(banded, sigs, path, "append")
     batch = _bucket_counts(banded)
     per_bucket = {int(b): n for b, n in manifest["rows_per_bucket"].items()}
     for b, n in batch.items():
@@ -360,7 +459,7 @@ def probe_minhash_index(
         .distinct()
         .collect()
     )
-    sig_store = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    sig_store = _sig_rows(spark, path)
     if not sbuckets:
         # no candidates at all — prune the verification scan to nothing
         # (PruneFilters folds this to an empty relation, no file reads)
@@ -434,7 +533,7 @@ def filter_unindexed_ids(
         .distinct()
         .collect()
     )
-    sig_store = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    sig_store = _sig_rows(spark, path)
     if not buckets:
         return batch  # empty batch: nothing to screen
     if len(buckets) <= n_buckets // 2:
@@ -457,7 +556,7 @@ def delete_from_minhash_index(spark: SparkSession, path: str, ids) -> dict:
     ``{"requested", "tombstones_total", "pending_purge"}``."""
     _, manifest = read_minhash_index(spark, path)
     id_col = manifest["id_col"]
-    sig_store = spark.read.parquet(f"{path}/{SIGS_DIR}")
+    sig_store = _sig_rows(spark, path)
     id_type = sig_store.schema["id"].dataType
     drop = _normalize_delete_ids(spark, ids, id_col, id_type)
     drop = drop.localCheckpoint()  # counted, appended, and presence-joined
@@ -563,6 +662,14 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
             "sig_rows_per_bucket in the manifest) — rebuild it with "
             "write_minhash_index"
         )
+    # fold the staging store FIRST: staged rows move into their bucket
+    # partitions via the same journaled swap (staging files ride the
+    # journal's extra_old list), so the purge and file-fold below see
+    # a purely partitioned store — a tombstoned id that was still in
+    # staging is purged by the normal path right after its fold
+    staging = _fold_staging(spark, path, manifest)
+    if staging is not None:
+        band_rows, manifest = read_minhash_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, "id")
     if tomb is not None:
@@ -624,6 +731,49 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     out = {"bands": band_stats, "sigs": sig_stats}
     if purge is not None:
         out["purge"] = purge
+    if staging is not None:
+        out["staging"] = staging
+    return out
+
+
+def _fold_staging(spark: SparkSession, path: str, manifest: dict):
+    """Move staged appends into the bucket partitions of both stores —
+    one journaled swap per store (``_compact_cells`` with the staged
+    buckets forced and the staging files as ``extra_old``: deleted
+    strictly after the swap lands, deleted by repair on roll-forward,
+    kept on roll-back). Manifest counts are already logical, so the
+    identity checks hold. Returns per-store stats, or None when
+    nothing is staged. Caller holds the writer lock."""
+    from sparvi_core_spark.sources.ann_index import (
+        _compact_cells,
+        _index_fs,
+    )
+
+    band_files = _staging_files(spark, path, "bands")
+    sig_files = _staging_files(spark, path, "sigs")
+    if not band_files and not sig_files:
+        return None
+    out = {}
+    if band_files:
+        staged = _read_staging(spark, path, "bands")
+        out["bands"] = _compact_cells(
+            spark, path, _band_rows(spark, path), "id",
+            manifest["rows_per_bucket"], 1, slice_salt="mh-band-slice",
+            force_cells=sorted(_bucket_counts(staged)),
+            extra_old=band_files,
+        )
+    if sig_files:
+        staged = _read_staging(spark, path, "sigs")
+        out["sigs"] = _compact_cells(
+            spark, f"{path}/{SIGS_DIR}", _sig_rows(spark, path), "id",
+            manifest["sig_rows_per_bucket"], 1, slice_salt="mh-sig-slice",
+            force_cells=sorted(_bucket_counts(staged)),
+            extra_old=sig_files,
+        )
+    _, fs, mkpath = _index_fs(spark, path)
+    sp = mkpath(f"{path}/{STAGING_DIR}")
+    if fs.exists(sp):
+        fs.delete(sp, True)
     return out
 
 
@@ -639,9 +789,27 @@ def compact_minhash_index_if(
     gauge + fold run atomically under the writer lock."""
     from sparvi_core_spark.sources.ann_index import compact_index_if
 
+    def _staging_gauge(spark_):
+        # staging is unpartitioned — EVERY probe reads all of it, so
+        # its file count is the per-bucket fan-in equivalent: N staged
+        # files cost a probe what N extra files in each probed bucket
+        # would
+        n = len(_staging_files(spark_, path, "bands")) + len(
+            _staging_files(spark_, path, "sigs")
+        )
+        return {
+            "n_buckets": 0,
+            "total_files": n,
+            "max_files_per_bucket": n,
+        }
+
     return compact_index_if(
         spark, path,
-        {"bands": path, "sigs": f"{path}/{SIGS_DIR}"},
+        {
+            "bands": path,
+            "sigs": f"{path}/{SIGS_DIR}",
+            "staging": _staging_gauge,
+        },
         max_files_per_bucket,
         lambda: compact_minhash_index(spark, path),
     )
@@ -693,7 +861,7 @@ def reband_minhash_index(
         threshold = manifest["threshold"]
     if n_buckets is None:
         n_buckets = manifest["n_buckets"]
-    sigs = spark.read.parquet(f"{path}/{SIGS_DIR}").drop("bucket")
+    sigs = _sig_rows(spark, path).drop("bucket")
     new_man = dict(
         manifest,
         bands=bands,

@@ -139,6 +139,7 @@ def novelty_stream_fuzzy(
     checkpoint: str | None = None,
     available_now: bool = True,
     auto_compact: int | None = None,
+    staged_append: bool = False,
 ):
     """Streaming NEAR-duplicate novelty screen against the stored
     MinHash index (``sources.minhash_index``): per micro-batch, drop
@@ -177,6 +178,14 @@ def novelty_stream_fuzzy(
     Readers see the sink as ordinary partitioned parquet
     (``spark.read.parquet(sink_path)``) with a synthesized
     ``batch_id`` column for provenance.
+
+    ``staged_append=True`` lands each batch's index append in the
+    staging store (two file creations per batch instead of one small
+    file per touched bucket of both stores — the O(1) ingest path for
+    streaming-grain batches); pair it with ``auto_compact`` so staged
+    batches fold into the bucket partitions before the staging scan
+    cost builds up. Probes read staged rows transparently, so the
+    screen semantics are identical.
 
     ``auto_compact=N`` runs ``compact_minhash_index_if(path, N)``
     after each batch's manifest commit (still inside the batch's
@@ -251,7 +260,9 @@ def novelty_stream_fuzzy(
                 # idempotent index append: survivors are unindexed by
                 # construction (screened from the `unindexed` split), so
                 # a replay whose append landed re-appends nothing
-                man = append_minhash_index(spark, index_path, survivors)
+                man = append_minhash_index(
+                    spark, index_path, survivors, staged=staged_append
+                )
             else:
                 man = manifest
             man["last_stream_batch_id"] = int(batch_id)

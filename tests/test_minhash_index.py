@@ -724,7 +724,7 @@ def test_compact_if_trigger_gauges_both_stores(spark, tmp_path):
     # high threshold: gauge only, nothing folds
     out = compact_minhash_index_if(spark, path, max_files_per_bucket=64)
     assert out["compacted"] is False and "stats" not in out
-    assert set(out["fragmentation"]) == {"bands", "sigs"}
+    assert set(out["fragmentation"]) == {"bands", "sigs", "staging"}
     assert out["max_files_per_bucket"] == max(
         out["fragmentation"]["bands"]["max_files_per_bucket"],
         out["fragmentation"]["sigs"]["max_files_per_bucket"],
@@ -830,3 +830,130 @@ def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
     )
     health = minhash_index_health(spark, idx)
     assert health.filter(~F.col("ok")).count() == 0
+
+
+def test_staged_append_probe_parity_and_fold(spark, tmp_path):
+    """The O(1)-file append path: a staged append creates exactly TWO
+    files (one per store), probes/screens/health see staged rows
+    transparently (probe == a twin index built with normal appends),
+    and compaction folds staging into the bucket partitions with the
+    answer byte-identical and the staging tree gone."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        _staging_files,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        filter_unindexed_ids,
+    )
+
+    base = _corpus(spark, n=40, seed=3)
+    a, b = str(tmp_path / "normal"), str(tmp_path / "staged")
+    for p in (a, b):
+        write_minhash_index(base, p, num_hashes=8, bands=4, n_buckets=8)
+    gens = [
+        _corpus(spark, n=12, seed=s, offset=1000 * g)
+        for g, s in enumerate((8, 9), start=1)
+    ]
+    for gen in gens:
+        append_minhash_index(spark, a, gen)
+        append_minhash_index(spark, b, gen, staged=True)
+
+    # exactly 2 staged files per staged append, zero bucket-dir churn
+    assert len(_staging_files(spark, b, "bands")) == 2
+    assert len(_staging_files(spark, b, "sigs")) == 2
+
+    man_a = json.loads(_read_text(spark, a, MANIFEST))
+    man_b = json.loads(_read_text(spark, b, MANIFEST))
+    assert man_a["n_docs"] == man_b["n_docs"] == 64
+    assert man_a["rows_per_bucket"] == man_b["rows_per_bucket"]
+
+    batch = spark.createDataFrame(
+        [(9000 + r["doc_id"], r["text"])
+         for r in base.collect()[:4] + gens[1].collect()[:4]],
+        "doc_id long, text string",
+    )
+    probe_a = sorted(map(tuple, probe_minhash_index(spark, a, batch).collect()))
+    probe_b = sorted(map(tuple, probe_minhash_index(spark, b, batch).collect()))
+    assert probe_a == probe_b and len(probe_b) >= 8
+
+    # the replay screen sees staged ids
+    assert filter_unindexed_ids(spark, b, gens[0]).count() == 0
+    assert all(
+        r["ok"] for r in minhash_index_health(spark, b).collect()
+    )
+
+    # a takedown of a STILL-STAGED id: immediate logically, physically
+    # purged by the same compact that folds the staging store
+    victim = int(gens[0].collect()[0]["doc_id"])
+    delete_from_minhash_index(spark, b, [victim])
+    assert not any(
+        r["index_id"] == victim
+        for r in probe_minhash_index(spark, b, batch).collect()
+    )
+
+    out = compact_minhash_index(spark, b)
+    assert "staging" in out and out["staging"]["bands"]["rows_rewritten"] > 0
+    assert out["purge"]["sigs"]["rows_dropped"] == 1
+    assert not os.path.exists(os.path.join(b, "_staging"))
+    assert not _staging_files(spark, b, "bands")
+    probe_b2 = sorted(
+        map(tuple, probe_minhash_index(spark, b, batch).collect())
+    )
+    assert probe_b2 == [p for p in probe_b if p[1] != victim]
+    assert all(r["ok"] for r in minhash_index_health(spark, b).collect())
+    man_b2 = json.loads(_read_text(spark, b, MANIFEST))
+    assert man_b2["n_docs"] == 63 and man_b2["purged_total"] == 1
+    # second compact: nothing staged, no staging block
+    assert "staging" not in compact_minhash_index(spark, b)
+
+
+def test_compact_if_triggers_on_staging_and_repair_extra_old(
+    spark, tmp_path
+):
+    """The staging gauge: staged files count as per-bucket fan-in
+    (every probe reads all of them), so enough staged appends trip
+    compact_minhash_index_if even with clean bucket dirs; and the
+    journal's extra_old entries are deleted by repair on roll-forward."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+    from sparvi_core_spark.sources.minhash_index import (
+        _staging_files,
+        compact_minhash_index_if,
+    )
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=30, seed=3), path, num_hashes=8, bands=4,
+        n_buckets=8,
+    )
+    for g, s in enumerate((8, 9, 10), start=1):
+        append_minhash_index(
+            spark, path, _corpus(spark, n=10, seed=s, offset=1000 * g),
+            staged=True,
+        )
+    # bucket dirs are clean (1 file each) — only staging is fragmented
+    out = compact_minhash_index_if(spark, path, max_files_per_bucket=64)
+    assert out["compacted"] is False
+    assert out["fragmentation"]["staging"]["total_files"] == 6
+    assert out["fragmentation"]["bands"]["max_files_per_bucket"] == 1
+    out2 = compact_minhash_index_if(spark, path, max_files_per_bucket=4)
+    assert out2["compacted"] is True  # 6 staged files > 4
+    assert not _staging_files(spark, path, "bands")
+    out3 = compact_minhash_index_if(spark, path, max_files_per_bucket=4)
+    assert out3["compacted"] is False
+
+    # repair roll-forward deletes journaled extra_old leftovers
+    orphan = os.path.join(path, "_staging_orphan.parquet")
+    with open(orphan, "w") as f:
+        f.write("x")
+    with open(os.path.join(path, "_compact_journal.json"), "w") as f:
+        json.dump({"cells": {}, "extra_old": [orphan]}, f)
+    rep = repair_ivf_index(spark, path)
+    assert rep["action"] == "rolled_forward"
+    assert not os.path.exists(orphan)
