@@ -394,12 +394,32 @@ def main() -> None:
     docs2 = c4_clean(extracted2, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "text"
     ).localCheckpoint()
-    novel = filter_new_against_index(spark, idx_dir, docs2, threshold=0.6)
+    novel = filter_new_against_index(
+        spark, idx_dir, docs2, threshold=0.6
+    ).localCheckpoint()
     report["incremental_crawl"] = {
         "indexed_docs": man["n_docs"],
         "recrawl_batch": docs2.count(),
         "novel_after_screen": novel.count(),
     }
+
+    # the admitted survivors join the index the micro-batch way: a
+    # STAGED append (exactly two file creations, vs one per touched
+    # bucket of both stores — the streaming-grain ingest path), then
+    # the auto-compaction trigger folds staging into the bucket
+    # partitions once the debt passes the knob (forced low here so the
+    # example exercises the fold; production uses ~16)
+    from sparvi_core_spark.sources.minhash_index import (
+        append_minhash_index,
+        compact_minhash_index_if,
+    )
+
+    man2 = append_minhash_index(spark, idx_dir, novel, staged=True)
+    fold = compact_minhash_index_if(spark, idx_dir, max_files_per_bucket=1)
+    report["incremental_crawl"]["admitted_appended"] = (
+        man2["n_docs"] - man["n_docs"]
+    )
+    report["incremental_crawl"]["staged_fold_ran"] = fold["compacted"]
 
     # 11. takedown: a removal request arrives for an ADMITTED doc.
     #     delete_from_minhash_index tombstones it (the very next
@@ -418,7 +438,7 @@ def main() -> None:
         "deleted_id": victim,
         "pending_before_compact": del_stats["pending_purge"],
         "purged_rows": cstats["purge"]["sigs"]["rows_dropped"],
-        "docs_after": man["n_docs"] - del_stats["pending_purge"],
+        "docs_after": man2["n_docs"] - del_stats["pending_purge"],
     }
 
     print(json.dumps(report))
