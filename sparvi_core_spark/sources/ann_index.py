@@ -533,6 +533,7 @@ def append_ivf_index(
     new_vectors: DataFrame,
     path: str,
     files_per_bucket: int | None = None,
+    staged: bool = False,
 ) -> dict:
     """The daily ingest operation: assign a NEW batch against the
     STORED centroids and append it into the existing cell partitions —
@@ -541,6 +542,14 @@ def append_ivf_index(
     ``rows_per_bucket``/``n_vectors``/``dropped_null`` accumulate and
     ``appends`` counts the batches, so cell skew and growth stay
     visible across the index's life. Returns the updated manifest.
+
+    ``staged=True`` lands the batch as ONE unpartitioned file under
+    ``_staging/vectors/`` (bucket carried as a column) instead of up
+    to ``files_per_bucket`` files in every touched cell — the
+    micro-batch ingest path for the streaming sink; readers union
+    staging transparently, and the next :func:`compact_ivf_index` (or
+    the ``compact_ivf_index_if`` knob, which counts staged files as
+    per-bucket fan-in) folds staged rows into their cells.
 
     Centroids are NOT moved by an append (that would silently
     invalidate every prior assignment); watch
@@ -581,20 +590,25 @@ def append_ivf_index(
     n_batch_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
     assigned = ivf_assign(
         new_vectors, cents, id_col=id_col, vec_col=vec_col
-    ).select(F.col("id").alias(id_col), "bucket")
+    ).select(F.col("id").alias(id_col), "bucket").localCheckpoint()
     data = new_vectors.join(assigned, id_col)
-    slice_col = F.pmod(
-        F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
-        F.lit(fpb),
-    )
-    (
-        data.withColumn("__slice", slice_col)
-        .repartition(F.col("bucket"), F.col("__slice"))
-        .drop("__slice")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    if staged:
+        data.coalesce(1).write.mode("append").parquet(
+            f"{path}/{STAGING_DIR}/vectors"
+        )
+    else:
+        slice_col = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
+            F.lit(fpb),
+        )
+        (
+            data.withColumn("__slice", slice_col)
+            .repartition(F.col("bucket"), F.col("__slice"))
+            .drop("__slice")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
     per_cell = {
         int(r["bucket"]): int(r["n"])
         for r in assigned.groupBy("bucket")
@@ -741,6 +755,27 @@ def compact_ivf_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+    # fold the staging store FIRST (staged rows enter their cells via
+    # the same journaled swap, staging files ride extra_old), so the
+    # purge and file-fold below see a purely partitioned store
+    staging = None
+    staged_files = _staging_files(spark, path, "vectors")
+    if staged_files:
+        staged = _read_staging(spark, path, "vectors")
+        staged_cells = sorted(
+            int(r["bucket"])
+            for r in staged.select("bucket").distinct().collect()
+        )
+        staging = _compact_cells(
+            spark, path, data, manifest["id_col"],
+            manifest["rows_per_bucket"], fpb, slice_salt="ivf-slice",
+            force_cells=staged_cells, extra_old=staged_files,
+        )
+        _, fs_, mkpath_ = _index_fs(spark, path)
+        sp = mkpath_(f"{path}/{STAGING_DIR}")
+        if fs_.exists(sp):
+            fs_.delete(sp, True)
+        data, _, manifest = read_ivf_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, manifest["id_col"])
     if tomb is not None:
@@ -793,6 +828,9 @@ def compact_ivf_index(
     if purge is not None:
         stats = dict(stats)
         stats["purge"] = purge
+    if staging is not None:
+        stats = dict(stats)
+        stats["staging"] = staging
     return stats
 
 
@@ -909,6 +947,46 @@ def _compact_cells(
     }
 
 
+STAGING_DIR = "_staging"
+
+
+def _staging_files(spark: SparkSession, path: str, sub: str) -> list[str]:
+    """Absolute paths of the data files staged under
+    ``<path>/_staging/<sub>/`` (hidden/marker files excluded) — the
+    shared O(1)-file micro-batch append tier (see
+    ``minhash_index``'s module docstring for the design)."""
+    _, fs, mkpath = _index_fs(spark, path)
+    root = f"{path}/{STAGING_DIR}/{sub}"
+    rp = mkpath(root)
+    if not fs.exists(rp):
+        return []
+    out = []
+    for st in fs.listStatus(rp):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith((".", "_")):
+            out.append(f"{root}/{name}")
+    return sorted(out)
+
+
+def _read_staging(
+    spark: SparkSession, path: str, sub: str
+) -> DataFrame | None:
+    """The staged frame for one store (bucket as a plain column), or
+    None when nothing is staged."""
+    files = _staging_files(spark, path, sub)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def _staging_gauge(spark: SparkSession, path: str, subs) -> dict:
+    """Fragmentation-shaped gauge for a staging tier: staged files are
+    unpartitioned, so EVERY probe/search reads all of them — their
+    count is the per-bucket fan-in equivalent."""
+    n = sum(len(_staging_files(spark, path, s)) for s in subs)
+    return {"n_buckets": 0, "total_files": n, "max_files_per_bucket": n}
+
+
 def store_fragmentation(spark: SparkSession, root: str) -> dict:
     """Files-per-bucket gauge for one cell-partitioned store root — a
     pure directory listing (no data read, no Spark job), O(n_buckets)
@@ -993,9 +1071,15 @@ def compact_ivf_index_if(
 ) -> dict:
     """:func:`compact_ivf_index` iff some cell exceeds
     ``max_files_per_bucket`` files — the append pipeline's hygiene
-    policy as a knob instead of a runbook note."""
+    policy as a knob instead of a runbook note. Staged files count as
+    per-bucket fan-in (every search reads all of staging)."""
     return compact_index_if(
-        spark, path, {"vectors": path}, max_files_per_bucket,
+        spark, path,
+        {
+            "vectors": path,
+            "staging": lambda s: _staging_gauge(s, path, ("vectors",)),
+        },
+        max_files_per_bucket,
         lambda: compact_ivf_index(spark, path, files_per_bucket),
     )
 
@@ -1099,6 +1183,15 @@ def read_ivf_index(
             f"{path}/{MANIFEST} is not a sparvi-ivf-index/1 manifest"
         )
     data = spark.read.parquet(path)
+    staged = _read_staging(spark, path, "vectors")
+    if staged is not None:
+        # lazy checkpoint, not a second parquet scan under the union:
+        # Spark 4.1's dynamic partition pruning mis-plans a join on the
+        # partition column over a union of two parquet scans ("IN
+        # dynamicpruning#N has not finished"); a checkpointed staged
+        # leg sidesteps it, and staging is O(pending micro-batches) by
+        # contract so the materialization is small
+        data = data.unionByName(staged.localCheckpoint(eager=False))
     cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
     return data, cents, manifest
 

@@ -70,21 +70,23 @@ from sparvi_core_spark.operators.dedup import (
     solve_lsh_bands,
 )
 from sparvi_core_spark.sources.ann_index import (
+    STAGING_DIR,
     _append_tombstones,
     _locked,
     _clear_tombstones,
     _normalize_delete_ids,
     _purge_cells,
+    _read_staging,
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
     _require_unique_ids,
+    _staging_files,
     _write_text,
 )
 
 MANIFEST = "_minhash_manifest.json"
 SIGS_DIR = "_sigs"
-STAGING_DIR = "_staging"
 FORMAT = "sparvi-minhash-index/1"
 
 
@@ -165,35 +167,6 @@ def _bucket_counts(frame: DataFrame) -> dict[int, int]:
 # the swap journal's ``extra_old`` list, deleted on roll-forward only).
 # Manifest bucket counts are LOGICAL (they include staged rows), so
 # health checks and compaction identity checks hold in every state.
-
-
-def _staging_files(spark: SparkSession, path: str, sub: str) -> list[str]:
-    """Absolute paths of the data files staged under
-    ``_staging/<sub>/`` (hidden/marker files excluded)."""
-    from sparvi_core_spark.sources.ann_index import _index_fs
-
-    _, fs, mkpath = _index_fs(spark, path)
-    root = f"{path}/{STAGING_DIR}/{sub}"
-    rp = mkpath(root)
-    if not fs.exists(rp):
-        return []
-    out = []
-    for st in fs.listStatus(rp):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith((".", "_")):
-            out.append(f"{root}/{name}")
-    return sorted(out)
-
-
-def _read_staging(
-    spark: SparkSession, path: str, sub: str
-) -> DataFrame | None:
-    """The staged frame for one store (bucket as a plain column), or
-    None when nothing is staged."""
-    files = _staging_files(spark, path, sub)
-    if not files:
-        return None
-    return spark.read.parquet(*files)
 
 
 def _band_rows(spark: SparkSession, path: str) -> DataFrame:
@@ -787,28 +760,19 @@ def compact_minhash_index_if(
     ``novelty_stream_fuzzy(auto_compact=N)`` call this after every
     append). Below the threshold the cost is one directory listing;
     gauge + fold run atomically under the writer lock."""
-    from sparvi_core_spark.sources.ann_index import compact_index_if
-
-    def _staging_gauge(spark_):
-        # staging is unpartitioned — EVERY probe reads all of it, so
-        # its file count is the per-bucket fan-in equivalent: N staged
-        # files cost a probe what N extra files in each probed bucket
-        # would
-        n = len(_staging_files(spark_, path, "bands")) + len(
-            _staging_files(spark_, path, "sigs")
-        )
-        return {
-            "n_buckets": 0,
-            "total_files": n,
-            "max_files_per_bucket": n,
-        }
+    from sparvi_core_spark.sources.ann_index import (
+        _staging_gauge,
+        compact_index_if,
+    )
 
     return compact_index_if(
         spark, path,
         {
             "bands": path,
             "sigs": f"{path}/{SIGS_DIR}",
-            "staging": _staging_gauge,
+            # staged files count as per-bucket fan-in: every probe
+            # reads all of staging
+            "staging": lambda s: _staging_gauge(s, path, ("bands", "sigs")),
         },
         max_files_per_bucket,
         lambda: compact_minhash_index(spark, path),

@@ -45,12 +45,22 @@ def index_stream_batches(
     checkpoint: str | None = None,
     available_now: bool = True,
     files_per_bucket: int | None = None,
+    staged: bool = False,
+    auto_compact: int | None = None,
 ):
     """Append every micro-batch of ``stream_df`` (which must carry the
     index's ``id_col``/``vec_col``) into the stored IVF index at
     ``path``. The index must already exist (``write_ivf_index``).
     Returns the started ``StreamingQuery``; ``available_now=True``
-    drains the current source and stops."""
+    drains the current source and stops.
+
+    ``staged=True`` routes each batch through the staging store (ONE
+    file creation per trigger instead of up to ``files_per_bucket``
+    per touched cell — the object-store-friendly micro-batch path);
+    ``auto_compact=N`` runs ``compact_ivf_index_if(path, N)`` after
+    the batch's manifest commit, folding staged rows and fragmented
+    cells once either debt passes the knob. The whole batch body holds
+    the index's writer lock, so a cron compact can't interleave."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         from sparvi_core_spark.sources.ann_index import (
@@ -58,21 +68,30 @@ def index_stream_batches(
             _read_text,
             _write_text,
             append_ivf_index,
+            compact_ivf_index_if,
+            writer_lock,
         )
 
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        manifest = json.loads(_read_text(spark, path, MANIFEST))
-        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
-            return  # replayed batch: already appended, skip
-        man = append_ivf_index(
-            batch_df, path, files_per_bucket=files_per_bucket
-        )
-        man["last_stream_batch_id"] = int(batch_id)
-        _write_text(
-            spark, path, MANIFEST, json.dumps(man, indent=1, sort_keys=True)
-        )
+        with writer_lock(spark, path, "stream-batch"):
+            manifest = json.loads(_read_text(spark, path, MANIFEST))
+            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+                return  # replayed batch: already appended, skip
+            man = append_ivf_index(
+                batch_df, path, files_per_bucket=files_per_bucket,
+                staged=staged,
+            )
+            man["last_stream_batch_id"] = int(batch_id)
+            _write_text(
+                spark, path, MANIFEST,
+                json.dumps(man, indent=1, sort_keys=True),
+            )
+            if auto_compact is not None:
+                # after the commit: a crash mid-compaction replays
+                # nothing; the journaled swap heals via repair
+                compact_ivf_index_if(spark, path, auto_compact)
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

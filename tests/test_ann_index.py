@@ -569,3 +569,71 @@ def test_compact_if_trigger(spark, tmp_path):
 
     out3 = compact_ivf_index_if(spark, path, max_files_per_bucket=2)
     assert out3["compacted"] is False
+
+
+def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
+    """IVF staging tier: a staged append creates ONE file, searches
+    see staged rows transparently (parity with a normal-append twin),
+    the staging gauge trips compact_ivf_index_if, and the fold brings
+    the index back to pure cell partitions with answers unchanged —
+    including a takedown of a still-staged id."""
+    import os
+
+    from sparvi_core_spark.sources.ann_index import (
+        _staging_files,
+        append_ivf_index,
+        compact_ivf_index_if,
+        delete_from_ivf_index,
+        read_ivf_index,
+    )
+
+    base = _corpus(spark, n=120, seed=21)
+    cents = _centroids(spark, base, k=4)
+    a, b = str(tmp_path / "normal"), str(tmp_path / "staged")
+    for p in (a, b):
+        write_ivf_index(base, cents, p)
+    gens = [
+        _corpus(spark, n=25, seed=60 + g).withColumn(
+            "vec_id", F.col("vec_id") + 1000 * (g + 1)
+        )
+        for g in range(2)
+    ]
+    for gen in gens:
+        append_ivf_index(gen, a)
+        append_ivf_index(gen, b, staged=True)
+    assert len(_staging_files(spark, b, "vectors")) == 2
+
+    data_a, _, man_a = read_ivf_index(spark, a)
+    data_b, _, man_b = read_ivf_index(spark, b)
+    assert man_a["rows_per_bucket"] == man_b["rows_per_bucket"]
+    assert data_b.count() == 170
+
+    queries = base.limit(10).select("vec_id", "embedding")
+    got_a = sorted(map(tuple, search_ivf_index(spark, a, queries, k=4).collect()))
+    got_b = sorted(map(tuple, search_ivf_index(spark, b, queries, k=4).collect()))
+    assert got_a == got_b and len(got_b) > 0
+
+    # takedown of a STILL-STAGED id is immediate, purged by the fold
+    victim = int(gens[0].limit(1).collect()[0]["vec_id"])
+    delete_from_ivf_index(spark, b, [victim])
+    assert not any(
+        r["neighbor_id"] == victim
+        for r in search_ivf_index(spark, b, queries, k=120).collect()
+    )
+
+    out = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
+    assert out["compacted"] is True  # 2 staged files > 1
+    assert "staging" in out["stats"]
+    assert out["stats"]["purge"]["rows_dropped"] == 1
+    assert not os.path.exists(os.path.join(b, "_staging"))
+    # post-fold answers == the normal twin with the same takedown
+    delete_from_ivf_index(spark, a, [victim])
+    got_b2 = sorted(
+        map(tuple, search_ivf_index(spark, b, queries, k=4).collect())
+    )
+    got_a2 = sorted(
+        map(tuple, search_ivf_index(spark, a, queries, k=4).collect())
+    )
+    assert got_b2 == got_a2 and len(got_b2) > 0
+    out2 = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
+    assert out2["compacted"] is False

@@ -101,3 +101,58 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     assert man2["n_vectors"] == 70
     assert data.count() == 70
     assert man2["last_stream_batch_id"] == 2
+
+
+def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
+    """The staged streaming path: each micro-batch lands as ONE
+    staging file under the batch's writer lock, searches see staged
+    rows, and auto_compact folds staging into the cell partitions once
+    the staged-file gauge passes the knob — search parity with the
+    in-memory IVF over the union throughout."""
+    import os
+
+    from sparvi_core_spark.operators.similarity import (
+        cosine_topk_ivf,
+        kmeans_fit,
+    )
+    from sparvi_core_spark.sources.ann_index import _staging_files
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+
+    base = _corpus(spark, n=90, seed=5)
+    cents, _ = kmeans_fit(base, k=5, seed=3)
+    path = str(tmp_path / "idx_st")
+    write_ivf_index(base, cents, path)
+
+    new = _corpus(spark, n=45, seed=7, base_id=10_000)
+    src = str(tmp_path / "src_st")
+    new.repartition(3).write.parquet(src)
+
+    # knob = 2: batches 1 and 2 stage (1 and 2 files), the gauge trips
+    # after batch 3 (3 staged files > 2) and folds inside the stream
+    q = index_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ckpt_st"),
+        staged=True,
+        auto_compact=2,
+    )
+    q.awaitTermination()
+
+    data, _, man = read_ivf_index(spark, path)
+    assert man["n_vectors"] == 135 and man["appends"] == 3
+    assert data.count() == 135
+    # the in-stream fold ran: staging is gone
+    assert not _staging_files(spark, path, "vectors")
+    assert not os.path.exists(os.path.join(path, "_staging"))
+
+    union = base.unionByName(new)
+    queries = union.filter(F.col("vec_id").isin(4, 10_007)).select(
+        "vec_id", "embedding"
+    )
+    got = sorted(
+        map(tuple, search_ivf_index(spark, path, queries, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, cosine_topk_ivf(union, queries, cents, k=5, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
