@@ -53,16 +53,21 @@ from itertools import combinations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparvi_core_spark.sources.ann_index import (
+    STAGING_DIR,
     _append_tombstones,
+    _index_fs,
     _locked,
     _clear_tombstones,
     _compact_cells,
     _normalize_delete_ids,
     _purge_cells,
+    _read_staging,
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
     _require_unique_ids,
+    _staging_files,
+    _staging_gauge,
     _write_text,
     repair_ivf_index,
 )
@@ -218,20 +223,44 @@ def read_binary_index(
     manifest = json.loads(_read_text(spark, path, MANIFEST))
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
-    return spark.read.parquet(path), manifest
+    codes = spark.read.parquet(path)
+    staged = _read_staging(spark, path, "codes")
+    if staged is not None:
+        # lazy checkpoint, not a second parquet scan under the union
+        # (the read_ivf_index rationale: Spark 4.1 DPP mis-plans
+        # partition-column joins over unions of two parquet scans)
+        codes = codes.unionByName(staged.localCheckpoint(eager=False))
+    return codes, manifest
+
+
+def _float_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The logical float side-store: partitioned files ∪ staged
+    appends."""
+    floats = spark.read.parquet(f"{path}/{VECTORS_DIR}")
+    staged = _read_staging(spark, path, "vectors")
+    if staged is not None:
+        floats = floats.unionByName(staged.localCheckpoint(eager=False))
+    return floats
 
 
 @_locked("append")
 def append_binary_index(
     spark: SparkSession, path: str, new_vectors: DataFrame,
     engine: str = "auto",
+    staged: bool = False,
 ) -> dict:
     """Sketch a new batch with the manifest's (bits, seed) — the
     hyperplanes re-derive identically from the seed — and
     parquet-append into the same bucket layout. Ids must be unique
     within the batch (cross-batch uniqueness is the caller's key
     contract, as in ``append_ivf_index``). Returns the updated
-    manifest."""
+    manifest.
+
+    ``staged=True`` lands the batch under ``_staging/`` (one file per
+    store instead of one per touched bucket — the micro-batch ingest
+    path; see ``append_minhash_index``); readers union staging, the
+    next compaction (or the ``compact_binary_index_if`` knob) folds
+    it."""
     from sparvi_core_spark.operators.binary_sketch import binarize_embeddings
 
     _, manifest = read_binary_index(spark, path)
@@ -251,28 +280,40 @@ def append_binary_index(
         "bucket",
         _bucket_expr("sketch", prefix_bits) if prefix_bits else F.lit(0),
     )
-    slice_col = F.pmod(
-        F.xxhash64(F.col(id_col), F.lit("bin-slice")),
-        F.lit(manifest["files_per_bucket"]),
-    )
-    clustered = (
-        data.withColumn("__slice", slice_col)
-        .repartition(F.col("bucket"), F.col("__slice"))
-        .drop("__slice")
-    )
-    (
-        clustered.select(id_col, "sketch", "bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    if manifest["store_vectors"]:
+    if staged:
+        data = data.localCheckpoint()  # two writes AND the count below
+        data.select(id_col, "sketch", "bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/{STAGING_DIR}/codes")
+        if manifest["store_vectors"]:
+            data.select(id_col, F.col(vec_col), "bucket").coalesce(
+                1
+            ).write.mode("append").parquet(
+                f"{path}/{STAGING_DIR}/vectors"
+            )
+    else:
+        slice_col = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit("bin-slice")),
+            F.lit(manifest["files_per_bucket"]),
+        )
+        clustered = (
+            data.withColumn("__slice", slice_col)
+            .repartition(F.col("bucket"), F.col("__slice"))
+            .drop("__slice")
+        )
         (
-            clustered.select(id_col, F.col(vec_col), "bucket")
+            clustered.select(id_col, "sketch", "bucket")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(f"{path}/{VECTORS_DIR}")
+            .parquet(path)
         )
+        if manifest["store_vectors"]:
+            (
+                clustered.select(id_col, F.col(vec_col), "bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(f"{path}/{VECTORS_DIR}")
+            )
     batch = {
         int(r["bucket"]): int(r["n"])
         for r in data.groupBy("bucket")
@@ -395,7 +436,7 @@ def search_binary_index(
     if rerank is None:
         return hits
 
-    floats = spark.read.parquet(f"{path}/{VECTORS_DIR}")
+    floats = _float_rows(spark, path)
     if probed is not None:
         floats = floats.filter(F.col("bucket").isin(probed))
     cands = hits.select("query_id", "neighbor_id")
@@ -515,6 +556,42 @@ def compact_binary_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+    # fold the staging store FIRST (journaled; staging files ride
+    # extra_old), so the purge and file-fold below see purely
+    # partitioned stores — the minhash/ivf staging-fold pattern
+    staging = None
+    staged_code_files = _staging_files(spark, path, "codes")
+    staged_vec_files = _staging_files(spark, path, "vectors")
+    if staged_code_files or staged_vec_files:
+        staging = {}
+        if staged_code_files:
+            sc = _read_staging(spark, path, "codes")
+            staging["codes"] = _compact_cells(
+                spark, path, codes, id_col,
+                manifest["rows_per_bucket"], fpb, slice_salt="bin-slice",
+                force_cells=sorted(
+                    int(r["bucket"])
+                    for r in sc.select("bucket").distinct().collect()
+                ),
+                extra_old=staged_code_files,
+            )
+        if staged_vec_files:
+            sv = _read_staging(spark, path, "vectors")
+            staging["vectors"] = _compact_cells(
+                spark, f"{path}/{VECTORS_DIR}", _float_rows(spark, path),
+                id_col, manifest["rows_per_bucket"], fpb,
+                slice_salt="bin-slice",
+                force_cells=sorted(
+                    int(r["bucket"])
+                    for r in sv.select("bucket").distinct().collect()
+                ),
+                extra_old=staged_vec_files,
+            )
+        _, fs_, mkpath_ = _index_fs(spark, path)
+        sp = mkpath_(f"{path}/{STAGING_DIR}")
+        if fs_.exists(sp):
+            fs_.delete(sp, True)
+        codes, manifest = read_binary_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
@@ -595,6 +672,8 @@ def compact_binary_index(
     out2 = dict(out)
     if purge is not None:
         out2["purge"] = purge
+    if staging is not None:
+        out2["staging"] = staging
     return out2
 
 
@@ -612,7 +691,15 @@ def compact_binary_index_if(
 
     return compact_index_if(
         spark, path,
-        {"codes": path, "vectors": f"{path}/{VECTORS_DIR}"},
+        {
+            "codes": path,
+            "vectors": f"{path}/{VECTORS_DIR}",
+            # staged files count as per-bucket fan-in (every search
+            # reads all of staging)
+            "staging": lambda s: _staging_gauge(
+                s, path, ("codes", "vectors")
+            ),
+        },
         max_files_per_bucket,
         lambda: compact_binary_index(spark, path, files_per_bucket),
     )

@@ -67,10 +67,15 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparvi_core_spark.sources.ann_index import (
+    STAGING_DIR,
+    _index_fs,
     _locked,
     _locked_df_first,
+    _read_staging,
     _read_text,
     _require_unique_ids,
+    _staging_files,
+    _staging_gauge,
     _write_text,
 )
 
@@ -273,9 +278,25 @@ def read_ivfpq_index(
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
     coded = spark.read.parquet(path)
+    staged = _read_staging(spark, path, "codes")
+    if staged is not None:
+        # lazy checkpoint, not a second parquet scan under the union
+        # (the read_ivf_index rationale: Spark 4.1 DPP mis-plans
+        # partition-column joins over unions of two parquet scans)
+        coded = coded.unionByName(staged.localCheckpoint(eager=False))
     cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
     codebook = spark.read.parquet(f"{path}/{CODEBOOK_DIR}")
     return coded, cents, codebook, manifest
+
+
+def _pq_float_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The logical ``_floats/`` side-store: partitioned files ∪ staged
+    appends."""
+    floats = spark.read.parquet(f"{path}/{FLOATS_DIR}")
+    staged = _read_staging(spark, path, "floats")
+    if staged is not None:
+        floats = floats.unionByName(staged.localCheckpoint(eager=False))
+    return floats
 
 
 @_locked_df_first("append")
@@ -284,6 +305,7 @@ def append_ivfpq_index(
     path: str,
     files_per_bucket: int | None = None,
     engine: str = "blas",
+    staged: bool = False,
 ) -> dict:
     """Daily ingest: assign + encode a NEW batch against the STORED
     centroids and codebook and parquet-append it into the existing
@@ -294,7 +316,13 @@ def append_ivfpq_index(
     due. If the index stores floats, the batch's raw vectors are
     appended into ``_floats/`` too, keeping re-rank complete.
     Manifest counts accumulate; ``appends`` counts batches.
-    Single-writer by contract. Returns the updated manifest."""
+    Single-writer by contract. Returns the updated manifest.
+
+    ``staged=True`` lands the batch under ``_staging/`` (one file per
+    store instead of up to ``files_per_bucket`` per touched cell — the
+    micro-batch ingest path; see ``append_minhash_index``); readers
+    union staging, the next compaction (or ``compact_ivfpq_index_if``)
+    folds it."""
     spark = new_vectors.sparkSession
     _, cents, codebook, manifest = read_ivfpq_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
@@ -348,28 +376,46 @@ def append_ivfpq_index(
     coded, assignment = _encode(
         new_vectors, cents, codebook, id_col, vec_col, engine
     )
-    (
-        coded.select(F.col("id").alias(id_col), "codes", "bucket")
-        .withColumn("__slice", _slice_col(id_col, fpb))
-        .repartition(F.col("bucket"), F.col("__slice"))
-        .drop("__slice")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    if manifest.get("store_floats"):
+    if staged:
         (
-            new_vectors.join(
-                assignment.select(F.col("id").alias(id_col), "bucket"),
-                id_col,
+            coded.select(F.col("id").alias(id_col), "codes", "bucket")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{path}/{STAGING_DIR}/codes")
+        )
+        if manifest.get("store_floats"):
+            (
+                new_vectors.join(
+                    assignment.select(F.col("id").alias(id_col), "bucket"),
+                    id_col,
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{path}/{STAGING_DIR}/floats")
             )
+    else:
+        (
+            coded.select(F.col("id").alias(id_col), "codes", "bucket")
             .withColumn("__slice", _slice_col(id_col, fpb))
             .repartition(F.col("bucket"), F.col("__slice"))
             .drop("__slice")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(f"{path}/{FLOATS_DIR}")
+            .parquet(path)
         )
+        if manifest.get("store_floats"):
+            (
+                new_vectors.join(
+                    assignment.select(F.col("id").alias(id_col), "bucket"),
+                    id_col,
+                )
+                .withColumn("__slice", _slice_col(id_col, fpb))
+                .repartition(F.col("bucket"), F.col("__slice"))
+                .drop("__slice")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(f"{path}/{FLOATS_DIR}")
+            )
     per_cell = {
         int(r["bucket"]): int(r["n"])
         for r in assignment.groupBy("bucket")
@@ -460,6 +506,43 @@ def compact_ivfpq_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+    # fold the staging store FIRST (journaled; staging files ride
+    # extra_old), so the purge and file-fold below see purely
+    # partitioned stores — the minhash/ivf staging-fold pattern
+    staging = None
+    staged_code_files = _staging_files(spark, path, "codes")
+    staged_float_files = _staging_files(spark, path, "floats")
+    if staged_code_files or staged_float_files:
+        staging = {}
+        if staged_code_files:
+            sc = _read_staging(spark, path, "codes")
+            staging["codes"] = _compact_cells(
+                spark, path, coded, id_col,
+                manifest["rows_per_bucket"], fpb, slice_salt="ivfpq-slice",
+                force_cells=sorted(
+                    int(r["bucket"])
+                    for r in sc.select("bucket").distinct().collect()
+                ),
+                extra_old=staged_code_files,
+            )
+        if staged_float_files:
+            froot = f"{path}/{FLOATS_DIR}"
+            repair_ivf_index(spark, froot)
+            sv = _read_staging(spark, path, "floats")
+            staging["floats"] = _compact_cells(
+                spark, froot, _pq_float_rows(spark, path), id_col,
+                manifest["rows_per_bucket"], fpb, slice_salt="ivfpq-slice",
+                force_cells=sorted(
+                    int(r["bucket"])
+                    for r in sv.select("bucket").distinct().collect()
+                ),
+                extra_old=staged_float_files,
+            )
+        _, fs_, mkpath_ = _index_fs(spark, path)
+        sp = mkpath_(f"{path}/{STAGING_DIR}")
+        if fs_.exists(sp):
+            fs_.delete(sp, True)
+        coded, _, _, manifest = read_ivfpq_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
@@ -537,6 +620,9 @@ def compact_ivfpq_index(
     if purge is not None:
         stats = dict(stats)
         stats["purge"] = purge
+    if staging is not None:
+        stats = dict(stats)
+        stats["staging"] = staging
     return stats
 
 
@@ -554,7 +640,15 @@ def compact_ivfpq_index_if(
 
     return compact_index_if(
         spark, path,
-        {"codes": path, "floats": f"{path}/{FLOATS_DIR}"},
+        {
+            "codes": path,
+            "floats": f"{path}/{FLOATS_DIR}",
+            # staged files count as per-bucket fan-in (every search
+            # reads all of staging)
+            "staging": lambda s: _staging_gauge(
+                s, path, ("codes", "floats")
+            ),
+        },
         max_files_per_bucket,
         lambda: compact_ivfpq_index(spark, path, files_per_bucket),
     )
@@ -612,7 +706,7 @@ def retrain_ivfpq_index(
                 "only (store_floats=False) — pass the corpus as "
                 "`vectors`"
             )
-        vectors = spark.read.parquet(f"{path}/{FLOATS_DIR}").drop("bucket")
+        vectors = _pq_float_rows(spark, path).drop("bucket")
         # pending deletes are excluded from the refit and the rewrite
         # (a retrain is a physical purge for free); the source keeps
         # its tombstones until its own compaction
@@ -784,7 +878,7 @@ def search_ivfpq_index(
     if rerank is None:
         return adc
     floats = (
-        spark.read.parquet(f"{path}/{FLOATS_DIR}")
+        _pq_float_rows(spark, path)
         .filter(F.col("bucket").isin(probed))
         .select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")

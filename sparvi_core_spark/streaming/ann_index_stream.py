@@ -107,6 +107,8 @@ def index_pq_stream_batches(
     checkpoint: str | None = None,
     available_now: bool = True,
     files_per_bucket: int | None = None,
+    staged: bool = False,
+    auto_compact: int | None = None,
 ):
     """The coded-index twin of :func:`index_stream_batches`: append
     every micro-batch into a stored IVF-PQ index
@@ -117,31 +119,41 @@ def index_pq_stream_batches(
     O(batch) cost shape, replay-skip commit semantics, single-writer
     contract, and compact-on-schedule story as the float twin —
     fragmentation goes to ``compact_ivfpq_index``. The index must
-    already exist (``write_ivfpq_index``)."""
+    already exist (``write_ivfpq_index``). ``staged=``/``auto_compact=``
+    behave as in :func:`index_stream_batches` (one staging file per
+    trigger; fold in-stream once the gauge passes the knob); the whole
+    batch body holds the index's writer lock."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         from sparvi_core_spark.sources.ann_index import (
             _read_text,
             _write_text,
+            writer_lock,
         )
         from sparvi_core_spark.sources.ivfpq_index import (
             MANIFEST,
             append_ivfpq_index,
+            compact_ivfpq_index_if,
         )
 
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        manifest = json.loads(_read_text(spark, path, MANIFEST))
-        if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
-            return  # replayed batch: already appended, skip
-        man = append_ivfpq_index(
-            batch_df, path, files_per_bucket=files_per_bucket
-        )
-        man["last_stream_batch_id"] = int(batch_id)
-        _write_text(
-            spark, path, MANIFEST, json.dumps(man, indent=1, sort_keys=True)
-        )
+        with writer_lock(spark, path, "stream-batch"):
+            manifest = json.loads(_read_text(spark, path, MANIFEST))
+            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+                return  # replayed batch: already appended, skip
+            man = append_ivfpq_index(
+                batch_df, path, files_per_bucket=files_per_bucket,
+                staged=staged,
+            )
+            man["last_stream_batch_id"] = int(batch_id)
+            _write_text(
+                spark, path, MANIFEST,
+                json.dumps(man, indent=1, sort_keys=True),
+            )
+            if auto_compact is not None:
+                compact_ivfpq_index_if(spark, path, auto_compact)
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

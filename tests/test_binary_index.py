@@ -444,7 +444,7 @@ def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
 
     out = compact_binary_index_if(spark, path, max_files_per_bucket=64)
     assert out["compacted"] is False
-    assert set(out["fragmentation"]) == {"codes", "vectors"}
+    assert set(out["fragmentation"]) == {"codes", "vectors", "staging"}
 
     out2 = compact_binary_index_if(spark, path, max_files_per_bucket=2)
     assert out2["compacted"] is True
@@ -457,3 +457,62 @@ def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
         map(tuple, search_binary_index(spark, path, queries, k=5).collect())
     )
     assert after == before
+
+
+def test_staged_append_binary_parity_and_fold(spark, tmp_path):
+    """Binary staging tier: a staged append creates one file per store
+    (codes + float side-store), searches (incl. rerank from the staged
+    floats) match a normal-append twin, and the fold restores pure
+    bucket partitions with answers unchanged."""
+    import os
+
+    from sparvi_core_spark.sources.ann_index import _staging_files
+    from sparvi_core_spark.sources.binary_index import (
+        compact_binary_index_if,
+        delete_from_binary_index,
+    )
+
+    df = _corpus(spark, n=160)
+    a, b = str(tmp_path / "normal"), str(tmp_path / "staged")
+    for p in (a, b):
+        write_binary_index(df, p, bits=128, seed=9, prefix_bits=2)
+    gens = [
+        _corpus(spark, n=30, seed=70 + g, offset=1000 * (g + 1))
+        for g in range(2)
+    ]
+    for gen in gens:
+        append_binary_index(spark, a, gen)
+        append_binary_index(spark, b, gen, staged=True)
+    assert len(_staging_files(spark, b, "codes")) == 2
+    assert len(_staging_files(spark, b, "vectors")) == 2
+
+    queries = df.limit(8).select("vec_id", "embedding")
+    for kw in ({}, {"rerank": 10}):
+        got_a = sorted(map(tuple, search_binary_index(
+            spark, a, queries, k=5, **kw).collect()))
+        got_b = sorted(map(tuple, search_binary_index(
+            spark, b, queries, k=5, **kw).collect()))
+        assert got_a == got_b and len(got_b) > 0
+
+    # takedown of a still-staged id, purged by the fold
+    victim = int(gens[0].limit(1).collect()[0]["vec_id"])
+    delete_from_binary_index(spark, b, [victim])
+    assert not any(
+        r["neighbor_id"] == victim
+        for r in search_binary_index(spark, b, queries, k=50).collect()
+    )
+
+    out = compact_binary_index_if(spark, b, max_files_per_bucket=2)
+    assert out["compacted"] is True  # 4 staged files > 2
+    assert "staging" in out["stats"]
+    assert out["stats"]["purge"]["codes"]["rows_dropped"] == 1
+    assert not os.path.exists(os.path.join(b, "_staging"))
+    delete_from_binary_index(spark, a, [victim])
+    got_a2 = sorted(map(tuple, search_binary_index(
+        spark, a, queries, k=5, rerank=10).collect()))
+    got_b2 = sorted(map(tuple, search_binary_index(
+        spark, b, queries, k=5, rerank=10).collect()))
+    assert got_b2 == got_a2 and len(got_b2) > 0
+    assert all(
+        r["ok"] for r in binary_index_health(spark, b).collect()
+    )

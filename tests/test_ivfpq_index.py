@@ -612,3 +612,64 @@ def test_delete_by_id_lifecycle(spark, built, tmp_path):
         built["df"].filter(F.col("vec_id") == victims[0]), path
     )
     assert "purge" not in compact_ivfpq_index(spark, path)
+
+
+def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
+    """IVF-PQ staging tier: a staged append creates one file per store
+    (codes + _floats), ADC search and rerank see staged rows (parity
+    with a normal-append twin), and the fold restores pure cell
+    partitions — including purging a still-staged takedown."""
+    import os
+    import shutil
+
+    from sparvi_core_spark.sources.ann_index import _staging_files
+    from sparvi_core_spark.sources.ivfpq_index import (
+        append_ivfpq_index,
+        compact_ivfpq_index_if,
+        delete_from_ivfpq_index,
+    )
+
+    a = str(tmp_path / "normal")
+    b = str(tmp_path / "staged")
+    shutil.copytree(built["path"], a)
+    shutil.copytree(built["path"], b)
+
+    rng = np.random.default_rng(77)
+    rows = [
+        (10_000 + i, [float(x) for x in rng.normal(size=8)])
+        for i in range(30)
+    ]
+    gen = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    append_ivfpq_index(gen, a)
+    append_ivfpq_index(gen, b, staged=True)
+    assert len(_staging_files(spark, b, "codes")) == 1
+    assert len(_staging_files(spark, b, "floats")) == 1
+
+    queries = built["df"].limit(6).select("vec_id", "embedding")
+    for kw in ({}, {"rerank": 10}):
+        got_a = sorted(map(tuple, search_ivfpq_index(
+            spark, a, queries, k=5, nprobe=2, **kw).collect()))
+        got_b = sorted(map(tuple, search_ivfpq_index(
+            spark, b, queries, k=5, nprobe=2, **kw).collect()))
+        assert got_a == got_b and len(got_b) > 0
+
+    victim = 10_000
+    delete_from_ivfpq_index(spark, b, [victim])
+    assert not any(
+        r["neighbor_id"] == victim
+        for r in search_ivfpq_index(
+            spark, b, queries, k=60, nprobe=6
+        ).collect()
+    )
+
+    out = compact_ivfpq_index_if(spark, b, max_files_per_bucket=1)
+    assert out["compacted"] is True  # 2 staged files > 1
+    assert "staging" in out["stats"]
+    assert out["stats"]["purge"]["codes"]["rows_dropped"] == 1
+    assert not os.path.exists(os.path.join(b, "_staging"))
+    delete_from_ivfpq_index(spark, a, [victim])
+    got_a2 = sorted(map(tuple, search_ivfpq_index(
+        spark, a, queries, k=5, nprobe=2, rerank=10).collect()))
+    got_b2 = sorted(map(tuple, search_ivfpq_index(
+        spark, b, queries, k=5, nprobe=2, rerank=10).collect()))
+    assert got_b2 == got_a2 and len(got_b2) > 0
