@@ -1219,5 +1219,315 @@ def dedup_index_health_cmd(index_path, cpus):
         sys.exit(1)
 
 
+# ---------------------------------------------------------------------------
+# ann-index: stored embedding indexes (float IVF / binary / IVF-PQ)
+# ---------------------------------------------------------------------------
+
+_ANN_KINDS = click.Choice(["ivf", "binary", "ivfpq"])
+
+
+@cli.group(name="ann-index")
+def ann_index_grp():
+    """Stored embedding ANN indexes: build once (float IVF, binary
+    sketch, or IVF-PQ — sources/{ann,binary,ivfpq}_index.py), then
+    append/search/compact/delete against vectors at rest. Extension
+    command — no reference analog."""
+
+
+@ann_index_grp.command("build")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+@click.option("--k", default=16, show_default=True,
+              help="Coarse cells (ivf/ivfpq)")
+@click.option("--m", default=4, show_default=True,
+              help="PQ subspaces (ivfpq)")
+@click.option("--ks", default=16, show_default=True,
+              help="PQ codewords per subspace (ivfpq)")
+@click.option("--bits", default=256, show_default=True,
+              help="Sketch bits (binary)")
+@click.option("--prefix-bits", default=12, show_default=True,
+              help="Sign-prefix partition bits (binary)")
+@click.option("--seed", default=42, show_default=True)
+@click.option("--store-floats/--no-store-floats", default=True,
+              show_default=True,
+              help="Keep raw vectors for exact rerank (binary/ivfpq)")
+@click.option("--files-per-bucket", default=1, show_default=True)
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_build(source, table, index_path, kind, id_col, vec_col, k,
+                    m, ks, bits, prefix_bits, seed, store_floats,
+                    files_per_bucket, cpus):
+    """Fit the models on TABLE's vectors and write the index."""
+    spark = _session(cpus)
+    df = _load_table_df(spark, source, table)
+    if kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            write_binary_index,
+        )
+
+        man = write_binary_index(
+            df, index_path, bits=bits, seed=seed,
+            prefix_bits=prefix_bits, id_col=id_col, vec_col=vec_col,
+            store_vectors=store_floats, files_per_bucket=files_per_bucket,
+        )
+        keys = ("format", "n_vectors", "bits", "prefix_bits")
+    else:
+        from sparvi_core_spark.operators.similarity import kmeans_fit
+
+        cents, _ = kmeans_fit(
+            df, k=k, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+        if kind == "ivf":
+            from sparvi_core_spark.sources.ann_index import write_ivf_index
+
+            man = write_ivf_index(
+                df, cents, index_path, id_col=id_col, vec_col=vec_col,
+                files_per_bucket=files_per_bucket,
+            )
+            keys = ("format", "n_vectors", "k", "dim")
+        else:
+            from sparvi_core_spark.operators.quantization import (
+                ivf_residuals,
+                pq_train,
+            )
+            from sparvi_core_spark.sources.ivfpq_index import (
+                write_ivfpq_index,
+            )
+
+            res = ivf_residuals(df, cents, id_col=id_col, vec_col=vec_col)
+            cb, _ = pq_train(
+                res, m=m, ks=ks, id_col="id", vec_col="residual",
+                seed=seed,
+            )
+            man = write_ivfpq_index(
+                df, cents, cb, index_path, id_col=id_col, vec_col=vec_col,
+                store_floats=store_floats,
+                files_per_bucket=files_per_bucket,
+            )
+            keys = ("format", "n_vectors", "k", "m", "ks")
+    click.echo(json.dumps({kk: man[kk] for kk in keys if kk in man}))
+
+
+def _ann_compact_if(kind):
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import compact_ivf_index_if
+
+        return compact_ivf_index_if
+    if kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            compact_binary_index_if,
+        )
+
+        return compact_binary_index_if
+    from sparvi_core_spark.sources.ivfpq_index import compact_ivfpq_index_if
+
+    return compact_ivfpq_index_if
+
+
+@ann_index_grp.command("append")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--staged", is_flag=True, default=False,
+              help="Land the batch in the staging store (one file per "
+                   "store — the micro-batch ingest path)")
+@click.option("--auto-compact", default=None, type=int, metavar="N",
+              help="After the append, compact if any bucket (or the "
+                   "staged-file count) exceeds N")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_append(source, table, index_path, kind, staged,
+                     auto_compact, cpus):
+    """Encode TABLE's vectors under the stored models and add them."""
+    spark = _session(cpus)
+    df = _load_table_df(spark, source, table)
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import append_ivf_index
+
+        man = append_ivf_index(df, index_path, staged=staged)
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            append_binary_index,
+        )
+
+        man = append_binary_index(spark, index_path, df, staged=staged)
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import append_ivfpq_index
+
+        man = append_ivfpq_index(df, index_path, staged=staged)
+    rep = {"n_vectors": man["n_vectors"]}
+    if auto_compact is not None:
+        out = _ann_compact_if(kind)(spark, index_path, auto_compact)
+        rep["auto_compact"] = {
+            "max_files_per_bucket": out["max_files_per_bucket"],
+            "threshold": out["threshold"],
+            "compacted": out["compacted"],
+        }
+    click.echo(json.dumps(rep))
+
+
+@ann_index_grp.command("search")
+@click.argument("source")
+@click.argument("table")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--k", default=10, show_default=True)
+@click.option("--nprobe", default=2, show_default=True,
+              help="Probed cells (ivf/ivfpq)")
+@click.option("--radius", default=2, show_default=True,
+              help="Prefix bit-flip radius (binary)")
+@click.option("--rerank", default=None, type=int,
+              help="Exact-cosine rerank depth (binary/ivfpq)")
+@click.option("--keep-to", default=None,
+              help="Write the full result as parquet here")
+@click.option("--limit", default=10, show_default=True,
+              help="Rows echoed to stdout")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_search(source, table, index_path, kind, k, nprobe, radius,
+                     rerank, keep_to, limit, cpus):
+    """Top-k neighbors of TABLE's vectors from the stored index."""
+    spark = _session(cpus)
+    queries = _load_table_df(spark, source, table)
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import search_ivf_index
+
+        res = search_ivf_index(spark, index_path, queries, k=k,
+                               nprobe=nprobe)
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            search_binary_index,
+        )
+
+        res = search_binary_index(spark, index_path, queries, k=k,
+                                  radius=radius, rerank=rerank)
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import search_ivfpq_index
+
+        res = search_ivfpq_index(spark, index_path, queries, k=k,
+                                 nprobe=nprobe, rerank=rerank)
+    res = res.localCheckpoint()  # counted, sampled, optionally written
+    n = res.count()
+    if keep_to:
+        res.write.mode("overwrite").parquet(keep_to)
+    sample = [r.asDict() for r in res.limit(limit).collect()]
+    click.echo(json.dumps({"results": n, "sample": sample}, default=str))
+
+
+@ann_index_grp.command("compact")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--if-over", default=None, type=int, metavar="N",
+              help="Only compact when some bucket (or the staged-file "
+                   "count) exceeds N — cron-safe no-op otherwise")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_compact(index_path, kind, if_over, cpus):
+    """Fold pending deletes, staged appends, and small files."""
+    spark = _session(cpus)
+    if if_over is not None:
+        stats = _ann_compact_if(kind)(spark, index_path, if_over)
+    elif kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import compact_ivf_index
+
+        stats = compact_ivf_index(spark, index_path)
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            compact_binary_index,
+        )
+
+        stats = compact_binary_index(spark, index_path)
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import (
+            compact_ivfpq_index,
+        )
+
+        stats = compact_ivfpq_index(spark, index_path)
+    click.echo(json.dumps(stats))
+
+
+@ann_index_grp.command("delete")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--id", "ids", multiple=True, required=True,
+              help="Vector id to delete (repeatable)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_delete(index_path, kind, ids, cpus):
+    """Takedown: tombstone ids (searches exclude them immediately);
+    the next compact purges them physically."""
+    spark = _session(cpus)
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import (
+            delete_from_ivf_index,
+        )
+
+        stats = delete_from_ivf_index(spark, index_path, list(ids))
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            delete_from_binary_index,
+        )
+
+        stats = delete_from_binary_index(spark, index_path, list(ids))
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import (
+            delete_from_ivfpq_index,
+        )
+
+        stats = delete_from_ivfpq_index(spark, index_path, list(ids))
+    click.echo(json.dumps(stats))
+
+
+@ann_index_grp.command("break-lock")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_break_lock(index_path, cpus):
+    """Remove a writer lock orphaned by a crash on another host."""
+    from sparvi_core_spark.sources.ann_index import break_writer_lock
+
+    spark = _session(cpus)
+    removed = break_writer_lock(spark, index_path)
+    click.echo(json.dumps({"removed": removed}))
+
+
+@ann_index_grp.command("health")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_health(index_path, kind, cpus):
+    """Index audit: per-cell stats (ivf) or manifest-vs-disk (binary)."""
+    spark = _session(cpus)
+    if kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            binary_index_health,
+        )
+
+        rows = binary_index_health(spark, index_path).collect()
+        bad = [r for r in rows if not r["ok"]]
+        click.echo(json.dumps(
+            {"buckets": len(rows), "bad": len(bad),
+             "bad_buckets": [r["bucket"] for r in bad[:20]]}))
+        if bad:
+            sys.exit(1)
+        return
+    if kind == "ivfpq":
+        from sparvi_core_spark.sources.ivfpq_index import read_ivfpq_index
+
+        coded, _, _, man = read_ivfpq_index(spark, index_path)
+        actual = coded.count()
+        click.echo(json.dumps(
+            {"n_vectors_manifest": man["n_vectors"],
+             "n_vectors_actual": actual,
+             "ok": actual == man["n_vectors"]}))
+        if actual != man["n_vectors"]:
+            sys.exit(1)
+        return
+    from sparvi_core_spark.sources.ann_index import ivf_index_health
+
+    rows = [r.asDict() for r in ivf_index_health(spark, index_path).collect()]
+    click.echo(json.dumps({"cells": len(rows), "report": rows[:20]},
+                          default=str))
+
+
 if __name__ == "__main__":
     cli()

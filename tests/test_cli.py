@@ -483,3 +483,119 @@ def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
     assert json.loads(
         r.output.strip().splitlines()[-1]
     )["removed"]["host"] == "elsewhere"
+
+
+def test_ann_index_lifecycle_ivf(spark, sf_dir, tmp_path):
+    """ann-index CLI, float IVF kind: build → staged append with
+    auto-compact → search → delete → compact --if-over → health →
+    break-lock."""
+    src = str(tmp_path / "src")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.filter("vec_id < 400").write.parquet(f"{src}/emb_a.parquet")
+    emb.filter("vec_id >= 400").write.parquet(f"{src}/emb_b.parquet")
+    idx = str(tmp_path / "ividx")
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "build", src, "emb_a", idx, "--kind", "ivf",
+              "--k", "4"],
+    )
+    assert r.exit_code == 0, r.output
+    man = json.loads(r.output.strip().splitlines()[-1])
+    assert man["n_vectors"] == 400 and man["k"] == 4
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "append", src, "emb_b", idx, "--kind", "ivf",
+              "--staged", "--auto-compact", "1"],
+    )
+    assert r.exit_code == 0, r.output
+    rep = json.loads(r.output.strip().splitlines()[-1])
+    assert rep["n_vectors"] == 500
+    # one staged file is not > threshold 1: the knob is a cheap no-op
+    assert rep["auto_compact"]["compacted"] is False
+    assert rep["auto_compact"]["max_files_per_bucket"] == 1
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "search", src, "emb_b", idx, "--kind", "ivf",
+              "--k", "3"],
+    )
+    assert r.exit_code == 0, r.output
+    res = json.loads(r.output.strip().splitlines()[-1])
+    assert res["results"] > 0 and len(res["sample"]) > 0
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "delete", idx, "--kind", "ivf", "--id", "400"],
+    )
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output.strip().splitlines()[-1])["requested"] == 1
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "compact", idx, "--kind", "ivf"],
+    )
+    assert r.exit_code == 0, r.output
+    st = json.loads(r.output.strip().splitlines()[-1])
+    # one compact folds the staged append AND purges the (still-staged)
+    # takedown
+    assert "staging" in st
+    assert st["purge"]["rows_dropped"] == 1
+
+    r = CliRunner().invoke(
+        cli, ["ann-index", "health", idx, "--kind", "ivf"],
+    )
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output.strip().splitlines()[-1])["cells"] == 4
+
+    r = CliRunner().invoke(cli, ["ann-index", "break-lock", idx])
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output.strip().splitlines()[-1])["removed"] is None
+
+
+def test_ann_index_lifecycle_binary_and_ivfpq(spark, sf_dir, tmp_path):
+    """ann-index CLI, binary and ivfpq kinds: build → staged append →
+    rerank search → compact --if-over → health."""
+    src = str(tmp_path / "src")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.filter("vec_id < 400").write.parquet(f"{src}/emb_a.parquet")
+    emb.filter("vec_id >= 400").write.parquet(f"{src}/emb_b.parquet")
+
+    for kind, extra in (
+        ("binary", ["--bits", "64", "--prefix-bits", "3"]),
+        ("ivfpq", ["--k", "4", "--m", "2", "--ks", "8"]),
+    ):
+        idx = str(tmp_path / f"{kind}_idx")
+        r = CliRunner().invoke(
+            cli, ["ann-index", "build", src, "emb_a", idx,
+                  "--kind", kind] + extra,
+        )
+        assert r.exit_code == 0, (kind, r.output)
+        assert json.loads(
+            r.output.strip().splitlines()[-1]
+        )["n_vectors"] == 400
+
+        r = CliRunner().invoke(
+            cli, ["ann-index", "append", src, "emb_b", idx,
+                  "--kind", kind, "--staged"],
+        )
+        assert r.exit_code == 0, (kind, r.output)
+        assert json.loads(
+            r.output.strip().splitlines()[-1]
+        )["n_vectors"] == 500
+
+        r = CliRunner().invoke(
+            cli, ["ann-index", "search", src, "emb_b", idx,
+                  "--kind", kind, "--k", "3", "--rerank", "6"],
+        )
+        assert r.exit_code == 0, (kind, r.output)
+        assert json.loads(r.output.strip().splitlines()[-1])["results"] > 0
+
+        r = CliRunner().invoke(
+            cli, ["ann-index", "compact", idx, "--kind", kind,
+                  "--if-over", "1"],
+        )
+        assert r.exit_code == 0, (kind, r.output)
+        st = json.loads(r.output.strip().splitlines()[-1])
+        assert st["compacted"] is True  # staged files tripped the gauge
+
+        r = CliRunner().invoke(
+            cli, ["ann-index", "health", idx, "--kind", kind],
+        )
+        assert r.exit_code == 0, (kind, r.output)
