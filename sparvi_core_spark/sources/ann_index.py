@@ -226,6 +226,22 @@ def writer_lock(spark: SparkSession, path: str, op: str):
                 f"(holder: {holder or 'unreadable'}); wait for it, or "
                 f"break_writer_lock() if it crashed on another host"
             )
+        # the stale-break above is check-then-act: two acquirers that
+        # both observed the same dead-pid lock can interleave so that
+        # the second delete removes the FIRST winner's fresh lock and
+        # both creates "succeed". Re-read and verify the token is ours
+        # — the loser detects the overwrite and fails cleanly instead
+        # of proceeding unfenced.
+        try:
+            current = json.loads(_read_text(spark, path, WRITER_LOCK))
+        except Exception:
+            current = {}
+        if current.get("token") != token:
+            raise RuntimeError(
+                f"index at {path}: lost the lock race while breaking a "
+                f"stale lock (now held by: {current or 'unreadable'}); "
+                f"retry once the holder finishes"
+            )
     _HELD_LOCKS.add(key)
     try:
         yield
@@ -359,6 +375,36 @@ def _reject_tombstoned(
         )
 
 
+def _rename_into_cells(spark, fs, mkpath, root: str, tmp: str, produced):
+    """Move a journaled swap's compacted/folded files from ``tmp``
+    into their cell dirs. Two HDFS/ABFS realities the local FS hides
+    (RawLocalFileSystem falls back to copy, which creates parents):
+    ``rename`` into a MISSING parent dir returns False instead of
+    raising — reachable whenever a fold targets a previously-empty
+    cell (staged rows assigned to a bucket that never had a dir) —
+    and its boolean return is the ONLY failure signal. So: mkdirs
+    every target cell dir first, then check every rename. On a failed
+    rename, roll the swap back via :func:`repair_ivf_index` (the
+    journal is already on disk and the failed file never landed, so
+    repair deletes the partial new files and keeps the originals and
+    any ``extra_old`` staging files) and raise."""
+    for b in sorted(produced):
+        d = mkpath(f"{root}/bucket={b}")
+        if not fs.exists(d):
+            fs.mkdirs(d)
+    for b in sorted(produced):
+        for name in produced[b]:
+            src = mkpath(f"{tmp}/bucket={b}/{name}")
+            dst = mkpath(f"{root}/bucket={b}/{name}")
+            if not fs.rename(src, dst):
+                repair_ivf_index(spark, root)
+                raise IOError(
+                    f"swap rename {src} -> {dst} failed — rolled the "
+                    f"journaled swap back; store at {root} left as it "
+                    f"was before this fold/compaction"
+                )
+
+
 def _purge_cells(
     spark: SparkSession,
     root: str,
@@ -431,12 +477,7 @@ def _purge_cells(
         }
     }
     _write_text(spark, root, JOURNAL, json.dumps(journal))
-    for b in cells:
-        for name in produced[b]:
-            fs.rename(
-                mkpath(f"{tmp}/bucket={b}/{name}"),
-                mkpath(f"{root}/bucket={b}/{name}"),
-            )
+    _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
     for b in cells:
         for old in old_files[str(b)]:
             fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
@@ -922,12 +963,7 @@ def _compact_cells(
     if extra_old:
         journal["extra_old"] = list(extra_old)
     _write_text(spark, root, JOURNAL, json.dumps(journal))
-    for b in cells:
-        for name in produced[b]:
-            fs.rename(
-                mkpath(f"{tmp}/bucket={b}/{name}"),
-                mkpath(f"{root}/bucket={b}/{name}"),
-            )
+    _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
     for b in cells:
         for old in frag[str(b)]:
             fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)

@@ -637,3 +637,160 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     assert got_b2 == got_a2 and len(got_b2) > 0
     out2 = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
     assert out2["compacted"] is False
+
+
+def test_rename_into_cells_mkdirs_and_checks_returns(spark, tmp_path):
+    """Round-10 ADVICE (high): on HDFS/ABFS, rename into a missing
+    parent dir returns False (local FS silently falls back to copy,
+    which creates parents) — the swap must mkdirs every target cell
+    dir first and treat a False rename as a hard failure, not a
+    silent row drop."""
+    from sparvi_core_spark.sources.ann_index import _rename_into_cells
+
+    class FakeFS:
+        def __init__(self, fail_on=None):
+            self.dirs = set()
+            self.renames = []
+            self.mkdirs_calls = []
+            self.fail_on = fail_on or set()
+
+        def exists(self, p):
+            return p in self.dirs
+
+        def mkdirs(self, p):
+            self.mkdirs_calls.append(p)
+            self.dirs.add(p)
+            return True
+
+        def rename(self, src, dst):
+            self.renames.append((src, dst))
+            return dst not in self.fail_on
+
+    root = str(tmp_path / "idx")  # no journal on disk: repair = clean
+    tmp = f"{root}/_compact_tmp"
+    produced = {3: ["part-a.parquet"], 7: ["part-b.parquet"]}
+
+    fs = FakeFS()
+    _rename_into_cells(spark, fs, str, root, tmp, produced)
+    # every cell dir created BEFORE any rename into it
+    assert f"{root}/bucket=3" in fs.mkdirs_calls
+    assert f"{root}/bucket=7" in fs.mkdirs_calls
+    assert len(fs.renames) == 2
+
+    bad = f"{root}/bucket=7/part-b.parquet"
+    fs2 = FakeFS(fail_on={bad})
+    with pytest.raises(IOError, match="swap rename .* failed"):
+        _rename_into_cells(spark, fs2, str, root, tmp, produced)
+
+
+def test_stale_break_lock_race_detected(spark, tmp_path):
+    """Round-10 verdict #4: the stale-lock auto-break is
+    check-then-act — two same-host acquirers can both observe a
+    dead-pid lock, and the slower delete can remove the faster
+    winner's FRESH lock. After a contended create the acquirer must
+    re-read the lock and verify its own token; a mismatch is a clean
+    'lost the race' error, never an unfenced writer."""
+    import json as _json
+    import os
+
+    from sparvi_core_spark.sources import ann_index as ai
+
+    df = _corpus(spark, n=40, seed=5)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, _centroids(spark, df, k=3), path)
+    lockfile = os.path.join(path, "_writer.lock")
+
+    # a crashed same-host holder left a stale lock behind (a real
+    # exited process's pid, so _lock_is_stale sees it as dead)
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+
+    def plant_stale():
+        with open(lockfile, "w") as f:
+            _json.dump(
+                {"pid": proc.pid, "host": __import__("socket").gethostname(),
+                 "op": "append", "token": "stale"}, f,
+            )
+
+    # interleave: after THIS process breaks the stale lock and
+    # re-creates, a rival's delayed delete+create lands first — the
+    # post-create verify must read the RIVAL's token
+    plant_stale()
+    real_read = ai._read_text
+    calls = {"n": 0}
+
+    def rigged_read(sp, d, name):
+        out = real_read(sp, d, name)
+        if name == "_writer.lock":
+            calls["n"] += 1
+            if calls["n"] == 2:  # the post-create ownership verify
+                return _json.dumps(
+                    {"pid": 999, "host": "rival", "token": "rival-token"}
+                )
+        return out
+
+    ai._read_text, orig = rigged_read, ai._read_text
+    try:
+        with pytest.raises(RuntimeError, match="lost the lock race"):
+            with ai.writer_lock(spark, path, "op-x"):
+                raise AssertionError("must not enter unfenced")
+    finally:
+        ai._read_text = orig
+    # clean up through the FS API (drops the checksum sidecar too)
+    ai.break_writer_lock(spark, path)
+
+    # same stale lock, NO rival: the break-and-acquire path wins
+    plant_stale()
+    with ai.writer_lock(spark, path, "op-y"):
+        with open(lockfile) as f:
+            assert _json.load(f)["op"] == "op-y"
+    assert not os.path.exists(lockfile)
+
+
+def test_staged_fold_into_previously_empty_cell(spark, tmp_path):
+    """A staged batch can assign rows to a cell that was EMPTY at
+    build time (its bucket dir does not exist). The fold must create
+    the dir and land the rows — this is the exact layout where a
+    non-local filesystem's rename-into-missing-parent returns False
+    and, unchecked, would silently drop the staged rows."""
+    import os
+
+    from sparvi_core_spark.sources.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    # hand-built centroids: cell 3 is far from every base vector, so
+    # the build writes no bucket=3 dir
+    dim = 4
+    cents = spark.createDataFrame(
+        [(0, [0.0] * dim), (1, [1.0] * dim), (2, [-1.0] * dim),
+         (3, [100.0] * dim)],
+        "bucket int, centroid array<double>",
+    )
+    rnd = random.Random(7)
+    base = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)], f"d{i}")
+         for i in range(60)],
+        "vec_id long, embedding array<double>, payload string",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, cents, path)
+    assert not os.path.exists(os.path.join(path, "bucket=3"))
+
+    far = spark.createDataFrame(
+        [(1000 + j, [100.0 + 0.01 * j] * dim, f"far{j}") for j in range(5)],
+        "vec_id long, embedding array<double>, payload string",
+    )
+    append_ivf_index(far, path, staged=True)
+    compact_ivf_index(spark, path)
+
+    assert os.path.exists(os.path.join(path, "bucket=3"))
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    q = far.limit(2).select("vec_id", "embedding")
+    hits = search_ivf_index(spark, path, q, k=3).collect()
+    assert hits and all(r["neighbor_id"] >= 1000 for r in hits)
+    _, _, man = read_ivf_index(spark, path)
+    assert man["rows_per_bucket"]["3"] == 5
