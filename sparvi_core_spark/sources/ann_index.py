@@ -569,12 +569,52 @@ def write_ivf_index(
     return manifest
 
 
+STREAM_INTENT = "_stream_intent.json"
+
+
+def _existing_ids(
+    spark: SparkSession,
+    store_root: str,
+    staged_files: list[str],
+    id_col: str,
+    cells,
+) -> DataFrame | None:
+    """The replay screen's lookup side: distinct ids already present
+    in a cell-partitioned store — scan PRUNED to the batch's touched
+    ``cells`` and column-pruned to the id, so the cost is bucket-grain
+    (the id bytes of the touched cells), never O(index) — unioned with
+    any staged files' ids. None when neither side has data for those
+    cells."""
+    parts = []
+    _, fs, mkpath = _index_fs(spark, store_root)
+    live = [
+        int(b) for b in cells
+        if fs.exists(mkpath(f"{store_root}/bucket={b}"))
+    ]
+    if live:
+        parts.append(
+            spark.read.parquet(store_root)
+            .filter(F.col("bucket").isin(live))
+            .select(id_col)
+        )
+    if staged_files:
+        parts.append(spark.read.parquet(*staged_files).select(id_col))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
 @_locked_df_first("append")
 def append_ivf_index(
     new_vectors: DataFrame,
     path: str,
     files_per_bucket: int | None = None,
     staged: bool = False,
+    stream_batch_id: int | None = None,
+    screen_existing: bool = False,
 ) -> dict:
     """The daily ingest operation: assign a NEW batch against the
     STORED centroids and append it into the existing cell partitions —
@@ -597,7 +637,17 @@ def append_ivf_index(
     :func:`ivf_index_health`'s ``mean_distance`` creep to decide when
     a re-train + rewrite is due. Single-writer by contract — plain
     parquet has no commit protocol, so two concurrent appends race on
-    the manifest (same as every bare-parquet append pipeline)."""
+    the manifest (same as every bare-parquet append pipeline).
+
+    ``stream_batch_id`` threads the streaming sink's batch id into the
+    SAME manifest write as the counts — one commit point instead of
+    two, so the sink's replay fence and the counts can never disagree.
+    ``screen_existing=True`` is the crash-replay path: anti-join the
+    batch against the ids already in the touched cells ∪ staging
+    (bucket-grain, column-pruned) and append only the missing split,
+    while the manifest counts the FULL batch — rows that landed in the
+    crashed attempt are on disk but were never counted, so this single
+    call heals both the data and the manifest."""
     from sparvi_core_spark.operators.similarity import ivf_assign
     from sparvi_core_spark.sources.writers import _hadoop_write_text
 
@@ -633,23 +683,6 @@ def append_ivf_index(
         new_vectors, cents, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias(id_col), "bucket").localCheckpoint()
     data = new_vectors.join(assigned, id_col)
-    if staged:
-        data.coalesce(1).write.mode("append").parquet(
-            f"{path}/{STAGING_DIR}/vectors"
-        )
-    else:
-        slice_col = F.pmod(
-            F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
-            F.lit(fpb),
-        )
-        (
-            data.withColumn("__slice", slice_col)
-            .repartition(F.col("bucket"), F.col("__slice"))
-            .drop("__slice")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
     per_cell = {
         int(r["bucket"]): int(r["n"])
         for r in assigned.groupBy("bucket")
@@ -657,6 +690,39 @@ def append_ivf_index(
         .collect()
     }
     n_new = sum(per_cell.values())
+    n_landed = 0
+    if screen_existing and n_new:
+        existing = _existing_ids(
+            spark, path, _staging_files(spark, path, "vectors"),
+            id_col, sorted(per_cell),
+        )
+        if existing is not None:
+            landed_ids = (
+                assigned.select(id_col)
+                .join(existing, id_col, "left_semi")
+                .localCheckpoint()
+            )
+            n_landed = landed_ids.count()
+            if n_landed:
+                data = data.join(F.broadcast(landed_ids), id_col, "left_anti")
+    if n_landed < n_new:
+        if staged:
+            data.coalesce(1).write.mode("append").parquet(
+                f"{path}/{STAGING_DIR}/vectors"
+            )
+        else:
+            slice_col = F.pmod(
+                F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
+                F.lit(fpb),
+            )
+            (
+                data.withColumn("__slice", slice_col)
+                .repartition(F.col("bucket"), F.col("__slice"))
+                .drop("__slice")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
     rows = dict(manifest["rows_per_bucket"])
     for b, n in per_cell.items():
         rows[str(b)] = rows.get(str(b), 0) + n
@@ -666,6 +732,12 @@ def append_ivf_index(
     manifest["n_vectors"] += n_new
     manifest["dropped_null"] += n_batch_rows - n_new
     manifest["appends"] = manifest.get("appends", 0) + 1
+    if n_landed:
+        manifest["replay_rows_healed"] = (
+            manifest.get("replay_rows_healed", 0) + n_landed
+        )
+    if stream_batch_id is not None:
+        manifest["last_stream_batch_id"] = int(stream_batch_id)
     _hadoop_write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
     )

@@ -306,6 +306,8 @@ def append_ivfpq_index(
     files_per_bucket: int | None = None,
     engine: str = "blas",
     staged: bool = False,
+    stream_batch_id: int | None = None,
+    screen_existing: bool = False,
 ) -> dict:
     """Daily ingest: assign + encode a NEW batch against the STORED
     centroids and codebook and parquet-append it into the existing
@@ -322,7 +324,14 @@ def append_ivfpq_index(
     store instead of up to ``files_per_bucket`` per touched cell — the
     micro-batch ingest path; see ``append_minhash_index``); readers
     union staging, the next compaction (or ``compact_ivfpq_index_if``)
-    folds it."""
+    folds it.
+
+    ``stream_batch_id`` / ``screen_existing`` are the streaming sink's
+    crash-replay seam (see ``append_ivf_index``): batch id committed in
+    the SAME manifest write as the counts; on a suspected replay each
+    store is screened SEPARATELY at id grain (a crash can land the
+    codes append but not the ``_floats/`` one) and only each store's
+    missing split is appended, while the counts cover the full batch."""
     spark = new_vectors.sparkSession
     _, cents, codebook, manifest = read_ivfpq_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
@@ -376,46 +385,6 @@ def append_ivfpq_index(
     coded, assignment = _encode(
         new_vectors, cents, codebook, id_col, vec_col, engine
     )
-    if staged:
-        (
-            coded.select(F.col("id").alias(id_col), "codes", "bucket")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(f"{path}/{STAGING_DIR}/codes")
-        )
-        if manifest.get("store_floats"):
-            (
-                new_vectors.join(
-                    assignment.select(F.col("id").alias(id_col), "bucket"),
-                    id_col,
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(f"{path}/{STAGING_DIR}/floats")
-            )
-    else:
-        (
-            coded.select(F.col("id").alias(id_col), "codes", "bucket")
-            .withColumn("__slice", _slice_col(id_col, fpb))
-            .repartition(F.col("bucket"), F.col("__slice"))
-            .drop("__slice")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
-        if manifest.get("store_floats"):
-            (
-                new_vectors.join(
-                    assignment.select(F.col("id").alias(id_col), "bucket"),
-                    id_col,
-                )
-                .withColumn("__slice", _slice_col(id_col, fpb))
-                .repartition(F.col("bucket"), F.col("__slice"))
-                .drop("__slice")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(f"{path}/{FLOATS_DIR}")
-            )
     per_cell = {
         int(r["bucket"]): int(r["n"])
         for r in assignment.groupBy("bucket")
@@ -423,6 +392,81 @@ def append_ivfpq_index(
         .collect()
     }
     n_new = sum(per_cell.values())
+    # replay screen (per store — a crash can land codes but not
+    # floats): ids already present are excluded from this append's
+    # writes; the manifest still counts the full batch (the crashed
+    # attempt's rows are on disk but were never counted)
+    n_landed_codes = n_landed_floats = 0
+    landed_codes = landed_floats = None
+    if screen_existing and n_new:
+        from sparvi_core_spark.sources.ann_index import (
+            _existing_ids,
+            _staging_files,
+        )
+
+        cells = sorted(per_cell)
+        batch_ids = assignment.select(F.col("id").alias(id_col))
+        ex = _existing_ids(
+            spark, path, _staging_files(spark, path, "codes"),
+            id_col, cells,
+        )
+        if ex is not None:
+            landed_codes = batch_ids.join(
+                ex, id_col, "left_semi"
+            ).localCheckpoint()
+            n_landed_codes = landed_codes.count()
+        if manifest.get("store_floats"):
+            ex = _existing_ids(
+                spark, f"{path}/{FLOATS_DIR}",
+                _staging_files(spark, path, "floats"), id_col, cells,
+            )
+            if ex is not None:
+                landed_floats = batch_ids.join(
+                    ex, id_col, "left_semi"
+                ).localCheckpoint()
+                n_landed_floats = landed_floats.count()
+    codes_df = coded.select(F.col("id").alias(id_col), "codes", "bucket")
+    if n_landed_codes:
+        codes_df = codes_df.join(F.broadcast(landed_codes), id_col, "left_anti")
+    floats_df = None
+    if manifest.get("store_floats"):
+        floats_df = new_vectors.join(
+            assignment.select(F.col("id").alias(id_col), "bucket"), id_col
+        )
+        if n_landed_floats:
+            floats_df = floats_df.join(
+                F.broadcast(landed_floats), id_col, "left_anti"
+            )
+    if staged:
+        if n_landed_codes < n_new:
+            codes_df.coalesce(1).write.mode("append").parquet(
+                f"{path}/{STAGING_DIR}/codes"
+            )
+        if floats_df is not None and n_landed_floats < n_new:
+            floats_df.coalesce(1).write.mode("append").parquet(
+                f"{path}/{STAGING_DIR}/floats"
+            )
+    else:
+        if n_landed_codes < n_new:
+            (
+                codes_df
+                .withColumn("__slice", _slice_col(id_col, fpb))
+                .repartition(F.col("bucket"), F.col("__slice"))
+                .drop("__slice")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+        if floats_df is not None and n_landed_floats < n_new:
+            (
+                floats_df
+                .withColumn("__slice", _slice_col(id_col, fpb))
+                .repartition(F.col("bucket"), F.col("__slice"))
+                .drop("__slice")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(f"{path}/{FLOATS_DIR}")
+            )
     rows = dict(manifest["rows_per_bucket"])
     for b, n in per_cell.items():
         rows[str(b)] = rows.get(str(b), 0) + n
@@ -430,6 +474,13 @@ def append_ivfpq_index(
     manifest["n_vectors"] += n_new
     manifest["dropped_null"] += n_batch_rows - n_new
     manifest["appends"] = manifest.get("appends", 0) + 1
+    if n_landed_codes or n_landed_floats:
+        manifest["replay_rows_healed"] = (
+            manifest.get("replay_rows_healed", 0)
+            + max(n_landed_codes, n_landed_floats)
+        )
+    if stream_batch_id is not None:
+        manifest["last_stream_batch_id"] = int(stream_batch_id)
     _write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
     )

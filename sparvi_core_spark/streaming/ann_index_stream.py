@@ -15,21 +15,32 @@ Scale + delivery semantics:
 - **Per-batch cost is O(batch), never O(index).** The stored corpus
   is not read; only the centroid table (k × dim, broadcast) and the
   manifest (k counters) are touched per trigger.
-- **Replay-safe at the commit boundary.** ``foreachBatch`` redelivers
-  a batch when the checkpoint commit didn't land; the sink records
-  ``last_stream_batch_id`` in the index manifest and skips batch ids
-  it has already appended, so the common replay (append completed,
-  checkpoint didn't) is exactly-once. The residual window is a crash
-  BETWEEN the data append and the manifest write inside one batch —
-  plain parquet has no commit protocol (same window, and same daily
-  answer, as every bare-parquet sink: the exact-dedup tier downstream
-  screens re-landed ids).
+- **Replay-safe at the commit boundary — including the crash window
+  inside a batch.** ``foreachBatch`` redelivers a batch when the
+  checkpoint commit didn't land; the sink commits
+  ``last_stream_batch_id`` in the SAME manifest write as the append's
+  counts (one commit point) and skips batch ids it has already
+  committed. The residual window — a crash between the data append
+  and that single manifest write — is fenced by a write-ahead intent
+  marker (``_stream_intent.json``, written before any data lands):
+  a redelivered batch whose id matches the intent is a crashed
+  attempt, and the re-run screens the batch at id grain against the
+  touched cells ∪ staging (bucket-pruned, column-pruned — O(batch)
+  cells' id bytes, never O(index)), appends only the missing split,
+  and counts the full batch, healing both data and manifest. The hot
+  path pays one tiny intent write per trigger and NO screen.
 - **Fragmentation is the compactor's job.** Every trigger adds up to
   ``files_per_bucket`` files to each touched cell by design — run
   ``compact_ivf_index`` on a maintenance schedule, exactly like the
   summary stores (``streaming.store``).
 - **Single writer by contract**, like the batch append: one streaming
-  query per index path, maintenance quiesced around compaction.
+  query per index path, maintenance quiesced around compaction. One
+  CHECKPOINT per index path, too: batch ids are monotonic only within
+  a checkpoint, so pointing a FRESH checkpoint at an index that
+  already carries ``last_stream_batch_id`` makes the fence skip the
+  new stream's first batches — resume the old checkpoint, or clear
+  ``last_stream_batch_id`` from the manifest when deliberately
+  re-streaming from scratch.
 """
 
 from __future__ import annotations
@@ -37,6 +48,49 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
+
+
+def _replay_suspected(spark, path: str, manifest_name: str, batch_id: int):
+    """The sink's per-batch fence. Returns None when the batch is
+    already committed (skip it), True when a write-ahead intent for
+    THIS batch id is on disk — a prior attempt crashed between its
+    data append and its manifest commit, so the re-run must screen at
+    id grain — else False after writing the intent marker (the normal
+    hot path: one tiny file write, no screen)."""
+    from sparvi_core_spark.sources.ann_index import (
+        STREAM_INTENT,
+        _index_fs,
+        _read_text,
+        _write_text,
+    )
+
+    manifest = json.loads(_read_text(spark, path, manifest_name))
+    if batch_id <= manifest.get("last_stream_batch_id", -1):
+        return None
+    _, fs, mkpath = _index_fs(spark, path)
+    if fs.exists(mkpath(f"{path}/{STREAM_INTENT}")):
+        try:
+            intent = json.loads(_read_text(spark, path, STREAM_INTENT))
+            if int(intent.get("batch_id", -1)) == batch_id:
+                return True
+        except Exception:
+            return True  # torn intent: treat as a crashed attempt
+    _write_text(
+        spark, path, STREAM_INTENT, json.dumps({"batch_id": batch_id})
+    )
+    return False
+
+
+def _clear_intent(spark, path: str) -> None:
+    from sparvi_core_spark.sources.ann_index import (
+        STREAM_INTENT,
+        _index_fs,
+    )
+
+    _, fs, mkpath = _index_fs(spark, path)
+    ip = mkpath(f"{path}/{STREAM_INTENT}")
+    if fs.exists(ip):
+        fs.delete(ip, False)
 
 
 def index_stream_batches(
@@ -65,8 +119,6 @@ def index_stream_batches(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         from sparvi_core_spark.sources.ann_index import (
             MANIFEST,
-            _read_text,
-            _write_text,
             append_ivf_index,
             compact_ivf_index_if,
             writer_lock,
@@ -76,18 +128,17 @@ def index_stream_batches(
             return
         spark = batch_df.sparkSession
         with writer_lock(spark, path, "stream-batch"):
-            manifest = json.loads(_read_text(spark, path, MANIFEST))
-            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
-                return  # replayed batch: already appended, skip
-            man = append_ivf_index(
+            suspect = _replay_suspected(
+                spark, path, MANIFEST, int(batch_id)
+            )
+            if suspect is None:
+                return  # replayed batch: already committed, skip
+            append_ivf_index(
                 batch_df, path, files_per_bucket=files_per_bucket,
-                staged=staged,
+                staged=staged, stream_batch_id=int(batch_id),
+                screen_existing=suspect,
             )
-            man["last_stream_batch_id"] = int(batch_id)
-            _write_text(
-                spark, path, MANIFEST,
-                json.dumps(man, indent=1, sort_keys=True),
-            )
+            _clear_intent(spark, path)
             if auto_compact is not None:
                 # after the commit: a crash mid-compaction replays
                 # nothing; the journaled swap heals via repair
@@ -125,11 +176,7 @@ def index_pq_stream_batches(
     batch body holds the index's writer lock."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        from sparvi_core_spark.sources.ann_index import (
-            _read_text,
-            _write_text,
-            writer_lock,
-        )
+        from sparvi_core_spark.sources.ann_index import writer_lock
         from sparvi_core_spark.sources.ivfpq_index import (
             MANIFEST,
             append_ivfpq_index,
@@ -140,18 +187,17 @@ def index_pq_stream_batches(
             return
         spark = batch_df.sparkSession
         with writer_lock(spark, path, "stream-batch"):
-            manifest = json.loads(_read_text(spark, path, MANIFEST))
-            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
-                return  # replayed batch: already appended, skip
-            man = append_ivfpq_index(
+            suspect = _replay_suspected(
+                spark, path, MANIFEST, int(batch_id)
+            )
+            if suspect is None:
+                return  # replayed batch: already committed, skip
+            append_ivfpq_index(
                 batch_df, path, files_per_bucket=files_per_bucket,
-                staged=staged,
+                staged=staged, stream_batch_id=int(batch_id),
+                screen_existing=suspect,
             )
-            man["last_stream_batch_id"] = int(batch_id)
-            _write_text(
-                spark, path, MANIFEST,
-                json.dumps(man, indent=1, sort_keys=True),
-            )
+            _clear_intent(spark, path)
             if auto_compact is not None:
                 compact_ivfpq_index_if(spark, path, auto_compact)
 

@@ -673,3 +673,137 @@ def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
     got_b2 = sorted(map(tuple, search_ivfpq_index(
         spark, b, queries, k=5, nprobe=2, rerank=10).collect()))
     assert got_b2 == got_a2 and len(got_b2) > 0
+
+
+def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
+    """Round-10 verdict #1, coded-index side: (a) a crash between the
+    data appends and the single manifest commit double-appended the
+    batch on replay; (b) a crash can land the CODES append but not the
+    ``_floats/`` one. The sink's write-ahead intent + per-store id
+    screen heals both: zero duplicate ids in either store, counts
+    consistent, reranked search equal to a never-crashed twin."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from sparvi_core_spark.sources import writers as W
+    from sparvi_core_spark.sources.ann_index import (
+        STREAM_INTENT,
+        _write_text,
+    )
+    from sparvi_core_spark.sources.ivfpq_index import (
+        MANIFEST,
+        append_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from sparvi_core_spark.streaming.ann_index_stream import (
+        index_pq_stream_batches,
+    )
+    from sparvi_core_spark.streaming.profile_stream import stream_events
+
+    path = str(tmp_path / "idx_cw")
+    twin = str(tmp_path / "idx_tw")
+    shutil.copytree(built["path"], path)
+    shutil.copytree(built["path"], twin)
+    rng = np.random.default_rng(23)
+    new = spark.createDataFrame(
+        [
+            (7000 + i, [float(x) for x in rng.normal(size=8) * 10])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "src_cw")
+    new.coalesce(1).write.parquet(src)  # one batch, id 0
+
+    # --- crashed attempt: intent on disk, CODES landed, the floats
+    # append did NOT (and so neither did the manifest commit)
+    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 0}))
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real_pq = DataFrameWriter.parquet
+
+    def boom(self, p, *a, **kw):
+        if p.rstrip("/").endswith("_floats"):
+            raise RuntimeError("simulated floats crash")
+        return real_pq(self, p, *a, **kw)
+
+    DataFrameWriter.parquet = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated floats crash"):
+            append_ivfpq_index(new, path, stream_batch_id=0)
+    finally:
+        DataFrameWriter.parquet = real_pq
+    coded, _, _, man = read_ivfpq_index(spark, path)
+    assert coded.count() == 200 and man["n_vectors"] == 180  # drifted
+    assert spark.read.parquet(f"{path}/_floats").count() == 180
+
+    # --- the replay, through the real sink
+    q = index_pq_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ckpt_cw"),
+    )
+    q.awaitTermination()
+
+    coded2, _, _, man2 = read_ivfpq_index(spark, path)
+    floats2 = spark.read.parquet(f"{path}/_floats")
+    assert coded2.count() == 200
+    assert coded2.select("vec_id").distinct().count() == 200
+    assert floats2.count() == 200
+    assert floats2.select("vec_id").distinct().count() == 200
+    assert man2["n_vectors"] == 200
+    assert sum(man2["rows_per_bucket"].values()) == 200
+    assert man2["last_stream_batch_id"] == 0
+    assert man2["replay_rows_healed"] == 20
+    assert not os.path.exists(os.path.join(path, STREAM_INTENT))
+
+    # reranked search parity with the never-crashed twin
+    append_ivfpq_index(new, twin)
+    queries = new.limit(4).select("vec_id", "embedding")
+    got = sorted(map(tuple, search_ivfpq_index(
+        spark, path, queries, k=5, rerank=20).collect()))
+    want = sorted(map(tuple, search_ivfpq_index(
+        spark, twin, queries, k=5, rerank=20).collect()))
+    assert got == want and len(got) > 0
+
+    # second full-landed crash: BOTH stores landed, manifest didn't
+    # — arrives as batch 1 of the SAME stream (same source dir and
+    # checkpoint; a fresh checkpoint would restart batch numbering)
+    new2 = spark.createDataFrame(
+        [
+            (8000 + i, [float(x) for x in rng.normal(size=8) * 10])
+            for i in range(10)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    new2.coalesce(1).write.mode("append").parquet(src)
+    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 1}))
+    real_wt = W._hadoop_write_text
+
+    def boom2(sp, dir_path, name, text):
+        if name == MANIFEST:
+            raise RuntimeError("simulated manifest crash")
+        return real_wt(sp, dir_path, name, text)
+
+    W._hadoop_write_text = boom2
+    try:
+        with pytest.raises(RuntimeError, match="simulated manifest crash"):
+            append_ivfpq_index(new2, path, stream_batch_id=1)
+    finally:
+        W._hadoop_write_text = real_wt
+    q2 = index_pq_stream_batches(
+        stream_events(spark, src, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ckpt_cw"),
+    )
+    q2.awaitTermination()
+    coded3, _, _, man3 = read_ivfpq_index(spark, path)
+    assert coded3.count() == 210
+    assert coded3.select("vec_id").distinct().count() == 210
+    assert spark.read.parquet(f"{path}/_floats").count() == 210
+    assert man3["n_vectors"] == 210
+    assert man3["last_stream_batch_id"] == 1
+    assert man3["replay_rows_healed"] == 30
