@@ -594,7 +594,12 @@ def main() -> None:
         )
         t0 = time.time()
         fold = compact_minhash_index_if(spark, mhidx_path, 16)
-        assert fold["compacted"], fold
+        # r11: 40 staged files with clean bucket dirs takes the CHEAP
+        # tier — the append-shaped staging fold (O(staged bytes); the
+        # r10 force-rewrite fold was O(index), the write-amplification
+        # debt this cell exists to measure). ratio across sf0.1/sf1
+        # should now be ~1, not ~10.
+        assert fold["folded"], fold
         results.setdefault("mhidx_staged_fold", {})[sf_name] = round(
             time.time() - t0, 3
         )

@@ -1171,6 +1171,22 @@ def dedup_index_compact(index_path, if_over, cpus):
     click.echo(json.dumps(stats))
 
 
+@dedup_index.command("fold-staging")
+@click.argument("index_path")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_fold_staging(index_path, cpus):
+    """Fold the staging tier into both stores' bucket partitions
+    WITHOUT rewriting any existing store file — the cheap,
+    high-frequency maintenance verb (O(staged bytes); run the full
+    ``compact`` on its own, rarer schedule)."""
+    from sparvi_core_spark.sources.minhash_index import (
+        fold_staging_minhash_index,
+    )
+
+    spark = _session(cpus)
+    click.echo(json.dumps(fold_staging_minhash_index(spark, index_path)))
+
+
 @dedup_index.command("delete")
 @click.argument("index_path")
 @click.option("--id", "ids", multiple=True, required=True,
@@ -1445,6 +1461,31 @@ def ann_index_compact(index_path, kind, if_over, cpus):
 
         stats = compact_ivfpq_index(spark, index_path)
     click.echo(json.dumps(stats))
+
+
+@ann_index_grp.command("fold-staging")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_fold_staging(index_path, kind, cpus):
+    """Fold the staging tier into the cell partitions WITHOUT
+    rewriting any existing store file — the cheap, high-frequency
+    maintenance verb (O(staged bytes); run the full ``compact`` on
+    its own, rarer schedule)."""
+    spark = _session(cpus)
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import (
+            fold_staging_ivf_index as fold,
+        )
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            fold_staging_binary_index as fold,
+        )
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import (
+            fold_staging_ivfpq_index as fold,
+        )
+    click.echo(json.dumps(fold(spark, index_path)))
 
 
 @ann_index_grp.command("delete")

@@ -868,21 +868,17 @@ def compact_ivf_index(
         if files_per_bucket is None
         else files_per_bucket
     )
-    # fold the staging store FIRST (staged rows enter their cells via
-    # the same journaled swap, staging files ride extra_old), so the
-    # purge and file-fold below see a purely partitioned store
+    # fold the staging store FIRST (append-shaped: only the staged
+    # mass is rewritten; staging files ride the journal's extra_old),
+    # so the purge and file-fold below see a purely partitioned store
+    # — any fan-in the fold adds is swept by the >fpb pass right below
     staging = None
     staged_files = _staging_files(spark, path, "vectors")
     if staged_files:
         staged = _read_staging(spark, path, "vectors")
-        staged_cells = sorted(
-            int(r["bucket"])
-            for r in staged.select("bucket").distinct().collect()
-        )
-        staging = _compact_cells(
-            spark, path, data, manifest["id_col"],
-            manifest["rows_per_bucket"], fpb, slice_salt="ivf-slice",
-            force_cells=staged_cells, extra_old=staged_files,
+        staging = _fold_staged_cells(
+            spark, path, staged, manifest["id_col"], fpb,
+            slice_salt="ivf-slice", staged_files=staged_files,
         )
         _, fs_, mkpath_ = _index_fs(spark, path)
         sp = mkpath_(f"{path}/{STAGING_DIR}")
@@ -1055,6 +1051,94 @@ def _compact_cells(
     }
 
 
+def _fold_staged_cells(
+    spark: SparkSession,
+    root: str,
+    staged: DataFrame,
+    id_col: str,
+    fpb: int,
+    slice_salt: str,
+    staged_files: list[str],
+) -> dict:
+    """Append-shaped staging fold — the O(staged) alternative to the
+    round-10 force-rewrite (which rewrote every staged bucket's FULL
+    contents; with uniform hashing that was ~the whole store per fold,
+    i.e. write traffic proportional to index size at every fold).
+    Here ONLY the staged mass is rewritten, partitioned by bucket into
+    the swap tmp, then journal-renamed into the cell dirs as
+    ADDITIONAL files (``old=[]`` — no store file is read, rewritten,
+    or deleted); the staging files ride ``extra_old`` exactly as
+    before. Cost: staged bytes + one file op per touched bucket —
+    independent of index size. The fan-in this adds (≤ ``fpb`` files
+    per touched bucket per fold) is the normal ``>fpb`` compaction
+    sweep's job at its own, much rarer cadence — see
+    ``compact_index_if``'s two-tier policy.
+
+    Shares :func:`repair_ivf_index`'s journal protocol (caller runs
+    repair on ``root`` first and holds the writer lock): roll-forward
+    deletes the staging files, roll-back deletes the half-landed new
+    files and keeps staging intact. The identity check compares the
+    rewrite's observed row count against an independent pre-count of
+    the same staged frame. Manifest counts are already logical
+    (staged appends updated them at append time), so folding moves no
+    numbers — the caller's manifest is untouched."""
+    from pyspark.sql import Observation
+
+    if fpb < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
+    _, fs, mkpath = _index_fs(spark, root)
+    per_bucket = {
+        int(r["bucket"]): int(r["n"])
+        for r in staged.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_bucket:
+        return {"cells_folded": 0, "rows_folded": 0, "files_added": 0}
+    expected = sum(per_bucket.values())
+    obs = Observation()
+    slice_col = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(slice_salt)), F.lit(fpb)
+    )
+    tmp = f"{root}/{TMP_DIR}"
+    (
+        staged.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .withColumn("__slice", slice_col)
+        .repartition(F.col("bucket"), F.col("__slice"))
+        .drop("__slice")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    rewritten = int(obs.get["rows"])
+    if rewritten != expected:
+        fs.delete(mkpath(tmp), True)
+        raise ValueError(
+            f"staging fold saw {rewritten} rows where the staging "
+            f"pre-count found {expected} — store left untouched "
+            f"(concurrent writer?)"
+        )
+    produced = {
+        b: _cell_files(fs, mkpath, tmp, b) for b in sorted(per_bucket)
+    }
+    journal = {
+        "cells": {str(b): {"new": produced[b], "old": []} for b in produced},
+        "extra_old": list(staged_files),
+    }
+    _write_text(spark, root, JOURNAL, json.dumps(journal))
+    _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
+    for p in staged_files:
+        if fs.exists(mkpath(p)):
+            fs.delete(mkpath(p), False)
+    fs.delete(mkpath(tmp), True)
+    fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
+    return {
+        "cells_folded": len(produced),
+        "rows_folded": rewritten,
+        "files_added": sum(len(v) for v in produced.values()),
+    }
+
+
 STAGING_DIR = "_staging"
 
 
@@ -1130,45 +1214,109 @@ def compact_index_if(
     stores: dict[str, str],
     max_files_per_bucket: int,
     compact,
+    fold=None,
     op: str = "compact-if",
 ) -> dict:
-    """The shared auto-compaction trigger: gauge every store root's
-    fragmentation (:func:`store_fragmentation`), and when ANY bucket
-    holds more than ``max_files_per_bucket`` files, run ``compact()``
-    — all under the index's writer lock, so the gauge, the decision,
-    and the fold are atomic against a concurrent writer (the inner
-    compact verb's own lock is reentrant). Returns ``{"fragmentation":
-    {store: gauge}, "max_files_per_bucket", "threshold", "compacted",
-    "stats": <compact output when it ran>}``. Cost when below the
-    threshold is the listing alone — safe to call after every append
-    (the CLI's ``--auto-compact`` and the novelty stream do)."""
+    """The shared auto-compaction trigger, two-tier: gauge every store
+    root's fragmentation (:func:`store_fragmentation`) plus the
+    staging tier's file count, then
+
+    - when some BUCKET DIR holds more than ``max_files_per_bucket``
+      files → run ``compact()`` (the full verb: staging fold + purge +
+      >fpb sweep; cost proportional to the fragmented fraction);
+    - else when only the STAGING tier exceeds the knob and a ``fold``
+      callable is given → run ``fold()`` alone — the append-shaped
+      staging fold, O(staged bytes), never O(index). This is what
+      bounds the round-10 write-amplification debt: staged fan-in is
+      folded at staging-mass cost, and the full rewrite happens only
+      when bucket fan-in itself passes the knob (≈ every knob folds,
+      so full-rewrite traffic is amortized knob× further).
+
+    All under the index's writer lock, so the gauge, the decision, and
+    the fold are atomic against a concurrent writer (the inner verbs'
+    own locks are reentrant). Returns ``{"fragmentation": {store:
+    gauge}, "max_files_per_bucket", "threshold", "compacted",
+    "folded", "stats": <verb output when one ran>}``. Cost when below
+    the threshold is the listing alone — safe to call after every
+    append (the CLI's ``--auto-compact`` and the streaming sinks do).
+
+    Store values may be root paths (gauged by
+    :func:`store_fragmentation`) or callables returning a gauge dict;
+    callables are the staging tier's hook (its files are read by EVERY
+    probe, so their count is per-bucket fan-in equivalent) and drive
+    the fold tier of the policy."""
     if max_files_per_bucket < 1:
         raise ValueError(
             f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
         )
     with writer_lock(spark, path, op):
-        # a store may be a root path (gauged by store_fragmentation)
-        # or a callable returning a gauge dict — the hook for stores
-        # whose probe fan-in is not bucket-dir shaped (e.g. a staging
-        # store every probe reads in full)
         frag = {
             name: (src(spark) if callable(src)
                    else store_fragmentation(spark, src))
             for name, src in stores.items()
         }
-        worst = max(
-            (g["max_files_per_bucket"] for g in frag.values()), default=0
+        bucket_worst = max(
+            (g["max_files_per_bucket"]
+             for name, src in stores.items()
+             if not callable(src)
+             for g in (frag[name],)),
+            default=0,
         )
+        staged_worst = max(
+            (g["max_files_per_bucket"]
+             for name, src in stores.items()
+             if callable(src)
+             for g in (frag[name],)),
+            default=0,
+        )
+        worst = max(bucket_worst, staged_worst)
         out = {
             "fragmentation": frag,
             "max_files_per_bucket": worst,
             "threshold": max_files_per_bucket,
             "compacted": False,
+            "folded": False,
         }
-        if worst > max_files_per_bucket:
+        if bucket_worst > max_files_per_bucket or (
+            staged_worst > max_files_per_bucket and fold is None
+        ):
             out["stats"] = compact()
             out["compacted"] = True
+        elif staged_worst > max_files_per_bucket:
+            out["stats"] = fold()
+            out["folded"] = True
         return out
+
+
+@_locked("fold-staging")
+def fold_staging_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Fold the staging tier into the cell partitions WITHOUT touching
+    any existing store file — the cheap, high-frequency half of the
+    maintenance policy (O(staged bytes); the full
+    :func:`compact_ivf_index` stays the rare, expensive half). Staged
+    rows become ≤ ``files_per_bucket`` ADDITIONAL files per touched
+    cell; the fan-in that accumulates over many folds is what the full
+    compaction's ``>fpb`` sweep (and :func:`compact_ivf_index_if`'s
+    bucket gauge) eventually rewrites. No-op when nothing is staged.
+    Crash-safe via the same journal (:func:`repair_ivf_index` runs
+    first). Returns ``{"cells_folded", "rows_folded",
+    "files_added"}``."""
+    repair_ivf_index(spark, path)
+    staged_files = _staging_files(spark, path, "vectors")
+    if not staged_files:
+        return {"cells_folded": 0, "rows_folded": 0, "files_added": 0}
+    _, _, manifest = read_ivf_index(spark, path)
+    staged = _read_staging(spark, path, "vectors")
+    out = _fold_staged_cells(
+        spark, path, staged, manifest["id_col"],
+        manifest["files_per_bucket"], slice_salt="ivf-slice",
+        staged_files=staged_files,
+    )
+    _, fs, mkpath = _index_fs(spark, path)
+    sp = mkpath(f"{path}/{STAGING_DIR}")
+    if fs.exists(sp):
+        fs.delete(sp, True)
+    return out
 
 
 def compact_ivf_index_if(
@@ -1177,10 +1325,12 @@ def compact_ivf_index_if(
     max_files_per_bucket: int = 16,
     files_per_bucket: int | None = None,
 ) -> dict:
-    """:func:`compact_ivf_index` iff some cell exceeds
-    ``max_files_per_bucket`` files — the append pipeline's hygiene
-    policy as a knob instead of a runbook note. Staged files count as
-    per-bucket fan-in (every search reads all of staging)."""
+    """Two-tier maintenance knob (see :func:`compact_index_if`):
+    bucket fan-in past the knob → full :func:`compact_ivf_index`;
+    staged-file count past the knob alone →
+    :func:`fold_staging_ivf_index` (O(staged), no store rewrite).
+    Staged files count as per-bucket fan-in because every search reads
+    all of staging."""
     return compact_index_if(
         spark, path,
         {
@@ -1189,6 +1339,7 @@ def compact_ivf_index_if(
         },
         max_files_per_bucket,
         lambda: compact_ivf_index(spark, path, files_per_bucket),
+        fold=lambda: fold_staging_ivf_index(spark, path),
     )
 
 

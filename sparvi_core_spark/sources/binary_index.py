@@ -556,41 +556,12 @@ def compact_binary_index(
         if files_per_bucket is None
         else files_per_bucket
     )
-    # fold the staging store FIRST (journaled; staging files ride
-    # extra_old), so the purge and file-fold below see purely
-    # partitioned stores — the minhash/ivf staging-fold pattern
-    staging = None
-    staged_code_files = _staging_files(spark, path, "codes")
-    staged_vec_files = _staging_files(spark, path, "vectors")
-    if staged_code_files or staged_vec_files:
-        staging = {}
-        if staged_code_files:
-            sc = _read_staging(spark, path, "codes")
-            staging["codes"] = _compact_cells(
-                spark, path, codes, id_col,
-                manifest["rows_per_bucket"], fpb, slice_salt="bin-slice",
-                force_cells=sorted(
-                    int(r["bucket"])
-                    for r in sc.select("bucket").distinct().collect()
-                ),
-                extra_old=staged_code_files,
-            )
-        if staged_vec_files:
-            sv = _read_staging(spark, path, "vectors")
-            staging["vectors"] = _compact_cells(
-                spark, f"{path}/{VECTORS_DIR}", _float_rows(spark, path),
-                id_col, manifest["rows_per_bucket"], fpb,
-                slice_salt="bin-slice",
-                force_cells=sorted(
-                    int(r["bucket"])
-                    for r in sv.select("bucket").distinct().collect()
-                ),
-                extra_old=staged_vec_files,
-            )
-        _, fs_, mkpath_ = _index_fs(spark, path)
-        sp = mkpath_(f"{path}/{STAGING_DIR}")
-        if fs_.exists(sp):
-            fs_.delete(sp, True)
+    # fold the staging store FIRST (append-shaped: only the staged
+    # mass is rewritten, journaled, staging files ride extra_old), so
+    # the purge and file-fold below see purely partitioned stores —
+    # any fan-in the fold adds is swept by the >fpb pass right below
+    staging = _fold_staging(spark, path, fpb)
+    if staging is not None:
         codes, manifest = read_binary_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, id_col)
@@ -677,16 +648,65 @@ def compact_binary_index(
     return out2
 
 
+def _fold_staging(spark: SparkSession, path: str, fpb: int):
+    """Append-shaped staging fold for both stores (codes root and the
+    ``_vectors/`` side-store): only the staged mass is rewritten and
+    journal-renamed into the bucket dirs (``_fold_staged_cells``) —
+    O(staged bytes), no store file touched. Returns per-store stats or
+    None when nothing is staged. Caller holds the lock, has repaired."""
+    from sparvi_core_spark.sources.ann_index import (
+        _fold_staged_cells,
+        _index_fs,
+    )
+
+    staged_code_files = _staging_files(spark, path, "codes")
+    staged_vec_files = _staging_files(spark, path, "vectors")
+    if not staged_code_files and not staged_vec_files:
+        return None
+    _, manifest = read_binary_index(spark, path)
+    id_col = manifest["id_col"]
+    out = {}
+    if staged_code_files:
+        out["codes"] = _fold_staged_cells(
+            spark, path, _read_staging(spark, path, "codes"), id_col,
+            fpb, slice_salt="bin-slice", staged_files=staged_code_files,
+        )
+    if staged_vec_files:
+        out["vectors"] = _fold_staged_cells(
+            spark, f"{path}/{VECTORS_DIR}",
+            _read_staging(spark, path, "vectors"), id_col,
+            fpb, slice_salt="bin-slice", staged_files=staged_vec_files,
+        )
+    _, fs, mkpath = _index_fs(spark, path)
+    sp = mkpath(f"{path}/{STAGING_DIR}")
+    if fs.exists(sp):
+        fs.delete(sp, True)
+    return out
+
+
+@_locked("fold-staging")
+def fold_staging_binary_index(spark: SparkSession, path: str) -> dict:
+    """The cheap maintenance verb: fold the staging tier into both
+    stores' bucket partitions without rewriting any existing store
+    file — O(staged bytes). Pending tombstones stay pending; the full
+    :func:`compact_binary_index` purges and sweeps fan-in at its own
+    cadence. No-op ``{}`` when nothing is staged."""
+    repair_binary_index(spark, path)
+    _, manifest = read_binary_index(spark, path)
+    return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}
+
+
 def compact_binary_index_if(
     spark: SparkSession,
     path: str,
     max_files_per_bucket: int = 16,
     files_per_bucket: int | None = None,
 ) -> dict:
-    """:func:`compact_binary_index` iff some bucket of the codes store
-    or the ``_vectors/`` side-store exceeds ``max_files_per_bucket``
-    files — the auto-compaction trigger (one directory listing when
-    below the threshold; gauge + fold atomic under the writer lock)."""
+    """Two-tier maintenance knob (see ``compact_index_if``): bucket
+    fan-in in the codes store or the ``_vectors/`` side-store past the
+    knob → full :func:`compact_binary_index`; staged-file count past
+    the knob alone → :func:`fold_staging_binary_index` (O(staged), no
+    store rewrite)."""
     from sparvi_core_spark.sources.ann_index import compact_index_if
 
     return compact_index_if(
@@ -702,6 +722,7 @@ def compact_binary_index_if(
         },
         max_files_per_bucket,
         lambda: compact_binary_index(spark, path, files_per_bucket),
+        fold=lambda: fold_staging_binary_index(spark, path),
     )
 
 

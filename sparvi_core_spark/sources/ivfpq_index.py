@@ -557,42 +557,12 @@ def compact_ivfpq_index(
         if files_per_bucket is None
         else files_per_bucket
     )
-    # fold the staging store FIRST (journaled; staging files ride
-    # extra_old), so the purge and file-fold below see purely
-    # partitioned stores — the minhash/ivf staging-fold pattern
-    staging = None
-    staged_code_files = _staging_files(spark, path, "codes")
-    staged_float_files = _staging_files(spark, path, "floats")
-    if staged_code_files or staged_float_files:
-        staging = {}
-        if staged_code_files:
-            sc = _read_staging(spark, path, "codes")
-            staging["codes"] = _compact_cells(
-                spark, path, coded, id_col,
-                manifest["rows_per_bucket"], fpb, slice_salt="ivfpq-slice",
-                force_cells=sorted(
-                    int(r["bucket"])
-                    for r in sc.select("bucket").distinct().collect()
-                ),
-                extra_old=staged_code_files,
-            )
-        if staged_float_files:
-            froot = f"{path}/{FLOATS_DIR}"
-            repair_ivf_index(spark, froot)
-            sv = _read_staging(spark, path, "floats")
-            staging["floats"] = _compact_cells(
-                spark, froot, _pq_float_rows(spark, path), id_col,
-                manifest["rows_per_bucket"], fpb, slice_salt="ivfpq-slice",
-                force_cells=sorted(
-                    int(r["bucket"])
-                    for r in sv.select("bucket").distinct().collect()
-                ),
-                extra_old=staged_float_files,
-            )
-        _, fs_, mkpath_ = _index_fs(spark, path)
-        sp = mkpath_(f"{path}/{STAGING_DIR}")
-        if fs_.exists(sp):
-            fs_.delete(sp, True)
+    # fold the staging store FIRST (append-shaped: only the staged
+    # mass is rewritten, journaled, staging files ride extra_old), so
+    # the purge and file-fold below see purely partitioned stores —
+    # any fan-in the fold adds is swept by the >fpb pass right below
+    staging = _fold_staging(spark, path, fpb)
+    if staging is not None:
         coded, _, _, manifest = read_ivfpq_index(spark, path)
     purge = None
     tomb = _read_tombstones(spark, path, id_col)
@@ -677,16 +647,69 @@ def compact_ivfpq_index(
     return stats
 
 
+def _fold_staging(spark: SparkSession, path: str, fpb: int):
+    """Append-shaped staging fold for the codes store and (when
+    present) the ``_floats/`` side-store: only the staged mass is
+    rewritten and journal-renamed into the bucket dirs
+    (``_fold_staged_cells``) — O(staged bytes), no store file touched.
+    Returns per-store stats or None when nothing is staged. Caller
+    holds the lock and has repaired the codes root."""
+    from sparvi_core_spark.sources.ann_index import (
+        _fold_staged_cells,
+        repair_ivf_index,
+    )
+
+    staged_code_files = _staging_files(spark, path, "codes")
+    staged_float_files = _staging_files(spark, path, "floats")
+    if not staged_code_files and not staged_float_files:
+        return None
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    id_col = manifest["id_col"]
+    out = {}
+    if staged_code_files:
+        out["codes"] = _fold_staged_cells(
+            spark, path, _read_staging(spark, path, "codes"), id_col,
+            fpb, slice_salt="ivfpq-slice", staged_files=staged_code_files,
+        )
+    if staged_float_files:
+        froot = f"{path}/{FLOATS_DIR}"
+        repair_ivf_index(spark, froot)
+        out["floats"] = _fold_staged_cells(
+            spark, froot, _read_staging(spark, path, "floats"), id_col,
+            fpb, slice_salt="ivfpq-slice", staged_files=staged_float_files,
+        )
+    _, fs, mkpath = _index_fs(spark, path)
+    sp = mkpath(f"{path}/{STAGING_DIR}")
+    if fs.exists(sp):
+        fs.delete(sp, True)
+    return out
+
+
+@_locked("fold-staging")
+def fold_staging_ivfpq_index(spark: SparkSession, path: str) -> dict:
+    """The cheap maintenance verb: fold the staging tier into the code
+    cells (and ``_floats/`` when stored) without rewriting any
+    existing store file — O(staged bytes). Pending tombstones stay
+    pending; the full :func:`compact_ivfpq_index` purges and sweeps
+    fan-in at its own cadence. No-op ``{}`` when nothing is staged."""
+    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+
+    repair_ivf_index(spark, path)
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}
+
+
 def compact_ivfpq_index_if(
     spark: SparkSession,
     path: str,
     max_files_per_bucket: int = 16,
     files_per_bucket: int | None = None,
 ) -> dict:
-    """:func:`compact_ivfpq_index` iff some cell of the codes store or
-    the ``_floats/`` side-store exceeds ``max_files_per_bucket`` files
-    — the auto-compaction trigger (one directory listing when below
-    the threshold; gauge + fold atomic under the writer lock)."""
+    """Two-tier maintenance knob (see ``compact_index_if``): bucket
+    fan-in in the codes store or the ``_floats/`` side-store past the
+    knob → full :func:`compact_ivfpq_index`; staged-file count past
+    the knob alone → :func:`fold_staging_ivfpq_index` (O(staged), no
+    store rewrite)."""
     from sparvi_core_spark.sources.ann_index import compact_index_if
 
     return compact_index_if(
@@ -702,6 +725,7 @@ def compact_ivfpq_index_if(
         },
         max_files_per_bucket,
         lambda: compact_ivfpq_index(spark, path, files_per_bucket),
+        fold=lambda: fold_staging_ivfpq_index(spark, path),
     )
 
 

@@ -711,14 +711,18 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
 
 def _fold_staging(spark: SparkSession, path: str, manifest: dict):
     """Move staged appends into the bucket partitions of both stores —
-    one journaled swap per store (``_compact_cells`` with the staged
-    buckets forced and the staging files as ``extra_old``: deleted
-    strictly after the swap lands, deleted by repair on roll-forward,
-    kept on roll-back). Manifest counts are already logical, so the
-    identity checks hold. Returns per-store stats, or None when
-    nothing is staged. Caller holds the writer lock."""
+    append-shaped (``_fold_staged_cells``): ONLY the staged mass is
+    rewritten and journal-renamed into the bucket dirs as additional
+    files, the staging files riding ``extra_old`` (deleted strictly
+    after the swap lands, deleted by repair on roll-forward, kept on
+    roll-back). The round-10 version force-rewrote every staged
+    bucket's full contents, which uniform band hashing turned into a
+    near-total store rewrite per fold — O(index) write traffic; this
+    is O(staged). Manifest counts are already logical, so nothing
+    moves there. Returns per-store stats, or None when nothing is
+    staged. Caller holds the writer lock and has run repair."""
     from sparvi_core_spark.sources.ann_index import (
-        _compact_cells,
+        _fold_staged_cells,
         _index_fs,
     )
 
@@ -728,26 +732,33 @@ def _fold_staging(spark: SparkSession, path: str, manifest: dict):
         return None
     out = {}
     if band_files:
-        staged = _read_staging(spark, path, "bands")
-        out["bands"] = _compact_cells(
-            spark, path, _band_rows(spark, path), "id",
-            manifest["rows_per_bucket"], 1, slice_salt="mh-band-slice",
-            force_cells=sorted(_bucket_counts(staged)),
-            extra_old=band_files,
+        out["bands"] = _fold_staged_cells(
+            spark, path, _read_staging(spark, path, "bands"), "id",
+            1, slice_salt="mh-band-slice", staged_files=band_files,
         )
     if sig_files:
-        staged = _read_staging(spark, path, "sigs")
-        out["sigs"] = _compact_cells(
-            spark, f"{path}/{SIGS_DIR}", _sig_rows(spark, path), "id",
-            manifest["sig_rows_per_bucket"], 1, slice_salt="mh-sig-slice",
-            force_cells=sorted(_bucket_counts(staged)),
-            extra_old=sig_files,
+        out["sigs"] = _fold_staged_cells(
+            spark, f"{path}/{SIGS_DIR}", _read_staging(spark, path, "sigs"),
+            "id", 1, slice_salt="mh-sig-slice", staged_files=sig_files,
         )
     _, fs, mkpath = _index_fs(spark, path)
     sp = mkpath(f"{path}/{STAGING_DIR}")
     if fs.exists(sp):
         fs.delete(sp, True)
     return out
+
+
+@_locked("fold-staging")
+def fold_staging_minhash_index(spark: SparkSession, path: str) -> dict:
+    """The cheap, high-frequency maintenance verb: fold the staging
+    tier into both stores' bucket partitions without reading or
+    rewriting any existing store file — O(staged bytes). Pending
+    tombstones stay pending (probes already exclude them); the full
+    :func:`compact_minhash_index` purges and sweeps fan-in at its own
+    cadence. No-op ``{}`` when nothing is staged."""
+    repair_minhash_index(spark, path)
+    _, manifest = read_minhash_index(spark, path)
+    return _fold_staging(spark, path, manifest) or {}
 
 
 def compact_minhash_index_if(
@@ -776,6 +787,7 @@ def compact_minhash_index_if(
         },
         max_files_per_bucket,
         lambda: compact_minhash_index(spark, path),
+        fold=lambda: fold_staging_minhash_index(spark, path),
     )
 
 

@@ -622,11 +622,14 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     )
 
     out = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
-    assert out["compacted"] is True  # 2 staged files > 1
-    assert "staging" in out["stats"]
-    assert out["stats"]["purge"]["rows_dropped"] == 1
+    # 2 staged files > 1, bucket fan-in clean -> the CHEAP tier: the
+    # append-shaped staging fold, not the full compact
+    assert out["folded"] is True and out["compacted"] is False
+    assert out["stats"]["rows_folded"] == 50
     assert not os.path.exists(os.path.join(b, "_staging"))
-    # post-fold answers == the normal twin with the same takedown
+    # the fold leaves the tombstone pending — searches still exclude
+    # the victim — and the answers already match the normal twin with
+    # the same takedown applied
     delete_from_ivf_index(spark, a, [victim])
     got_b2 = sorted(
         map(tuple, search_ivf_index(spark, b, queries, k=4).collect())
@@ -635,8 +638,19 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
         map(tuple, search_ivf_index(spark, a, queries, k=4).collect())
     )
     assert got_b2 == got_a2 and len(got_b2) > 0
+    # the FULL compact purges the tombstone and sweeps the fold's
+    # fan-in (each touched bucket is at store+fold = 2 files)
+    from sparvi_core_spark.sources.ann_index import compact_ivf_index
+
+    full = compact_ivf_index(spark, b)
+    assert full["purge"]["rows_dropped"] == 1
+    assert "staging" not in full  # nothing staged anymore
+    got_b3 = sorted(
+        map(tuple, search_ivf_index(spark, b, queries, k=4).collect())
+    )
+    assert got_b3 == got_a2
     out2 = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
-    assert out2["compacted"] is False
+    assert out2["compacted"] is False and out2["folded"] is False
 
 
 def test_rename_into_cells_mkdirs_and_checks_returns(spark, tmp_path):

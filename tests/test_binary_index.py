@@ -503,10 +503,18 @@ def test_staged_append_binary_parity_and_fold(spark, tmp_path):
     )
 
     out = compact_binary_index_if(spark, b, max_files_per_bucket=2)
-    assert out["compacted"] is True  # 4 staged files > 2
-    assert "staging" in out["stats"]
-    assert out["stats"]["purge"]["codes"]["rows_dropped"] == 1
+    # 4 staged files > 2 with clean bucket dirs -> the CHEAP tier:
+    # append-shaped staging fold, no store rewrite, tombstone pending
+    assert out["folded"] is True and out["compacted"] is False
+    assert out["stats"]["codes"]["rows_folded"] == 60
+    assert out["stats"]["vectors"]["rows_folded"] == 60
     assert not os.path.exists(os.path.join(b, "_staging"))
+    # the FULL compact purges the pending tombstone
+    from sparvi_core_spark.sources.binary_index import compact_binary_index
+
+    full = compact_binary_index(spark, b)
+    assert full["purge"]["codes"]["rows_dropped"] == 1
+    assert "staging" not in full
     delete_from_binary_index(spark, a, [victim])
     got_a2 = sorted(map(tuple, search_binary_index(
         spark, a, queries, k=5, rerank=10).collect()))

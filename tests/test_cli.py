@@ -593,7 +593,9 @@ def test_ann_index_lifecycle_binary_and_ivfpq(spark, sf_dir, tmp_path):
         )
         assert r.exit_code == 0, (kind, r.output)
         st = json.loads(r.output.strip().splitlines()[-1])
-        assert st["compacted"] is True  # staged files tripped the gauge
+        # staged files tripped the gauge with clean bucket dirs: the
+        # knob takes the CHEAP tier (append-shaped staging fold)
+        assert st["folded"] is True and st["compacted"] is False
 
         r = CliRunner().invoke(
             cli, ["ann-index", "health", idx, "--kind", kind],

@@ -663,10 +663,18 @@ def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
     )
 
     out = compact_ivfpq_index_if(spark, b, max_files_per_bucket=1)
-    assert out["compacted"] is True  # 2 staged files > 1
-    assert "staging" in out["stats"]
-    assert out["stats"]["purge"]["codes"]["rows_dropped"] == 1
+    # 2 staged files > 1 with clean cell dirs -> the CHEAP tier:
+    # append-shaped staging fold, no store rewrite, tombstone pending
+    assert out["folded"] is True and out["compacted"] is False
+    assert out["stats"]["codes"]["rows_folded"] == 30
+    assert out["stats"]["floats"]["rows_folded"] == 30
     assert not os.path.exists(os.path.join(b, "_staging"))
+    # the FULL compact purges the pending tombstone
+    from sparvi_core_spark.sources.ivfpq_index import compact_ivfpq_index
+
+    full = compact_ivfpq_index(spark, b)
+    assert full["purge"]["codes"]["rows_dropped"] == 1
+    assert "staging" not in full
     delete_from_ivfpq_index(spark, a, [victim])
     got_a2 = sorted(map(tuple, search_ivfpq_index(
         spark, a, queries, k=5, nprobe=2, rerank=10).collect()))

@@ -896,7 +896,7 @@ def test_staged_append_probe_parity_and_fold(spark, tmp_path):
     )
 
     out = compact_minhash_index(spark, b)
-    assert "staging" in out and out["staging"]["bands"]["rows_rewritten"] > 0
+    assert "staging" in out and out["staging"]["bands"]["rows_folded"] > 0
     assert out["purge"]["sigs"]["rows_dropped"] == 1
     assert not os.path.exists(os.path.join(b, "_staging"))
     assert not _staging_files(spark, b, "bands")
@@ -943,10 +943,14 @@ def test_compact_if_triggers_on_staging_and_repair_extra_old(
     assert out["fragmentation"]["staging"]["total_files"] == 6
     assert out["fragmentation"]["bands"]["max_files_per_bucket"] == 1
     out2 = compact_minhash_index_if(spark, path, max_files_per_bucket=4)
-    assert out2["compacted"] is True  # 6 staged files > 4
+    # 6 staged files > 4 with clean bucket dirs -> the CHEAP tier:
+    # append-shaped staging fold, no store rewrite
+    assert out2["folded"] is True and out2["compacted"] is False
+    assert out2["stats"]["bands"]["rows_folded"] == 30 * 4  # 30 docs x 4 bands
     assert not _staging_files(spark, path, "bands")
     out3 = compact_minhash_index_if(spark, path, max_files_per_bucket=4)
-    assert out3["compacted"] is False
+    # post-fold each touched bucket is at store+fold = 2 files <= 4
+    assert out3["compacted"] is False and out3["folded"] is False
 
     # repair roll-forward deletes journaled extra_old leftovers
     orphan = os.path.join(path, "_staging_orphan.parquet")
