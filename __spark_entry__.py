@@ -10,6 +10,7 @@ compare is deterministic.
 
 from __future__ import annotations
 
+import os.path as _osp
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1030,6 +1031,30 @@ def q_langid_ngram(spark, sf_dir):
     return language_id(docs, strategy="ngram", model=model)
 
 
+def q_langid_corpus(spark, sf_dir):
+    """language_id with NO model argument — pins the round-11 DEFAULT
+    (the packaged 28-language / 9-script corpus via
+    train_langid_from_dir on data/langid_sample/train; functions/
+    text.py). Same planted docs as langid_ngram; the oracle re-derives
+    the whole NB pipeline in DuckDB from the same corpus files, so the
+    no-model path every user gets is cross-engine checked end to end,
+    not just eval-floored."""
+    from sparvi_core_spark.functions.text import language_id
+
+    t = _views(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    planted_text = F.coalesce(
+        *[F.when(m == k, F.lit(v)) for k, v in _LANGID_PLANTED.items()],
+        F.col("text"),
+    )
+    docs = (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", planted_text.alias("text"))
+    )
+    return language_id(docs)
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR exact-mode log importance of every document, target = the
     English slice (operators/selection.py; no reference analog —
@@ -1692,6 +1717,8 @@ _LOCAL_ONLY = (
     "host_quality",
     # round 8: char-n-gram NB language ID (the real lang-id tier)
     "langid_ngram",
+    # round 11: the packaged-corpus DEFAULT model (28 languages)
+    "langid_corpus",
     # round 8: CCNet per-language perplexity terciles
     "ppl_buckets",
     # round 8: Dolma-style corpus-wide paragraph dedup
@@ -1806,6 +1833,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_near_pairs": q_hamming_near_pairs,
         "canonical_urls": q_canonical_urls,
         "langid_ngram": q_langid_ngram,
+        "langid_corpus": q_langid_corpus,
         "ppl_buckets": q_ppl_buckets,
         "para_dedup": q_para_dedup,
         "allpairs_jaccard": q_allpairs_jaccard,
@@ -3330,10 +3358,14 @@ SELECT b.id,
   COALESCE(p.nrem, 0) AS n_paras_removed
 FROM base b LEFT JOIN per_doc p ON b.id = p.id"""
 
-    # langid_ngram: the ENTIRE char-n-gram NB pipeline re-derived in
-    # DuckDB SQL — seed corpus inlined from the module constant (zero
-    # drift), normalization, 1/2/3-gram extraction, add-1 NB scoring,
-    # label-asc argmax, and the und rule for featureless docs
+    # langid_ngram / langid_corpus: the ENTIRE char-n-gram NB pipeline
+    # re-derived in DuckDB SQL — seed corpus inlined (zero drift),
+    # normalization, 1/2/3-gram extraction, add-1 NB scoring,
+    # label-asc argmax, and the und rule for featureless docs. Two
+    # instantiations: the authored 12-language LANGID_SEEDS constant
+    # (langid_ngram, the stable r8 pair) and the packaged 28-language
+    # corpus files that back language_id's r11 DEFAULT model
+    # (langid_corpus — the no-model path every user gets).
     from sparvi_core_spark.functions.text import LANGID_SEEDS as _LS
 
     _seed_vals = ",\n    ".join(
@@ -3398,6 +3430,22 @@ top AS (
 )
 SELECT id, CASE WHEN n_tokens = 0 THEN 'und' ELSE label END AS predicted_lang
 FROM top WHERE rn = 1"""
+
+    # langid_corpus: the same SQL with the packaged 28-language corpus
+    # inlined from the data files themselves (quotes escaped; the
+    # loader's lowercase rule is re-applied by snorm's lower())
+    from sparvi_core_spark.functions.text import (
+        LANGID_SAMPLE_DIR as _LSD,
+        load_langid_corpus as _load_lc,
+    )
+
+    _corpus_seeds = _load_lc(_osp.join(_LSD, "train"))
+    _corpus_vals = ",\n    ".join(
+        "('{}', '{}')".format(lang, s.replace("'", "''"))
+        for lang in sorted(_corpus_seeds)
+        for s in _corpus_seeds[lang]
+    )
+    o["langid_corpus"] = o["langid_ngram"].replace(_seed_vals, _corpus_vals)
 
     # gopher_flags: every statistic and boolean recomputed with DuckDB
     # list lambdas over identically-planted text

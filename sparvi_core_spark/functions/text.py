@@ -806,11 +806,15 @@ def language_id(
     """Per-doc language prediction → ``(id, predicted_lang)``.
 
     ``strategy="ngram"`` (default): the char-n-gram Naive Bayes
-    identifier (``model`` defaults to :func:`train_langid` on the
-    built-in 12-language seeds) — sees every script, including
+    identifier (``model`` defaults to :func:`train_langid_from_dir`
+    on the packaged 28-language / 9-script sample corpus,
+    :data:`LANGID_SAMPLE_DIR`; measured on its held-out split: macro
+    accuracy 0.9955, worst cell da→de) — sees every script, including
     unsegmented Chinese/Japanese, because features are characters,
     not words.  Docs with no features (NULL/empty/whitespace-only)
-    → ``und``.
+    → ``und``.  Pass ``model=train_langid(spark)`` for the small
+    authored 12-language seed model, or train on your own corpus with
+    :func:`train_langid_from_dir`.
 
     ``strategy="stopword"``: the explicit opt-in fast path — a
     5-language whole-token stopword gate over whitespace words.  It is
@@ -830,7 +834,12 @@ def language_id(
     from sparvi_core_spark.operators.classify import classify_nb
 
     if model is None:
-        model = train_langid(df.sparkSession)
+        # the packaged 28-language corpus (round 11; was the authored
+        # 12-language LANGID_SEEDS) — a user who doesn't read the docs
+        # now gets all nine scripts instead of `und` past the big 12
+        model = train_langid_from_dir(
+            df.sparkSession, _osp.join(LANGID_SAMPLE_DIR, "train")
+        )
     # round-4 scores before the argmax (the cross-engine float rule:
     # libm/summation-order drift on long log-sums must not flip ties)
     preds = classify_nb(

@@ -120,7 +120,11 @@ def test_langid_public_corpus_recipe(spark):
     script — pt/it, da/de/nl/sv, cs/pl — are the honest residual of a
     tiny parallel corpus; a Latin/CJK/Cyrillic mixup would mean the
     featurizer broke).  Measured at round 10: macro 0.9821 (4 misses /
-    224: da->de, da->nl, pt->it, cs->it); table in COVERAGE.md."""
+    224: da->de, da->nl, pt->it, cs->it); round 11 added one
+    function-word-heavy training sentence each to da/pt/cs and
+    measured macro 0.9955 (1 miss / 224: da->de) — this corpus is now
+    the DEFAULT language_id model, so the floors below gate the
+    no-model path every user gets."""
     import os
 
     from sparvi_core_spark.functions.text import (
@@ -155,8 +159,10 @@ def test_langid_public_corpus_recipe(spark):
     ]
     assert not cross, cross
     # the close pairs the parallel corpus exists to stress stay usable
+    # (da was the round-10 0.75 cell; its targeted training sentence
+    # lifted it to the same floor as the rest)
     for lang in ("pt", "es", "it", "da", "sv", "cs", "pl", "ru", "uk"):
-        assert r["per_lang"][lang] >= 0.75, (lang, r["per_lang"][lang])
+        assert r["per_lang"][lang] >= 0.875, (lang, r["per_lang"][lang])
 
 
 def test_load_langid_corpus_shape(tmp_path):
