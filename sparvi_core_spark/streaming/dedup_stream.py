@@ -161,13 +161,22 @@ def novelty_stream_fuzzy(
     own ``batch_id=N`` partition directory with overwrite, so a replay
     that re-runs the batch rewrites the same directory instead of
     appending duplicate rows; (3) the batch is split FIRST by
-    ``filter_unindexed_ids``: rows whose ids are already at rest (a
-    replay whose index append landed before the manifest commit) are
-    re-admitted to the sink verbatim — making the sink content
-    id-stable across replays even for mutual batch-internal near-dups,
-    which would otherwise screen each other out via their peers' index
-    copies — while only the unindexed split is near-dup screened and
-    appended, so the replay re-appends nothing. A crash in the MIDDLE of
+    ``filter_unindexed_ids``, and a write-ahead intent marker
+    (``_stream_intent.json``, as in the ANN sinks) tells a crashed
+    attempt's replay apart from ordinary traffic: on an intent-matched
+    replay, rows whose ids are already at rest (the set the first run
+    admitted before crashing between its append and its manifest
+    commit) are re-admitted to the sink verbatim — making the sink
+    content id-stable across replays even for mutual batch-internal
+    near-dups, which would otherwise screen each other out via their
+    peers' index copies — while only the unindexed split is near-dup
+    screened and appended, so the replay re-appends nothing. On the
+    NORMAL path an already-indexed id in the batch is an upstream
+    re-emission (a cross-batch unique-id contract violation): it is
+    not novel and is DROPPED, exactly as the near-dup screen would
+    have dropped it by matching its own index copy — it is never
+    re-appended, and its (possibly changed) text never bypasses the
+    screen. A crash in the MIDDLE of
     an index append (band store written, sig store not) is the
     stores' own crash-repair domain — run ``repair_minhash_index``
     before restarting the stream after an unclean stop.
@@ -226,34 +235,51 @@ def novelty_stream_fuzzy(
         # compact`) fails cleanly instead of interleaving file swaps
         # with this batch; the inner append's own lock is reentrant
         with writer_lock(spark, index_path, "stream-batch"):
-            manifest = json.loads(_read_text(spark, index_path, MANIFEST))
-            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+            from sparvi_core_spark.streaming.ann_index_stream import (
+                _clear_intent,
+                _replay_suspected,
+            )
+
+            # batch-id fence + write-ahead intent: suspect is True only
+            # when a PRIOR attempt of this very batch crashed between
+            # its work and its manifest commit (see ann_index_stream)
+            suspect = _replay_suspected(
+                spark, index_path, MANIFEST, int(batch_id)
+            )
+            if suspect is None:
                 return  # replayed batch: already screened + landed, skip
+            manifest = json.loads(_read_text(spark, index_path, MANIFEST))
             id_col = manifest["id_col"]
             # split the batch FIRST on ids already at rest in the index.
-            # On the normal path `landed` is empty. On a replay whose
-            # index append landed before the crash (crash in the window
-            # between append and manifest commit), `landed` is exactly
-            # the set the first run admitted — re-admit it to the sink
-            # verbatim instead of re-screening: mutual batch-internal
-            # near-dups (admitted together the first time) would
-            # otherwise screen each other out via their peers' index
-            # copies, shrinking the rewritten sink partition while the
-            # index keeps them — breaking the "admitted once with its
-            # peers" invariant. Sink content is thereby id-stable
-            # across replays.
+            # On the normal path `landed` is non-empty only when an
+            # upstream re-emits an already-indexed id (a cross-batch
+            # unique-id contract violation) — such rows are NOT novel
+            # and are DROPPED, exactly as the near-dup screen would
+            # have dropped them by matching their own index copy. On a
+            # crashed-attempt replay (intent matched), `landed` is
+            # exactly the set the first run admitted — re-admit it to
+            # the sink verbatim instead of re-screening: mutual
+            # batch-internal near-dups (admitted together the first
+            # time) would otherwise screen each other out via their
+            # peers' index copies, shrinking the rewritten sink
+            # partition while the index keeps them — breaking the
+            # "admitted once with its peers" invariant. Sink content is
+            # thereby id-stable across replays.
             unindexed = filter_unindexed_ids(
                 spark, index_path, batch_df
             ).localCheckpoint()  # one answer for the screen AND the split
-            landed = batch_df.join(
-                unindexed.select(id_col), id_col, "left_anti"
-            )
             survivors = filter_new_against_index(
                 spark, index_path, unindexed, threshold, max_bucket
             ).localCheckpoint()  # screen ONCE; sink and index see one answer
+            out = survivors
+            if suspect:
+                landed = batch_df.join(
+                    unindexed.select(id_col), id_col, "left_anti"
+                )
+                out = survivors.unionByName(landed)
             # idempotent sink: a replayed batch rewrites its own
             # partition directory instead of appending duplicates
-            survivors.unionByName(landed).write.mode("overwrite").parquet(
+            out.write.mode("overwrite").parquet(
                 f"{sink_path}/batch_id={int(batch_id)}"
             )
             if grow_index:
@@ -270,6 +296,7 @@ def novelty_stream_fuzzy(
                 spark, index_path, MANIFEST,
                 json.dumps(man, indent=1, sort_keys=True),
             )
+            _clear_intent(spark, index_path)
             if auto_compact is not None and grow_index:
                 # after the commit: a crash here replays nothing, and
                 # compaction reads the manifest fresh from disk (the

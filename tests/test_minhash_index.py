@@ -961,3 +961,110 @@ def test_compact_if_triggers_on_staging_and_repair_extra_old(
     rep = repair_ivf_index(spark, path)
     assert rep["action"] == "rolled_forward"
     assert not os.path.exists(orphan)
+
+
+def test_novelty_stream_reemitted_id_gated_by_intent(spark, tmp_path):
+    """Round-10 ADVICE: the replay re-admission split changed
+    normal-path behavior — an upstream that re-emits an
+    already-indexed id (even with changed text) landed in the sink
+    verbatim, bypassing the near-dup screen. Now the write-ahead
+    intent marker tells the two apart: (a) on the NORMAL path a
+    re-emitted id is dropped (not novel, never re-appended); (b) a
+    crashed attempt's replay — intent on disk, work done, manifest
+    commit missing — still re-admits its own landed rows verbatim
+    through the REAL sink."""
+    import json
+    import os
+
+    import pytest
+
+    from sparvi_core_spark.sources import writers as W
+    from sparvi_core_spark.sources.ann_index import (
+        STREAM_INTENT,
+        _read_text,
+    )
+    from sparvi_core_spark.sources.minhash_index import MANIFEST
+    from sparvi_core_spark.streaming.dedup_stream import novelty_stream_fuzzy
+
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(
+        _corpus(spark, n=30, seed=3), idx, num_hashes=8, bands=4,
+        n_buckets=16,
+    )
+    rnd = random.Random(55)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = novelty_stream_fuzzy(
+            stream, idx, sink, threshold=0.9, checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    # batch 0 admits two novel docs
+    b1 = spark.createDataFrame(
+        [(100, _doc(rnd)), (101, _doc(rnd))], schema
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    run_stream()
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {
+        100, 101,
+    }
+
+    # (a) NORMAL path: batch 1 re-emits id 100 with CHANGED text plus
+    # one novel doc — the re-emission is dropped, the novel doc lands,
+    # the index never gets a duplicate id
+    b2 = spark.createDataFrame(
+        [(100, _doc(rnd)), (102, _doc(rnd))], schema
+    )
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    run_stream()
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {
+        100, 101, 102,
+    }
+    sigs = spark.read.parquet(f"{idx}/_sigs")
+    assert sigs.count() == sigs.select("id").distinct().count() == 33
+    assert not os.path.exists(os.path.join(idx, STREAM_INTENT))
+
+    # (b) crashed-attempt replay through the REAL sink: batch 2's
+    # first attempt does all its work but dies at the manifest commit
+    b3 = spark.createDataFrame(
+        [(200, _doc(rnd)), (201, _doc(rnd))], schema
+    )
+    b3.coalesce(1).write.parquet(str(src / "b3"))
+    real = W._hadoop_write_text
+
+    def boom(sp, dir_path, name, text):
+        if name == MANIFEST and json.loads(text).get(
+            "last_stream_batch_id"
+        ) == 2:
+            raise RuntimeError("simulated crash")
+        return real(sp, dir_path, name, text)
+
+    W._hadoop_write_text = boom
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            run_stream()
+    finally:
+        W._hadoop_write_text = real
+    # work landed, commit didn't: intent still on disk
+    assert os.path.exists(os.path.join(idx, STREAM_INTENT))
+    man = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man["last_stream_batch_id"] == 1
+
+    run_stream()  # the replay — intent matches, landed rows re-admitted
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {
+        100, 101, 102, 200, 201,
+    }
+    sigs = spark.read.parquet(f"{idx}/_sigs")
+    assert sigs.count() == sigs.select("id").distinct().count() == 35
+    man = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man["last_stream_batch_id"] == 2
+    assert not os.path.exists(os.path.join(idx, STREAM_INTENT))
