@@ -171,21 +171,49 @@ def _hadoop_write_text(spark, dir_path: str, name: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem API so the
     destination can be ANY scheme the data write supports (s3a://,
     hdfs://, file:) — a local ``open()`` would crash on remote stores
-    after the shards were already written."""
+    after the shards were already written.
+
+    Torn-write-safe (r11): manifests and stream-intent markers are the
+    indexes' commit points, and a bare ``fs.create(overwrite)`` that
+    dies mid-write leaves a half-written JSON — an unreadable index.
+    Protocol here: write the FULL content to a hidden ``.{name}.tmp``,
+    delete the target, rename the tmp over it. A crash mid-tmp-write
+    leaves the old file intact (tmp is garbage, overwritten by the
+    next attempt); a crash between the delete and the rename leaves
+    the fully-written tmp, which :func:`_hadoop_read_text` falls back
+    to (and heals) — so a reader always sees either the old or the new
+    content, never a torn file."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    tmp = jvm.org.apache.hadoop.fs.Path(dir_path, f".{name}.tmp")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(
+            f"atomic text write failed: rename {tmp} -> {p} returned "
+            f"false (the fully-written tmp is left for the read-side "
+            f"fallback)"
+        )
 
 
 def _hadoop_read_text(spark, dir_path: str, name: str) -> str:
+    """Read a small text file written by :func:`_hadoop_write_text`.
+    If the target is missing but its fully-written ``.{name}.tmp``
+    exists, a writer crashed between its delete and its rename —
+    finish the swap (rename tmp into place) and read the result."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        tmp = jvm.org.apache.hadoop.fs.Path(dir_path, f".{name}.tmp")
+        if fs.exists(tmp) and fs.rename(tmp, p):
+            pass  # healed the crashed writer's swap
     stream = fs.open(p)
     try:
         data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)

@@ -190,3 +190,48 @@ def test_zorder_uniform_mode_and_nulls(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mode"):
         write_zordered(df, p, ["x"], mode="nope")
+
+
+def test_hadoop_text_write_is_torn_write_safe(spark, tmp_path):
+    """Manifests are the indexes' commit points, so their writer must
+    never leave a torn file: (a) a crash mid-tmp-write leaves the OLD
+    content readable; (b) a crash between the delete and the rename
+    leaves the fully-written tmp, which the reader falls back to AND
+    heals; (c) a normal rewrite leaves no tmp behind."""
+    import os
+
+    from sparvi_core_spark.sources.writers import (
+        _hadoop_read_text,
+        _hadoop_write_text,
+    )
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    _hadoop_write_text(spark, d, "_m.json", '{"v": 1}')
+    assert _hadoop_read_text(spark, d, "_m.json") == '{"v": 1}'
+    assert not os.path.exists(os.path.join(d, "._m.json.tmp"))
+
+    # (a) half-written tmp (the crash happened mid-write): the target
+    # still reads the old content; the next full write overwrites the
+    # garbage tmp
+    with open(os.path.join(d, "._m.json.tmp"), "w") as f:
+        f.write('{"v": 2')  # torn
+    assert _hadoop_read_text(spark, d, "_m.json") == '{"v": 1}'
+    _hadoop_write_text(spark, d, "_m.json", '{"v": 3}')
+    assert _hadoop_read_text(spark, d, "_m.json") == '{"v": 3}'
+    assert not os.path.exists(os.path.join(d, "._m.json.tmp"))
+
+    # (b) crash between delete and rename: target missing, tmp is the
+    # fully-written new content — the reader heals the swap. Recreate
+    # the state through the FS API so no stale checksum sidecars
+    # confuse the Hadoop read.
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    mk = jvm.org.apache.hadoop.fs.Path
+    _hadoop_write_text(spark, d, "._m.json.tmp", '{"v": 4}')
+    fs.delete(mk(d, "_m.json"), False)
+    assert _hadoop_read_text(spark, d, "_m.json") == '{"v": 4}'
+    assert os.path.exists(os.path.join(d, "_m.json"))  # healed
+    assert not os.path.exists(os.path.join(d, "._m.json.tmp"))
