@@ -572,6 +572,27 @@ def write_ivf_index(
 STREAM_INTENT = "_stream_intent.json"
 
 
+def _require_no_stream_intent(spark: SparkSession, path: str, verb: str):
+    """Maintenance fence: a live ``_stream_intent.json`` means a
+    streaming micro-batch crashed between its data append and its
+    manifest commit — rows are on disk that the manifest doesn't
+    count, so a compaction/fold identity check would fail with a
+    misleading "files mutated outside the append path" error. Refuse
+    with the actual diagnosis and the fix (replay the stream; its
+    intent-matched re-run screens and heals the batch)."""
+    _, fs, mkpath = _index_fs(spark, path)
+    if fs.exists(mkpath(f"{path}/{STREAM_INTENT}")):
+        raise RuntimeError(
+            f"{verb} refused: {path} carries a streaming write-ahead "
+            f"intent ({STREAM_INTENT}) — a streaming micro-batch "
+            f"crashed between its data append and its manifest commit, "
+            f"so on-disk rows are ahead of the manifest. Restart the "
+            f"stream first (the replayed batch screens at id grain and "
+            f"heals both); delete the intent file manually only if the "
+            f"stream's checkpoint is gone for good."
+        )
+
+
 def _existing_ids(
     spark: SparkSession,
     store_root: str,
@@ -861,6 +882,7 @@ def compact_ivf_index(
     cannot be paused). Run compaction in the same maintenance window as
     appends. Returns ``{"cells_compacted", "files_before",
     "files_after", "rows_rewritten"}``."""
+    _require_no_stream_intent(spark, path, "compact_ivf_index")
     repair_ivf_index(spark, path)
     data, _, manifest = read_ivf_index(spark, path)
     fpb = (
@@ -1301,6 +1323,7 @@ def fold_staging_ivf_index(spark: SparkSession, path: str) -> dict:
     Crash-safe via the same journal (:func:`repair_ivf_index` runs
     first). Returns ``{"cells_folded", "rows_folded",
     "files_added"}``."""
+    _require_no_stream_intent(spark, path, "fold_staging_ivf_index")
     repair_ivf_index(spark, path)
     staged_files = _staging_files(spark, path, "vectors")
     if not staged_files:

@@ -65,6 +65,7 @@ from sparvi_core_spark.sources.ann_index import (
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
+    _require_no_stream_intent,
     _require_unique_ids,
     _staging_files,
     _staging_gauge,
@@ -548,6 +549,7 @@ def compact_binary_index(
     single writer by contract, quiesce searches across the swap
     window. Returns per-store compaction stats plus a ``"purge"``
     block when tombstones were folded."""
+    _require_no_stream_intent(spark, path, "compact_binary_index")
     repair_binary_index(spark, path)
     codes, manifest = read_binary_index(spark, path)
     id_col = manifest["id_col"]
@@ -691,6 +693,7 @@ def fold_staging_binary_index(spark: SparkSession, path: str) -> dict:
     file — O(staged bytes). Pending tombstones stay pending; the full
     :func:`compact_binary_index` purges and sweeps fan-in at its own
     cadence. No-op ``{}`` when nothing is staged."""
+    _require_no_stream_intent(spark, path, "fold_staging_binary_index")
     repair_binary_index(spark, path)
     _, manifest = read_binary_index(spark, path)
     return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}

@@ -546,9 +546,11 @@ def compact_ivfpq_index(
         _compact_cells,
         _purge_cells,
         _read_tombstones,
+        _require_no_stream_intent,
         repair_ivf_index,
     )
 
+    _require_no_stream_intent(spark, path, "compact_ivfpq_index")
     repair_ivf_index(spark, path)
     coded, _, _, manifest = read_ivfpq_index(spark, path)
     id_col = manifest["id_col"]
@@ -692,8 +694,12 @@ def fold_staging_ivfpq_index(spark: SparkSession, path: str) -> dict:
     existing store file — O(staged bytes). Pending tombstones stay
     pending; the full :func:`compact_ivfpq_index` purges and sweeps
     fan-in at its own cadence. No-op ``{}`` when nothing is staged."""
-    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+    from sparvi_core_spark.sources.ann_index import (
+        _require_no_stream_intent,
+        repair_ivf_index,
+    )
 
+    _require_no_stream_intent(spark, path, "fold_staging_ivfpq_index")
     repair_ivf_index(spark, path)
     manifest = json.loads(_read_text(spark, path, MANIFEST))
     return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}

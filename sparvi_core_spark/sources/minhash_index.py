@@ -80,6 +80,7 @@ from sparvi_core_spark.sources.ann_index import (
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
+    _require_no_stream_intent,
     _require_unique_ids,
     _staging_files,
     _write_text,
@@ -627,6 +628,7 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     ``"purge"`` block when tombstones were folded."""
     from sparvi_core_spark.sources.ann_index import _compact_cells
 
+    _require_no_stream_intent(spark, path, "compact_minhash_index")
     repair_minhash_index(spark, path)
     band_rows, manifest = read_minhash_index(spark, path)
     if "sig_rows_per_bucket" not in manifest:
@@ -756,6 +758,7 @@ def fold_staging_minhash_index(spark: SparkSession, path: str) -> dict:
     tombstones stay pending (probes already exclude them); the full
     :func:`compact_minhash_index` purges and sweeps fan-in at its own
     cadence. No-op ``{}`` when nothing is staged."""
+    _require_no_stream_intent(spark, path, "fold_staging_minhash_index")
     repair_minhash_index(spark, path)
     _, manifest = read_minhash_index(spark, path)
     return _fold_staging(spark, path, manifest) or {}

@@ -830,3 +830,32 @@ def test_replay_screen_scan_is_pruned(spark, tmp_path):
     assert "bucket" in pf.split("PartitionFilters")[1][:60]
     assert "IN (1,3)" in pf
     assert "ReadSchema: struct<vec_id:bigint>" in pf
+
+
+def test_maintenance_refuses_under_live_stream_intent(spark, tmp_path):
+    """A live _stream_intent.json means a streaming batch crashed
+    between its data append and its manifest commit — on-disk rows are
+    ahead of the manifest, so a compaction identity check would fail
+    with a misleading error. Maintenance verbs must refuse with the
+    real diagnosis (replay the stream) and proceed once healed."""
+    import json
+    import os
+
+    from sparvi_core_spark.sources.ann_index import (
+        STREAM_INTENT,
+        _write_text,
+        compact_ivf_index,
+        fold_staging_ivf_index,
+    )
+
+    df = _corpus(spark, n=40, seed=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, _centroids(spark, df, k=3), path)
+    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 7}))
+
+    for verb in (compact_ivf_index, fold_staging_ivf_index):
+        with pytest.raises(RuntimeError, match="write-ahead intent"):
+            verb(spark, path)
+    os.remove(os.path.join(path, STREAM_INTENT))
+    assert compact_ivf_index(spark, path)["cells_compacted"] == 0
+    assert fold_staging_ivf_index(spark, path)["cells_folded"] == 0
