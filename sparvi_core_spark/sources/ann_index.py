@@ -58,6 +58,7 @@ CENTROIDS_DIR = "_centroids"
 JOURNAL = "_compact_journal.json"
 TMP_DIR = "_compact_tmp"
 TOMBSTONES_DIR = "_tombstones"
+VACUUM_LEDGER = "_vacuum_ledger.json"
 
 
 def _write_text(spark: SparkSession, dir_path: str, name: str, text: str):
@@ -95,6 +96,153 @@ def _cell_files(fs, mkpath, path: str, bucket) -> list[str]:
         if st.isFile() and not name.startswith((".", "_")):
             out.append(name)
     return sorted(out)
+
+
+def _physical_cells(fs, mkpath, root: str) -> dict[str, list[str]]:
+    """Physical listing of every cell dir under ``root`` —
+    ``{bucket_str: [file names]}``. Used at index CREATION (adopt the
+    initial write's files into the manifest snapshot) and by
+    :func:`_vacuum_stores` (physical − referenced = garbage). Readers
+    and maintenance NEVER list; they use the manifest's ``files``."""
+    rp = mkpath(root)
+    out: dict[str, list[str]] = {}
+    if not fs.exists(rp):
+        return out
+    for st in fs.listStatus(rp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            b = name.split("=", 1)[1]
+            out[b] = _cell_files(fs, mkpath, root, b)
+    return out
+
+
+def _snapshot_files(manifest: dict, store: str) -> dict[str, list[str]]:
+    """The committed file snapshot for one store (``{bucket_str:
+    [names]}``). Snapshot commits are the format contract: the
+    manifest write that publishes counts ALSO publishes exactly which
+    data files are live, so readers never list directories and
+    maintenance never has to delete under a running scan. An index
+    written before snapshot commits has no ``files`` key — rebuild
+    it (same remedy as the pre-compaction manifests)."""
+    files = manifest.get("files", {}).get(store)
+    if files is None:
+        raise ValueError(
+            f"this index predates snapshot commits (no 'files.{store}' "
+            f"in the manifest) — rebuild it with its write_* verb"
+        )
+    return files
+
+
+def _snapshot_staging(manifest: dict, store: str) -> list[str]:
+    """Committed staging-file names for one store (names under
+    ``_staging/<sub>/``)."""
+    names = manifest.get("staging_files", {}).get(store)
+    if names is None:
+        raise ValueError(
+            f"this index predates snapshot commits (no "
+            f"'staging_files.{store}' in the manifest) — rebuild it "
+            f"with its write_* verb"
+        )
+    return names
+
+
+def _snapshot_read(
+    spark: SparkSession, root: str, files: dict[str, list[str]]
+) -> DataFrame | None:
+    """Scan EXACTLY the committed snapshot: explicit leaf files with
+    ``basePath`` so the ``bucket`` partition column (and partition
+    pruning — pinned in tests) still applies. A scan planned from
+    this frame holds its file list for its whole run: a maintenance
+    swap committing meanwhile neither duplicates its rows (new files
+    are not in the list) nor breaks it mid-flight (replaced files are
+    retired by :func:`vacuum` AFTER a retention window, never deleted
+    at commit). None when the snapshot is empty."""
+    paths = [
+        f"{root}/bucket={b}/{n}"
+        for b in sorted(files, key=int)
+        for n in files[b]
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def _read_staging_names(
+    spark: SparkSession, path: str, sub: str, names: list[str]
+) -> DataFrame | None:
+    """Committed staged rows for one store (bucket as a plain
+    column), or None when nothing is staged."""
+    if not names:
+        return None
+    return spark.read.parquet(
+        *[f"{path}/{STAGING_DIR}/{sub}/{n}" for n in names]
+    )
+
+
+def _diff_new_files(
+    fs, mkpath, root: str, buckets, pre: dict[str, set]
+) -> dict[str, list[str]]:
+    """Physical listing diff over the touched cells (post − pre) —
+    how an append learns the file names its write just created,
+    immune to any unreferenced garbage already in the dirs (garbage
+    is in BOTH listings). Single-writer by contract, so nothing else
+    writes between the two listings."""
+    out: dict[str, list[str]] = {}
+    for b in buckets:
+        bs = str(b)
+        now = set(_cell_files(fs, mkpath, root, bs))
+        new = sorted(now - pre.get(bs, set()))
+        if new:
+            out[bs] = new
+    return out
+
+
+def _merge_appended(
+    live: dict[str, list[str]], new_by_bucket: dict[str, list[str]]
+) -> dict[str, list[str]]:
+    out = {b: list(v) for b, v in live.items()}
+    for b, names in new_by_bucket.items():
+        out[b] = sorted(set(out.get(b, [])) | set(names))
+    return {b: out[b] for b in sorted(out, key=int)}
+
+
+def live_fragmentation(files: dict[str, list[str]]) -> dict:
+    """Files-per-bucket gauge over the COMMITTED snapshot — the
+    number of files a probe/search actually opens (unreferenced
+    garbage awaiting vacuum is not read by anyone, so it must not
+    trigger compaction). Pure dict math: no FS calls at all."""
+    counts = [len(v) for v in files.values()]
+    return {
+        "n_buckets": len(counts),
+        "total_files": sum(counts),
+        "max_files_per_bucket": max(counts, default=0),
+    }
+
+
+def _staging_gauge_live(names: list[str]) -> dict:
+    """Staging gauge over the committed snapshot: staged files are
+    unpartitioned, so every probe/search reads all of them — their
+    count is the per-bucket fan-in equivalent."""
+    return {
+        "n_buckets": 0,
+        "total_files": len(names),
+        "max_files_per_bucket": len(names),
+    }
+
+
+def _finish_swap(spark: SparkSession, root: str):
+    """Drop a committed swap's journal + tmp dir — called strictly
+    AFTER the manifest write that published the swap's files (the
+    commit point). A crash before this leaves the journal; repair
+    sees the manifest already references the new files and simply
+    finishes the cleanup."""
+    _, fs, mkpath = _index_fs(spark, root)
+    tp = mkpath(f"{root}/{TMP_DIR}")
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    jp = mkpath(f"{root}/{JOURNAL}")
+    if fs.exists(jp):
+        fs.delete(jp, False)
 
 
 def _require_unique_ids(df: DataFrame, id_col: str, what: str) -> int:
@@ -294,12 +442,26 @@ def _locked_df_first(op: str):
 
 
 def _read_tombstones(
-    spark: SparkSession, path: str, id_col: str
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    names: list[str] | None = None,
 ) -> DataFrame | None:
     """Distinct tombstoned ids as a one-column frame named ``id_col``,
-    or None when the index has no ``_tombstones/`` store. The store is
-    tiny by design (delete requests, not corpus rows) — every consumer
-    broadcasts it."""
+    or None when the index has no tombstones. The store is tiny by
+    design (delete requests, not corpus rows) — every consumer
+    broadcasts it. ``names`` is the manifest's committed tombstone
+    file snapshot (snapshot-commit indexes read exactly those files —
+    a purge that clears tombstones can then leave the physical files
+    for vacuum instead of deleting them under a running reader);
+    ``None`` is the legacy directory read."""
+    if names is not None:
+        if not names:
+            return None
+        df = spark.read.parquet(
+            *[f"{path}/{TOMBSTONES_DIR}/{n}" for n in names]
+        )
+        return df.select(F.col(df.columns[0]).alias(id_col)).distinct()
     _, fs, mkpath = _index_fs(spark, path)
     if not fs.exists(mkpath(f"{path}/{TOMBSTONES_DIR}")):
         return None
@@ -330,12 +492,20 @@ def _normalize_delete_ids(
 
 
 def _append_tombstones(
-    spark: SparkSession, path: str, ids: DataFrame, id_col: str
-) -> int:
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    live_names: list[str] | None = None,
+) -> int | tuple[int, list[str]]:
     """Append NEW ids into ``_tombstones/`` (already-tombstoned ids
-    are not rewritten — delete is idempotent). Returns the total
-    distinct tombstone count after the append."""
-    existing = _read_tombstones(spark, path, id_col)
+    are not rewritten — delete is idempotent). Legacy mode
+    (``live_names=None``) returns the total distinct tombstone count
+    after the append. Snapshot mode (``live_names`` = the manifest's
+    committed tombstone file list) reads exactly those files and
+    returns ``(total, new_file_names)`` so the caller can publish the
+    appended file in its manifest commit."""
+    existing = _read_tombstones(spark, path, id_col, names=live_names)
     fresh = ids
     n_existing = 0
     if existing is not None:
@@ -343,11 +513,32 @@ def _append_tombstones(
         n_existing = existing.count()
         fresh = ids.join(F.broadcast(existing), id_col, "left_anti")
     n_fresh = fresh.count()
+    if live_names is None:
+        if n_fresh:
+            fresh.coalesce(1).write.mode("append").parquet(
+                f"{path}/{TOMBSTONES_DIR}"
+            )
+        return n_existing + n_fresh
+    new_names: list[str] = []
     if n_fresh:
+        _, fs, mkpath = _index_fs(spark, path)
+        pre = _tombstone_file_names(fs, mkpath, path)
         fresh.coalesce(1).write.mode("append").parquet(
             f"{path}/{TOMBSTONES_DIR}"
         )
-    return n_existing + n_fresh
+        new_names = sorted(_tombstone_file_names(fs, mkpath, path) - pre)
+    return n_existing + n_fresh, new_names
+
+
+def _tombstone_file_names(fs, mkpath, path: str) -> set[str]:
+    d = mkpath(f"{path}/{TOMBSTONES_DIR}")
+    if not fs.exists(d):
+        return set()
+    return {
+        st.getPath().getName()
+        for st in fs.listStatus(d)
+        if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+    }
 
 
 def _clear_tombstones(spark: SparkSession, path: str):
@@ -358,12 +549,17 @@ def _clear_tombstones(spark: SparkSession, path: str):
 
 
 def _reject_tombstoned(
-    spark: SparkSession, path: str, batch: DataFrame, id_col: str, what: str
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    what: str,
+    names: list[str] | None = None,
 ):
     """Appending an id that is tombstoned but not yet purged would
     resurrect rows the pending purge then deletes — refuse with the
     remedy in the message."""
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(spark, path, id_col, names=names)
     if tomb is None:
         return
     n = batch.join(F.broadcast(tomb), id_col, "left_semi").count()
@@ -384,10 +580,10 @@ def _rename_into_cells(spark, fs, mkpath, root: str, tmp: str, produced):
     cell (staged rows assigned to a bucket that never had a dir) —
     and its boolean return is the ONLY failure signal. So: mkdirs
     every target cell dir first, then check every rename. On a failed
-    rename, roll the swap back via :func:`repair_ivf_index` (the
-    journal is already on disk and the failed file never landed, so
-    repair deletes the partial new files and keeps the originals and
-    any ``extra_old`` staging files) and raise."""
+    rename, roll the swap back (the journal is already on disk, the
+    failed file never landed, and the manifest — the commit point —
+    was not yet written, so deleting the partial new files restores
+    the index exactly; the originals were never touched) and raise."""
     for b in sorted(produced):
         d = mkpath(f"{root}/bucket={b}")
         if not fs.exists(d):
@@ -397,12 +593,31 @@ def _rename_into_cells(spark, fs, mkpath, root: str, tmp: str, produced):
             src = mkpath(f"{tmp}/bucket={b}/{name}")
             dst = mkpath(f"{root}/bucket={b}/{name}")
             if not fs.rename(src, dst):
-                repair_ivf_index(spark, root)
+                _abort_swap(spark, fs, mkpath, root, produced)
                 raise IOError(
                     f"swap rename {src} -> {dst} failed — rolled the "
                     f"journaled swap back; store at {root} left as it "
                     f"was before this fold/compaction"
                 )
+
+
+def _abort_swap(spark, fs, mkpath, root: str, produced):
+    """Roll an UNCOMMITTED swap back in place: delete whichever of
+    the journal'd new files already landed in their cell dirs, then
+    the tmp dir and the journal. Safe because the manifest — the
+    commit point — has not been written: no reader references the
+    new files, and the originals were never touched."""
+    for b in produced:
+        for name in produced[b]:
+            p = mkpath(f"{root}/bucket={b}/{name}")
+            if fs.exists(p):
+                fs.delete(p, False)
+    tp = mkpath(f"{root}/{TMP_DIR}")
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    jp = mkpath(f"{root}/{JOURNAL}")
+    if fs.exists(jp):
+        fs.delete(jp, False)
 
 
 def _purge_cells(
@@ -413,18 +628,28 @@ def _purge_cells(
     drop: DataFrame,
     slice_salt: str,
     fpb: int = 1,
+    live_files: dict[str, list[str]] | None = None,
 ) -> dict:
     """Journaled rewrite of exactly the cells holding rows whose id is
     in ``drop``, excluding those rows — the physical half of
-    delete-by-id, sharing :func:`repair_ivf_index`'s swap protocol
-    (the caller must run repair on ``root`` first, and owns the
-    manifest). Verification is self-consistent rather than
+    delete-by-id (the caller must run repair on ``root`` first, and
+    owns the manifest). Verification is self-consistent rather than
     manifest-based: the kept-row count expected from the locating scan
     must equal the rewrite's observed row count, so a purge re-run
     after a crash (when the manifest may be stale) still verifies.
     Cost: one column-pruned (id, bucket) scan of the store to locate
     touched cells, then a rewrite of ONLY those cells. Returns
-    ``{"cells_rewritten", "rows_dropped", "rows_kept"}``."""
+    ``{"cells_rewritten", "rows_dropped", "rows_kept"}``.
+
+    With ``live_files`` (the manifest's committed snapshot for this
+    store) the swap is snapshot-committed: ``data`` must be the
+    snapshot frame, the replaced files come from the snapshot (never
+    a listing), NOTHING is deleted here, and the journal is left in
+    place — the caller publishes the returned ``new_files`` in its
+    manifest write (the commit point) and then calls
+    :func:`_finish_swap`; the replaced files stay on disk for any
+    in-flight reader until :func:`vacuum` retires them. Without it,
+    the legacy in-place protocol (list, swap, delete) runs."""
     from pyspark.sql import Observation
 
     _, fs, mkpath = _index_fs(spark, root)
@@ -444,7 +669,10 @@ def _purge_cells(
     cells = sorted(int(r["bucket"]) for r in per_cell)
     rows_dropped = sum(int(r["dropped"]) for r in per_cell)
     expected_kept = sum(int(r["total"]) - int(r["dropped"]) for r in per_cell)
-    old_files = {str(b): _cell_files(fs, mkpath, root, b) for b in cells}
+    if live_files is not None:
+        old_files = {str(b): list(live_files.get(str(b), [])) for b in cells}
+    else:
+        old_files = {str(b): _cell_files(fs, mkpath, root, b) for b in cells}
     obs = Observation()
     slice_col = F.pmod(
         F.xxhash64(F.col(id_col), F.lit(slice_salt)), F.lit(fpb)
@@ -478,17 +706,24 @@ def _purge_cells(
     }
     _write_text(spark, root, JOURNAL, json.dumps(journal))
     _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
+    out = {
+        "cells_rewritten": len(cells),
+        "rows_dropped": rows_dropped,
+        "rows_kept": kept,
+    }
+    if live_files is not None:
+        # snapshot-committed: nothing is deleted here — the caller's
+        # manifest write publishes these files (the commit point),
+        # then _finish_swap drops the journal + tmp
+        out["new_files"] = {str(b): produced[b] for b in produced}
+        return out
     for b in cells:
         for old in old_files[str(b)]:
             fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
     if fs.exists(mkpath(tmp)):
         fs.delete(mkpath(tmp), True)
     fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
-    return {
-        "cells_rewritten": len(cells),
-        "rows_dropped": rows_dropped,
-        "rows_kept": kept,
-    }
+    return out
 
 
 def write_ivf_index(
@@ -552,8 +787,13 @@ def write_ivf_index(
     }
     dim_row = cent.select(F.size("centroid").alias("d")).first()
     n_vectors = sum(per_cell.values())
+    # snapshot commit: the manifest records exactly which data files
+    # are live (adopted here from the initial write's own listing —
+    # the only time a listing feeds the manifest); every later verb
+    # maintains the snapshot through its own single manifest write
+    _, fs, mkpath = _index_fs(spark, path)
     manifest = {
-        "format": "sparvi-ivf-index/1",
+        "format": "sparvi-ivf-index/2",
         "id_col": id_col,
         "vec_col": vec_col,
         "k": cent.count(),
@@ -562,6 +802,9 @@ def write_ivf_index(
         "dropped_null": n_rows - n_vectors,
         "files_per_bucket": files_per_bucket,
         "rows_per_bucket": {str(b): n for b, n in sorted(per_cell.items())},
+        "files": {"vectors": _physical_cells(fs, mkpath, path)},
+        "staging_files": {"vectors": []},
+        "tombstone_files": [],
     }
     _hadoop_write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
@@ -635,7 +878,6 @@ def append_ivf_index(
     files_per_bucket: int | None = None,
     staged: bool = False,
     stream_batch_id: int | None = None,
-    screen_existing: bool = False,
 ) -> dict:
     """The daily ingest operation: assign a NEW batch against the
     STORED centroids and append it into the existing cell partitions —
@@ -661,14 +903,14 @@ def append_ivf_index(
     the manifest (same as every bare-parquet append pipeline).
 
     ``stream_batch_id`` threads the streaming sink's batch id into the
-    SAME manifest write as the counts — one commit point instead of
-    two, so the sink's replay fence and the counts can never disagree.
-    ``screen_existing=True`` is the crash-replay path: anti-join the
-    batch against the ids already in the touched cells ∪ staging
-    (bucket-grain, column-pruned) and append only the missing split,
-    while the manifest counts the FULL batch — rows that landed in the
-    crashed attempt are on disk but were never counted, so this single
-    call heals both the data and the manifest."""
+    SAME manifest write as the counts and the file snapshot — ONE
+    commit point, so the sink's replay fence, the counts, and the
+    visible files can never disagree. That single write is also what
+    makes a crashed append harmless: files that landed without their
+    manifest commit are referenced by nothing (readers scan the
+    snapshot, never the directory), so a replay simply appends the
+    batch again and the orphans wait for :func:`vacuum_ivf_index` —
+    no screening, no duplicate rows, exactly-once by construction."""
     from sparvi_core_spark.operators.similarity import ivf_assign
     from sparvi_core_spark.sources.writers import _hadoop_write_text
 
@@ -684,7 +926,10 @@ def append_ivf_index(
                 f"new_vectors is missing the index's {c!r} column "
                 f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
             )
-    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
+    _reject_tombstoned(
+        spark, path, new_vectors, id_col, "new_vectors",
+        names=manifest["tombstone_files"],
+    )
     for c in ("bucket", "__slice"):
         if c in new_vectors.columns:
             raise ValueError(f"new_vectors already has a {c!r} column")
@@ -711,27 +956,28 @@ def append_ivf_index(
         .collect()
     }
     n_new = sum(per_cell.values())
-    n_landed = 0
-    if screen_existing and n_new:
-        existing = _existing_ids(
-            spark, path, _staging_files(spark, path, "vectors"),
-            id_col, sorted(per_cell),
-        )
-        if existing is not None:
-            landed_ids = (
-                assigned.select(id_col)
-                .join(existing, id_col, "left_semi")
-                .localCheckpoint()
-            )
-            n_landed = landed_ids.count()
-            if n_landed:
-                data = data.join(F.broadcast(landed_ids), id_col, "left_anti")
-    if n_landed < n_new:
+    _, fs, mkpath = _index_fs(spark, path)
+    if n_new:
         if staged:
-            data.coalesce(1).write.mode("append").parquet(
-                f"{path}/{STAGING_DIR}/vectors"
+            sroot = f"{path}/{STAGING_DIR}/vectors"
+            pre = {
+                p.rsplit("/", 1)[-1]
+                for p in _staging_files(spark, path, "vectors")
+            }
+            data.coalesce(1).write.mode("append").parquet(sroot)
+            post = {
+                p.rsplit("/", 1)[-1]
+                for p in _staging_files(spark, path, "vectors")
+            }
+            manifest["staging_files"]["vectors"] = sorted(
+                set(manifest["staging_files"]["vectors"]) | (post - pre)
             )
         else:
+            touched = sorted(per_cell)
+            pre = {
+                str(b): set(_cell_files(fs, mkpath, path, b))
+                for b in touched
+            }
             slice_col = F.pmod(
                 F.xxhash64(F.col(id_col), F.lit("ivf-slice")),
                 F.lit(fpb),
@@ -744,6 +990,10 @@ def append_ivf_index(
                 .partitionBy("bucket")
                 .parquet(path)
             )
+            manifest["files"]["vectors"] = _merge_appended(
+                manifest["files"]["vectors"],
+                _diff_new_files(fs, mkpath, path, touched, pre),
+            )
     rows = dict(manifest["rows_per_bucket"])
     for b, n in per_cell.items():
         rows[str(b)] = rows.get(str(b), 0) + n
@@ -753,10 +1003,6 @@ def append_ivf_index(
     manifest["n_vectors"] += n_new
     manifest["dropped_null"] += n_batch_rows - n_new
     manifest["appends"] = manifest.get("appends", 0) + 1
-    if n_landed:
-        manifest["replay_rows_healed"] = (
-            manifest.get("replay_rows_healed", 0) + n_landed
-        )
     if stream_batch_id is not None:
         manifest["last_stream_batch_id"] = int(stream_batch_id)
     _hadoop_write_text(
@@ -781,8 +1027,14 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
     drop = _normalize_delete_ids(spark, ids, id_col, id_type)
     drop = drop.localCheckpoint()  # counted, appended, presence-joined
     requested = drop.count()
-    total = _append_tombstones(spark, path, drop, id_col)
-    tomb = _read_tombstones(spark, path, id_col)
+    live_tombs = manifest["tombstone_files"]
+    total, new_names = _append_tombstones(
+        spark, path, drop, id_col, live_names=live_tombs
+    )
+    manifest["tombstone_files"] = sorted(set(live_tombs) | set(new_names))
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     # presence: cell is a function of the VECTOR, so this check is a
     # column-pruned id scan of the data store
     pending = data.join(F.broadcast(tomb), id_col, "left_semi").count()
@@ -798,36 +1050,71 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
     }
 
 
-def repair_ivf_index(spark: SparkSession, path: str) -> dict:
-    """Heal a crashed :func:`compact_ivf_index` swap. The journal
-    records, per cell, the exact compacted file names about to enter
-    the cell and the originals they replace; moves happen strictly
-    after the journal lands and deletes strictly after ALL moves. So:
-    every journaled new file present → finish the swap (delete the
-    remaining originals, roll forward); any new file missing → the
-    originals are still complete (delete the partial compacted copies,
-    roll back). A tmp dir with no journal is a pre-journal crash —
-    originals untouched, drop the tmp. Idempotent; no-op on a clean
-    index. Returns ``{"action": ...}``."""
-    _, fs, mkpath = _index_fs(spark, path)
-    jp = mkpath(f"{path}/{JOURNAL}")
-    tp = mkpath(f"{path}/{TMP_DIR}")
+def _repair_store(
+    spark: SparkSession,
+    root: str,
+    live_files: dict[str, list[str]] | None = None,
+) -> dict:
+    """Heal a crashed journaled swap on ONE store root.
+
+    Snapshot protocol (``live_files`` = the manifest's committed file
+    snapshot for this store): the manifest write is the commit point,
+    so the journal alone decides — every journal'd new file already
+    referenced by the manifest → the swap committed; finish the
+    cleanup (drop journal + tmp, touch NO data file: the replaced
+    files are vacuum's job, never repair's). Any new file
+    unreferenced → the swap never committed; delete whichever new
+    files landed (no reader references them) and the store is exactly
+    as it was.
+
+    Legacy protocol (``live_files=None`` — a store whose manifest
+    predates snapshot commits, or a non-manifest store mid-
+    transition): the old exists-based rule — every journal'd new
+    file present on disk → roll forward (delete the replaced
+    originals and any ``extra_old`` staging files); else roll back
+    (delete the partial new files; originals are still complete).
+
+    A tmp dir with no journal is a pre-journal crash — originals
+    untouched, drop the tmp. Idempotent; no-op on a clean store.
+    Returns ``{"action": ...}``."""
+    _, fs, mkpath = _index_fs(spark, root)
+    jp = mkpath(f"{root}/{JOURNAL}")
+    tp = mkpath(f"{root}/{TMP_DIR}")
     if not fs.exists(jp):
         if fs.exists(tp):
             fs.delete(tp, True)
             return {"action": "removed_orphan_tmp"}
         return {"action": "clean"}
-    journal = json.loads(_read_text(spark, path, JOURNAL))
+    journal = json.loads(_read_text(spark, root, JOURNAL))
     cells = journal["cells"]
+    if live_files is not None:
+        committed = all(
+            n in live_files.get(str(b), ())
+            for b, entry in cells.items()
+            for n in entry["new"]
+        )
+        if committed:
+            action = "rolled_forward"
+        else:
+            for b, entry in cells.items():
+                for new in entry["new"]:
+                    p = mkpath(f"{root}/bucket={b}/{new}")
+                    if fs.exists(p):
+                        fs.delete(p, False)
+            action = "rolled_back"
+        if fs.exists(tp):
+            fs.delete(tp, True)
+        fs.delete(jp, False)
+        return {"action": action}
     landed = all(
-        fs.exists(mkpath(f"{path}/bucket={b}/{n}"))
+        fs.exists(mkpath(f"{root}/bucket={b}/{n}"))
         for b, entry in cells.items()
         for n in entry["new"]
     )
     if landed:
         for b, entry in cells.items():
             for old in entry["old"]:
-                p = mkpath(f"{path}/bucket={b}/{old}")
+                p = mkpath(f"{root}/bucket={b}/{old}")
                 if fs.exists(p):
                     fs.delete(p, False)
         # staging files folded by this swap (absolute paths) are
@@ -841,7 +1128,7 @@ def repair_ivf_index(spark: SparkSession, path: str) -> dict:
     else:
         for b, entry in cells.items():
             for new in entry["new"]:
-                p = mkpath(f"{path}/bucket={b}/{new}")
+                p = mkpath(f"{root}/bucket={b}/{new}")
                 if fs.exists(p):
                     fs.delete(p, False)
         action = "rolled_back"
@@ -849,6 +1136,20 @@ def repair_ivf_index(spark: SparkSession, path: str) -> dict:
         fs.delete(tp, True)
     fs.delete(jp, False)
     return {"action": action}
+
+
+def repair_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Heal a crashed swap on the float IVF index (see
+    :func:`_repair_store`): the manifest's committed file snapshot
+    decides — referenced new files mean the swap committed (just
+    finish the cleanup); unreferenced ones never did (delete them,
+    nothing else moved). Idempotent; no-op on a clean index."""
+    try:
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+    except Exception:
+        manifest = {}
+    live = manifest.get("files", {}).get("vectors")
+    return _repair_store(spark, path, live_files=live)
 
 
 @_locked("compact")
@@ -870,19 +1171,17 @@ def compact_ivf_index(
     manifest's count for those cells, else the tmp output is discarded
     and the index is left exactly as found.
 
-    Crash-safe via :func:`repair_ivf_index` (journaled swap, same
-    protocol as ``streaming.store.compact_summary_store``); any prior
-    crash is healed before this run starts. Single-writer by contract,
-    like ``append_ivf_index``. READERS must also be quiesced during the
-    swap window: between the per-cell renames and the delete pass a
-    cell directory briefly holds BOTH the original and the compacted
-    files, so a :func:`search_ivf_index` running concurrently can see
-    every row of those cells twice (duplicated candidates, not wrong
-    ones — deduping results by id is a safe mitigation if a search
-    cannot be paused). Run compaction in the same maintenance window as
-    appends. Returns ``{"cells_compacted", "files_before",
+    Crash-safe via :func:`repair_ivf_index`; every swap here is
+    snapshot-committed (the manifest write that publishes the new
+    files IS the commit), so any prior crash either committed or
+    left nothing referenced. Single-WRITER by contract, like
+    ``append_ivf_index`` — but READERS need no quiescing: an
+    in-flight :func:`search_ivf_index` holds the file snapshot it
+    planned with, the replaced files stay on disk until
+    :func:`vacuum_ivf_index` retires them after a retention window,
+    and a search planned after the commit sees only the compacted
+    files. Returns ``{"cells_compacted", "files_before",
     "files_after", "rows_rewritten"}``."""
-    _require_no_stream_intent(spark, path, "compact_ivf_index")
     repair_ivf_index(spark, path)
     data, _, manifest = read_ivf_index(spark, path)
     fpb = (
@@ -891,36 +1190,56 @@ def compact_ivf_index(
         else files_per_bucket
     )
     # fold the staging store FIRST (append-shaped: only the staged
-    # mass is rewritten; staging files ride the journal's extra_old),
-    # so the purge and file-fold below see a purely partitioned store
-    # — any fan-in the fold adds is swept by the >fpb pass right below
+    # mass is rewritten), so the purge and file-fold below see a
+    # purely partitioned store — any fan-in the fold adds is swept by
+    # the >fpb pass right below
     staging = None
-    staged_files = _staging_files(spark, path, "vectors")
-    if staged_files:
-        staged = _read_staging(spark, path, "vectors")
+    staged_names = manifest["staging_files"]["vectors"]
+    if staged_names:
+        staged = _read_staging_names(spark, path, "vectors", staged_names)
         staging = _fold_staged_cells(
             spark, path, staged, manifest["id_col"], fpb,
-            slice_salt="ivf-slice", staged_files=staged_files,
+            slice_salt="ivf-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/vectors/{n}" for n in staged_names
+            ],
+            snapshot=True,
         )
-        _, fs_, mkpath_ = _index_fs(spark, path)
-        sp = mkpath_(f"{path}/{STAGING_DIR}")
-        if fs_.exists(sp):
-            fs_.delete(sp, True)
+        manifest["files"]["vectors"] = _merge_appended(
+            manifest["files"]["vectors"], staging.pop("new_files", {})
+        )
+        manifest["staging_files"]["vectors"] = []
+        _write_text(
+            spark, path, MANIFEST,
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        _finish_swap(spark, path)
         data, _, manifest = read_ivf_index(spark, path)
     purge = None
-    tomb = _read_tombstones(spark, path, manifest["id_col"])
+    tomb = _read_tombstones(
+        spark, path, manifest["id_col"],
+        names=manifest["tombstone_files"],
+    )
     if tomb is not None:
         purge = _purge_cells(
             spark, path, data, manifest["id_col"],
             tomb.localCheckpoint(), slice_salt="ivf-slice", fpb=fpb,
+            live_files=manifest["files"]["vectors"],
         )
-        # re-measure the manifest from disk (bucket is the partition
-        # key — parquet-footer counts), so a crash-interrupted purge
-        # re-run always ends consistent
-        per_bucket = {
+        if purge.get("new_files") is not None:
+            files = dict(manifest["files"]["vectors"])
+            for b, names in purge.pop("new_files").items():
+                files[b] = names
+            manifest["files"]["vectors"] = {
+                b: files[b] for b in sorted(files, key=int)
+            }
+        # re-measure the manifest from the NEW snapshot (bucket is
+        # the partition key — parquet-footer counts), so a
+        # crash-interrupted purge re-run always ends consistent
+        snap = _snapshot_read(spark, path, manifest["files"]["vectors"])
+        per_bucket = {} if snap is None else {
             int(r["bucket"]): int(r["n"])
-            for r in spark.read.parquet(path)
-            .groupBy("bucket")
+            for r in snap.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -931,13 +1250,17 @@ def compact_ivf_index(
         manifest["purged_total"] = manifest.get("purged_total", 0) + int(
             purge["rows_dropped"]
         )
+        # the tombstones are consumed by the SAME commit that
+        # publishes the purged files — the physical tombstone files
+        # wait for vacuum, so a reader's pinned anti-join never breaks
+        manifest["tombstone_files"] = []
         manifest.pop("n_tombstones", None)
         manifest.pop("n_deleted_pending", None)
         _write_text(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
-        _clear_tombstones(spark, path)
+        _finish_swap(spark, path)
         data, _, manifest = read_ivf_index(spark, path)
     stats = _compact_cells(
         spark,
@@ -947,7 +1270,15 @@ def compact_ivf_index(
         manifest["rows_per_bucket"],
         fpb,
         slice_salt="ivf-slice",
+        live_files=manifest["files"]["vectors"],
     )
+    if stats.get("new_files") is not None:
+        files = dict(manifest["files"]["vectors"])
+        for b, names in stats.pop("new_files").items():
+            files[b] = names
+        manifest["files"]["vectors"] = {
+            b: files[b] for b in sorted(files, key=int)
+        }
     if stats["cells_compacted"] > 0 or fpb != manifest["files_per_bucket"]:
         manifest["files_per_bucket"] = fpb
         if stats["cells_compacted"] > 0:
@@ -956,6 +1287,7 @@ def compact_ivf_index(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+        _finish_swap(spark, path)
     if purge is not None:
         stats = dict(stats)
         stats["purge"] = purge
@@ -975,6 +1307,7 @@ def _compact_cells(
     slice_salt: str,
     force_cells=None,
     extra_old: list[str] | None = None,
+    live_files: dict[str, list[str]] | None = None,
 ) -> dict:
     """The journaled fold shared by every cell-partitioned store
     (float IVF index, IVF-PQ code index, its ``_floats/`` side-store):
@@ -994,15 +1327,26 @@ def _compact_cells(
     the rewrite just folded in) is recorded in the journal and deleted
     strictly after the per-cell old files; on a crash,
     :func:`repair_ivf_index` deletes them on roll-forward and leaves
-    them intact on roll-back (the fold never happened)."""
+    them intact on roll-back (the fold never happened).
+
+    With ``live_files`` the swap is snapshot-committed (see
+    :func:`_purge_cells`): fragmentation and the replaced files come
+    from the manifest's committed snapshot, ``data`` must be the
+    snapshot frame, nothing is deleted here, and the journal stays
+    until the caller's manifest write + :func:`_finish_swap`."""
     from pyspark.sql import Observation
 
     if fpb < 1:
         raise ValueError(f"files_per_bucket must be >= 1, got {fpb}")
     _, fs, mkpath = _index_fs(spark, root)
-    listing = {
-        b: _cell_files(fs, mkpath, root, b) for b in rows_per_bucket
-    }
+    if live_files is not None:
+        listing = {
+            b: list(live_files.get(str(b), [])) for b in rows_per_bucket
+        }
+    else:
+        listing = {
+            b: _cell_files(fs, mkpath, root, b) for b in rows_per_bucket
+        }
     files_before = sum(len(v) for v in listing.values())
     frag = {b: v for b, v in listing.items() if len(v) > fpb}
     for b in force_cells or ():
@@ -1054,6 +1398,18 @@ def _compact_cells(
         journal["extra_old"] = list(extra_old)
     _write_text(spark, root, JOURNAL, json.dumps(journal))
     _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
+    files_after = files_before - sum(
+        len(v) for v in frag.values()
+    ) + sum(len(v) for v in produced.values())
+    out = {
+        "cells_compacted": len(cells),
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_rewritten": rewritten,
+    }
+    if live_files is not None:
+        out["new_files"] = {str(b): produced[b] for b in produced}
+        return out
     for b in cells:
         for old in frag[str(b)]:
             fs.delete(mkpath(f"{root}/bucket={b}/{old}"), False)
@@ -1062,15 +1418,7 @@ def _compact_cells(
             fs.delete(mkpath(p), False)
     fs.delete(mkpath(tmp), True)
     fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
-    files_after = files_before - sum(
-        len(v) for v in frag.values()
-    ) + sum(len(v) for v in produced.values())
-    return {
-        "cells_compacted": len(cells),
-        "files_before": files_before,
-        "files_after": files_after,
-        "rows_rewritten": rewritten,
-    }
+    return out
 
 
 def _fold_staged_cells(
@@ -1081,6 +1429,7 @@ def _fold_staged_cells(
     fpb: int,
     slice_salt: str,
     staged_files: list[str],
+    snapshot: bool = False,
 ) -> dict:
     """Append-shaped staging fold — the O(staged) alternative to the
     round-10 force-rewrite (which rewrote every staged bucket's FULL
@@ -1149,16 +1498,24 @@ def _fold_staged_cells(
     }
     _write_text(spark, root, JOURNAL, json.dumps(journal))
     _rename_into_cells(spark, fs, mkpath, root, tmp, produced)
+    out = {
+        "cells_folded": len(produced),
+        "rows_folded": rewritten,
+        "files_added": sum(len(v) for v in produced.values()),
+    }
+    if snapshot:
+        # snapshot-committed: the caller's manifest write publishes
+        # the folded files AND empties staging_files in one commit;
+        # the physical staging files stay on disk for any reader that
+        # pinned the old manifest, until vacuum retires them
+        out["new_files"] = {str(b): produced[b] for b in produced}
+        return out
     for p in staged_files:
         if fs.exists(mkpath(p)):
             fs.delete(mkpath(p), False)
     fs.delete(mkpath(tmp), True)
     fs.delete(mkpath(f"{root}/{JOURNAL}"), False)
-    return {
-        "cells_folded": len(produced),
-        "rows_folded": rewritten,
-        "files_added": sum(len(v) for v in produced.values()),
-    }
+    return out
 
 
 STAGING_DIR = "_staging"
@@ -1230,10 +1587,123 @@ def store_fragmentation(spark: SparkSession, root: str) -> dict:
     }
 
 
+def _vacuum_stores(
+    spark: SparkSession,
+    path: str,
+    stores: dict[str, tuple[str, dict]],
+    staging: dict[str, tuple[str, list]],
+    tombstones: list[str] | None,
+    older_than_s: float,
+) -> dict:
+    """The GC half of snapshot commits, shared by all four stored
+    indexes: delete files that are physically present but referenced
+    by NOTHING in the manifest — files replaced by a committed swap,
+    staging/tombstone files consumed by a committed fold/purge, and
+    orphans from appends that crashed before their manifest commit.
+
+    Readers are why deletion is deferred to here: a scan plans
+    against the manifest's file snapshot and holds it for its whole
+    run, so the commit that unreferences a file must not delete it.
+    ``older_than_s`` is the retention window, measured from when a
+    vacuum pass FIRST saw the file unreferenced (a torn-write-safe
+    ledger at ``_vacuum_ledger.json`` carries first-seen stamps
+    between passes — file mtimes can't be used: a file replaced by a
+    swap was typically written long before it was retired). Deletion
+    therefore needs two passes ``older_than_s`` apart unless the
+    window is 0; run vacuum on a cadence shorter than the window and
+    size the window past the longest-running reader.
+
+    Caller must hold the writer lock and have run repair (so no
+    journal is in flight — an uncommitted swap's files are protected
+    by the journal, which repair resolves before we list). Returns
+    ``{"files_vacuumed", "bytes_vacuumed", "files_pending"}``."""
+    import time
+
+    _, fs, mkpath = _index_fs(spark, path)
+    now = time.time()
+    try:
+        ledger = json.loads(_read_text(spark, path, VACUUM_LEDGER))
+    except Exception:
+        ledger = {}
+    prefix = path.rstrip("/") + "/"
+    garbage: list[str] = []
+    for key, (root, live) in stores.items():
+        store_rel = ""
+        if root.rstrip("/") != path.rstrip("/"):
+            store_rel = root.rstrip("/")[len(prefix):] + "/"
+        for b, names in _physical_cells(fs, mkpath, root).items():
+            live_names = set(live.get(b, ()))
+            for n in names:
+                if n not in live_names:
+                    garbage.append(f"{store_rel}bucket={b}/{n}")
+    for key, (sub, live_names) in staging.items():
+        live_set = set(live_names)
+        for p in _staging_files(spark, path, sub):
+            n = p.rsplit("/", 1)[-1]
+            if n not in live_set:
+                garbage.append(f"{STAGING_DIR}/{sub}/{n}")
+    if tombstones is not None:
+        live_set = set(tombstones)
+        for n in sorted(_tombstone_file_names(fs, mkpath, path)):
+            if n not in live_set:
+                garbage.append(f"{TOMBSTONES_DIR}/{n}")
+    vacuumed = 0
+    bytes_vacuumed = 0
+    pending: dict[str, float] = {}
+    for rel in garbage:
+        first_seen = float(ledger.get(rel, now))
+        if now - first_seen >= older_than_s:
+            p = mkpath(f"{path}/{rel}")
+            if fs.exists(p):
+                bytes_vacuumed += int(fs.getFileStatus(p).getLen())
+                fs.delete(p, False)
+                vacuumed += 1
+        else:
+            pending[rel] = first_seen
+    if pending:
+        _write_text(
+            spark, path, VACUUM_LEDGER,
+            json.dumps(pending, indent=1, sort_keys=True),
+        )
+    else:
+        lp = mkpath(f"{path}/{VACUUM_LEDGER}")
+        if fs.exists(lp):
+            fs.delete(lp, False)
+    return {
+        "files_vacuumed": vacuumed,
+        "bytes_vacuumed": bytes_vacuumed,
+        "files_pending": len(pending),
+    }
+
+
+@_locked("vacuum")
+def vacuum_ivf_index(
+    spark: SparkSession, path: str, older_than_s: float = 0.0
+) -> dict:
+    """Delete the float IVF index's unreferenced files (see
+    :func:`_vacuum_stores`): swap-replaced cell files, folded staging
+    files, purged tombstone files, and crashed-append orphans —
+    none of which any reader can be planning against, once they have
+    been unreferenced for ``older_than_s`` seconds. Size the window
+    past the longest-running search; 0 deletes immediately (safe only
+    when no reader is in flight)."""
+    repair_ivf_index(spark, path)
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    return _vacuum_stores(
+        spark, path,
+        stores={"vectors": (path, _snapshot_files(manifest, "vectors"))},
+        staging={
+            "vectors": ("vectors", _snapshot_staging(manifest, "vectors")),
+        },
+        tombstones=manifest.get("tombstone_files", []),
+        older_than_s=older_than_s,
+    )
+
+
 def compact_index_if(
     spark: SparkSession,
     path: str,
-    stores: dict[str, str],
+    gauges: dict[str, tuple],
     max_files_per_bucket: int,
     compact,
     fold=None,
@@ -1259,36 +1729,32 @@ def compact_index_if(
     own locks are reentrant). Returns ``{"fragmentation": {store:
     gauge}, "max_files_per_bucket", "threshold", "compacted",
     "folded", "stats": <verb output when one ran>}``. Cost when below
-    the threshold is the listing alone — safe to call after every
+    the threshold is the gauge alone — safe to call after every
     append (the CLI's ``--auto-compact`` and the streaming sinks do).
 
-    Store values may be root paths (gauged by
-    :func:`store_fragmentation`) or callables returning a gauge dict;
-    callables are the staging tier's hook (its files are read by EVERY
-    probe, so their count is per-bucket fan-in equivalent) and drive
-    the fold tier of the policy."""
+    ``gauges`` maps a display name to ``(kind, callable)`` where
+    ``kind`` is ``"bucket"`` (per-cell fan-in → drives the full
+    compact tier) or ``"staging"`` (staged-file count → drives the
+    cheap fold tier; staged files are read by EVERY probe, so their
+    count is per-bucket fan-in equivalent) and the callable takes the
+    session and returns a gauge dict. Snapshot-commit indexes gauge
+    the manifest's LIVE file lists (pure dict math — unreferenced
+    garbage awaiting vacuum is read by nobody and must not trigger
+    compaction)."""
     if max_files_per_bucket < 1:
         raise ValueError(
             f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
         )
     with writer_lock(spark, path, op):
-        frag = {
-            name: (src(spark) if callable(src)
-                   else store_fragmentation(spark, src))
-            for name, src in stores.items()
-        }
+        frag = {name: fn(spark) for name, (_, fn) in gauges.items()}
         bucket_worst = max(
-            (g["max_files_per_bucket"]
-             for name, src in stores.items()
-             if not callable(src)
-             for g in (frag[name],)),
+            (frag[name]["max_files_per_bucket"]
+             for name, (kind, _) in gauges.items() if kind == "bucket"),
             default=0,
         )
         staged_worst = max(
-            (g["max_files_per_bucket"]
-             for name, src in stores.items()
-             if callable(src)
-             for g in (frag[name],)),
+            (frag[name]["max_files_per_bucket"]
+             for name, (kind, _) in gauges.items() if kind == "staging"),
             default=0,
         )
         worst = max(bucket_worst, staged_worst)
@@ -1321,24 +1787,32 @@ def fold_staging_ivf_index(spark: SparkSession, path: str) -> dict:
     compaction's ``>fpb`` sweep (and :func:`compact_ivf_index_if`'s
     bucket gauge) eventually rewrites. No-op when nothing is staged.
     Crash-safe via the same journal (:func:`repair_ivf_index` runs
-    first). Returns ``{"cells_folded", "rows_folded",
+    first); the fold is snapshot-committed, so readers never see it
+    mid-swap. Returns ``{"cells_folded", "rows_folded",
     "files_added"}``."""
-    _require_no_stream_intent(spark, path, "fold_staging_ivf_index")
     repair_ivf_index(spark, path)
-    staged_files = _staging_files(spark, path, "vectors")
-    if not staged_files:
-        return {"cells_folded": 0, "rows_folded": 0, "files_added": 0}
     _, _, manifest = read_ivf_index(spark, path)
-    staged = _read_staging(spark, path, "vectors")
+    staged_names = manifest["staging_files"]["vectors"]
+    if not staged_names:
+        return {"cells_folded": 0, "rows_folded": 0, "files_added": 0}
+    staged = _read_staging_names(spark, path, "vectors", staged_names)
     out = _fold_staged_cells(
         spark, path, staged, manifest["id_col"],
         manifest["files_per_bucket"], slice_salt="ivf-slice",
-        staged_files=staged_files,
+        staged_files=[
+            f"{path}/{STAGING_DIR}/vectors/{n}" for n in staged_names
+        ],
+        snapshot=True,
     )
-    _, fs, mkpath = _index_fs(spark, path)
-    sp = mkpath(f"{path}/{STAGING_DIR}")
-    if fs.exists(sp):
-        fs.delete(sp, True)
+    manifest["files"]["vectors"] = _merge_appended(
+        manifest["files"]["vectors"], out.pop("new_files", {})
+    )
+    manifest["staging_files"]["vectors"] = []
+    _write_text(
+        spark, path, MANIFEST,
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    _finish_swap(spark, path)
     return out
 
 
@@ -1354,11 +1828,19 @@ def compact_ivf_index_if(
     :func:`fold_staging_ivf_index` (O(staged), no store rewrite).
     Staged files count as per-bucket fan-in because every search reads
     all of staging."""
+    def _live(s):
+        m = json.loads(_read_text(s, path, MANIFEST))
+        return live_fragmentation(m["files"]["vectors"])
+
+    def _staged(s):
+        m = json.loads(_read_text(s, path, MANIFEST))
+        return _staging_gauge_live(m["staging_files"]["vectors"])
+
     return compact_index_if(
         spark, path,
         {
-            "vectors": path,
-            "staging": lambda s: _staging_gauge(s, path, ("vectors",)),
+            "vectors": ("bucket", _live),
+            "staging": ("staging", _staged),
         },
         max_files_per_bucket,
         lambda: compact_ivf_index(spark, path, files_per_bucket),
@@ -1400,7 +1882,9 @@ def retrain_ivf_index(
         )
     data, _, manifest = read_ivf_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-    _tomb = _read_tombstones(spark, path, id_col)
+    _tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if _tomb is not None:
         data = data.join(F.broadcast(_tomb), id_col, "left_anti")
     vecs = data.drop("bucket")
@@ -1460,12 +1944,23 @@ def read_ivf_index(
     from sparvi_core_spark.sources.writers import _hadoop_read_text
 
     manifest = json.loads(_hadoop_read_text(spark, path, MANIFEST))
-    if manifest.get("format") != "sparvi-ivf-index/1":
+    if manifest.get("format") == "sparvi-ivf-index/1":
         raise ValueError(
-            f"{path}/{MANIFEST} is not a sparvi-ivf-index/1 manifest"
+            f"{path}/{MANIFEST} predates snapshot commits "
+            f"(sparvi-ivf-index/1) — rebuild it with write_ivf_index"
         )
-    data = spark.read.parquet(path)
-    staged = _read_staging(spark, path, "vectors")
+    if manifest.get("format") != "sparvi-ivf-index/2":
+        raise ValueError(
+            f"{path}/{MANIFEST} is not a sparvi-ivf-index/2 manifest"
+        )
+    data = _snapshot_read(spark, path, _snapshot_files(manifest, "vectors"))
+    if data is None:
+        # empty snapshot (everything deleted): same failure surface a
+        # listing read of an empty store had
+        data = spark.read.parquet(path)
+    staged = _read_staging_names(
+        spark, path, "vectors", _snapshot_staging(manifest, "vectors")
+    )
     if staged is not None:
         # lazy checkpoint, not a second parquet scan under the union:
         # Spark 4.1's dynamic partition pruning mis-plans a join on the
@@ -1524,7 +2019,9 @@ def search_ivf_index(
     pruned = data.filter(F.col("bucket").isin(probed))
     # tombstoned ids (deleted, not yet purged by compaction) never
     # surface as neighbors
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     q = queries.select(id_col, vec_col).join(qp_local, id_col)

@@ -710,17 +710,24 @@ def compact_binary_index_if(
     knob → full :func:`compact_binary_index`; staged-file count past
     the knob alone → :func:`fold_staging_binary_index` (O(staged), no
     store rewrite)."""
-    from sparvi_core_spark.sources.ann_index import compact_index_if
+    from sparvi_core_spark.sources.ann_index import (
+        compact_index_if,
+        store_fragmentation,
+    )
 
     return compact_index_if(
         spark, path,
         {
-            "codes": path,
-            "vectors": f"{path}/{VECTORS_DIR}",
+            "codes": ("bucket", lambda s: store_fragmentation(s, path)),
+            "vectors": (
+                "bucket",
+                lambda s: store_fragmentation(s, f"{path}/{VECTORS_DIR}"),
+            ),
             # staged files count as per-bucket fan-in (every search
             # reads all of staging)
-            "staging": lambda s: _staging_gauge(
-                s, path, ("codes", "vectors")
+            "staging": (
+                "staging",
+                lambda s: _staging_gauge(s, path, ("codes", "vectors")),
             ),
         },
         max_files_per_bucket,

@@ -716,17 +716,24 @@ def compact_ivfpq_index_if(
     knob → full :func:`compact_ivfpq_index`; staged-file count past
     the knob alone → :func:`fold_staging_ivfpq_index` (O(staged), no
     store rewrite)."""
-    from sparvi_core_spark.sources.ann_index import compact_index_if
+    from sparvi_core_spark.sources.ann_index import (
+        compact_index_if,
+        store_fragmentation,
+    )
 
     return compact_index_if(
         spark, path,
         {
-            "codes": path,
-            "floats": f"{path}/{FLOATS_DIR}",
+            "codes": ("bucket", lambda s: store_fragmentation(s, path)),
+            "floats": (
+                "bucket",
+                lambda s: store_fragmentation(s, f"{path}/{FLOATS_DIR}"),
+            ),
             # staged files count as per-bucket fan-in (every search
             # reads all of staging)
-            "staging": lambda s: _staging_gauge(
-                s, path, ("codes", "floats")
+            "staging": (
+                "staging",
+                lambda s: _staging_gauge(s, path, ("codes", "floats")),
             ),
         },
         max_files_per_bucket,

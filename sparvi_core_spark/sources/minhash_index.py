@@ -777,16 +777,23 @@ def compact_minhash_index_if(
     from sparvi_core_spark.sources.ann_index import (
         _staging_gauge,
         compact_index_if,
+        store_fragmentation,
     )
 
     return compact_index_if(
         spark, path,
         {
-            "bands": path,
-            "sigs": f"{path}/{SIGS_DIR}",
+            "bands": ("bucket", lambda s: store_fragmentation(s, path)),
+            "sigs": (
+                "bucket",
+                lambda s: store_fragmentation(s, f"{path}/{SIGS_DIR}"),
+            ),
             # staged files count as per-bucket fan-in: every probe
             # reads all of staging
-            "staging": lambda s: _staging_gauge(s, path, ("bands", "sigs")),
+            "staging": (
+                "staging",
+                lambda s: _staging_gauge(s, path, ("bands", "sigs")),
+            ),
         },
         max_files_per_bucket,
         lambda: compact_minhash_index(spark, path),

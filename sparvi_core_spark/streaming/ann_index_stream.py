@@ -50,6 +50,21 @@ import json
 from pyspark.sql import DataFrame
 
 
+def _already_committed(spark, path: str, manifest_name: str, batch_id: int):
+    """The snapshot-commit fence: a batch id at or below the
+    manifest's ``last_stream_batch_id`` already committed (its counts,
+    file snapshot, and batch id landed in ONE manifest write) — skip
+    it. Anything else simply runs: if a prior attempt crashed after
+    its data landed but before its commit, those files are referenced
+    by nothing (readers scan the snapshot, never the directory), so
+    re-appending is exactly-once by construction and the orphans wait
+    for vacuum."""
+    from sparvi_core_spark.sources.ann_index import _read_text
+
+    manifest = json.loads(_read_text(spark, path, manifest_name))
+    return batch_id <= manifest.get("last_stream_batch_id", -1)
+
+
 def _replay_suspected(spark, path: str, manifest_name: str, batch_id: int):
     """The sink's per-batch fence. Returns None when the batch is
     already committed (skip it), True when a write-ahead intent for
@@ -128,20 +143,15 @@ def index_stream_batches(
             return
         spark = batch_df.sparkSession
         with writer_lock(spark, path, "stream-batch"):
-            suspect = _replay_suspected(
-                spark, path, MANIFEST, int(batch_id)
-            )
-            if suspect is None:
+            if _already_committed(spark, path, MANIFEST, int(batch_id)):
                 return  # replayed batch: already committed, skip
             append_ivf_index(
                 batch_df, path, files_per_bucket=files_per_bucket,
                 staged=staged, stream_batch_id=int(batch_id),
-                screen_existing=suspect,
             )
-            _clear_intent(spark, path)
             if auto_compact is not None:
                 # after the commit: a crash mid-compaction replays
-                # nothing; the journaled swap heals via repair
+                # nothing; the snapshot-committed swap heals via repair
                 compact_ivf_index_if(spark, path, auto_compact)
 
     w = stream_df.writeStream.foreachBatch(_write)

@@ -43,7 +43,12 @@ def test_write_read_roundtrip_and_manifest(spark, tmp_path):
 
     data, rcents, rman = read_ivf_index(spark, path)
     assert rman == man
-    assert man["format"] == "sparvi-ivf-index/1"
+    assert man["format"] == "sparvi-ivf-index/2"
+    # snapshot commit: the manifest records the live file set exactly
+    assert sorted(man["files"]["vectors"]) == sorted(man["rows_per_bucket"])
+    assert all(v for v in man["files"]["vectors"].values())
+    assert man["staging_files"] == {"vectors": []}
+    assert man["tombstone_files"] == []
     assert man["n_vectors"] == 120 and man["dropped_null"] == 3
     assert man["dim"] == 6 and man["k"] == 6
     assert sum(man["rows_per_bucket"].values()) == 120
@@ -383,11 +388,22 @@ def test_compact_rewrites_only_fragmented_cells(spark, tmp_path):
 
 
 def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
+    """Snapshot-commit repair rule: the manifest write IS the commit,
+    so the journal alone decides — new files referenced by the
+    manifest mean the swap committed (repair touches NO data file:
+    the replaced originals are vacuum's, not repair's); unreferenced
+    new files mean it never did (delete them, the store is exactly as
+    it was)."""
     import json
     import os
     import shutil
 
-    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+    from sparvi_core_spark.sources.ann_index import (
+        MANIFEST,
+        _write_text,
+        repair_ivf_index,
+        vacuum_ivf_index,
+    )
 
     base = _corpus(spark, n=80, seed=31)
     cents = _centroids(spark, base, k=3)
@@ -406,20 +422,32 @@ def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
     # clean index: repair is a no-op
     assert repair_ivf_index(spark, path)["action"] == "clean"
 
-    # ROLL FORWARD: every journaled new file landed → originals go
+    # COMMITTED: the new file landed AND the manifest references it
+    # (a crash after the manifest write but before the journal drop)
+    # → repair just finishes the cleanup; the original stays on disk
+    # for any in-flight reader until vacuum
     copy = "compacted-test-0.parquet"
     shutil.copy(
         os.path.join(path, cell, orig[0]), os.path.join(path, cell, copy)
     )
+    with open(os.path.join(path, MANIFEST)) as fh:
+        man = json.load(fh)
+    n_vectors = man["n_vectors"]
+    man["files"]["vectors"][b] = [copy]
+    _write_text(spark, path, MANIFEST, json.dumps(man))
     with open(os.path.join(path, "_compact_journal.json"), "w") as fh:
         json.dump({"cells": {b: {"new": [copy], "old": orig}}}, fh)
     assert repair_ivf_index(spark, path)["action"] == "rolled_forward"
     left = os.listdir(os.path.join(path, cell))
+    assert copy in left and orig[0] in left  # original awaits vacuum
+    data, _, _ = read_ivf_index(spark, path)
+    assert data.count() == n_vectors  # readers see ONLY the snapshot
+    vacuum_ivf_index(spark, path)
+    left = os.listdir(os.path.join(path, cell))
     assert copy in left and orig[0] not in left
-    data, _, man = read_ivf_index(spark, path)
-    assert data.count() == man["n_vectors"]  # store back to one copy
 
-    # ROLL BACK: a journaled new file missing → partials go, originals stay
+    # UNCOMMITTED: a new file landed but the manifest never
+    # referenced it (crash before the commit) → repair deletes it
     partial = "compacted-test-1.parquet"
     shutil.copy(
         os.path.join(path, cell, copy), os.path.join(path, cell, partial)
@@ -433,7 +461,7 @@ def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
     assert repair_ivf_index(spark, path)["action"] == "rolled_back"
     left = os.listdir(os.path.join(path, cell))
     assert copy in left and partial not in left
-    assert read_ivf_index(spark, path)[0].count() == man["n_vectors"]
+    assert read_ivf_index(spark, path)[0].count() == n_vectors
 
     # orphan tmp dir without a journal: dropped
     os.makedirs(os.path.join(path, "_compact_tmp", cell), exist_ok=True)
@@ -533,11 +561,21 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
 def test_compact_if_trigger(spark, tmp_path):
     """Auto-compaction knob on the float IVF index: gauge-only below
     the threshold, fold above it, search identical, no-op once clean."""
+    import json as _json
+    import os
+
     from sparvi_core_spark.sources.ann_index import (
+        MANIFEST,
         append_ivf_index,
         compact_ivf_index_if,
+        live_fragmentation,
         store_fragmentation,
+        vacuum_ivf_index,
     )
+
+    def _live_gauge(p):
+        with open(os.path.join(p, MANIFEST)) as fh:
+            return live_fragmentation(_json.load(fh)["files"]["vectors"])
 
     base = _corpus(spark, n=120, seed=21)
     cents = _centroids(spark, base, k=4)
@@ -548,7 +586,7 @@ def test_compact_if_trigger(spark, tmp_path):
             "vec_id", F.col("vec_id") + 1000 * (g + 1)
         )
         append_ivf_index(batch, path)
-    assert store_fragmentation(spark, path)["max_files_per_bucket"] >= 3
+    assert _live_gauge(path)["max_files_per_bucket"] >= 3
 
     queries = base.limit(10).select("vec_id", "embedding")
     before = sorted(
@@ -561,11 +599,16 @@ def test_compact_if_trigger(spark, tmp_path):
     out2 = compact_ivf_index_if(spark, path, max_files_per_bucket=2)
     assert out2["compacted"] is True
     assert out2["stats"]["cells_compacted"] > 0
-    assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
+    # the LIVE gauge (what a search opens) is clean immediately; the
+    # replaced files stay physically until vacuum retires them
+    assert _live_gauge(path)["max_files_per_bucket"] == 1
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] >= 4
     after = sorted(
         map(tuple, search_ivf_index(spark, path, queries, k=4).collect())
     )
     assert after == before
+    vacuum_ivf_index(spark, path)
+    assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
 
     out3 = compact_ivf_index_if(spark, path, max_files_per_bucket=2)
     assert out3["compacted"] is False
@@ -626,7 +669,11 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     # append-shaped staging fold, not the full compact
     assert out["folded"] is True and out["compacted"] is False
     assert out["stats"]["rows_folded"] == 50
-    assert not os.path.exists(os.path.join(b, "_staging"))
+    # the fold's commit unreferences staging; the physical files wait
+    # for vacuum (an in-flight search may still be planning on them)
+    _, _, man_fold = read_ivf_index(spark, b)
+    assert man_fold["staging_files"]["vectors"] == []
+    assert len(_staging_files(spark, b, "vectors")) == 2
     # the fold leaves the tombstone pending — searches still exclude
     # the victim — and the answers already match the normal twin with
     # the same takedown applied
@@ -651,6 +698,12 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     assert got_b3 == got_a2
     out2 = compact_ivf_index_if(spark, b, max_files_per_bucket=1)
     assert out2["compacted"] is False and out2["folded"] is False
+    # vacuum reclaims the consumed staging files (and every other
+    # unreferenced file the swaps retired)
+    from sparvi_core_spark.sources.ann_index import vacuum_ivf_index
+
+    assert vacuum_ivf_index(spark, b)["files_vacuumed"] > 0
+    assert _staging_files(spark, b, "vectors") == []
 
 
 def test_rename_into_cells_mkdirs_and_checks_returns(spark, tmp_path):
@@ -802,7 +855,9 @@ def test_staged_fold_into_previously_empty_cell(spark, tmp_path):
     compact_ivf_index(spark, path)
 
     assert os.path.exists(os.path.join(path, "bucket=3"))
-    assert not os.path.exists(os.path.join(path, "_staging"))
+    # staging is unreferenced (vacuum's job now), not deleted in place
+    _, _, man_after = read_ivf_index(spark, path)
+    assert man_after["staging_files"]["vectors"] == []
     q = far.limit(2).select("vec_id", "embedding")
     hits = search_ivf_index(spark, path, q, k=3).collect()
     assert hits and all(r["neighbor_id"] >= 1000 for r in hits)
@@ -832,30 +887,118 @@ def test_replay_screen_scan_is_pruned(spark, tmp_path):
     assert "ReadSchema: struct<vec_id:bigint>" in pf
 
 
-def test_maintenance_refuses_under_live_stream_intent(spark, tmp_path):
-    """A live _stream_intent.json means a streaming batch crashed
-    between its data append and its manifest commit — on-disk rows are
-    ahead of the manifest, so a compaction identity check would fail
-    with a misleading error. Maintenance verbs must refuse with the
-    real diagnosis (replay the stream) and proceed once healed."""
-    import json
-    import os
-
+def test_pinned_reader_survives_compaction(spark, tmp_path):
+    """THE snapshot-commit guarantee: a search/read planned BEFORE a
+    compaction keeps working — and keeps answering from its own
+    snapshot — while and after the swap commits, because replaced
+    files are unreferenced, never deleted (the legacy protocol's
+    delete pass would have killed this scan with a missing-input
+    error mid-flight). Vacuum with a retention window is what finally
+    retires them."""
     from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
-        _write_text,
+        append_ivf_index,
         compact_ivf_index,
-        fold_staging_ivf_index,
+        vacuum_ivf_index,
     )
 
-    df = _corpus(spark, n=40, seed=3)
-    path = str(tmp_path / "ivf")
-    write_ivf_index(df, _centroids(spark, df, k=3), path)
-    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 7}))
+    base = _corpus(spark, n=100, seed=41)
+    cents = _centroids(spark, base, k=4)
+    path = str(tmp_path / "ivf_pin")
+    write_ivf_index(base, cents, path)
+    for g in range(2):
+        append_ivf_index(
+            _corpus(spark, n=20, seed=50 + g).withColumn(
+                "vec_id", F.col("vec_id") + 1000 * (g + 1)
+            ),
+            path,
+        )
 
-    for verb in (compact_ivf_index, fold_staging_ivf_index):
-        with pytest.raises(RuntimeError, match="write-ahead intent"):
-            verb(spark, path)
-    os.remove(os.path.join(path, STREAM_INTENT))
-    assert compact_ivf_index(spark, path)["cells_compacted"] == 0
+    pinned, _, _ = read_ivf_index(spark, path)  # file list planned NOW
+    queries = base.limit(5).select("vec_id", "embedding")
+    pinned_hits = search_ivf_index(spark, path, queries, k=4)
+
+    stats = compact_ivf_index(spark, path)
+    assert stats["cells_compacted"] > 0
+
+    # the pre-compaction frames still execute, against their snapshot
+    assert pinned.count() == 140
+    assert pinned.select("vec_id").distinct().count() == 140
+    got = sorted(map(tuple, pinned_hits.collect()))
+    fresh = sorted(
+        map(tuple, search_ivf_index(spark, path, queries, k=4).collect())
+    )
+    assert got == fresh and len(got) > 0
+
+    # retention window: a first vacuum pass only REGISTERS the newly
+    # unreferenced files (first-seen ledger); they die a window later
+    out1 = vacuum_ivf_index(spark, path, older_than_s=3600)
+    assert out1["files_vacuumed"] == 0 and out1["files_pending"] > 0
+    assert pinned.count() == 140  # still readable
+    out2 = vacuum_ivf_index(spark, path, older_than_s=0.0)
+    assert out2["files_vacuumed"] > 0 and out2["files_pending"] == 0
+    assert read_ivf_index(spark, path)[0].count() == 140
+
+
+def test_crashed_append_is_invisible_and_vacuumed(spark, tmp_path):
+    """A crash between an append's data write and its manifest commit
+    leaves files referenced by NOTHING: readers, searches, identity
+    checks, and maintenance all behave as if the append never started
+    (no refusal fence needed — the r10-era intent marker existed only
+    because listing-based readers could see uncommitted rows), and
+    vacuum reclaims the orphans."""
+    import pytest
+
+    from sparvi_core_spark.sources import writers as W
+    from sparvi_core_spark.sources.ann_index import (
+        MANIFEST,
+        append_ivf_index,
+        compact_ivf_index,
+        fold_staging_ivf_index,
+        store_fragmentation,
+        vacuum_ivf_index,
+    )
+
+    base = _corpus(spark, n=60, seed=3)
+    path = str(tmp_path / "ivf_orphan")
+    write_ivf_index(base, _centroids(spark, base, k=3), path)
+
+    new = _corpus(spark, n=15, seed=11).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    real = W._hadoop_write_text
+
+    def boom(sp, dir_path, name, text):
+        if name == MANIFEST:
+            raise RuntimeError("simulated crash")
+        return real(sp, dir_path, name, text)
+
+    W._hadoop_write_text = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_ivf_index(new, path)
+    finally:
+        W._hadoop_write_text = real
+
+    # rows landed physically but are invisible everywhere
+    assert store_fragmentation(spark, path)["total_files"] > 3
+    data, _, man = read_ivf_index(spark, path)
+    assert data.count() == 60 and man["n_vectors"] == 60
+
+    # maintenance runs fine over the snapshot (identity checks see
+    # only referenced files) and never adopts the orphans
+    assert compact_ivf_index(spark, path)["rows_rewritten"] == 0
     assert fold_staging_ivf_index(spark, path)["cells_folded"] == 0
+    assert read_ivf_index(spark, path)[0].count() == 60
+
+    out = vacuum_ivf_index(spark, path)
+    assert out["files_vacuumed"] > 0
+    assert store_fragmentation(spark, path)["total_files"] == 3
+    assert read_ivf_index(spark, path)[0].count() == 60
+
+    # the SAME batch can simply be appended again — exactly-once by
+    # construction, no screen
+    man2 = append_ivf_index(new, path)
+    assert man2["n_vectors"] == 75
+    assert read_ivf_index(spark, path)[0].select(
+        "vec_id"
+    ).distinct().count() == 75

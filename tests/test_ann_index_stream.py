@@ -141,9 +141,14 @@ def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
     data, _, man = read_ivf_index(spark, path)
     assert man["n_vectors"] == 135 and man["appends"] == 3
     assert data.count() == 135
-    # the in-stream fold ran: staging is gone
+    # the in-stream fold ran: staging is unreferenced (the physical
+    # files wait for vacuum — an in-flight search may be planning on
+    # them)
+    assert man["staging_files"]["vectors"] == []
+    from sparvi_core_spark.sources.ann_index import vacuum_ivf_index
+
+    vacuum_ivf_index(spark, path)
     assert not _staging_files(spark, path, "vectors")
-    assert not os.path.exists(os.path.join(path, "_staging"))
 
     union = base.unionByName(new)
     queries = union.filter(F.col("vec_id").isin(4, 10_007)).select(
@@ -159,24 +164,23 @@ def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
 
 
 def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
-    """Round-10 verdict #1: a crash BETWEEN the batch's data append
-    and its (single) manifest commit used to double-append the batch
-    on replay. Now the sink writes a write-ahead intent before any
-    data lands; the redelivered batch sees its own id in the intent,
-    screens at id grain, appends only the missing split, and heals the
-    manifest — zero duplicate ids, counts consistent, search results
-    equal to a never-crashed twin."""
-    import os
-
+    """A crash BETWEEN the batch's data append and its single
+    manifest commit leaves the landed files referenced by NOTHING
+    (readers scan the committed snapshot, never the directory), so
+    the redelivered batch simply appends again — exactly-once by
+    construction, with no intent marker and no id screen. Readers
+    never saw the crashed attempt, counts stay consistent, search
+    results equal a never-crashed twin, and vacuum reclaims the
+    orphans."""
     import pytest
 
     from sparvi_core_spark.operators.similarity import kmeans_fit
     from sparvi_core_spark.sources import writers as W
     from sparvi_core_spark.sources.ann_index import (
         MANIFEST,
-        STREAM_INTENT,
-        _write_text,
         append_ivf_index,
+        store_fragmentation,
+        vacuum_ivf_index,
     )
     from sparvi_core_spark.streaming.profile_stream import stream_events
 
@@ -191,9 +195,8 @@ def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
     src = str(tmp_path / "src_cw")
     new.coalesce(1).write.parquet(src)  # ONE file -> one batch (id 0)
 
-    # --- the crashed attempt: intent on disk, data landed, the
-    # single manifest write did NOT (simulated by a failing writer)
-    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 0}))
+    # --- the crashed attempt: data landed, the single manifest
+    # write did NOT (simulated by a failing writer)
     real = W._hadoop_write_text
 
     def boom(sp, dir_path, name, text):
@@ -207,10 +210,15 @@ def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
             append_ivf_index(new, path, stream_batch_id=0)
     finally:
         W._hadoop_write_text = real
+    # the orphans are physically there (4 live files + the crashed
+    # attempt's) ...
+    assert store_fragmentation(spark, path)["total_files"] > 4
     data, _, man = read_ivf_index(spark, path)
-    assert data.count() == 80 and man["n_vectors"] == 60  # drifted
+    # the crashed attempt is INVISIBLE — no drift at all
+    assert data.count() == 60 and man["n_vectors"] == 60
+    assert "last_stream_batch_id" not in man
 
-    # --- the replay, through the real sink
+    # --- the replay, through the real sink: plain append, no screen
     q = index_stream_batches(
         stream_events(spark, src, max_files_per_trigger=1),
         path,
@@ -224,8 +232,6 @@ def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
     assert man2["n_vectors"] == 80
     assert sum(man2["rows_per_bucket"].values()) == 80
     assert man2["last_stream_batch_id"] == 0
-    assert man2["replay_rows_healed"] == 20
-    assert not os.path.exists(os.path.join(path, STREAM_INTENT))
 
     # search parity with the never-crashed twin
     append_ivf_index(new, twin)
@@ -249,20 +255,25 @@ def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
     data3, _, man3 = read_ivf_index(spark, path)
     assert data3.count() == 80 and man3["n_vectors"] == 80
 
+    # vacuum reclaims the crashed attempt's orphans: physical files
+    # match the committed snapshot exactly afterwards
+    assert vacuum_ivf_index(spark, path)["files_vacuumed"] > 0
+    live_total = sum(len(v) for v in man3["files"]["vectors"].values())
+    assert store_fragmentation(spark, path)["total_files"] == live_total
+    assert read_ivf_index(spark, path)[0].count() == 80
+
 
 def test_crash_window_replay_staged_and_partial(spark, tmp_path):
-    """The staged variant of the crash window, plus the pre-crash
-    half-landed case: only PART of the batch's rows landed before the
-    crash (simulated by staging half the batch). The replay screen
-    admits exactly the missing split."""
-    import os
-
+    """The staged variant of the crash window: PART of the batch's
+    rows landed as a staging file before the crash, but the manifest
+    (whose single write publishes counts AND the staging file list)
+    never committed — so the half-landed file is referenced by
+    nothing. The replay appends the FULL batch as a fresh staging
+    file; the orphan stays invisible until vacuum."""
     from sparvi_core_spark.operators.similarity import kmeans_fit
     from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
         _staging_files,
-        _write_text,
-        append_ivf_index,
+        vacuum_ivf_index,
     )
     from sparvi_core_spark.streaming.profile_stream import stream_events
 
@@ -276,19 +287,23 @@ def test_crash_window_replay_staged_and_partial(spark, tmp_path):
     new.coalesce(1).write.parquet(src)
 
     # crashed attempt: HALF the batch made it into staging, manifest
-    # untouched, intent on disk — land the half through the raw
-    # staging write (not append, which would update the manifest)
+    # untouched — land the half through the raw staging write (not
+    # append, which would commit the manifest)
     half = new.filter(F.col("vec_id") < 40_010)
     from sparvi_core_spark.operators.similarity import ivf_assign
 
-    cents_stored, _ = (lambda d: (d[1], None))(read_ivf_index(spark, path))
+    cents_stored = read_ivf_index(spark, path)[1]
     assigned = ivf_assign(half, cents_stored).select(
         F.col("id").alias("vec_id"), "bucket"
     )
     half.join(assigned, "vec_id").coalesce(1).write.mode("append").parquet(
         f"{path}/_staging/vectors"
     )
-    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 0}))
+    # the orphan staging file is invisible to readers
+    data0, _, man0 = read_ivf_index(spark, path)
+    assert data0.count() == 60
+    assert man0["staging_files"]["vectors"] == []
+    assert len(_staging_files(spark, path, "vectors")) == 1
 
     q = index_stream_batches(
         stream_events(spark, src, max_files_per_trigger=1),
@@ -302,7 +317,11 @@ def test_crash_window_replay_staged_and_partial(spark, tmp_path):
     assert data.count() == 80
     assert data.select("vec_id").distinct().count() == 80
     assert man["n_vectors"] == 80
-    assert man["replay_rows_healed"] == 10
     assert man["last_stream_batch_id"] == 0
-    assert not os.path.exists(os.path.join(path, STREAM_INTENT))
+    # ONE committed staging file (the full batch); the orphan half is
+    # physically present until vacuum
+    assert len(man["staging_files"]["vectors"]) == 1
     assert len(_staging_files(spark, path, "vectors")) == 2
+    vacuum_ivf_index(spark, path)
+    assert len(_staging_files(spark, path, "vectors")) == 1
+    assert read_ivf_index(spark, path)[0].count() == 80
