@@ -545,6 +545,19 @@ def main() -> None:
         results.setdefault("mhidx_compact_folds", {})[sf_name] = round(
             time.time() - t0, 3
         )
+        # r11 snapshot commits: the compact retires (never deletes)
+        # the replaced files; vacuum is the GC half — time it so the
+        # full maintenance cost is on record (pure FS work: listing +
+        # unreferenced-file deletes, no Spark jobs)
+        from sparvi_core_spark.sources.minhash_index import (
+            vacuum_minhash_index,
+        )
+
+        t0 = time.time()
+        vstats = vacuum_minhash_index(spark, mhidx_path)
+        results.setdefault("mhidx_vacuum", {})[sf_name] = round(
+            time.time() - t0, 3
+        )
         files_post = _count_files(mhidx_path)
         results.setdefault("mhidx_probe_postcompact", {})[sf_name] = timed(
             probe_once
@@ -556,6 +569,7 @@ def main() -> None:
                     "sf": sf_name,
                     "files_fragmented": files_frag,
                     "files_postcompact": files_post,
+                    "files_vacuumed": vstats["files_vacuumed"],
                     "cells_compacted": cstats["bands"]["cells_compacted"]
                     + cstats["sigs"]["cells_compacted"],
                 }

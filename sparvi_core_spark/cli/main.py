@@ -1204,6 +1204,28 @@ def dedup_index_delete(index_path, ids, cpus):
     click.echo(json.dumps(stats))
 
 
+@dedup_index.command("vacuum")
+@click.argument("index_path")
+@click.option("--older-than", default=0.0, show_default=True,
+              help="Retention seconds: delete only files unreferenced "
+                   "for at least this long (size past the longest "
+                   "probe; needs two passes unless 0)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def dedup_index_vacuum(index_path, older_than, cpus):
+    """Delete files referenced by NOTHING in the manifest — swap
+    leftovers, folded staging files, purged tombstones, crashed-append
+    orphans. Maintenance swaps never delete in place (a running probe
+    may hold the files); this is the GC half of snapshot commits."""
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    spark = _session(cpus)
+    click.echo(json.dumps(
+        vacuum_minhash_index(spark, index_path, older_than_s=older_than)
+    ))
+
+
 @dedup_index.command("break-lock")
 @click.argument("index_path")
 @click.option("--cpus", default=None, help="local[N] cores")
@@ -1517,6 +1539,35 @@ def ann_index_delete(index_path, kind, ids, cpus):
 
         stats = delete_from_ivfpq_index(spark, index_path, list(ids))
     click.echo(json.dumps(stats))
+
+
+@ann_index_grp.command("vacuum")
+@click.argument("index_path")
+@click.option("--kind", type=_ANN_KINDS, default="ivf", show_default=True)
+@click.option("--older-than", default=0.0, show_default=True,
+              help="Retention seconds: delete only files unreferenced "
+                   "for at least this long (size past the longest "
+                   "search; needs two passes unless 0)")
+@click.option("--cpus", default=None, help="local[N] cores")
+def ann_index_vacuum(index_path, kind, older_than, cpus):
+    """Delete files referenced by NOTHING in the manifest — swap
+    leftovers, folded staging files, purged tombstones, crashed-append
+    orphans. Maintenance swaps never delete in place (a running search
+    may hold the files); this is the GC half of snapshot commits."""
+    spark = _session(cpus)
+    if kind == "ivf":
+        from sparvi_core_spark.sources.ann_index import (
+            vacuum_ivf_index as vac,
+        )
+    elif kind == "binary":
+        from sparvi_core_spark.sources.binary_index import (
+            vacuum_binary_index as vac,
+        )
+    else:
+        from sparvi_core_spark.sources.ivfpq_index import (
+            vacuum_ivfpq_index as vac,
+        )
+    click.echo(json.dumps(vac(spark, index_path, older_than_s=older_than)))
 
 
 @ann_index_grp.command("break-lock")

@@ -812,65 +812,6 @@ def write_ivf_index(
     return manifest
 
 
-STREAM_INTENT = "_stream_intent.json"
-
-
-def _require_no_stream_intent(spark: SparkSession, path: str, verb: str):
-    """Maintenance fence: a live ``_stream_intent.json`` means a
-    streaming micro-batch crashed between its data append and its
-    manifest commit — rows are on disk that the manifest doesn't
-    count, so a compaction/fold identity check would fail with a
-    misleading "files mutated outside the append path" error. Refuse
-    with the actual diagnosis and the fix (replay the stream; its
-    intent-matched re-run screens and heals the batch)."""
-    _, fs, mkpath = _index_fs(spark, path)
-    if fs.exists(mkpath(f"{path}/{STREAM_INTENT}")):
-        raise RuntimeError(
-            f"{verb} refused: {path} carries a streaming write-ahead "
-            f"intent ({STREAM_INTENT}) — a streaming micro-batch "
-            f"crashed between its data append and its manifest commit, "
-            f"so on-disk rows are ahead of the manifest. Restart the "
-            f"stream first (the replayed batch screens at id grain and "
-            f"heals both); delete the intent file manually only if the "
-            f"stream's checkpoint is gone for good."
-        )
-
-
-def _existing_ids(
-    spark: SparkSession,
-    store_root: str,
-    staged_files: list[str],
-    id_col: str,
-    cells,
-) -> DataFrame | None:
-    """The replay screen's lookup side: distinct ids already present
-    in a cell-partitioned store — scan PRUNED to the batch's touched
-    ``cells`` and column-pruned to the id, so the cost is bucket-grain
-    (the id bytes of the touched cells), never O(index) — unioned with
-    any staged files' ids. None when neither side has data for those
-    cells."""
-    parts = []
-    _, fs, mkpath = _index_fs(spark, store_root)
-    live = [
-        int(b) for b in cells
-        if fs.exists(mkpath(f"{store_root}/bucket={b}"))
-    ]
-    if live:
-        parts.append(
-            spark.read.parquet(store_root)
-            .filter(F.col("bucket").isin(live))
-            .select(id_col)
-        )
-    if staged_files:
-        parts.append(spark.read.parquet(*staged_files).select(id_col))
-    if not parts:
-        return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out.distinct()
-
-
 @_locked_df_first("append")
 def append_ivf_index(
     new_vectors: DataFrame,
@@ -1537,25 +1478,6 @@ def _staging_files(spark: SparkSession, path: str, sub: str) -> list[str]:
         if st.isFile() and not name.startswith((".", "_")):
             out.append(f"{root}/{name}")
     return sorted(out)
-
-
-def _read_staging(
-    spark: SparkSession, path: str, sub: str
-) -> DataFrame | None:
-    """The staged frame for one store (bucket as a plain column), or
-    None when nothing is staged."""
-    files = _staging_files(spark, path, sub)
-    if not files:
-        return None
-    return spark.read.parquet(*files)
-
-
-def _staging_gauge(spark: SparkSession, path: str, subs) -> dict:
-    """Fragmentation-shaped gauge for a staging tier: staged files are
-    unpartitioned, so EVERY probe/search reads all of them — their
-    count is the per-bucket fan-in equivalent."""
-    n = sum(len(_staging_files(spark, path, s)) for s in subs)
-    return {"n_buckets": 0, "total_files": n, "max_files_per_bucket": n}
 
 
 def store_fragmentation(spark: SparkSession, root: str) -> dict:

@@ -57,25 +57,26 @@ from sparvi_core_spark.sources.ann_index import (
     _append_tombstones,
     _index_fs,
     _locked,
-    _clear_tombstones,
     _compact_cells,
     _normalize_delete_ids,
     _purge_cells,
-    _read_staging,
+    _read_staging_names,
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
-    _require_no_stream_intent,
+    _repair_store,
     _require_unique_ids,
+    _physical_cells,
+    _snapshot_files,
+    _snapshot_read,
+    _snapshot_staging,
     _staging_files,
-    _staging_gauge,
     _write_text,
-    repair_ivf_index,
 )
 
 MANIFEST = "_binary_manifest.json"
 VECTORS_DIR = "_vectors"
-FORMAT = "sparvi-binary-index/1"
+FORMAT = "sparvi-binary-index/2"
 
 
 def _bucket_expr(sketch_col: str, prefix_bits: int) -> F.Column:
@@ -183,13 +184,22 @@ def write_binary_index(
             .partitionBy("bucket")
             .parquet(f"{path}/{VECTORS_DIR}")
         )
-    # per-bucket stats from the WRITTEN codes (cheapest possible scan;
-    # avoids re-running the sketch kernel a second time). Correct
-    # because this writer is for fresh indexes — incremental batches go
-    # through append_binary_index.
-    per_bucket = {
+    # snapshot commit: adopt the initial write's files (the only time
+    # a listing feeds the manifest), then per-bucket stats from the
+    # WRITTEN codes (cheapest possible scan; avoids re-running the
+    # sketch kernel a second time). Correct because this writer is
+    # for fresh indexes — incremental batches go through
+    # append_binary_index.
+    _, fs, mkpath = _index_fs(spark, path)
+    files = {"codes": _physical_cells(fs, mkpath, path)}
+    files["vectors"] = (
+        _physical_cells(fs, mkpath, f"{path}/{VECTORS_DIR}")
+        if store_vectors else {}
+    )
+    codes_snap = _snapshot_read(spark, path, files["codes"])
+    per_bucket = {} if codes_snap is None else {
         int(r["bucket"]): int(r["n"])
-        for r in spark.read.parquet(path)
+        for r in codes_snap
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -197,6 +207,9 @@ def write_binary_index(
     n_vectors = sum(per_bucket.values())
     manifest = {
         "format": FORMAT,
+        "files": files,
+        "staging_files": {"codes": [], "vectors": []},
+        "tombstone_files": [],
         "id_col": id_col,
         "vec_col": vec_col,
         "bits": bits,
@@ -222,10 +235,20 @@ def read_binary_index(
     partitioned sketch frame (bucket column included — filter it
     yourself or use :func:`search_binary_index`, which prunes)."""
     manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") == "sparvi-binary-index/1":
+        raise ValueError(
+            f"{path}/{MANIFEST} predates snapshot commits "
+            f"(sparvi-binary-index/1) — rebuild it with "
+            f"write_binary_index"
+        )
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
-    codes = spark.read.parquet(path)
-    staged = _read_staging(spark, path, "codes")
+    codes = _snapshot_read(spark, path, _snapshot_files(manifest, "codes"))
+    if codes is None:
+        codes = spark.read.parquet(path)
+    staged = _read_staging_names(
+        spark, path, "codes", _snapshot_staging(manifest, "codes")
+    )
     if staged is not None:
         # lazy checkpoint, not a second parquet scan under the union
         # (the read_ivf_index rationale: Spark 4.1 DPP mis-plans
@@ -234,11 +257,19 @@ def read_binary_index(
     return codes, manifest
 
 
-def _float_rows(spark: SparkSession, path: str) -> DataFrame:
-    """The logical float side-store: partitioned files ∪ staged
-    appends."""
-    floats = spark.read.parquet(f"{path}/{VECTORS_DIR}")
-    staged = _read_staging(spark, path, "vectors")
+def _float_rows(
+    spark: SparkSession, path: str, manifest: dict
+) -> DataFrame:
+    """The logical float side-store: committed snapshot ∪ committed
+    staged appends."""
+    floats = _snapshot_read(
+        spark, f"{path}/{VECTORS_DIR}", _snapshot_files(manifest, "vectors")
+    )
+    if floats is None:
+        floats = spark.read.parquet(f"{path}/{VECTORS_DIR}")
+    staged = _read_staging_names(
+        spark, path, "vectors", _snapshot_staging(manifest, "vectors")
+    )
     if staged is not None:
         floats = floats.unionByName(staged.localCheckpoint(eager=False))
     return floats
@@ -268,7 +299,10 @@ def append_binary_index(
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     prefix_bits = manifest["prefix_bits"]
     n_rows = _require_unique_ids(new_vectors, id_col, "new_vectors")
-    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
+    _reject_tombstoned(
+        spark, path, new_vectors, id_col, "new_vectors",
+        names=manifest["tombstone_files"],
+    )
     sk = binarize_embeddings(
         new_vectors.select(id_col, vec_col),
         bits=manifest["bits"],
@@ -281,8 +315,22 @@ def append_binary_index(
         "bucket",
         _bucket_expr("sketch", prefix_bits) if prefix_bits else F.lit(0),
     )
+    from sparvi_core_spark.sources.ann_index import (
+        _cell_files,
+        _diff_new_files,
+        _merge_appended,
+    )
+
+    _, fs, mkpath = _index_fs(spark, path)
+
+    def _staging_names_now(sub):
+        return {
+            pp.rsplit("/", 1)[-1] for pp in _staging_files(spark, path, sub)
+        }
+
     if staged:
         data = data.localCheckpoint()  # two writes AND the count below
+        pre = {sub: _staging_names_now(sub) for sub in ("codes", "vectors")}
         data.select(id_col, "sketch", "bucket").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/{STAGING_DIR}/codes")
@@ -292,7 +340,24 @@ def append_binary_index(
             ).write.mode("append").parquet(
                 f"{path}/{STAGING_DIR}/vectors"
             )
+        for sub in ("codes", "vectors"):
+            manifest["staging_files"][sub] = sorted(
+                set(manifest["staging_files"][sub])
+                | (_staging_names_now(sub) - pre[sub])
+            )
     else:
+        data = data.localCheckpoint()  # writes AND the counts below
+        touched = sorted(
+            int(r["bucket"])
+            for r in data.select("bucket").distinct().collect()
+        )
+        pre_c = {
+            str(b): set(_cell_files(fs, mkpath, path, b)) for b in touched
+        }
+        pre_v = {
+            str(b): set(_cell_files(fs, mkpath, f"{path}/{VECTORS_DIR}", b))
+            for b in touched
+        } if manifest["store_vectors"] else {}
         slice_col = F.pmod(
             F.xxhash64(F.col(id_col), F.lit("bin-slice")),
             F.lit(manifest["files_per_bucket"]),
@@ -308,12 +373,22 @@ def append_binary_index(
             .partitionBy("bucket")
             .parquet(path)
         )
+        manifest["files"]["codes"] = _merge_appended(
+            manifest["files"]["codes"],
+            _diff_new_files(fs, mkpath, path, touched, pre_c),
+        )
         if manifest["store_vectors"]:
             (
                 clustered.select(id_col, F.col(vec_col), "bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
                 .parquet(f"{path}/{VECTORS_DIR}")
+            )
+            manifest["files"]["vectors"] = _merge_appended(
+                manifest["files"]["vectors"],
+                _diff_new_files(
+                    fs, mkpath, f"{path}/{VECTORS_DIR}", touched, pre_v
+                ),
             )
     batch = {
         int(r["bucket"]): int(r["n"])
@@ -423,7 +498,9 @@ def search_binary_index(
 
     # tombstoned ids (deleted, not yet purged) never surface as
     # neighbors — the delete takes effect on the very next search
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
 
@@ -437,7 +514,7 @@ def search_binary_index(
     if rerank is None:
         return hits
 
-    floats = _float_rows(spark, path)
+    floats = _float_rows(spark, path, manifest)
     if probed is not None:
         floats = floats.filter(F.col("bucket").isin(probed))
     cands = hits.select("query_id", "neighbor_id")
@@ -504,10 +581,16 @@ def delete_from_binary_index(spark: SparkSession, path: str, ids) -> dict:
     drop = _normalize_delete_ids(spark, ids, id_col, id_type)
     drop = drop.localCheckpoint()  # counted, appended, presence-joined
     requested = drop.count()
-    total = _append_tombstones(spark, path, drop, id_col)
+    live_tombs = manifest["tombstone_files"]
+    total, new_names = _append_tombstones(
+        spark, path, drop, id_col, live_names=live_tombs
+    )
+    manifest["tombstone_files"] = sorted(set(live_tombs) | set(new_names))
     # presence: a code's bucket is a function of its SKETCH, not its
     # id, so this check is a column-pruned id scan of the codes store
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     pending = codes.join(F.broadcast(tomb), id_col, "left_semi").count()
     manifest["n_tombstones"] = total
     manifest["n_deleted_pending"] = pending
@@ -522,14 +605,25 @@ def delete_from_binary_index(spark: SparkSession, path: str, ids) -> dict:
 
 
 def repair_binary_index(spark: SparkSession, path: str) -> dict:
-    """Heal a crashed compaction/purge swap on either store (codes
-    root or ``_vectors/``) — the shared journal protocol. Idempotent;
-    no-op on a clean index."""
-    _, manifest = read_binary_index(spark, path)
-    out = {"codes": repair_ivf_index(spark, path)["action"]}
-    if manifest["store_vectors"]:
-        out["vectors"] = repair_ivf_index(
-            spark, f"{path}/{VECTORS_DIR}"
+    """Heal a crashed swap on either store (codes root or
+    ``_vectors/``) under the snapshot-commit rule (see
+    ``ann_index._repair_store``): the ONE manifest write that
+    publishes both stores' file lists is the commit point, so the two
+    stores can never commit separately. Idempotent; no-op on a clean
+    index."""
+    try:
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+    except Exception:
+        manifest = {}
+    files = manifest.get("files", {})
+    out = {
+        "codes": _repair_store(
+            spark, path, live_files=files.get("codes")
+        )["action"]
+    }
+    if manifest.get("store_vectors"):
+        out["vectors"] = _repair_store(
+            spark, f"{path}/{VECTORS_DIR}", live_files=files.get("vectors")
         )["action"]
     return out
 
@@ -542,14 +636,16 @@ def compact_binary_index(
 ) -> dict:
     """Maintenance pass for the append/delete pipeline: fold pending
     deletes (tombstoned cells rewritten without the deleted rows —
-    codes store and float side-store — manifest re-measured from
-    disk, tombstones cleared), then fold appended small files back to
-    ``files_per_bucket`` per cell in both stores. Journaled and
-    crash-healed via :func:`repair_binary_index` (run here first);
-    single writer by contract, quiesce searches across the swap
-    window. Returns per-store compaction stats plus a ``"purge"``
-    block when tombstones were folded."""
-    _require_no_stream_intent(spark, path, "compact_binary_index")
+    codes store and float side-store — manifest re-measured from the
+    new snapshot, tombstones consumed in the same commit), then fold
+    appended small files back to ``files_per_bucket`` per cell in
+    both stores. Journaled, snapshot-committed, and crash-healed via
+    :func:`repair_binary_index` (run here first); single WRITER by
+    contract, readers never quiesce (see ``compact_ivf_index``).
+    Returns per-store compaction stats plus a ``"purge"`` block when
+    tombstones were folded."""
+    from sparvi_core_spark.sources.ann_index import _finish_swap
+
     repair_binary_index(spark, path)
     codes, manifest = read_binary_index(spark, path)
     id_col = manifest["id_col"]
@@ -558,38 +654,71 @@ def compact_binary_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+
+    def _merge(store: str, delta):
+        if not delta:
+            return
+        files = dict(manifest["files"][store])
+        for b, names in delta.items():
+            files[b] = names
+        manifest["files"][store] = {
+            b: files[b] for b in sorted(files, key=int)
+        }
+
+    def _finish_both():
+        _finish_swap(spark, path)
+        if manifest["store_vectors"]:
+            _finish_swap(spark, f"{path}/{VECTORS_DIR}")
+
+    def _vec_store():
+        floats = _snapshot_read(
+            spark, f"{path}/{VECTORS_DIR}",
+            _snapshot_files(manifest, "vectors"),
+        )
+        return (
+            spark.read.parquet(f"{path}/{VECTORS_DIR}")
+            if floats is None else floats
+        )
+
     # fold the staging store FIRST (append-shaped: only the staged
-    # mass is rewritten, journaled, staging files ride extra_old), so
-    # the purge and file-fold below see purely partitioned stores —
-    # any fan-in the fold adds is swept by the >fpb pass right below
+    # mass is rewritten, snapshot-committed), so the purge and
+    # file-fold below see purely partitioned stores — any fan-in the
+    # fold adds is swept by the >fpb pass right below
     staging = _fold_staging(spark, path, fpb)
     if staging is not None:
         codes, manifest = read_binary_index(spark, path)
     purge = None
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         tomb = tomb.localCheckpoint()  # drives both store purges
         code_purge = _purge_cells(
             spark, path, codes, id_col, tomb,
             slice_salt="bin-slice", fpb=fpb,
+            live_files=manifest["files"]["codes"],
         )
+        _merge("codes", code_purge.pop("new_files", None))
         vec_purge = None
         if manifest["store_vectors"]:
             vec_purge = _purge_cells(
                 spark,
                 f"{path}/{VECTORS_DIR}",
-                spark.read.parquet(f"{path}/{VECTORS_DIR}"),
+                _vec_store(),
                 id_col,
                 tomb,
                 slice_salt="bin-slice",
                 fpb=fpb,
+                live_files=manifest["files"]["vectors"],
             )
-        # re-measure the manifest from disk (bucket is the partition
-        # key — parquet-footer counts), so a crash-interrupted purge
-        # re-run always ends consistent
-        per_bucket = {
+            _merge("vectors", vec_purge.pop("new_files", None))
+        # re-measure the manifest from the NEW snapshot (bucket is
+        # the partition key — parquet-footer counts), so a
+        # crash-interrupted purge re-run always ends consistent
+        snap = _snapshot_read(spark, path, manifest["files"]["codes"])
+        per_bucket = {} if snap is None else {
             int(r["bucket"]): int(r["n"])
-            for r in spark.read.parquet(path)
+            for r in snap
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -601,13 +730,16 @@ def compact_binary_index(
         manifest["purged_total"] = manifest.get("purged_total", 0) + int(
             code_purge["rows_dropped"]
         )
+        # tombstones are consumed by the SAME commit that publishes
+        # both purged stores; the physical files wait for vacuum
+        manifest["tombstone_files"] = []
         manifest.pop("n_tombstones", None)
         manifest.pop("n_deleted_pending", None)
         _write_text(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
-        _clear_tombstones(spark, path)
+        _finish_both()
         purge = {"codes": code_purge}
         if vec_purge is not None:
             purge["vectors"] = vec_purge
@@ -615,18 +747,22 @@ def compact_binary_index(
     code_stats = _compact_cells(
         spark, path, codes, id_col,
         manifest["rows_per_bucket"], fpb, slice_salt="bin-slice",
+        live_files=manifest["files"]["codes"],
     )
+    _merge("codes", code_stats.pop("new_files", None))
     out = {"codes": code_stats}
     if manifest["store_vectors"]:
         out["vectors"] = _compact_cells(
             spark,
             f"{path}/{VECTORS_DIR}",
-            spark.read.parquet(f"{path}/{VECTORS_DIR}"),
+            _vec_store(),
             id_col,
             manifest["rows_per_bucket"],
             fpb,
             slice_salt="bin-slice",
+            live_files=manifest["files"]["vectors"],
         )
+        _merge("vectors", out["vectors"].pop("new_files", None))
     if code_stats["cells_compacted"] or (
         out.get("vectors", {}).get("cells_compacted", 0)
     ):
@@ -642,6 +778,7 @@ def compact_binary_index(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+        _finish_both()
     out2 = dict(out)
     if purge is not None:
         out2["purge"] = purge
@@ -657,32 +794,53 @@ def _fold_staging(spark: SparkSession, path: str, fpb: int):
     O(staged bytes), no store file touched. Returns per-store stats or
     None when nothing is staged. Caller holds the lock, has repaired."""
     from sparvi_core_spark.sources.ann_index import (
+        _finish_swap,
         _fold_staged_cells,
-        _index_fs,
+        _merge_appended,
     )
 
-    staged_code_files = _staging_files(spark, path, "codes")
-    staged_vec_files = _staging_files(spark, path, "vectors")
-    if not staged_code_files and not staged_vec_files:
-        return None
     _, manifest = read_binary_index(spark, path)
+    code_names = manifest["staging_files"]["codes"]
+    vec_names = manifest["staging_files"]["vectors"]
+    if not code_names and not vec_names:
+        return None
     id_col = manifest["id_col"]
     out = {}
-    if staged_code_files:
+    if code_names:
         out["codes"] = _fold_staged_cells(
-            spark, path, _read_staging(spark, path, "codes"), id_col,
-            fpb, slice_salt="bin-slice", staged_files=staged_code_files,
+            spark, path,
+            _read_staging_names(spark, path, "codes", code_names), id_col,
+            fpb, slice_salt="bin-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/codes/{n}" for n in code_names
+            ],
+            snapshot=True,
         )
-    if staged_vec_files:
+        manifest["files"]["codes"] = _merge_appended(
+            manifest["files"]["codes"], out["codes"].pop("new_files", {})
+        )
+        manifest["staging_files"]["codes"] = []
+    if vec_names:
         out["vectors"] = _fold_staged_cells(
             spark, f"{path}/{VECTORS_DIR}",
-            _read_staging(spark, path, "vectors"), id_col,
-            fpb, slice_salt="bin-slice", staged_files=staged_vec_files,
+            _read_staging_names(spark, path, "vectors", vec_names), id_col,
+            fpb, slice_salt="bin-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/vectors/{n}" for n in vec_names
+            ],
+            snapshot=True,
         )
-    _, fs, mkpath = _index_fs(spark, path)
-    sp = mkpath(f"{path}/{STAGING_DIR}")
-    if fs.exists(sp):
-        fs.delete(sp, True)
+        manifest["files"]["vectors"] = _merge_appended(
+            manifest["files"]["vectors"], out["vectors"].pop("new_files", {})
+        )
+        manifest["staging_files"]["vectors"] = []
+    # ONE manifest write commits both stores' folds atomically; the
+    # consumed staging files wait for vacuum_binary_index
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    _finish_swap(spark, path)
+    _finish_swap(spark, f"{path}/{VECTORS_DIR}")
     return out
 
 
@@ -693,10 +851,40 @@ def fold_staging_binary_index(spark: SparkSession, path: str) -> dict:
     file — O(staged bytes). Pending tombstones stay pending; the full
     :func:`compact_binary_index` purges and sweeps fan-in at its own
     cadence. No-op ``{}`` when nothing is staged."""
-    _require_no_stream_intent(spark, path, "fold_staging_binary_index")
     repair_binary_index(spark, path)
     _, manifest = read_binary_index(spark, path)
     return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}
+
+
+@_locked("vacuum")
+def vacuum_binary_index(
+    spark: SparkSession, path: str, older_than_s: float = 0.0
+) -> dict:
+    """Delete the index's unreferenced files across the codes store,
+    the float side-store, staging, and tombstones (see
+    ``ann_index._vacuum_stores``) once unreferenced for
+    ``older_than_s`` seconds — size the window past the longest
+    search; 0 deletes immediately (safe only with no reader in
+    flight)."""
+    from sparvi_core_spark.sources.ann_index import _vacuum_stores
+
+    repair_binary_index(spark, path)
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    stores = {"codes": (path, _snapshot_files(manifest, "codes"))}
+    if manifest.get("store_vectors"):
+        stores["vectors"] = (
+            f"{path}/{VECTORS_DIR}", _snapshot_files(manifest, "vectors")
+        )
+    return _vacuum_stores(
+        spark, path,
+        stores=stores,
+        staging={
+            "codes": ("codes", _snapshot_staging(manifest, "codes")),
+            "vectors": ("vectors", _snapshot_staging(manifest, "vectors")),
+        },
+        tombstones=manifest.get("tombstone_files", []),
+        older_than_s=older_than_s,
+    )
 
 
 def compact_binary_index_if(
@@ -711,23 +899,33 @@ def compact_binary_index_if(
     the knob alone → :func:`fold_staging_binary_index` (O(staged), no
     store rewrite)."""
     from sparvi_core_spark.sources.ann_index import (
+        _staging_gauge_live,
         compact_index_if,
-        store_fragmentation,
+        live_fragmentation,
     )
+
+    def _man(s):
+        return json.loads(_read_text(s, path, MANIFEST))
 
     return compact_index_if(
         spark, path,
         {
-            "codes": ("bucket", lambda s: store_fragmentation(s, path)),
+            "codes": (
+                "bucket",
+                lambda s: live_fragmentation(_man(s)["files"]["codes"]),
+            ),
             "vectors": (
                 "bucket",
-                lambda s: store_fragmentation(s, f"{path}/{VECTORS_DIR}"),
+                lambda s: live_fragmentation(_man(s)["files"]["vectors"]),
             ),
             # staged files count as per-bucket fan-in (every search
-            # reads all of staging)
+            # reads all of staging; LIVE lists, not physical garbage)
             "staging": (
                 "staging",
-                lambda s: _staging_gauge(s, path, ("codes", "vectors")),
+                lambda s: _staging_gauge_live(
+                    _man(s)["staging_files"]["codes"]
+                    + _man(s)["staging_files"]["vectors"]
+                ),
             ),
         },
         max_files_per_bucket,

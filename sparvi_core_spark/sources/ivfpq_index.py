@@ -54,10 +54,12 @@ Scale design (the part that matters at 100 TB):
   (the IVF trade-off; raise ``nprobe``). Tests pin the recall
   ordering: rerank ≥ ADC-only on the same probes.
 
-Single-writer by contract (plain parquet, no commit protocol), like
-``append_ivf_index``. Readers must be quiesced during maintenance
-rewrites for the same visibility reasons documented on
-``compact_ivf_index``.
+Single-WRITER by contract, like ``append_ivf_index`` — but readers
+never quiesce: every verb is snapshot-committed (the ONE manifest
+write publishes counts and both stores' live file lists together; see
+``sources.ann_index``), so an in-flight search finishes against the
+snapshot it planned with and ``vacuum_ivfpq_index`` retires replaced
+files after a retention window.
 """
 
 from __future__ import annotations
@@ -71,11 +73,9 @@ from sparvi_core_spark.sources.ann_index import (
     _index_fs,
     _locked,
     _locked_df_first,
-    _read_staging,
     _read_text,
     _require_unique_ids,
     _staging_files,
-    _staging_gauge,
     _write_text,
 )
 
@@ -84,7 +84,7 @@ CENTROIDS_DIR = "_centroids"
 CODEBOOK_DIR = "_codebook"
 FLOATS_DIR = "_floats"
 ROTATION_DIR = "_rotation"
-FORMAT = "sparvi-ivfpq-index/1"
+FORMAT = "sparvi-ivfpq-index/2"
 
 
 def _write_rotation(spark: SparkSession, path: str, rotation) -> int:
@@ -245,8 +245,23 @@ def write_ivfpq_index(
     dim_row = cent.select(F.size("centroid").alias("d")).first()
     ks = codebook.groupBy("subspace").count().agg(F.max("count")).first()[0]
     n_vectors = sum(per_cell.values())
+    from sparvi_core_spark.sources.ann_index import (
+        _index_fs,
+        _physical_cells,
+    )
+
+    _, fs, mkpath = _index_fs(spark, path)
     manifest = {
         "format": FORMAT,
+        "files": {
+            "codes": _physical_cells(fs, mkpath, path),
+            "floats": (
+                _physical_cells(fs, mkpath, f"{path}/{FLOATS_DIR}")
+                if store_floats else {}
+            ),
+        },
+        "staging_files": {"codes": [], "floats": []},
+        "tombstone_files": [],
         "id_col": id_col,
         "vec_col": vec_col,
         "k": cent.count(),
@@ -275,10 +290,26 @@ def read_ivfpq_index(
     included — filter it yourself or use :func:`search_ivfpq_index`,
     which prunes)."""
     manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") == "sparvi-ivfpq-index/1":
+        raise ValueError(
+            f"{path}/{MANIFEST} predates snapshot commits "
+            f"(sparvi-ivfpq-index/1) — rebuild it with write_ivfpq_index"
+        )
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
-    coded = spark.read.parquet(path)
-    staged = _read_staging(spark, path, "codes")
+    from sparvi_core_spark.sources.ann_index import (
+        _read_staging_names,
+        _snapshot_files,
+        _snapshot_read,
+        _snapshot_staging,
+    )
+
+    coded = _snapshot_read(spark, path, _snapshot_files(manifest, "codes"))
+    if coded is None:
+        coded = spark.read.parquet(path)
+    staged = _read_staging_names(
+        spark, path, "codes", _snapshot_staging(manifest, "codes")
+    )
     if staged is not None:
         # lazy checkpoint, not a second parquet scan under the union
         # (the read_ivf_index rationale: Spark 4.1 DPP mis-plans
@@ -289,11 +320,26 @@ def read_ivfpq_index(
     return coded, cents, codebook, manifest
 
 
-def _pq_float_rows(spark: SparkSession, path: str) -> DataFrame:
-    """The logical ``_floats/`` side-store: partitioned files ∪ staged
-    appends."""
-    floats = spark.read.parquet(f"{path}/{FLOATS_DIR}")
-    staged = _read_staging(spark, path, "floats")
+def _pq_float_rows(
+    spark: SparkSession, path: str, manifest: dict
+) -> DataFrame:
+    """The logical ``_floats/`` side-store: committed snapshot ∪
+    committed staged appends."""
+    from sparvi_core_spark.sources.ann_index import (
+        _read_staging_names,
+        _snapshot_files,
+        _snapshot_read,
+        _snapshot_staging,
+    )
+
+    floats = _snapshot_read(
+        spark, f"{path}/{FLOATS_DIR}", _snapshot_files(manifest, "floats")
+    )
+    if floats is None:
+        floats = spark.read.parquet(f"{path}/{FLOATS_DIR}")
+    staged = _read_staging_names(
+        spark, path, "floats", _snapshot_staging(manifest, "floats")
+    )
     if staged is not None:
         floats = floats.unionByName(staged.localCheckpoint(eager=False))
     return floats
@@ -307,7 +353,6 @@ def append_ivfpq_index(
     engine: str = "blas",
     staged: bool = False,
     stream_batch_id: int | None = None,
-    screen_existing: bool = False,
 ) -> dict:
     """Daily ingest: assign + encode a NEW batch against the STORED
     centroids and codebook and parquet-append it into the existing
@@ -326,12 +371,13 @@ def append_ivfpq_index(
     union staging, the next compaction (or ``compact_ivfpq_index_if``)
     folds it.
 
-    ``stream_batch_id`` / ``screen_existing`` are the streaming sink's
-    crash-replay seam (see ``append_ivf_index``): batch id committed in
-    the SAME manifest write as the counts; on a suspected replay each
-    store is screened SEPARATELY at id grain (a crash can land the
-    codes append but not the ``_floats/`` one) and only each store's
-    missing split is appended, while the counts cover the full batch."""
+    ``stream_batch_id`` threads the streaming sink's batch id into
+    the SAME manifest write as the counts and BOTH stores' file
+    snapshots — one commit point (see ``append_ivf_index``): a crash
+    anywhere before it (even between the codes append and the
+    ``_floats/`` one) leaves files referenced by nothing, so a replay
+    simply appends the whole batch again and the orphans wait for
+    :func:`vacuum_ivfpq_index`."""
     spark = new_vectors.sparkSession
     _, cents, codebook, manifest = read_ivfpq_index(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
@@ -350,7 +396,10 @@ def append_ivfpq_index(
             )
     from sparvi_core_spark.sources.ann_index import _reject_tombstoned
 
-    _reject_tombstoned(spark, path, new_vectors, id_col, "new_vectors")
+    _reject_tombstoned(
+        spark, path, new_vectors, id_col, "new_vectors",
+        names=manifest["tombstone_files"],
+    )
     for c in ("bucket", "__slice"):
         if c in new_vectors.columns:
             raise ValueError(f"new_vectors already has a {c!r} column")
@@ -392,72 +441,64 @@ def append_ivfpq_index(
         .collect()
     }
     n_new = sum(per_cell.values())
-    # replay screen (per store — a crash can land codes but not
-    # floats): ids already present are excluded from this append's
-    # writes; the manifest still counts the full batch (the crashed
-    # attempt's rows are on disk but were never counted)
-    n_landed_codes = n_landed_floats = 0
-    landed_codes = landed_floats = None
-    if screen_existing and n_new:
-        from sparvi_core_spark.sources.ann_index import (
-            _existing_ids,
-            _staging_files,
-        )
+    from sparvi_core_spark.sources.ann_index import (
+        _cell_files,
+        _diff_new_files,
+        _merge_appended,
+    )
 
-        cells = sorted(per_cell)
-        batch_ids = assignment.select(F.col("id").alias(id_col))
-        ex = _existing_ids(
-            spark, path, _staging_files(spark, path, "codes"),
-            id_col, cells,
-        )
-        if ex is not None:
-            landed_codes = batch_ids.join(
-                ex, id_col, "left_semi"
-            ).localCheckpoint()
-            n_landed_codes = landed_codes.count()
-        if manifest.get("store_floats"):
-            ex = _existing_ids(
-                spark, f"{path}/{FLOATS_DIR}",
-                _staging_files(spark, path, "floats"), id_col, cells,
-            )
-            if ex is not None:
-                landed_floats = batch_ids.join(
-                    ex, id_col, "left_semi"
-                ).localCheckpoint()
-                n_landed_floats = landed_floats.count()
+    _, fs, mkpath = _index_fs(spark, path)
+
+    def _staging_names_now(sub):
+        return {
+            pp.rsplit("/", 1)[-1] for pp in _staging_files(spark, path, sub)
+        }
+
     codes_df = coded.select(F.col("id").alias(id_col), "codes", "bucket")
-    if n_landed_codes:
-        codes_df = codes_df.join(F.broadcast(landed_codes), id_col, "left_anti")
     floats_df = None
     if manifest.get("store_floats"):
         floats_df = new_vectors.join(
             assignment.select(F.col("id").alias(id_col), "bucket"), id_col
         )
-        if n_landed_floats:
-            floats_df = floats_df.join(
-                F.broadcast(landed_floats), id_col, "left_anti"
-            )
-    if staged:
-        if n_landed_codes < n_new:
-            codes_df.coalesce(1).write.mode("append").parquet(
-                f"{path}/{STAGING_DIR}/codes"
-            )
-        if floats_df is not None and n_landed_floats < n_new:
+    if staged and n_new:
+        pre = {sub: _staging_names_now(sub) for sub in ("codes", "floats")}
+        codes_df.coalesce(1).write.mode("append").parquet(
+            f"{path}/{STAGING_DIR}/codes"
+        )
+        if floats_df is not None:
             floats_df.coalesce(1).write.mode("append").parquet(
                 f"{path}/{STAGING_DIR}/floats"
             )
-    else:
-        if n_landed_codes < n_new:
-            (
-                codes_df
-                .withColumn("__slice", _slice_col(id_col, fpb))
-                .repartition(F.col("bucket"), F.col("__slice"))
-                .drop("__slice")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(path)
+        for sub in ("codes", "floats"):
+            manifest["staging_files"][sub] = sorted(
+                set(manifest["staging_files"][sub])
+                | (_staging_names_now(sub) - pre[sub])
             )
-        if floats_df is not None and n_landed_floats < n_new:
+    elif n_new:
+        touched = sorted(per_cell)
+        pre_c = {
+            str(b): set(_cell_files(fs, mkpath, path, b)) for b in touched
+        }
+        pre_f = {
+            str(b): set(
+                _cell_files(fs, mkpath, f"{path}/{FLOATS_DIR}", b)
+            )
+            for b in touched
+        } if floats_df is not None else {}
+        (
+            codes_df
+            .withColumn("__slice", _slice_col(id_col, fpb))
+            .repartition(F.col("bucket"), F.col("__slice"))
+            .drop("__slice")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        manifest["files"]["codes"] = _merge_appended(
+            manifest["files"]["codes"],
+            _diff_new_files(fs, mkpath, path, touched, pre_c),
+        )
+        if floats_df is not None:
             (
                 floats_df
                 .withColumn("__slice", _slice_col(id_col, fpb))
@@ -467,6 +508,12 @@ def append_ivfpq_index(
                 .partitionBy("bucket")
                 .parquet(f"{path}/{FLOATS_DIR}")
             )
+            manifest["files"]["floats"] = _merge_appended(
+                manifest["files"]["floats"],
+                _diff_new_files(
+                    fs, mkpath, f"{path}/{FLOATS_DIR}", touched, pre_f
+                ),
+            )
     rows = dict(manifest["rows_per_bucket"])
     for b, n in per_cell.items():
         rows[str(b)] = rows.get(str(b), 0) + n
@@ -474,11 +521,6 @@ def append_ivfpq_index(
     manifest["n_vectors"] += n_new
     manifest["dropped_null"] += n_batch_rows - n_new
     manifest["appends"] = manifest.get("appends", 0) + 1
-    if n_landed_codes or n_landed_floats:
-        manifest["replay_rows_healed"] = (
-            manifest.get("replay_rows_healed", 0)
-            + max(n_landed_codes, n_landed_floats)
-        )
     if stream_batch_id is not None:
         manifest["last_stream_batch_id"] = int(stream_batch_id)
     _write_text(
@@ -510,8 +552,14 @@ def delete_from_ivfpq_index(spark: SparkSession, path: str, ids) -> dict:
     drop = _normalize_delete_ids(spark, ids, id_col, id_type)
     drop = drop.localCheckpoint()  # counted, appended, presence-joined
     requested = drop.count()
-    total = _append_tombstones(spark, path, drop, id_col)
-    tomb = _read_tombstones(spark, path, id_col)
+    live_tombs = manifest["tombstone_files"]
+    total, new_names = _append_tombstones(
+        spark, path, drop, id_col, live_names=live_tombs
+    )
+    manifest["tombstone_files"] = sorted(set(live_tombs) | set(new_names))
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     pending = coded.join(F.broadcast(tomb), id_col, "left_semi").count()
     manifest["n_tombstones"] = total
     manifest["n_deleted_pending"] = pending
@@ -525,6 +573,32 @@ def delete_from_ivfpq_index(spark: SparkSession, path: str, ids) -> dict:
     }
 
 
+def repair_ivfpq_index(spark: SparkSession, path: str) -> dict:
+    """Heal a crashed swap on the codes store or the ``_floats/``
+    side-store under the snapshot-commit rule (see
+    ``ann_index._repair_store``): the ONE manifest write that
+    publishes both stores' file lists is the commit point, so the two
+    stores can never commit separately. Idempotent; no-op on a clean
+    index."""
+    from sparvi_core_spark.sources.ann_index import _repair_store
+
+    try:
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+    except Exception:
+        manifest = {}
+    files = manifest.get("files", {})
+    out = {
+        "codes": _repair_store(
+            spark, path, live_files=files.get("codes")
+        )["action"]
+    }
+    if manifest.get("store_floats"):
+        out["floats"] = _repair_store(
+            spark, f"{path}/{FLOATS_DIR}", live_files=files.get("floats")
+        )["action"]
+    return out
+
+
 def compact_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -533,25 +607,24 @@ def compact_ivfpq_index(
     """Fold appended small files back to ``files_per_bucket`` per cell
     — the same journaled, crash-safe, fragmented-cells-only machinery
     as ``compact_ivf_index`` (shared ``_compact_cells`` engine +
-    ``repair_ivf_index`` healing), applied to the CODE files and, when
-    the index stores floats, to the ``_floats/`` side-store as well
-    (each root carries its own journal, healed independently). Row
-    identity is checked against the manifest before each swap. Readers
-    must be quiesced during the swap window (see
-    ``compact_ivf_index``'s visibility contract). Returns the code
+    ``repair_ivfpq_index`` healing), applied to the CODE files and,
+    when the index stores floats, to the ``_floats/`` side-store as
+    well — BOTH stores' swaps publish in one snapshot-committed
+    manifest write, so they can never be visible inconsistently. Row
+    identity is checked against the manifest before each swap; readers
+    never quiesce (see ``compact_ivf_index``). Returns the code
     stats dict, with the float store's stats under ``"floats"`` when
     present."""
     from sparvi_core_spark.sources.ann_index import (
-        _clear_tombstones,
         _compact_cells,
+        _finish_swap,
         _purge_cells,
         _read_tombstones,
-        _require_no_stream_intent,
-        repair_ivf_index,
+        _snapshot_files,
+        _snapshot_read,
     )
 
-    _require_no_stream_intent(spark, path, "compact_ivfpq_index")
-    repair_ivf_index(spark, path)
+    repair_ivfpq_index(spark, path)
     coded, _, _, manifest = read_ivfpq_index(spark, path)
     id_col = manifest["id_col"]
     fpb = (
@@ -559,36 +632,68 @@ def compact_ivfpq_index(
         if files_per_bucket is None
         else files_per_bucket
     )
+
+    def _merge(store: str, delta):
+        if not delta:
+            return
+        files = dict(manifest["files"][store])
+        for b, names in delta.items():
+            files[b] = names
+        manifest["files"][store] = {
+            b: files[b] for b in sorted(files, key=int)
+        }
+
+    def _finish_both():
+        _finish_swap(spark, path)
+        if manifest.get("store_floats"):
+            _finish_swap(spark, f"{path}/{FLOATS_DIR}")
+
+    def _float_store():
+        floats = _snapshot_read(
+            spark, f"{path}/{FLOATS_DIR}",
+            _snapshot_files(manifest, "floats"),
+        )
+        return (
+            spark.read.parquet(f"{path}/{FLOATS_DIR}")
+            if floats is None else floats
+        )
+
     # fold the staging store FIRST (append-shaped: only the staged
-    # mass is rewritten, journaled, staging files ride extra_old), so
-    # the purge and file-fold below see purely partitioned stores —
-    # any fan-in the fold adds is swept by the >fpb pass right below
+    # mass is rewritten, snapshot-committed), so the purge and
+    # file-fold below see purely partitioned stores — any fan-in the
+    # fold adds is swept by the >fpb pass right below
     staging = _fold_staging(spark, path, fpb)
     if staging is not None:
         coded, _, _, manifest = read_ivfpq_index(spark, path)
     purge = None
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         tomb = tomb.localCheckpoint()  # drives both store purges
         purge = {
             "codes": _purge_cells(
                 spark, path, coded, id_col, tomb,
                 slice_salt="ivfpq-slice", fpb=fpb,
+                live_files=manifest["files"]["codes"],
             )
         }
+        _merge("codes", purge["codes"].pop("new_files", None))
         if manifest.get("store_floats"):
             froot = f"{path}/{FLOATS_DIR}"
-            repair_ivf_index(spark, froot)
             purge["floats"] = _purge_cells(
-                spark, froot, spark.read.parquet(froot), id_col, tomb,
+                spark, froot, _float_store(), id_col, tomb,
                 slice_salt="ivfpq-slice", fpb=fpb,
+                live_files=manifest["files"]["floats"],
             )
-        # re-measure the manifest from disk (bucket is the partition
-        # key - parquet-footer counts), so a crash-interrupted purge
-        # re-run always ends consistent
-        per_bucket = {
+            _merge("floats", purge["floats"].pop("new_files", None))
+        # re-measure the manifest from the NEW snapshot (bucket is
+        # the partition key - parquet-footer counts), so a
+        # crash-interrupted purge re-run always ends consistent
+        snap = _snapshot_read(spark, path, manifest["files"]["codes"])
+        per_bucket = {} if snap is None else {
             int(r["bucket"]): int(r["n"])
-            for r in spark.read.parquet(path)
+            for r in snap
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -600,13 +705,16 @@ def compact_ivfpq_index(
         manifest["purged_total"] = manifest.get("purged_total", 0) + int(
             purge["codes"]["rows_dropped"]
         )
+        # tombstones are consumed by the SAME commit that publishes
+        # both purged stores; the physical files wait for vacuum
+        manifest["tombstone_files"] = []
         manifest.pop("n_tombstones", None)
         manifest.pop("n_deleted_pending", None)
         _write_text(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
-        _clear_tombstones(spark, path)
+        _finish_both()
         coded, _, _, manifest = read_ivfpq_index(spark, path)
     stats = _compact_cells(
         spark,
@@ -616,19 +724,22 @@ def compact_ivfpq_index(
         manifest["rows_per_bucket"],
         fpb,
         slice_salt="ivfpq-slice",
+        live_files=manifest["files"]["codes"],
     )
+    _merge("codes", stats.pop("new_files", None))
     if manifest.get("store_floats"):
         froot = f"{path}/{FLOATS_DIR}"
-        repair_ivf_index(spark, froot)
         stats["floats"] = _compact_cells(
             spark,
             froot,
-            spark.read.parquet(froot),
+            _float_store(),
             id_col,
             manifest["rows_per_bucket"],
             fpb,
             slice_salt="ivfpq-slice",
+            live_files=manifest["files"]["floats"],
         )
+        _merge("floats", stats["floats"].pop("new_files", None))
     compacted = stats["cells_compacted"] > 0 or (
         stats.get("floats", {}).get("cells_compacted", 0) > 0
     )
@@ -640,6 +751,7 @@ def compact_ivfpq_index(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+        _finish_both()
     if purge is not None:
         stats = dict(stats)
         stats["purge"] = purge
@@ -657,33 +769,55 @@ def _fold_staging(spark: SparkSession, path: str, fpb: int):
     Returns per-store stats or None when nothing is staged. Caller
     holds the lock and has repaired the codes root."""
     from sparvi_core_spark.sources.ann_index import (
+        _finish_swap,
         _fold_staged_cells,
-        repair_ivf_index,
+        _merge_appended,
+        _read_staging_names,
     )
 
-    staged_code_files = _staging_files(spark, path, "codes")
-    staged_float_files = _staging_files(spark, path, "floats")
-    if not staged_code_files and not staged_float_files:
-        return None
     manifest = json.loads(_read_text(spark, path, MANIFEST))
+    code_names = manifest["staging_files"]["codes"]
+    float_names = manifest["staging_files"]["floats"]
+    if not code_names and not float_names:
+        return None
     id_col = manifest["id_col"]
     out = {}
-    if staged_code_files:
+    if code_names:
         out["codes"] = _fold_staged_cells(
-            spark, path, _read_staging(spark, path, "codes"), id_col,
-            fpb, slice_salt="ivfpq-slice", staged_files=staged_code_files,
+            spark, path,
+            _read_staging_names(spark, path, "codes", code_names), id_col,
+            fpb, slice_salt="ivfpq-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/codes/{n}" for n in code_names
+            ],
+            snapshot=True,
         )
-    if staged_float_files:
+        manifest["files"]["codes"] = _merge_appended(
+            manifest["files"]["codes"], out["codes"].pop("new_files", {})
+        )
+        manifest["staging_files"]["codes"] = []
+    if float_names:
         froot = f"{path}/{FLOATS_DIR}"
-        repair_ivf_index(spark, froot)
         out["floats"] = _fold_staged_cells(
-            spark, froot, _read_staging(spark, path, "floats"), id_col,
-            fpb, slice_salt="ivfpq-slice", staged_files=staged_float_files,
+            spark, froot,
+            _read_staging_names(spark, path, "floats", float_names), id_col,
+            fpb, slice_salt="ivfpq-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/floats/{n}" for n in float_names
+            ],
+            snapshot=True,
         )
-    _, fs, mkpath = _index_fs(spark, path)
-    sp = mkpath(f"{path}/{STAGING_DIR}")
-    if fs.exists(sp):
-        fs.delete(sp, True)
+        manifest["files"]["floats"] = _merge_appended(
+            manifest["files"]["floats"], out["floats"].pop("new_files", {})
+        )
+        manifest["staging_files"]["floats"] = []
+    # ONE manifest write commits both stores' folds atomically; the
+    # consumed staging files wait for vacuum_ivfpq_index
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    _finish_swap(spark, path)
+    _finish_swap(spark, f"{path}/{FLOATS_DIR}")
     return out
 
 
@@ -694,15 +828,44 @@ def fold_staging_ivfpq_index(spark: SparkSession, path: str) -> dict:
     existing store file — O(staged bytes). Pending tombstones stay
     pending; the full :func:`compact_ivfpq_index` purges and sweeps
     fan-in at its own cadence. No-op ``{}`` when nothing is staged."""
-    from sparvi_core_spark.sources.ann_index import (
-        _require_no_stream_intent,
-        repair_ivf_index,
-    )
-
-    _require_no_stream_intent(spark, path, "fold_staging_ivfpq_index")
-    repair_ivf_index(spark, path)
+    repair_ivfpq_index(spark, path)
     manifest = json.loads(_read_text(spark, path, MANIFEST))
     return _fold_staging(spark, path, manifest["files_per_bucket"]) or {}
+
+
+@_locked("vacuum")
+def vacuum_ivfpq_index(
+    spark: SparkSession, path: str, older_than_s: float = 0.0
+) -> dict:
+    """Delete the index's unreferenced files across the codes store,
+    the ``_floats/`` side-store, staging, and tombstones (see
+    ``ann_index._vacuum_stores``) once unreferenced for
+    ``older_than_s`` seconds — size the window past the longest
+    search; 0 deletes immediately (safe only with no reader in
+    flight)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _snapshot_files,
+        _snapshot_staging,
+        _vacuum_stores,
+    )
+
+    repair_ivfpq_index(spark, path)
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    stores = {"codes": (path, _snapshot_files(manifest, "codes"))}
+    if manifest.get("store_floats"):
+        stores["floats"] = (
+            f"{path}/{FLOATS_DIR}", _snapshot_files(manifest, "floats")
+        )
+    return _vacuum_stores(
+        spark, path,
+        stores=stores,
+        staging={
+            "codes": ("codes", _snapshot_staging(manifest, "codes")),
+            "floats": ("floats", _snapshot_staging(manifest, "floats")),
+        },
+        tombstones=manifest.get("tombstone_files", []),
+        older_than_s=older_than_s,
+    )
 
 
 def compact_ivfpq_index_if(
@@ -717,23 +880,33 @@ def compact_ivfpq_index_if(
     the knob alone → :func:`fold_staging_ivfpq_index` (O(staged), no
     store rewrite)."""
     from sparvi_core_spark.sources.ann_index import (
+        _staging_gauge_live,
         compact_index_if,
-        store_fragmentation,
+        live_fragmentation,
     )
+
+    def _man(s):
+        return json.loads(_read_text(s, path, MANIFEST))
 
     return compact_index_if(
         spark, path,
         {
-            "codes": ("bucket", lambda s: store_fragmentation(s, path)),
+            "codes": (
+                "bucket",
+                lambda s: live_fragmentation(_man(s)["files"]["codes"]),
+            ),
             "floats": (
                 "bucket",
-                lambda s: store_fragmentation(s, f"{path}/{FLOATS_DIR}"),
+                lambda s: live_fragmentation(_man(s)["files"]["floats"]),
             ),
             # staged files count as per-bucket fan-in (every search
-            # reads all of staging)
+            # reads all of staging; LIVE lists, not physical garbage)
             "staging": (
                 "staging",
-                lambda s: _staging_gauge(s, path, ("codes", "floats")),
+                lambda s: _staging_gauge_live(
+                    _man(s)["staging_files"]["codes"]
+                    + _man(s)["staging_files"]["floats"]
+                ),
             ),
         },
         max_files_per_bucket,
@@ -794,13 +967,15 @@ def retrain_ivfpq_index(
                 "only (store_floats=False) — pass the corpus as "
                 "`vectors`"
             )
-        vectors = _pq_float_rows(spark, path).drop("bucket")
+        vectors = _pq_float_rows(spark, path, manifest).drop("bucket")
         # pending deletes are excluded from the refit and the rewrite
         # (a retrain is a physical purge for free); the source keeps
         # its tombstones until its own compaction
         from sparvi_core_spark.sources.ann_index import _read_tombstones
 
-        _tomb = _read_tombstones(spark, path, id_col)
+        _tomb = _read_tombstones(
+            spark, path, id_col, names=manifest["tombstone_files"]
+        )
         if _tomb is not None:
             vectors = vectors.join(F.broadcast(_tomb), id_col, "left_anti")
         if rotation is not None:
@@ -946,7 +1121,9 @@ def search_ivfpq_index(
     # neighbors - delete takes effect on the very next search
     from sparvi_core_spark.sources.ann_index import _read_tombstones
 
-    tomb = _read_tombstones(spark, path, id_col)
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     adc_k = k if rerank is None else rerank
@@ -966,7 +1143,7 @@ def search_ivfpq_index(
     if rerank is None:
         return adc
     floats = (
-        _pq_float_rows(spark, path)
+        _pq_float_rows(spark, path, manifest)
         .filter(F.col("bucket").isin(probed))
         .select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")

@@ -50,12 +50,13 @@ Scale design (the part that matters at 100 TB):
   creations — constants-dominated for streaming-grain batches).
   ``append_minhash_index(staged=True)`` lands the batch as exactly
   two unpartitioned files under ``_staging/``; every reader unions
-  staging in (it is O(pending micro-batches)), and the next
-  compaction folds staged rows into their bucket partitions through
-  the same journaled swap (staging files ride the journal, deleted on
-  roll-forward only). ``compact_minhash_index_if`` counts staged
-  files as per-bucket fan-in, so the auto-compaction knob bounds both
-  fragmentation AND staging debt.
+  the COMMITTED staging files in (O(pending micro-batches)), and the
+  next compaction folds staged rows into their bucket partitions
+  through the snapshot-committed journaled swap (consumed staging
+  files become unreferenced and wait for ``vacuum_minhash_index``).
+  ``compact_minhash_index_if`` counts staged files as per-bucket
+  fan-in, so the auto-compaction knob bounds both fragmentation AND
+  staging debt.
 """
 
 from __future__ import annotations
@@ -73,14 +74,11 @@ from sparvi_core_spark.sources.ann_index import (
     STAGING_DIR,
     _append_tombstones,
     _locked,
-    _clear_tombstones,
     _normalize_delete_ids,
     _purge_cells,
-    _read_staging,
     _read_text,
     _read_tombstones,
     _reject_tombstoned,
-    _require_no_stream_intent,
     _require_unique_ids,
     _staging_files,
     _write_text,
@@ -88,7 +86,7 @@ from sparvi_core_spark.sources.ann_index import (
 
 MANIFEST = "_minhash_manifest.json"
 SIGS_DIR = "_sigs"
-FORMAT = "sparvi-minhash-index/1"
+FORMAT = "sparvi-minhash-index/2"
 
 
 def _band_bucket(n_buckets: int) -> F.Column:
@@ -164,24 +162,65 @@ def _bucket_counts(frame: DataFrame) -> dict[int, int]:
 # staging is O(pending micro-batches), so every probe reads all of it,
 # which is why ``compact_minhash_index_if`` gauges the staging file
 # count like a per-bucket fan-in and the next compaction folds staged
-# rows into their bucket partitions (journaled: the staging files ride
-# the swap journal's ``extra_old`` list, deleted on roll-forward only).
+# rows into their bucket partitions (snapshot-committed: the consumed
+# staging files become unreferenced at the fold's manifest commit and
+# are reclaimed by ``vacuum_minhash_index``).
 # Manifest bucket counts are LOGICAL (they include staged rows), so
 # health checks and compaction identity checks hold in every state.
 
 
-def _band_rows(spark: SparkSession, path: str) -> DataFrame:
-    """The logical band store: partitioned files ∪ staged appends."""
-    rows = spark.read.parquet(path)
-    staged = _read_staging(spark, path, "bands")
+def _band_store(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """The band store's committed snapshot (no staging)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _snapshot_files,
+        _snapshot_read,
+    )
+
+    rows = _snapshot_read(spark, path, _snapshot_files(manifest, "bands"))
+    return spark.read.parquet(path) if rows is None else rows
+
+
+def _sig_store(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """The signature store's committed snapshot (no staging)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _snapshot_files,
+        _snapshot_read,
+    )
+
+    rows = _snapshot_read(
+        spark, f"{path}/{SIGS_DIR}", _snapshot_files(manifest, "sigs")
+    )
+    return spark.read.parquet(f"{path}/{SIGS_DIR}") if rows is None else rows
+
+
+def _band_rows(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """The logical band store: committed snapshot ∪ committed staged
+    appends (readers never list a directory — see the snapshot-commit
+    notes in ``ann_index``)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _read_staging_names,
+        _snapshot_staging,
+    )
+
+    rows = _band_store(spark, path, manifest)
+    staged = _read_staging_names(
+        spark, path, "bands", _snapshot_staging(manifest, "bands")
+    )
     return rows if staged is None else rows.unionByName(staged)
 
 
-def _sig_rows(spark: SparkSession, path: str) -> DataFrame:
-    """The logical signature store: partitioned files ∪ staged
-    appends."""
-    rows = spark.read.parquet(f"{path}/{SIGS_DIR}")
-    staged = _read_staging(spark, path, "sigs")
+def _sig_rows(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """The logical signature store: committed snapshot ∪ committed
+    staged appends."""
+    from sparvi_core_spark.sources.ann_index import (
+        _read_staging_names,
+        _snapshot_staging,
+    )
+
+    rows = _sig_store(spark, path, manifest)
+    staged = _read_staging_names(
+        spark, path, "sigs", _snapshot_staging(manifest, "sigs")
+    )
     return rows if staged is None else rows.unionByName(staged)
 
 
@@ -235,12 +274,24 @@ def write_minhash_index(
     }
     banded, sigs = _signed(docs.select(id_col, text_col), manifest)
     _write_stores(banded, sigs, path, mode)
-    # stats from the WRITTEN stores (cheapest scan; this writer is
-    # for fresh indexes — incremental batches go through append)
-    per_bucket = _bucket_counts(spark.read.parquet(path))
-    sig_per_bucket = _bucket_counts(
-        spark.read.parquet(f"{path}/{SIGS_DIR}")
+    # snapshot commit: adopt the initial write's files into the
+    # manifest (the only time a listing feeds it), stats from the
+    # written stores (cheapest scan; this writer is for fresh
+    # indexes — incremental batches go through append)
+    from sparvi_core_spark.sources.ann_index import (
+        _index_fs,
+        _physical_cells,
     )
+
+    _, fs, mkpath = _index_fs(spark, path)
+    manifest["files"] = {
+        "bands": _physical_cells(fs, mkpath, path),
+        "sigs": _physical_cells(fs, mkpath, f"{path}/{SIGS_DIR}"),
+    }
+    manifest["staging_files"] = {"bands": [], "sigs": []}
+    manifest["tombstone_files"] = []
+    per_bucket = _bucket_counts(_band_store(spark, path, manifest))
+    sig_per_bucket = _bucket_counts(_sig_store(spark, path, manifest))
     n_docs = sum(per_bucket.values()) // bands
     manifest.update(
         n_docs=n_docs,
@@ -264,15 +315,22 @@ def read_minhash_index(
     store plus any staged appends — filter it yourself or use
     :func:`probe_minhash_index`, which prunes."""
     manifest = json.loads(_read_text(spark, path, MANIFEST))
+    if manifest.get("format") == "sparvi-minhash-index/1":
+        raise ValueError(
+            f"{path}/{MANIFEST} predates snapshot commits "
+            f"(sparvi-minhash-index/1) — rebuild it with "
+            f"write_minhash_index"
+        )
     if manifest.get("format") != FORMAT:
         raise ValueError(f"{path}/{MANIFEST} is not a {FORMAT} manifest")
-    return _band_rows(spark, path), manifest
+    return _band_rows(spark, path, manifest), manifest
 
 
 @_locked("append")
 def append_minhash_index(
     spark: SparkSession, path: str, new_docs: DataFrame,
     staged: bool = False,
+    stream_batch_id: int | None = None,
 ) -> dict:
     """Sign a new batch under the manifest's parameters (the MinHash
     salts are deterministic, so the key space is identical) and
@@ -290,30 +348,73 @@ def append_minhash_index(
     for streaming-grain batches; corpus-sized batches should keep the
     partitioned write (their staging scan cost would exceed the file
     savings)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _cell_files,
+        _diff_new_files,
+        _index_fs,
+        _merge_appended,
+    )
+
     _, manifest = read_minhash_index(spark, path)
     id_col = manifest["id_col"]
     n_rows = _require_unique_ids(new_docs, id_col, "new_docs")
-    _reject_tombstoned(spark, path, new_docs, id_col, "new_docs")
+    _reject_tombstoned(
+        spark, path, new_docs, id_col, "new_docs",
+        names=manifest["tombstone_files"],
+    )
     banded, sigs = _signed(
         new_docs.select(id_col, manifest["text_col"]), manifest
     )
     sigs = sigs.localCheckpoint()  # consumed by the write AND the count
+    # banded derives from the checkpointed sig frame, so the counts
+    # recompute only the cheap banding expressions
+    batch = _bucket_counts(banded)
+    sig_batch_pre = _bucket_counts(sigs)
+    _, fs, mkpath = _index_fs(spark, path)
     if staged:
-        # banded derives from the checkpointed sig frame, so the count
-        # below recomputes only the cheap banding expressions
+        pre = {
+            sub: {p.rsplit("/", 1)[-1] for p in _staging_files(spark, path, sub)}
+            for sub in ("bands", "sigs")
+        }
         banded.coalesce(1).write.mode("append").parquet(
             f"{path}/{STAGING_DIR}/bands"
         )
         sigs.coalesce(1).write.mode("append").parquet(
             f"{path}/{STAGING_DIR}/sigs"
         )
+        for sub in ("bands", "sigs"):
+            post = {
+                p.rsplit("/", 1)[-1]
+                for p in _staging_files(spark, path, sub)
+            }
+            manifest["staging_files"][sub] = sorted(
+                set(manifest["staging_files"][sub]) | (post - pre[sub])
+            )
     else:
+        band_touch = sorted(batch)
+        sig_touch = sorted(sig_batch_pre)
+        pre_b = {
+            str(b): set(_cell_files(fs, mkpath, path, b)) for b in band_touch
+        }
+        pre_s = {
+            str(b): set(_cell_files(fs, mkpath, f"{path}/{SIGS_DIR}", b))
+            for b in sig_touch
+        }
         _write_stores(banded, sigs, path, "append")
-    batch = _bucket_counts(banded)
+        manifest["files"]["bands"] = _merge_appended(
+            manifest["files"]["bands"],
+            _diff_new_files(fs, mkpath, path, band_touch, pre_b),
+        )
+        manifest["files"]["sigs"] = _merge_appended(
+            manifest["files"]["sigs"],
+            _diff_new_files(
+                fs, mkpath, f"{path}/{SIGS_DIR}", sig_touch, pre_s
+            ),
+        )
     per_bucket = {int(b): n for b, n in manifest["rows_per_bucket"].items()}
     for b, n in batch.items():
         per_bucket[b] = per_bucket.get(b, 0) + n
-    sig_batch = _bucket_counts(sigs)
+    sig_batch = sig_batch_pre
     sig_per_bucket = {
         int(b): n
         for b, n in manifest.get("sig_rows_per_bucket", {}).items()
@@ -329,6 +430,11 @@ def append_minhash_index(
     manifest["sig_rows_per_bucket"] = {
         str(b): n for b, n in sorted(sig_per_bucket.items())
     }
+    if stream_batch_id is not None:
+        # the streaming sink's replay fence commits in the SAME
+        # manifest write as the counts and the file snapshot — one
+        # commit point, so a crash can never leave them disagreeing
+        manifest["last_stream_batch_id"] = int(stream_batch_id)
     _write_text(
         spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
     )
@@ -395,7 +501,9 @@ def probe_minhash_index(
     # tombstoned ids (deleted but not yet purged by compaction) are
     # excluded at candidate generation, so a delete takes effect on
     # the very next probe
-    tomb = _read_tombstones(spark, path, "id")
+    tomb = _read_tombstones(
+        spark, path, "id", names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), "id", "left_anti")
 
@@ -433,7 +541,7 @@ def probe_minhash_index(
         .distinct()
         .collect()
     )
-    sig_store = _sig_rows(spark, path)
+    sig_store = _sig_rows(spark, path, manifest)
     if not sbuckets:
         # no candidates at all — prune the verification scan to nothing
         # (PruneFilters folds this to an empty relation, no file reads)
@@ -507,7 +615,7 @@ def filter_unindexed_ids(
         .distinct()
         .collect()
     )
-    sig_store = _sig_rows(spark, path)
+    sig_store = _sig_rows(spark, path, manifest)
     if not buckets:
         return batch  # empty batch: nothing to screen
     if len(buckets) <= n_buckets // 2:
@@ -530,15 +638,21 @@ def delete_from_minhash_index(spark: SparkSession, path: str, ids) -> dict:
     ``{"requested", "tombstones_total", "pending_purge"}``."""
     _, manifest = read_minhash_index(spark, path)
     id_col = manifest["id_col"]
-    sig_store = _sig_rows(spark, path)
+    sig_store = _sig_rows(spark, path, manifest)
     id_type = sig_store.schema["id"].dataType
     drop = _normalize_delete_ids(spark, ids, id_col, id_type)
     drop = drop.localCheckpoint()  # counted, appended, and presence-joined
     requested = drop.count()
-    total = _append_tombstones(spark, path, drop, id_col)
+    live_tombs = manifest["tombstone_files"]
+    total, new_names = _append_tombstones(
+        spark, path, drop, id_col, live_names=live_tombs
+    )
+    manifest["tombstone_files"] = sorted(set(live_tombs) | set(new_names))
     # how many tombstones (all, not just this call's) name a row that
     # is actually at rest — bucket-pruned presence check
-    tomb = _read_tombstones(spark, path, id_col).localCheckpoint()
+    tomb = _read_tombstones(
+        spark, path, id_col, names=manifest["tombstone_files"]
+    ).localCheckpoint()
     buckets = sorted(
         int(r["bucket"])
         for r in tomb.withColumn("bucket", _sig_bucket(id_col, manifest["n_buckets"]))
@@ -590,15 +704,27 @@ def minhash_index_health(spark: SparkSession, path: str) -> DataFrame:
 
 
 def repair_minhash_index(spark: SparkSession, path: str) -> dict:
-    """Heal a crashed compaction swap on either store (band root or
-    ``_sigs/``) — the same journal/roll-forward/roll-back protocol as
-    the ANN indexes, applied per store root. Idempotent; no-op on a
-    clean index."""
-    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+    """Heal a crashed swap on either store (band root or ``_sigs/``)
+    under the snapshot-commit rule (see ``ann_index._repair_store``):
+    the ONE manifest write that publishes both stores' file lists is
+    the commit point, so a crash anywhere in a two-store fold/purge
+    rolls BOTH stores back (neither referenced) or finishes BOTH
+    (both referenced) — the two stores can never commit separately.
+    Idempotent; no-op on a clean index."""
+    from sparvi_core_spark.sources.ann_index import _repair_store
 
+    try:
+        manifest = json.loads(_read_text(spark, path, MANIFEST))
+    except Exception:
+        manifest = {}
+    files = manifest.get("files", {})
     return {
-        "bands": repair_ivf_index(spark, path)["action"],
-        "sigs": repair_ivf_index(spark, f"{path}/{SIGS_DIR}")["action"],
+        "bands": _repair_store(
+            spark, path, live_files=files.get("bands")
+        )["action"],
+        "sigs": _repair_store(
+            spark, f"{path}/{SIGS_DIR}", live_files=files.get("sigs")
+        )["action"],
     }
 
 
@@ -612,10 +738,11 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     file are not read or touched. Row identity is checked against the
     manifest per store BEFORE each swap; the swap is journaled and
     crash-healed by :func:`repair_minhash_index` (run here first).
-    Single writer by contract; quiesce probes across the swap window
-    (a concurrently probed bucket can briefly see its rows twice —
-    duplicated candidates, which the pair `distinct` absorbs, but the
-    verification join can then double-count agreements, so don't).
+    Single WRITER by contract; probes never quiesce — every swap is
+    snapshot-committed (a probe keeps the file snapshot it planned
+    with; replaced files wait for :func:`vacuum_minhash_index`), so a
+    concurrent probe sees either the pre- or post-compaction index,
+    never a mix.
 
     Pending deletes (:func:`delete_from_minhash_index`) are folded in
     FIRST: the cells holding tombstoned rows are rewritten without
@@ -626,9 +753,12 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     re-appended. Returns per-store ``{"cells_compacted",
     "files_before", "files_after", "rows_rewritten"}`` plus a
     ``"purge"`` block when tombstones were folded."""
-    from sparvi_core_spark.sources.ann_index import _compact_cells
+    from sparvi_core_spark.sources.ann_index import (
+        _compact_cells,
+        _finish_swap,
+        _snapshot_read,
+    )
 
-    _require_no_stream_intent(spark, path, "compact_minhash_index")
     repair_minhash_index(spark, path)
     band_rows, manifest = read_minhash_index(spark, path)
     if "sig_rows_per_bucket" not in manifest:
@@ -645,28 +775,48 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     staging = _fold_staging(spark, path, manifest)
     if staging is not None:
         band_rows, manifest = read_minhash_index(spark, path)
+    def _merge(store: str, delta):
+        if not delta:
+            return
+        files = dict(manifest["files"][store])
+        for b, names in delta.items():
+            files[b] = names
+        manifest["files"][store] = {
+            b: files[b] for b in sorted(files, key=int)
+        }
+
     purge = None
-    tomb = _read_tombstones(spark, path, "id")
+    tomb = _read_tombstones(
+        spark, path, "id", names=manifest["tombstone_files"]
+    )
     if tomb is not None:
         tomb = tomb.localCheckpoint()  # drives two purges
         band_purge = _purge_cells(
-            spark, path, band_rows, "id", tomb, slice_salt="mh-band-slice"
+            spark, path, band_rows, "id", tomb,
+            slice_salt="mh-band-slice",
+            live_files=manifest["files"]["bands"],
         )
+        _merge("bands", band_purge.pop("new_files", None))
         sig_purge = _purge_cells(
             spark,
             f"{path}/{SIGS_DIR}",
-            spark.read.parquet(f"{path}/{SIGS_DIR}"),
+            _sig_store(spark, path, manifest),
             "id",
             tomb,
             slice_salt="mh-sig-slice",
+            live_files=manifest["files"]["sigs"],
         )
-        # reconcile the manifest from DISK (bucket is the partition
-        # key, so these counts come from parquet footers, not data
-        # pages) — measured truth survives any crash/replay history
-        per_bucket = _bucket_counts(spark.read.parquet(path))
-        sig_per_bucket = _bucket_counts(
-            spark.read.parquet(f"{path}/{SIGS_DIR}")
+        _merge("sigs", sig_purge.pop("new_files", None))
+        # reconcile the manifest from the NEW snapshots (bucket is
+        # the partition key, so these counts come from parquet
+        # footers, not data pages) — measured truth survives any
+        # crash/replay history
+        band_snap = _snapshot_read(spark, path, manifest["files"]["bands"])
+        sig_snap = _snapshot_read(
+            spark, f"{path}/{SIGS_DIR}", manifest["files"]["sigs"]
         )
+        per_bucket = {} if band_snap is None else _bucket_counts(band_snap)
+        sig_per_bucket = {} if sig_snap is None else _bucket_counts(sig_snap)
         manifest["rows_per_bucket"] = {
             str(b): n for b, n in sorted(per_bucket.items())
         }
@@ -677,13 +827,18 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
         manifest["purged_total"] = manifest.get("purged_total", 0) + int(
             sig_purge["rows_dropped"]
         )
+        # tombstones are consumed by the SAME commit that publishes
+        # BOTH purged stores — the physical tombstone files wait for
+        # vacuum, so a probe's pinned anti-join never breaks
+        manifest["tombstone_files"] = []
         manifest.pop("n_tombstones", None)
         manifest.pop("n_deleted_pending", None)
         _write_text(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
-        _clear_tombstones(spark, path)
+        _finish_swap(spark, path)
+        _finish_swap(spark, f"{path}/{SIGS_DIR}")
         purge = {"bands": band_purge, "sigs": sig_purge}
         band_rows, manifest = read_minhash_index(spark, path)
     # both stores carry the signature kernel's "id" column (the
@@ -691,18 +846,24 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     band_stats = _compact_cells(
         spark, path, band_rows, "id",
         manifest["rows_per_bucket"], 1, slice_salt="mh-band-slice",
+        live_files=manifest["files"]["bands"],
     )
+    _merge("bands", band_stats.pop("new_files", None))
     sig_stats = _compact_cells(
         spark, f"{path}/{SIGS_DIR}",
-        spark.read.parquet(f"{path}/{SIGS_DIR}"), "id",
+        _sig_store(spark, path, manifest), "id",
         manifest["sig_rows_per_bucket"], 1, slice_salt="mh-sig-slice",
+        live_files=manifest["files"]["sigs"],
     )
+    _merge("sigs", sig_stats.pop("new_files", None))
     if band_stats["cells_compacted"] or sig_stats["cells_compacted"]:
         manifest["compactions"] = manifest.get("compactions", 0) + 1
         _write_text(
             spark, path, MANIFEST,
             json.dumps(manifest, indent=1, sort_keys=True),
         )
+        _finish_swap(spark, path)
+        _finish_swap(spark, f"{path}/{SIGS_DIR}")
     out = {"bands": band_stats, "sigs": sig_stats}
     if purge is not None:
         out["purge"] = purge
@@ -715,38 +876,61 @@ def _fold_staging(spark: SparkSession, path: str, manifest: dict):
     """Move staged appends into the bucket partitions of both stores —
     append-shaped (``_fold_staged_cells``): ONLY the staged mass is
     rewritten and journal-renamed into the bucket dirs as additional
-    files, the staging files riding ``extra_old`` (deleted strictly
-    after the swap lands, deleted by repair on roll-forward, kept on
-    roll-back). The round-10 version force-rewrote every staged
-    bucket's full contents, which uniform band hashing turned into a
-    near-total store rewrite per fold — O(index) write traffic; this
-    is O(staged). Manifest counts are already logical, so nothing
-    moves there. Returns per-store stats, or None when nothing is
-    staged. Caller holds the writer lock and has run repair."""
+    files. Snapshot-committed: BOTH stores' folds publish in the ONE
+    manifest write here (which also empties ``staging_files``), so
+    the two stores commit atomically — a crash before the write rolls
+    both back, after it both are final (closing the r11-ADVICE note
+    about the two independent swaps). The consumed staging files stay
+    on disk for any in-flight probe until ``vacuum_minhash_index``.
+    O(staged) write traffic; manifest counts are already logical, so
+    nothing moves there. Returns per-store stats, or None when
+    nothing is staged. Caller holds the writer lock and has run
+    repair."""
     from sparvi_core_spark.sources.ann_index import (
         _fold_staged_cells,
-        _index_fs,
+        _finish_swap,
+        _merge_appended,
+        _read_staging_names,
     )
 
-    band_files = _staging_files(spark, path, "bands")
-    sig_files = _staging_files(spark, path, "sigs")
-    if not band_files and not sig_files:
+    band_names = manifest["staging_files"]["bands"]
+    sig_names = manifest["staging_files"]["sigs"]
+    if not band_names and not sig_names:
         return None
     out = {}
-    if band_files:
+    if band_names:
         out["bands"] = _fold_staged_cells(
-            spark, path, _read_staging(spark, path, "bands"), "id",
-            1, slice_salt="mh-band-slice", staged_files=band_files,
+            spark, path,
+            _read_staging_names(spark, path, "bands", band_names), "id",
+            1, slice_salt="mh-band-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/bands/{n}" for n in band_names
+            ],
+            snapshot=True,
         )
-    if sig_files:
+        manifest["files"]["bands"] = _merge_appended(
+            manifest["files"]["bands"], out["bands"].pop("new_files", {})
+        )
+        manifest["staging_files"]["bands"] = []
+    if sig_names:
         out["sigs"] = _fold_staged_cells(
-            spark, f"{path}/{SIGS_DIR}", _read_staging(spark, path, "sigs"),
-            "id", 1, slice_salt="mh-sig-slice", staged_files=sig_files,
+            spark, f"{path}/{SIGS_DIR}",
+            _read_staging_names(spark, path, "sigs", sig_names), "id",
+            1, slice_salt="mh-sig-slice",
+            staged_files=[
+                f"{path}/{STAGING_DIR}/sigs/{n}" for n in sig_names
+            ],
+            snapshot=True,
         )
-    _, fs, mkpath = _index_fs(spark, path)
-    sp = mkpath(f"{path}/{STAGING_DIR}")
-    if fs.exists(sp):
-        fs.delete(sp, True)
+        manifest["files"]["sigs"] = _merge_appended(
+            manifest["files"]["sigs"], out["sigs"].pop("new_files", {})
+        )
+        manifest["staging_files"]["sigs"] = []
+    _write_text(
+        spark, path, MANIFEST, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    _finish_swap(spark, path)
+    _finish_swap(spark, f"{path}/{SIGS_DIR}")
     return out
 
 
@@ -758,10 +942,46 @@ def fold_staging_minhash_index(spark: SparkSession, path: str) -> dict:
     tombstones stay pending (probes already exclude them); the full
     :func:`compact_minhash_index` purges and sweeps fan-in at its own
     cadence. No-op ``{}`` when nothing is staged."""
-    _require_no_stream_intent(spark, path, "fold_staging_minhash_index")
     repair_minhash_index(spark, path)
     _, manifest = read_minhash_index(spark, path)
     return _fold_staging(spark, path, manifest) or {}
+
+
+@_locked("vacuum")
+def vacuum_minhash_index(
+    spark: SparkSession, path: str, older_than_s: float = 0.0
+) -> dict:
+    """Delete the index's unreferenced files across both stores,
+    staging, and tombstones (see ``ann_index._vacuum_stores``): files
+    replaced by committed swaps, staging/tombstone files consumed by
+    committed folds/purges, and crashed-append orphans — none of
+    which any probe can be planning against, once unreferenced for
+    ``older_than_s`` seconds. Size the window past the longest
+    probe; 0 deletes immediately (safe only with no reader in
+    flight)."""
+    from sparvi_core_spark.sources.ann_index import (
+        _snapshot_files,
+        _snapshot_staging,
+        _vacuum_stores,
+    )
+
+    repair_minhash_index(spark, path)
+    manifest = json.loads(_read_text(spark, path, MANIFEST))
+    return _vacuum_stores(
+        spark, path,
+        stores={
+            "bands": (path, _snapshot_files(manifest, "bands")),
+            "sigs": (
+                f"{path}/{SIGS_DIR}", _snapshot_files(manifest, "sigs")
+            ),
+        },
+        staging={
+            "bands": ("bands", _snapshot_staging(manifest, "bands")),
+            "sigs": ("sigs", _snapshot_staging(manifest, "sigs")),
+        },
+        tombstones=manifest.get("tombstone_files", []),
+        older_than_s=older_than_s,
+    )
 
 
 def compact_minhash_index_if(
@@ -775,24 +995,34 @@ def compact_minhash_index_if(
     append). Below the threshold the cost is one directory listing;
     gauge + fold run atomically under the writer lock."""
     from sparvi_core_spark.sources.ann_index import (
-        _staging_gauge,
+        _staging_gauge_live,
         compact_index_if,
-        store_fragmentation,
+        live_fragmentation,
     )
+
+    def _man(s):
+        return json.loads(_read_text(s, path, MANIFEST))
 
     return compact_index_if(
         spark, path,
         {
-            "bands": ("bucket", lambda s: store_fragmentation(s, path)),
+            "bands": (
+                "bucket",
+                lambda s: live_fragmentation(_man(s)["files"]["bands"]),
+            ),
             "sigs": (
                 "bucket",
-                lambda s: store_fragmentation(s, f"{path}/{SIGS_DIR}"),
+                lambda s: live_fragmentation(_man(s)["files"]["sigs"]),
             ),
             # staged files count as per-bucket fan-in: every probe
-            # reads all of staging
+            # reads all of staging (LIVE lists — garbage awaiting
+            # vacuum is read by nobody and must not trigger work)
             "staging": (
                 "staging",
-                lambda s: _staging_gauge(s, path, ("bands", "sigs")),
+                lambda s: _staging_gauge_live(
+                    _man(s)["staging_files"]["bands"]
+                    + _man(s)["staging_files"]["sigs"]
+                ),
             ),
         },
         max_files_per_bucket,
@@ -826,14 +1056,16 @@ def reband_minhash_index(
             "reband_minhash_index is blue/green by contract: dest must "
             "differ from the source index path"
         )
-    if _read_tombstones(spark, path, "id") is not None:
+    _, manifest = read_minhash_index(spark, path)
+    if _read_tombstones(
+        spark, path, "id", names=manifest["tombstone_files"]
+    ) is not None:
         raise ValueError(
             "source index has pending deletes — run "
             "compact_minhash_index (which purges tombstones) before "
             "rebanding, or the deleted docs would be carried into the "
             "new index"
         )
-    _, manifest = read_minhash_index(spark, path)
     num_hashes = manifest["num_hashes"]
     if bands is None:
         if threshold is None:
@@ -847,7 +1079,7 @@ def reband_minhash_index(
         threshold = manifest["threshold"]
     if n_buckets is None:
         n_buckets = manifest["n_buckets"]
-    sigs = _sig_rows(spark, path).drop("bucket")
+    sigs = _sig_rows(spark, path, manifest).drop("bucket")
     new_man = dict(
         manifest,
         bands=bands,
@@ -859,10 +1091,21 @@ def reband_minhash_index(
     )
     new_sigs = sigs.withColumn("bucket", _sig_bucket("id", n_buckets))
     _write_stores(banded, new_sigs, dest, "overwrite")
-    per_bucket = _bucket_counts(spark.read.parquet(dest))
-    sig_per_bucket = _bucket_counts(
-        spark.read.parquet(f"{dest}/{SIGS_DIR}")
+    # snapshot commit for the NEW index: adopt the fresh write's files
+    from sparvi_core_spark.sources.ann_index import (
+        _index_fs,
+        _physical_cells,
     )
+
+    _, fs, mkpath = _index_fs(spark, dest)
+    new_man["files"] = {
+        "bands": _physical_cells(fs, mkpath, dest),
+        "sigs": _physical_cells(fs, mkpath, f"{dest}/{SIGS_DIR}"),
+    }
+    new_man["staging_files"] = {"bands": [], "sigs": []}
+    new_man["tombstone_files"] = []
+    per_bucket = _bucket_counts(_band_store(spark, dest, new_man))
+    sig_per_bucket = _bucket_counts(_sig_store(spark, dest, new_man))
     n_docs = sum(sig_per_bucket.values())
     if n_docs != manifest["n_docs"]:
         raise ValueError(

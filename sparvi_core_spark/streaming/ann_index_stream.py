@@ -15,20 +15,16 @@ Scale + delivery semantics:
 - **Per-batch cost is O(batch), never O(index).** The stored corpus
   is not read; only the centroid table (k × dim, broadcast) and the
   manifest (k counters) are touched per trigger.
-- **Replay-safe at the commit boundary — including the crash window
-  inside a batch.** ``foreachBatch`` redelivers a batch when the
-  checkpoint commit didn't land; the sink commits
-  ``last_stream_batch_id`` in the SAME manifest write as the append's
-  counts (one commit point) and skips batch ids it has already
-  committed. The residual window — a crash between the data append
-  and that single manifest write — is fenced by a write-ahead intent
-  marker (``_stream_intent.json``, written before any data lands):
-  a redelivered batch whose id matches the intent is a crashed
-  attempt, and the re-run screens the batch at id grain against the
-  touched cells ∪ staging (bucket-pruned, column-pruned — O(batch)
-  cells' id bytes, never O(index)), appends only the missing split,
-  and counts the full batch, healing both data and manifest. The hot
-  path pays one tiny intent write per trigger and NO screen.
+- **Exactly-once by construction (snapshot commits).** ``foreachBatch``
+  redelivers a batch when the checkpoint commit didn't land; the sink
+  commits ``last_stream_batch_id`` in the SAME manifest write as the
+  append's counts AND file snapshot (one commit point) and skips
+  batch ids it has already committed. A crash anywhere between the
+  data append and that single write leaves the landed files
+  referenced by NOTHING (readers scan the manifest's snapshot, never
+  the directory), so the redelivered batch simply appends again —
+  no intent marker, no id screen, no duplicate rows; the orphans
+  wait for the index's ``vacuum`` verb.
 - **Fragmentation is the compactor's job.** Every trigger adds up to
   ``files_per_bucket`` files to each touched cell by design — run
   ``compact_ivf_index`` on a maintenance schedule, exactly like the
@@ -63,49 +59,6 @@ def _already_committed(spark, path: str, manifest_name: str, batch_id: int):
 
     manifest = json.loads(_read_text(spark, path, manifest_name))
     return batch_id <= manifest.get("last_stream_batch_id", -1)
-
-
-def _replay_suspected(spark, path: str, manifest_name: str, batch_id: int):
-    """The sink's per-batch fence. Returns None when the batch is
-    already committed (skip it), True when a write-ahead intent for
-    THIS batch id is on disk — a prior attempt crashed between its
-    data append and its manifest commit, so the re-run must screen at
-    id grain — else False after writing the intent marker (the normal
-    hot path: one tiny file write, no screen)."""
-    from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
-        _index_fs,
-        _read_text,
-        _write_text,
-    )
-
-    manifest = json.loads(_read_text(spark, path, manifest_name))
-    if batch_id <= manifest.get("last_stream_batch_id", -1):
-        return None
-    _, fs, mkpath = _index_fs(spark, path)
-    if fs.exists(mkpath(f"{path}/{STREAM_INTENT}")):
-        try:
-            intent = json.loads(_read_text(spark, path, STREAM_INTENT))
-            if int(intent.get("batch_id", -1)) == batch_id:
-                return True
-        except Exception:
-            return True  # torn intent: treat as a crashed attempt
-    _write_text(
-        spark, path, STREAM_INTENT, json.dumps({"batch_id": batch_id})
-    )
-    return False
-
-
-def _clear_intent(spark, path: str) -> None:
-    from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
-        _index_fs,
-    )
-
-    _, fs, mkpath = _index_fs(spark, path)
-    ip = mkpath(f"{path}/{STREAM_INTENT}")
-    if fs.exists(ip):
-        fs.delete(ip, False)
 
 
 def index_stream_batches(
@@ -197,17 +150,12 @@ def index_pq_stream_batches(
             return
         spark = batch_df.sparkSession
         with writer_lock(spark, path, "stream-batch"):
-            suspect = _replay_suspected(
-                spark, path, MANIFEST, int(batch_id)
-            )
-            if suspect is None:
+            if _already_committed(spark, path, MANIFEST, int(batch_id)):
                 return  # replayed batch: already committed, skip
             append_ivfpq_index(
                 batch_df, path, files_per_bucket=files_per_bucket,
                 staged=staged, stream_batch_id=int(batch_id),
-                screen_existing=suspect,
             )
-            _clear_intent(spark, path)
             if auto_compact is not None:
                 compact_ivfpq_index_if(spark, path, auto_compact)
 

@@ -155,34 +155,24 @@ def novelty_stream_fuzzy(
     Streaming can't express stream-natively (the reason
     :func:`novelty_stream_exact` exists for the exact tier), so this
     runs through ``foreachBatch`` like the ANN index sinks. Replay
-    safety is idempotence, in three layers: (1) the index manifest
-    records ``last_stream_batch_id``, so a batch replayed after a full
-    commit is skipped whole; (2) the sink lands each batch under its
-    own ``batch_id=N`` partition directory with overwrite, so a replay
-    that re-runs the batch rewrites the same directory instead of
-    appending duplicate rows; (3) the batch is split FIRST by
-    ``filter_unindexed_ids``, and a write-ahead intent marker
-    (``_stream_intent.json``, as in the ANN sinks) tells a crashed
-    attempt's replay apart from ordinary traffic: on an intent-matched
-    replay, rows whose ids are already at rest (the set the first run
-    admitted before crashing between its append and its manifest
-    commit) are re-admitted to the sink verbatim — making the sink
-    content id-stable across replays even for mutual batch-internal
-    near-dups, which would otherwise screen each other out via their
-    peers' index copies — while only the unindexed split is near-dup
-    screened and appended, so the replay re-appends nothing. On the
-    NORMAL path an already-indexed id in the batch is an upstream
-    re-emission (a cross-batch unique-id contract violation): it is
-    not novel and is DROPPED, exactly as the near-dup screen would
-    have dropped it by matching its own index copy — it is never
-    re-appended, and its (possibly changed) text never bypasses the
-    screen. A crash in the MIDDLE of
-    an index append (band store written, sig store not) is the
-    stores' own crash-repair domain — run ``repair_minhash_index``
-    before restarting the stream after an unclean stop.
-    Batch-internal duplicates are out of scope (they arrive together —
-    the batch dedup ops own them); a doc near-duplicating only
-    same-batch peers is admitted once with its peers.
+    safety is snapshot commits (see ``sources.ann_index``): the
+    batch's survivors, the index's counts + file snapshot, and
+    ``last_stream_batch_id`` all publish in the append's ONE manifest
+    write. A batch replayed after that commit is skipped whole by the
+    batch-id fence; a batch replayed after a crash BEFORE it re-runs
+    against an index that provably does not contain the crashed
+    attempt (its files are referenced by nothing), so the screen
+    recomputes the identical survivor set — mutual batch-internal
+    near-dups included — rewrites the same ``batch_id=N`` sink
+    partition, and appends again; the orphans wait for
+    ``vacuum_minhash_index``. On the NORMAL path an already-indexed
+    id in the batch is an upstream re-emission (a cross-batch
+    unique-id contract violation): it is not novel and is DROPPED —
+    never re-appended, and its (possibly changed) text never bypasses
+    the screen. Batch-internal duplicates are out of scope (they
+    arrive together — the batch dedup ops own them); a doc
+    near-duplicating only same-batch peers is admitted once with its
+    peers.
 
     Readers see the sink as ordinary partitioned parquet
     (``spark.read.parquet(sink_path)``) with a synthesized
@@ -235,68 +225,42 @@ def novelty_stream_fuzzy(
         # compact`) fails cleanly instead of interleaving file swaps
         # with this batch; the inner append's own lock is reentrant
         with writer_lock(spark, index_path, "stream-batch"):
-            from sparvi_core_spark.streaming.ann_index_stream import (
-                _clear_intent,
-                _replay_suspected,
-            )
-
-            # batch-id fence + write-ahead intent: suspect is True only
-            # when a PRIOR attempt of this very batch crashed between
-            # its work and its manifest commit (see ann_index_stream)
-            suspect = _replay_suspected(
-                spark, index_path, MANIFEST, int(batch_id)
-            )
-            if suspect is None:
-                return  # replayed batch: already screened + landed, skip
             manifest = json.loads(_read_text(spark, index_path, MANIFEST))
-            id_col = manifest["id_col"]
-            # split the batch FIRST on ids already at rest in the index.
-            # On the normal path `landed` is non-empty only when an
-            # upstream re-emits an already-indexed id (a cross-batch
-            # unique-id contract violation) — such rows are NOT novel
-            # and are DROPPED, exactly as the near-dup screen would
-            # have dropped them by matching their own index copy. On a
-            # crashed-attempt replay (intent matched), `landed` is
-            # exactly the set the first run admitted — re-admit it to
-            # the sink verbatim instead of re-screening: mutual
-            # batch-internal near-dups (admitted together the first
-            # time) would otherwise screen each other out via their
-            # peers' index copies, shrinking the rewritten sink
-            # partition while the index keeps them — breaking the
-            # "admitted once with its peers" invariant. Sink content is
-            # thereby id-stable across replays.
+            if int(batch_id) <= manifest.get("last_stream_batch_id", -1):
+                return  # replayed batch: already screened + landed, skip
+            # re-emitted already-indexed ids are NOT novel — dropped
+            # here, so their (possibly changed) text never bypasses
+            # the near-dup screen. A crash-replayed batch re-runs this
+            # split against an index that provably does not contain
+            # the crashed attempt (snapshot commits: its files are
+            # referenced by nothing), so the survivor set recomputes
+            # identically — mutual batch-internal near-dups included.
             unindexed = filter_unindexed_ids(
                 spark, index_path, batch_df
-            ).localCheckpoint()  # one answer for the screen AND the split
+            ).localCheckpoint()  # one answer for the screen AND the sink
             survivors = filter_new_against_index(
                 spark, index_path, unindexed, threshold, max_bucket
             ).localCheckpoint()  # screen ONCE; sink and index see one answer
-            out = survivors
-            if suspect:
-                landed = batch_df.join(
-                    unindexed.select(id_col), id_col, "left_anti"
-                )
-                out = survivors.unionByName(landed)
             # idempotent sink: a replayed batch rewrites its own
             # partition directory instead of appending duplicates
-            out.write.mode("overwrite").parquet(
+            survivors.write.mode("overwrite").parquet(
                 f"{sink_path}/batch_id={int(batch_id)}"
             )
             if grow_index:
-                # idempotent index append: survivors are unindexed by
-                # construction (screened from the `unindexed` split), so
-                # a replay whose append landed re-appends nothing
-                man = append_minhash_index(
-                    spark, index_path, survivors, staged=staged_append
+                # the survivors, the index's file snapshot, and the
+                # batch-id fence commit in the append's ONE manifest
+                # write — a crash anywhere before it leaves nothing
+                # referenced, a crash after it is fenced by batch id
+                append_minhash_index(
+                    spark, index_path, survivors, staged=staged_append,
+                    stream_batch_id=int(batch_id),
                 )
             else:
-                man = manifest
-            man["last_stream_batch_id"] = int(batch_id)
-            _write_text(
-                spark, index_path, MANIFEST,
-                json.dumps(man, indent=1, sort_keys=True),
-            )
-            _clear_intent(spark, index_path)
+                manifest["last_stream_batch_id"] = int(batch_id)
+                _write_text(
+                    spark, index_path, MANIFEST,
+                    json.dumps(manifest, indent=1, sort_keys=True),
+                )
             if auto_compact is not None and grow_index:
                 # after the commit: a crash here replays nothing, and
                 # compaction reads the manifest fresh from disk (the

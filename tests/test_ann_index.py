@@ -863,30 +863,6 @@ def test_staged_fold_into_previously_empty_cell(spark, tmp_path):
     assert hits and all(r["neighbor_id"] >= 1000 for r in hits)
     _, _, man = read_ivf_index(spark, path)
     assert man["rows_per_bucket"]["3"] == 5
-
-
-def test_replay_screen_scan_is_pruned(spark, tmp_path):
-    """The crash-replay screen's lookup side must stay bucket-grain at
-    100 TB: the executed plan's scan carries a PartitionFilter on the
-    touched cells and a ReadSchema of ONLY the id column — never a
-    full-corpus or full-width read."""
-    from sparvi_core_spark.sources.ann_index import _existing_ids
-
-    df = _corpus(spark, n=200, seed=31)
-    path = str(tmp_path / "ivf")
-    write_ivf_index(df, _centroids(spark, df, k=6), path)
-
-    ex = _existing_ids(spark, path, [], "vec_id", [1, 3])
-    assert ex is not None and ex.count() > 0
-    plan = ex._jdf.queryExecution().executedPlan().toString()
-    [pf] = [
-        line for line in plan.splitlines() if "PartitionFilters" in line
-    ]
-    assert "bucket" in pf.split("PartitionFilters")[1][:60]
-    assert "IN (1,3)" in pf
-    assert "ReadSchema: struct<vec_id:bigint>" in pf
-
-
 def test_pinned_reader_survives_compaction(spark, tmp_path):
     """THE snapshot-commit guarantee: a search/read planned BEFORE a
     compaction keeps working — and keeps answering from its own

@@ -34,7 +34,11 @@ def test_write_read_roundtrip_and_manifest(spark, tmp_path):
     man = write_binary_index(df, path, bits=128, seed=9, prefix_bits=4)
     codes, rman = read_binary_index(spark, path)
     assert rman == man
-    assert man["format"] == "sparvi-binary-index/1"
+    assert man["format"] == "sparvi-binary-index/2"
+    # snapshot commit: the manifest records both stores' live files
+    assert sorted(man["files"]["codes"]) == sorted(man["rows_per_bucket"])
+    assert man["staging_files"] == {"codes": [], "vectors": []}
+    assert man["tombstone_files"] == []
     assert man["n_vectors"] == 160 and man["dropped_null"] == 2
     assert man["bits"] == 128 and man["dim"] == 8 and man["prefix_bits"] == 4
     assert sum(man["rows_per_bucket"].values()) == 160
@@ -296,7 +300,18 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
     assert man["n_vectors"] == 157
     assert man["purged_total"] == 3
     assert "n_tombstones" not in man and "n_deleted_pending" not in man
-    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    # the purge commit unreferences the tombstone files; the physical
+    # store waits for vacuum
+    assert man["tombstone_files"] == []
+    from sparvi_core_spark.sources.binary_index import (
+        vacuum_binary_index,
+    )
+
+    vacuum_binary_index(spark, path)
+    tdir = os.path.join(path, "_tombstones")
+    assert not os.path.exists(tdir) or not [
+        f for f in os.listdir(tdir) if not f.startswith((".", "_"))
+    ]
     assert all(r["ok"] for r in binary_index_health(spark, path).collect())
 
     physical = sorted(
@@ -347,6 +362,13 @@ def test_compact_binary_index_folds_append_fragments(spark, tmp_path):
     stats = compact_binary_index(spark, path)
     assert stats["codes"]["cells_compacted"] > 0
     assert stats["vectors"]["cells_compacted"] > 0
+    # replaced files are retired, not deleted in place — the physical
+    # count shrinks only after vacuum (pinned scans keep working)
+    from sparvi_core_spark.sources.binary_index import (
+        vacuum_binary_index,
+    )
+
+    vacuum_binary_index(spark, path)
     assert _files(path) < before_files
     assert all(r["ok"] for r in binary_index_health(spark, path).collect())
     after = sorted(
@@ -448,6 +470,12 @@ def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
 
     out2 = compact_binary_index_if(spark, path, max_files_per_bucket=2)
     assert out2["compacted"] is True
+    # LIVE gauges are clean immediately; physical catches up at vacuum
+    from sparvi_core_spark.sources.binary_index import (
+        vacuum_binary_index,
+    )
+
+    vacuum_binary_index(spark, path)
     assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
     assert (
         store_fragmentation(spark, f"{path}/_vectors")["max_files_per_bucket"]
@@ -464,10 +492,12 @@ def test_staged_append_binary_parity_and_fold(spark, tmp_path):
     (codes + float side-store), searches (incl. rerank from the staged
     floats) match a normal-append twin, and the fold restores pure
     bucket partitions with answers unchanged."""
+    import json
     import os
 
-    from sparvi_core_spark.sources.ann_index import _staging_files
+    from sparvi_core_spark.sources.ann_index import _read_text, _staging_files
     from sparvi_core_spark.sources.binary_index import (
+        MANIFEST,
         compact_binary_index_if,
         delete_from_binary_index,
     )
@@ -508,7 +538,10 @@ def test_staged_append_binary_parity_and_fold(spark, tmp_path):
     assert out["folded"] is True and out["compacted"] is False
     assert out["stats"]["codes"]["rows_folded"] == 60
     assert out["stats"]["vectors"]["rows_folded"] == 60
-    assert not os.path.exists(os.path.join(b, "_staging"))
+    # staging is unreferenced at the fold's commit; physical files
+    # wait for vacuum
+    man_fold = json.loads(_read_text(spark, b, MANIFEST))
+    assert man_fold["staging_files"] == {"codes": [], "vectors": []}
     # the FULL compact purges the pending tombstone
     from sparvi_core_spark.sources.binary_index import compact_binary_index
 

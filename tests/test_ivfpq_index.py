@@ -67,7 +67,11 @@ def built(spark, tmp_path_factory):
 def test_write_read_roundtrip_and_manifest(spark, built):
     coded, cents, cb, man = read_ivfpq_index(spark, built["path"])
     assert man == built["man"]
-    assert man["format"] == "sparvi-ivfpq-index/1"
+    assert man["format"] == "sparvi-ivfpq-index/2"
+    # snapshot commit: the manifest records both stores' live files
+    assert sorted(man["files"]["codes"]) == sorted(man["rows_per_bucket"])
+    assert man["staging_files"] == {"codes": [], "floats": []}
+    assert man["tombstone_files"] == []
     assert man["n_vectors"] == 180 and man["dropped_null"] == 0
     assert man["m"] == 2 and man["ks"] == 16 and man["dim"] == 8
     assert sum(man["rows_per_bucket"].values()) == 180
@@ -328,6 +332,11 @@ def test_compact_folds_codes_and_floats(spark, built, tmp_path):
     # every cell is back at <= files_per_bucket files, both stores
     import os
 
+    # physical layout catches up at vacuum (replaced files are
+    # retired, never deleted under a possible reader)
+    from sparvi_core_spark.sources.ivfpq_index import vacuum_ivfpq_index
+
+    vacuum_ivfpq_index(spark, path)
     for root in (path, f"{path}/_floats"):
         for b in man["rows_per_bucket"]:
             d = f"{root}/bucket={b}"
@@ -668,7 +677,15 @@ def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
     assert out["folded"] is True and out["compacted"] is False
     assert out["stats"]["codes"]["rows_folded"] == 30
     assert out["stats"]["floats"]["rows_folded"] == 30
-    assert not os.path.exists(os.path.join(b, "_staging"))
+    # staging is unreferenced at the fold's commit; physical files
+    # wait for vacuum
+    import json as _json
+
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.ivfpq_index import MANIFEST
+
+    man_fold = _json.loads(_read_text(spark, b, MANIFEST))
+    assert man_fold["staging_files"] == {"codes": [], "floats": []}
     # the FULL compact purges the pending tombstone
     from sparvi_core_spark.sources.ivfpq_index import compact_ivfpq_index
 
@@ -684,27 +701,26 @@ def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
 
 
 def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
-    """Round-10 verdict #1, coded-index side: (a) a crash between the
-    data appends and the single manifest commit double-appended the
-    batch on replay; (b) a crash can land the CODES append but not the
-    ``_floats/`` one. The sink's write-ahead intent + per-store id
-    screen heals both: zero duplicate ids in either store, counts
-    consistent, reranked search equal to a never-crashed twin."""
+    """Snapshot commits, coded-index side: the ONE manifest write
+    publishes counts AND both stores' file lists, so (a) a crash that
+    lands the CODES append but not the ``_floats/`` one leaves the
+    codes orphaned-and-invisible — the stores can never be visible
+    inconsistently; (b) a crash after both appends but before the
+    commit is equally invisible. Replays just append the whole batch
+    again (no intent, no screen); vacuum reclaims the orphans; search
+    parity with a never-crashed twin throughout."""
     import json
-    import os
     import shutil
 
     import pytest
 
     from sparvi_core_spark.sources import writers as W
-    from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
-        _write_text,
-    )
     from sparvi_core_spark.sources.ivfpq_index import (
         MANIFEST,
+        _pq_float_rows,
         append_ivfpq_index,
         search_ivfpq_index,
+        vacuum_ivfpq_index,
     )
     from sparvi_core_spark.streaming.ann_index_stream import (
         index_pq_stream_batches,
@@ -726,9 +742,8 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
     src = str(tmp_path / "src_cw")
     new.coalesce(1).write.parquet(src)  # one batch, id 0
 
-    # --- crashed attempt: intent on disk, CODES landed, the floats
-    # append did NOT (and so neither did the manifest commit)
-    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 0}))
+    # --- crashed attempt: CODES landed, the floats append did NOT
+    # (and so neither did the manifest commit)
     from pyspark.sql.readwriter import DataFrameWriter
 
     real_pq = DataFrameWriter.parquet
@@ -744,11 +759,15 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
             append_ivfpq_index(new, path, stream_batch_id=0)
     finally:
         DataFrameWriter.parquet = real_pq
+    # the landed codes are referenced by NOTHING: readers see a fully
+    # consistent pre-append index (no count drift, no store skew)
     coded, _, _, man = read_ivfpq_index(spark, path)
-    assert coded.count() == 200 and man["n_vectors"] == 180  # drifted
-    assert spark.read.parquet(f"{path}/_floats").count() == 180
+    assert coded.count() == 180 and man["n_vectors"] == 180
+    assert _pq_float_rows(spark, path, man).count() == 180
+    # ...but they are physically there, awaiting vacuum
+    assert spark.read.parquet(path).count() == 200
 
-    # --- the replay, through the real sink
+    # --- the replay, through the real sink: plain append, no screen
     q = index_pq_stream_batches(
         stream_events(spark, src, max_files_per_trigger=1),
         path,
@@ -757,7 +776,7 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
     q.awaitTermination()
 
     coded2, _, _, man2 = read_ivfpq_index(spark, path)
-    floats2 = spark.read.parquet(f"{path}/_floats")
+    floats2 = _pq_float_rows(spark, path, man2)
     assert coded2.count() == 200
     assert coded2.select("vec_id").distinct().count() == 200
     assert floats2.count() == 200
@@ -765,8 +784,6 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
     assert man2["n_vectors"] == 200
     assert sum(man2["rows_per_bucket"].values()) == 200
     assert man2["last_stream_batch_id"] == 0
-    assert man2["replay_rows_healed"] == 20
-    assert not os.path.exists(os.path.join(path, STREAM_INTENT))
 
     # reranked search parity with the never-crashed twin
     append_ivfpq_index(new, twin)
@@ -777,7 +794,7 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
         spark, twin, queries, k=5, rerank=20).collect()))
     assert got == want and len(got) > 0
 
-    # second full-landed crash: BOTH stores landed, manifest didn't
+    # second crash shape: BOTH stores landed, manifest didn't
     # — arrives as batch 1 of the SAME stream (same source dir and
     # checkpoint; a fresh checkpoint would restart batch numbering)
     new2 = spark.createDataFrame(
@@ -788,7 +805,6 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
         "vec_id long, embedding array<double>",
     )
     new2.coalesce(1).write.mode("append").parquet(src)
-    _write_text(spark, path, STREAM_INTENT, json.dumps({"batch_id": 1}))
     real_wt = W._hadoop_write_text
 
     def boom2(sp, dir_path, name, text):
@@ -811,7 +827,11 @@ def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
     coded3, _, _, man3 = read_ivfpq_index(spark, path)
     assert coded3.count() == 210
     assert coded3.select("vec_id").distinct().count() == 210
-    assert spark.read.parquet(f"{path}/_floats").count() == 210
+    assert _pq_float_rows(spark, path, man3).count() == 210
     assert man3["n_vectors"] == 210
     assert man3["last_stream_batch_id"] == 1
-    assert man3["replay_rows_healed"] == 30
+    # vacuum reclaims both crashed attempts' orphans: physical rows
+    # match the committed snapshot again
+    assert vacuum_ivfpq_index(spark, path)["files_vacuumed"] > 0
+    assert spark.read.parquet(path).count() == 210
+    assert spark.read.parquet(f"{path}/_floats").count() == 210

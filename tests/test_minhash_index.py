@@ -54,7 +54,12 @@ def test_write_read_roundtrip_and_manifest(spark, tmp_path):
     )
     rows, rman = read_minhash_index(spark, path)
     assert rman == man
-    assert man["format"] == "sparvi-minhash-index/1"
+    assert man["format"] == "sparvi-minhash-index/2"
+    # snapshot commit: the manifest records both stores' live files
+    assert sorted(man["files"]["bands"]) == sorted(man["rows_per_bucket"])
+    assert sorted(man["files"]["sigs"]) == sorted(man["sig_rows_per_bucket"])
+    assert man["staging_files"] == {"bands": [], "sigs": []}
+    assert man["tombstone_files"] == []
     assert man["n_docs"] == 60 and man["dropped_short"] == 2
     assert man["num_hashes"] == 8 and man["bands"] == 4
     # every indexed doc contributes exactly `bands` band rows
@@ -475,7 +480,18 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
     assert man["n_docs"] == 38
     assert man["purged_total"] == 2
     assert "n_tombstones" not in man and "n_deleted_pending" not in man
-    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    # the purge commit unreferences the tombstone files; the physical
+    # store waits for vacuum
+    assert man["tombstone_files"] == []
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    vacuum_minhash_index(spark, path)
+    tdir = os.path.join(path, "_tombstones")
+    assert not os.path.exists(tdir) or not [
+        f for f in os.listdir(tdir) if not f.startswith((".", "_"))
+    ]
     health = minhash_index_health(spark, path)
     assert health.filter(~F.col("ok")).count() == 0
 
@@ -643,6 +659,13 @@ def test_compact_after_appends_preserves_answers(spark, tmp_path):
     stats = compact_minhash_index(spark, path)
     assert stats["bands"]["cells_compacted"] > 0
     assert stats["sigs"]["cells_compacted"] > 0
+    # replaced files are retired, not deleted in place — the physical
+    # count shrinks only after vacuum (pinned probes keep working)
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    vacuum_minhash_index(spark, path)
     after_files = _files(path)
     assert after_files < before_files
     after = sorted(
@@ -734,6 +757,13 @@ def test_compact_if_trigger_gauges_both_stores(spark, tmp_path):
     out2 = compact_minhash_index_if(spark, path, max_files_per_bucket=2)
     assert out2["compacted"] is True
     assert out2["stats"]["bands"]["cells_compacted"] > 0
+    # replaced files are retired, not deleted under a possible reader;
+    # vacuum brings the physical layout to 1 file/bucket
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    vacuum_minhash_index(spark, path)
     assert store_fragmentation(spark, path)["max_files_per_bucket"] == 1
     assert (
         store_fragmentation(spark, f"{path}/_sigs")["max_files_per_bucket"]
@@ -815,14 +845,30 @@ def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
     landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     # (a) the deleted doc no longer screens its near-copies: 200 lands
     assert landed == {100, 200, 201}
-    # (b) the in-stream auto-compact physically purged the tombstone
-    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+    # (b) the in-stream auto-compact purged the tombstone: the commit
+    # unreferences the tombstone files (physical store waits for vacuum)
     man = json.loads(_read_text(spark, idx, MANIFEST))
+    assert man["tombstone_files"] == []
     assert man["purged_total"] == 1
     assert man["last_stream_batch_id"] == 1
     # 30 stored - 1 purged + 3 admitted across both triggers
     assert man["n_docs"] == 32
-    # and the appends were folded: both stores back at 1 file/bucket
+    # and the appends were folded: both stores' LIVE file sets back at
+    # 1 file/bucket (what a probe opens — retired files await vacuum)
+    from sparvi_core_spark.sources.ann_index import live_fragmentation
+
+    assert live_fragmentation(man["files"]["bands"])[
+        "max_files_per_bucket"
+    ] == 1
+    assert live_fragmentation(man["files"]["sigs"])[
+        "max_files_per_bucket"
+    ] == 1
+    # vacuum brings the PHYSICAL layout to match
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    vacuum_minhash_index(spark, idx)
     assert store_fragmentation(spark, idx)["max_files_per_bucket"] == 1
     assert (
         store_fragmentation(spark, f"{idx}/_sigs")["max_files_per_bucket"]
@@ -898,7 +944,15 @@ def test_staged_append_probe_parity_and_fold(spark, tmp_path):
     out = compact_minhash_index(spark, b)
     assert "staging" in out and out["staging"]["bands"]["rows_folded"] > 0
     assert out["purge"]["sigs"]["rows_dropped"] == 1
-    assert not os.path.exists(os.path.join(b, "_staging"))
+    # the fold's commit unreferenced staging; the physical files wait
+    # for vacuum (a probe planned pre-fold may still hold them)
+    man_fold = json.loads(_read_text(spark, b, MANIFEST))
+    assert man_fold["staging_files"] == {"bands": [], "sigs": []}
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    assert vacuum_minhash_index(spark, b)["files_vacuumed"] > 0
     assert not _staging_files(spark, b, "bands")
     probe_b2 = sorted(
         map(tuple, probe_minhash_index(spark, b, batch).collect())
@@ -921,8 +975,9 @@ def test_compact_if_triggers_on_staging_and_repair_extra_old(
     import json
     import os
 
-    from sparvi_core_spark.sources.ann_index import repair_ivf_index
+    from sparvi_core_spark.sources.ann_index import _read_text
     from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
         _staging_files,
         compact_minhash_index_if,
     )
@@ -947,43 +1002,70 @@ def test_compact_if_triggers_on_staging_and_repair_extra_old(
     # append-shaped staging fold, no store rewrite
     assert out2["folded"] is True and out2["compacted"] is False
     assert out2["stats"]["bands"]["rows_folded"] == 30 * 4  # 30 docs x 4 bands
-    assert not _staging_files(spark, path, "bands")
+    # the fold's commit unreferences staging; physical files await vacuum
+    man = json.loads(_read_text(spark, path, MANIFEST))
+    assert man["staging_files"] == {"bands": [], "sigs": []}
+    assert len(_staging_files(spark, path, "bands")) == 3
     out3 = compact_minhash_index_if(spark, path, max_files_per_bucket=4)
-    # post-fold each touched bucket is at store+fold = 2 files <= 4
+    # post-fold each touched bucket is at store+fold = 2 LIVE files <= 4
     assert out3["compacted"] is False and out3["folded"] is False
 
-    # repair roll-forward deletes journaled extra_old leftovers
-    orphan = os.path.join(path, "_staging_orphan.parquet")
-    with open(orphan, "w") as f:
+    # vacuum retires the consumed staging files (and nothing live)
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    out4 = vacuum_minhash_index(spark, path)
+    assert out4["files_vacuumed"] >= 6
+    assert not _staging_files(spark, path, "bands")
+    assert not _staging_files(spark, path, "sigs")
+
+    # a journaled swap whose new file the manifest never referenced is
+    # rolled BACK by repair — the half-landed file is deleted, the
+    # store untouched (snapshot rule; extra_old staging files are left
+    # alone: they are vacuum's, not repair's)
+    from sparvi_core_spark.sources.minhash_index import (
+        repair_minhash_index,
+    )
+
+    cell = sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    )[0]
+    b = cell.split("=")[1]
+    partial = os.path.join(path, cell, "never-committed.parquet")
+    with open(partial, "w") as f:
         f.write("x")
     with open(os.path.join(path, "_compact_journal.json"), "w") as f:
-        json.dump({"cells": {}, "extra_old": [orphan]}, f)
-    rep = repair_ivf_index(spark, path)
-    assert rep["action"] == "rolled_forward"
-    assert not os.path.exists(orphan)
+        json.dump(
+            {"cells": {b: {"new": ["never-committed.parquet"],
+                           "old": []}}},
+            f,
+        )
+    rep = repair_minhash_index(spark, path)
+    assert rep["bands"] == "rolled_back"
+    assert not os.path.exists(partial)
 
 
-def test_novelty_stream_reemitted_id_gated_by_intent(spark, tmp_path):
-    """Round-10 ADVICE: the replay re-admission split changed
-    normal-path behavior — an upstream that re-emits an
-    already-indexed id (even with changed text) landed in the sink
-    verbatim, bypassing the near-dup screen. Now the write-ahead
-    intent marker tells the two apart: (a) on the NORMAL path a
-    re-emitted id is dropped (not novel, never re-appended); (b) a
-    crashed attempt's replay — intent on disk, work done, manifest
-    commit missing — still re-admits its own landed rows verbatim
-    through the REAL sink."""
+def test_novelty_stream_reemitted_id_and_crash_replay(spark, tmp_path):
+    """(a) NORMAL path: an upstream that re-emits an already-indexed
+    id (even with changed text) is dropped — not novel, never
+    re-appended, its text never bypasses the near-dup screen. (b) A
+    crashed attempt — work done, single manifest commit missing —
+    leaves its appended rows referenced by NOTHING (snapshot
+    commits), so the replay re-runs the identical screen against the
+    committed index and appends again; no intent marker, no landed
+    split, exactly-once by construction."""
     import json
     import os
 
     import pytest
 
     from sparvi_core_spark.sources import writers as W
-    from sparvi_core_spark.sources.ann_index import (
-        STREAM_INTENT,
-        _read_text,
+    from sparvi_core_spark.sources.ann_index import _read_text
+    from sparvi_core_spark.sources.minhash_index import (
+        MANIFEST,
+        _sig_rows,
     )
-    from sparvi_core_spark.sources.minhash_index import MANIFEST
     from sparvi_core_spark.streaming.dedup_stream import novelty_stream_fuzzy
 
     idx = str(tmp_path / "mhidx")
@@ -1029,9 +1111,9 @@ def test_novelty_stream_reemitted_id_gated_by_intent(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {
         100, 101, 102,
     }
-    sigs = spark.read.parquet(f"{idx}/_sigs")
+    man_a = json.loads(_read_text(spark, idx, MANIFEST))
+    sigs = _sig_rows(spark, idx, man_a)
     assert sigs.count() == sigs.select("id").distinct().count() == 33
-    assert not os.path.exists(os.path.join(idx, STREAM_INTENT))
 
     # (b) crashed-attempt replay through the REAL sink: batch 2's
     # first attempt does all its work but dies at the manifest commit
@@ -1054,17 +1136,31 @@ def test_novelty_stream_reemitted_id_gated_by_intent(spark, tmp_path):
             run_stream()
     finally:
         W._hadoop_write_text = real
-    # work landed, commit didn't: intent still on disk
-    assert os.path.exists(os.path.join(idx, STREAM_INTENT))
+    # work landed physically, commit didn't: readers see NOTHING of it
     man = json.loads(_read_text(spark, idx, MANIFEST))
     assert man["last_stream_batch_id"] == 1
+    sigs = _sig_rows(spark, idx, man)
+    assert sigs.count() == 33
+    assert {
+        r["id"] for r in sigs.filter(F.col("id") >= 200).collect()
+    } == set()
 
-    run_stream()  # the replay — intent matches, landed rows re-admitted
+    run_stream()  # the replay — same screen, same survivors, appended
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {
         100, 101, 102, 200, 201,
     }
-    sigs = spark.read.parquet(f"{idx}/_sigs")
-    assert sigs.count() == sigs.select("id").distinct().count() == 35
     man = json.loads(_read_text(spark, idx, MANIFEST))
     assert man["last_stream_batch_id"] == 2
-    assert not os.path.exists(os.path.join(idx, STREAM_INTENT))
+    sigs = _sig_rows(spark, idx, man)
+    assert sigs.count() == sigs.select("id").distinct().count() == 35
+    # the crashed attempt's orphans are vacuum food
+    from sparvi_core_spark.sources.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    out = vacuum_minhash_index(spark, idx)
+    assert out["files_vacuumed"] > 0
+    sigs2 = _sig_rows(
+        spark, idx, json.loads(_read_text(spark, idx, MANIFEST))
+    )
+    assert sigs2.count() == 35
