@@ -398,15 +398,29 @@ def writer_lock(spark: SparkSession, path: str, op: str):
         # release ONLY a lock we still own: if someone break_writer_lock'd
         # a live holder and a new writer acquired, the on-disk token no
         # longer matches ours — deleting it would silently unfence the
-        # new holder and re-open the two-writer window. Best-effort
-        # read-check-delete (an unreadable/garbage lock is not ours).
-        try:
-            current = json.loads(_read_text(spark, path, WRITER_LOCK))
-        except Exception:
-            current = None
-        if current is not None and current.get("token") == token:
-            if fs.exists(lp):
-                fs.delete(lp, False)
+        # new holder and re-open the two-writer window. The old
+        # read-check-delete left a window between the read and the
+        # delete; instead RENAME the lock aside first (one FS op takes
+        # whatever file is at the lock path out of service), inspect
+        # the captured file, and only then decide: ours → drop it
+        # (released); foreign → rename it straight back. A crash
+        # between the rename and the drop leaves a harmless
+        # ``_writer.lock.rel-*`` orphan (not the lock path — nothing
+        # reads it); a rename-back collision means a THIRD writer
+        # already re-acquired — the captured foreign lock is dropped,
+        # which is no worse than the old path's outright delete in the
+        # same (documented best-effort) multi-break pathology.
+        tomb_name = f"{WRITER_LOCK}.rel-{token}"
+        tomb = mkpath(f"{path}/{tomb_name}")
+        if fs.exists(lp) and fs.rename(lp, tomb):
+            try:
+                captured = json.loads(_read_text(spark, path, tomb_name))
+            except Exception:
+                captured = {}
+            if captured.get("token") == token:
+                fs.delete(tomb, False)
+            elif not fs.rename(tomb, lp):
+                fs.delete(tomb, False)
 
 
 def _locked(op: str):

@@ -605,10 +605,15 @@ def test_writer_lock_release_checks_ownership(spark, tmp_path):
                 {"pid": 1, "host": "other-host", "op": "append",
                  "token": "theirs"}, f,
             )
-    # op-a's exit saw a foreign token and left the lock alone
+    # op-a's exit captured the lock by RENAME, saw a foreign token,
+    # and put it straight back (r11: the rename-aside closes the old
+    # read-check-delete window) — no release tombstone left behind
     assert os.path.exists(lockfile)
     with open(lockfile) as f:
         assert json.load(f)["token"] == "theirs"
+    assert not [
+        f for f in os.listdir(path) if f.startswith("_writer.lock.rel-")
+    ]
     break_writer_lock(spark, path)  # cleanup
     assert not os.path.exists(lockfile)
 
