@@ -1583,6 +1583,16 @@ def _vacuum_stores(
         for n in sorted(_tombstone_file_names(fs, mkpath, path)):
             if n not in live_set:
                 garbage.append(f"{TOMBSTONES_DIR}/{n}")
+    # crashed-release lock tombstones (_writer.lock.rel-*) are off the
+    # lock path and read by nothing — safe to drop while we hold the
+    # writer lock (the live holder is us; only a crashed process's
+    # orphans can exist)
+    rp = mkpath(path)
+    if fs.exists(rp):
+        for st in fs.listStatus(rp):
+            n = st.getPath().getName()
+            if st.isFile() and n.startswith(f"{WRITER_LOCK}.rel-"):
+                garbage.append(n)
     vacuumed = 0
     bytes_vacuumed = 0
     pending: dict[str, float] = {}
