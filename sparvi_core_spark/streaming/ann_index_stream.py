@@ -69,6 +69,7 @@ def index_stream_batches(
     files_per_bucket: int | None = None,
     staged: bool = False,
     auto_compact: int | None = None,
+    auto_vacuum: float | None = None,
 ):
     """Append every micro-batch of ``stream_df`` (which must carry the
     index's ``id_col``/``vec_col``) into the stored IVF index at
@@ -81,8 +82,12 @@ def index_stream_batches(
     per touched cell — the object-store-friendly micro-batch path);
     ``auto_compact=N`` runs ``compact_ivf_index_if(path, N)`` after
     the batch's manifest commit, folding staged rows and fragmented
-    cells once either debt passes the knob. The whole batch body holds
-    the index's writer lock, so a cron compact can't interleave."""
+    cells once either debt passes the knob; ``auto_vacuum=S`` then
+    runs ``vacuum_ivf_index(older_than_s=S)`` — the GC half of the
+    in-stream maintenance policy (size S past the longest concurrent
+    search; the pass is a listing when there is nothing old enough).
+    The whole batch body holds the index's writer lock, so a cron
+    compact can't interleave."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         from sparvi_core_spark.sources.ann_index import (
@@ -106,6 +111,12 @@ def index_stream_batches(
                 # after the commit: a crash mid-compaction replays
                 # nothing; the snapshot-committed swap heals via repair
                 compact_ivf_index_if(spark, path, auto_compact)
+            if auto_vacuum is not None:
+                from sparvi_core_spark.sources.ann_index import (
+                    vacuum_ivf_index,
+                )
+
+                vacuum_ivf_index(spark, path, older_than_s=auto_vacuum)
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:
@@ -123,6 +134,7 @@ def index_pq_stream_batches(
     files_per_bucket: int | None = None,
     staged: bool = False,
     auto_compact: int | None = None,
+    auto_vacuum: float | None = None,
 ):
     """The coded-index twin of :func:`index_stream_batches`: append
     every micro-batch into a stored IVF-PQ index
@@ -133,10 +145,11 @@ def index_pq_stream_batches(
     O(batch) cost shape, replay-skip commit semantics, single-writer
     contract, and compact-on-schedule story as the float twin —
     fragmentation goes to ``compact_ivfpq_index``. The index must
-    already exist (``write_ivfpq_index``). ``staged=``/``auto_compact=``
-    behave as in :func:`index_stream_batches` (one staging file per
-    trigger; fold in-stream once the gauge passes the knob); the whole
-    batch body holds the index's writer lock."""
+    already exist (``write_ivfpq_index``). ``staged=``/``auto_compact=``/
+    ``auto_vacuum=`` behave as in :func:`index_stream_batches` (one
+    staging file per trigger; fold in-stream once the gauge passes the
+    knob; GC files unreferenced past the retention); the whole batch
+    body holds the index's writer lock."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         from sparvi_core_spark.sources.ann_index import writer_lock
@@ -158,6 +171,12 @@ def index_pq_stream_batches(
             )
             if auto_compact is not None:
                 compact_ivfpq_index_if(spark, path, auto_compact)
+            if auto_vacuum is not None:
+                from sparvi_core_spark.sources.ivfpq_index import (
+                    vacuum_ivfpq_index,
+                )
+
+                vacuum_ivfpq_index(spark, path, older_than_s=auto_vacuum)
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

@@ -140,6 +140,7 @@ def novelty_stream_fuzzy(
     available_now: bool = True,
     auto_compact: int | None = None,
     staged_append: bool = False,
+    auto_vacuum: float | None = None,
 ):
     """Streaming NEAR-duplicate novelty screen against the stored
     MinHash index (``sources.minhash_index``): per micro-batch, drop
@@ -194,7 +195,10 @@ def novelty_stream_fuzzy(
     back once any exceeds N files, keeping probe latency flat without
     an operator-scheduled compact. It runs AFTER the commit, so a
     crash mid-compaction replays nothing (the journaled swap heals via
-    ``repair_minhash_index``).
+    ``repair_minhash_index``). ``auto_vacuum=S`` then runs
+    ``vacuum_minhash_index(older_than_s=S)`` — the GC half of the
+    in-stream policy (size S past the longest concurrent probe; a
+    listing-only pass when nothing is old enough).
 
     Returns the started ``StreamingQuery``. The index must already
     exist (``write_minhash_index``); single writer per index path, as
@@ -271,6 +275,18 @@ def novelty_stream_fuzzy(
                 )
 
                 compact_minhash_index_if(spark, index_path, auto_compact)
+            if auto_vacuum is not None and grow_index:
+                # the GC half of the in-stream policy: reclaim files
+                # unreferenced for longer than the retention window
+                # (size it past the longest concurrent probe) — a
+                # listing-only pass when nothing qualifies
+                from sparvi_core_spark.sources.minhash_index import (
+                    vacuum_minhash_index,
+                )
+
+                vacuum_minhash_index(
+                    spark, index_path, older_than_s=auto_vacuum
+                )
 
     w = stream_df.writeStream.foreachBatch(_write)
     if checkpoint:

@@ -135,19 +135,16 @@ def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt_st"),
         staged=True,
         auto_compact=2,
+        auto_vacuum=0.0,
     )
     q.awaitTermination()
 
     data, _, man = read_ivf_index(spark, path)
     assert man["n_vectors"] == 135 and man["appends"] == 3
     assert data.count() == 135
-    # the in-stream fold ran: staging is unreferenced (the physical
-    # files wait for vacuum — an in-flight search may be planning on
-    # them)
+    # the in-stream fold ran (staging unreferenced at its commit) and
+    # the in-stream auto_vacuum reclaimed the consumed physical files
     assert man["staging_files"]["vectors"] == []
-    from sparvi_core_spark.sources.ann_index import vacuum_ivf_index
-
-    vacuum_ivf_index(spark, path)
     assert not _staging_files(spark, path, "vectors")
 
     union = base.unionByName(new)

@@ -830,7 +830,7 @@ def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
         )
         q = novelty_stream_fuzzy(
             stream, idx, sink, threshold=0.9, checkpoint=ckpt,
-            auto_compact=1,
+            auto_compact=1, auto_vacuum=0.0,
         )
         q.awaitTermination(120)
 
