@@ -21,10 +21,16 @@ Scale design (the part that matters at 100 TB):
   before a single corpus byte moves (plan-pinned: `PartitionFilters`
   carries the bucket predicate, and `inputFiles()` shrinks to the
   probed cells).
-- **Self-describing index.** Centroids ride INSIDE the index dir as
-  `_centroids/` parquet (underscore-prefixed → invisible to the data
-  scan), plus `_ivf_manifest.json` (k, dim, column names, row count,
-  per-cell rows — the skew report). A reader needs only the path.
+- **Self-describing index, snapshot-committed.** Centroids ride
+  INSIDE the index dir as `_centroids/` parquet (underscore-prefixed
+  → invisible to the data scan), plus `_ivf_manifest.json` (k, dim,
+  column names, row count, per-cell rows — the skew report, AND the
+  live data/staging/tombstone FILE LISTS). The manifest write is the
+  single commit point (torn-write-safe): readers scan exactly the
+  committed snapshot — never a directory listing — so maintenance
+  swaps and crashed appends can neither duplicate a reader's rows
+  nor break its scan, and `vacuum_ivf_index` retires unreferenced
+  files after a retention window. A reader needs only the path.
 - **File sizing is a knob, not an accident.** `files_per_bucket`
   salts the pre-write repartition so each cell lands in a bounded
   number of files — one file per cell for small indexes, more when a
@@ -40,8 +46,9 @@ Scale design (the part that matters at 100 TB):
   `write_ivf_index` (once) → `append_ivf_index` (daily: assign the
   new batch only, parquet-append, no rebuild) →
   `compact_ivf_index` (weekly: rewrite ONLY the fragmented cells,
-  journaled crash-safe swap via `repair_ivf_index`) →
-  `ivf_index_health` (audit: per-cell drift gauge) →
+  snapshot-committed journaled swap healed by `repair_ivf_index`) →
+  `vacuum_ivf_index` (GC: delete files unreferenced past a retention
+  window) → `ivf_index_health` (audit: per-cell drift gauge) →
   `retrain_ivf_index` (rare: blue/green re-fit + rewrite to a NEW
   path — never in place).
 """
