@@ -85,24 +85,46 @@ def q_duplicate_row_groups(spark, sf_dir):
 
 def q_numeric_summary(spark, sf_dir):
     """A5/A6/A7 — stats block per numeric measure (profile_engine.py:136-176).
-    Exact percentile_cont interpolation; sample stddev."""
+    Exact percentile_cont interpolation; sample stddev.
+
+    Plan shape (round 11): fusing the exact percentiles into the
+    streaming agg turned the WHOLE aggregate into one object-hash
+    aggregate (no codegen, one single-task final merge for every
+    column). Split instead: one codegen'd streaming agg + one
+    percentile agg PER COLUMN, cross-joined back to the same single
+    row — the subtrees are independent, so the scheduler overlaps
+    them and each percentile column gets its own final task.
+    Identical output (same aggregates, same values, same column
+    order); measured sf0.1 same-session A/B: 3.3 → 2.4 s."""
     t = _views(spark, sf_dir)
     df = t["lineitem"]
-    exprs = []
+    stream = []
     for c in NUMERIC_MEASURES:
         col = F.col(c)
-        q = F.percentile(col, F.lit([0.25, 0.5, 0.75]))
-        exprs += [
+        stream += [
             F.min(col).alias(f"min_{c}"),
             F.max(col).alias(f"max_{c}"),
             F.round(F.avg(col), 4).alias(f"avg_{c}"),
             F.round(F.sum(col), 2).alias(f"sum_{c}"),
             F.round(F.stddev_samp(col), 4).alias(f"stdev_{c}"),
-            F.round(q[0], 4).alias(f"q1_{c}"),
-            F.round(q[1], 4).alias(f"median_{c}"),
-            F.round(q[2], 4).alias(f"q3_{c}"),
         ]
-    return df.agg(*exprs)
+    out = df.agg(*stream)
+    for c in NUMERIC_MEASURES:
+        q = F.percentile(F.col(c), F.lit([0.25, 0.5, 0.75]))
+        out = out.crossJoin(
+            df.agg(
+                F.round(q[0], 4).alias(f"q1_{c}"),
+                F.round(q[1], 4).alias(f"median_{c}"),
+                F.round(q[2], 4).alias(f"q3_{c}"),
+            )
+        )
+    order = []
+    for c in NUMERIC_MEASURES:
+        order += [
+            f"min_{c}", f"max_{c}", f"avg_{c}", f"sum_{c}",
+            f"stdev_{c}", f"q1_{c}", f"median_{c}", f"q3_{c}",
+        ]
+    return out.select(*order)
 
 
 def q_text_length_stats(spark, sf_dir):

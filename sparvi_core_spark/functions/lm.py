@@ -98,6 +98,12 @@ def train_bigram_lm(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    # materialize on first use (lazy local checkpoint): contexts, vocab
+    # and every scoring join derive from this one aggregate — leaving
+    # it lazy re-runs the corpus bigram explode+groupBy per consumer.
+    # The model is vocabulary-bounded (broadcastable by design), so
+    # pinning it retains nothing corpus-sized.
+    counts = counts.localCheckpoint(eager=False)
     contexts = counts.groupBy("w1").agg(F.sum("n").alias("c_total"))
     # V = distinct context tokens (every trained token appears as a
     # context for its successor; BOS included) — derived from the
@@ -224,6 +230,14 @@ def perplexity_buckets(
         broadcast_model=broadcast_model,
         carry_cols=group,  # rides the score aggregate — no second join
     ).select(id_col, *group, "n_bigrams", "perplexity")
+    # materialize the docs-grain scores once (lazy local checkpoint):
+    # the quantile collect below and the returned tag join BOTH consume
+    # them, and leaving the frame lazy runs the whole scoring pipeline
+    # (token-grain explode + model join) twice per downstream action.
+    # The pinned frame is docs × 4 scalar columns — the corpus-mass
+    # token rows are reduced before it — and spills to disk under
+    # memory pressure.
+    scored = scored.localCheckpoint(eager=False)
     pctl = F.percentile if exact else F.percentile_approx
     thr = scored.groupBy(*group).agg(
         pctl("perplexity", F.lit(lo)).alias("__t_lo"),

@@ -159,6 +159,14 @@ def train_nb(
     counts = pairs.groupBy("label", "feature").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # Materialize the counts ON FIRST USE (lazy local checkpoint): the
+    # model's classes/dims frames and every scoring join all derive
+    # from this one aggregate, and leaving it lazy re-runs the full
+    # training-corpus explode+groupBy for EACH of them (measured: three
+    # corpus passes per classify_nb call). The model is labels ×
+    # vocabulary — broadcastable by design — so pinning it is safe by
+    # construction; nothing corpus-sized is retained.
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.groupBy("label").agg(F.sum("n").alias("total"))
     n_docs = labeled.groupBy(F.col(label_col).cast("string").alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -213,51 +221,99 @@ def score_nb(
     from sparvi_core_spark.plans.fanout import fan_out_compact
 
     docs = fan_out_compact(docs)
-    counts, classes = model.counts, model.classes
+    # Label-WIDE evaluation (round 11): the previous shape cross-joined
+    # every exploded feature occurrence with the label set before the
+    # model join — the per-row work (join probe + ln() + hash-agg
+    # update) ran L times per feature occurrence, which at char-n-gram
+    # feature densities (~3 features per char) made scoring O(L·chars).
+    # Here the label axis lives in COLUMNS instead of rows: the model
+    # is pivoted to one row per feature carrying all L counts (the same
+    # broadcastable labels × vocab mass, reorganized), each feature
+    # occurrence is joined ONCE, and the per-doc aggregate sums L
+    # parallel columns map-side. The joined row count drops L-fold; the
+    # single shuffle carries docs-grain rows either way (partial
+    # aggregation reduced it to that before the exchange in both
+    # shapes). Scores are identical: the same ln(count + k) terms are
+    # summed per (doc, label) — in a different order, which the
+    # documented rounding contract (round_to absorbs summation-order
+    # ULP drift) already covers — and the prior/denominator constants
+    # go through the same JVM ln on the same values (constant-folded
+    # literals here, per-row column math before). The class-stats /
+    # dims frames are label-count-sized; collecting them here (tiny
+    # jobs at plan-construction time) is the price of turning the
+    # label axis into columns.
+    cls_rows = sorted(model.classes.collect(), key=lambda r: r["label"])
+    dims_row = model.dims.first()
+    labels = [r["label"] for r in cls_rows]
+    wide = model.counts.groupBy("feature").agg(
+        *[
+            F.sum(F.when(F.col("label") == lbl, F.col("n"))).alias(f"__n_{i}")
+            for i, lbl in enumerate(labels)
+        ]
+    )
     if broadcast_model:
-        counts, classes = F.broadcast(counts), F.broadcast(classes)
-    labels = model.classes.select("label")
-    if broadcast_model:
-        labels = F.broadcast(labels)
-    # token × class rows: explode_outer keeps empty/NULL documents (one
-    # NULL-feature row) so they still score on the prior; every real
-    # token contributes ln(count + k) with an unseen count of 0, so
-    # there is no seen/unseen case split — one left broadcast join,
-    # one map-side-combined groupBy, zero corpus-corpus joins
+        wide = F.broadcast(wide)
+    # explode_outer keeps empty/NULL documents (one NULL-feature row) so
+    # they still score on the prior; every real token contributes
+    # ln(count + k) with an unseen count of 0 — no seen/unseen case
+    # split, one left join, one map-side-combined groupBy, zero
+    # corpus-corpus joins
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             _features(text_col, model.num_features, model.analyzer, model.char_n)
         ).alias("feature"),
-    ).crossJoin(labels)
-    joined = tok.join(counts, ["feature", "label"], "left")
-    contrib = F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
-        F.log(
-            F.coalesce(F.col("n"), F.lit(0)).cast("double")
-            + F.lit(float(add_k))
-        )
     )
-    per = joined.groupBy("id", "label").agg(
-        F.sum(contrib).alias("loglik_num"),
+    joined = tok.join(wide, ["feature"], "left")
+
+    def _contrib(i: int) -> F.Column:
+        return F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
+            F.log(
+                F.coalesce(F.col(f"__n_{i}"), F.lit(0)).cast("double")
+                + F.lit(float(add_k))
+            )
+        )
+
+    per = joined.groupBy("id").agg(
+        *[F.sum(_contrib(i)).alias(f"__s_{i}") for i in range(len(labels))],
         F.sum(
             F.when(F.col("feature").isNotNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_tokens"),
     )
-    grid = per.join(classes, "label").crossJoin(F.broadcast(model.dims))
-    denom = F.log(
-        F.col("total").cast("double")
-        + F.lit(float(add_k)) * F.col("d").cast("double")
+    d_val, n_docs_all = dims_row["d"], dims_row["n_docs_all"]
+    scores = []
+    for i, r in enumerate(cls_rows):
+        denom = F.log(
+            F.lit(r["total"]).cast("double")
+            + F.lit(float(add_k)) * F.lit(d_val).cast("double")
+        )
+        score = (
+            F.log(F.lit(r["n_docs"]).cast("double") / F.lit(n_docs_all))
+            + F.col(f"__s_{i}")
+            - F.col("n_tokens").cast("double") * denom
+        )
+        scores.append(
+            F.struct(
+                F.lit(r["label"]).alias("label"),
+                F.round(score, round_to).alias("score"),
+            )
+        )
+    # unpivot back to the (id, label, n_tokens, score) contract — the
+    # explode is over an L-element literal-built array per DOC row
+    pairs = (
+        F.array(*scores)
+        if scores
+        else F.array().cast("array<struct<label:string,score:double>>")
     )
-    score = (
-        F.log(F.col("n_docs").cast("double") / F.col("n_docs_all"))
-        + F.col("loglik_num")
-        - F.col("n_tokens").cast("double") * denom
-    )
-    return grid.select(
+    return per.select(
         F.col("id").alias(id_col),
-        "label",
         "n_tokens",
-        F.round(score, round_to).alias("score"),
+        F.explode(pairs).alias("__ls"),
+    ).select(
+        id_col,
+        F.col("__ls.label").alias("label"),
+        "n_tokens",
+        F.col("__ls.score").alias("score"),
     )
 
 

@@ -216,7 +216,13 @@ def score_dsir(
     result — they carry no evidence either way; resample from the
     scored frame.
     """
-    totals = model.counts.agg(
+    # materialize the weight table on first use (lazy local
+    # checkpoint): the totals collect below AND the scoring join both
+    # consume it, and leaving it lazy re-runs the target+raw corpus
+    # feature aggregations for each. Feature-space-bounded (hashed
+    # buckets or observed vocab) — nothing corpus-sized is pinned.
+    counts_ck = model.counts.localCheckpoint(eager=False)
+    totals = counts_ck.agg(
         F.sum("n_target").alias("t"),
         F.sum("n_raw").alias("r"),
         (
@@ -240,7 +246,7 @@ def score_dsir(
         ).alias("feature"),
     )
     counts = (
-        F.broadcast(model.counts) if broadcast_model else model.counts
+        F.broadcast(counts_ck) if broadcast_model else counts_ck
     )
     per_occ = (
         F.log(F.coalesce(F.col("n_target"), F.lit(0)) + F.lit(float(alpha)))

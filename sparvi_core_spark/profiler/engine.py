@@ -209,10 +209,31 @@ def profile_table(
         d_exprs = []
     jobs = [nd_exprs]
     if d_exprs:
-        jobs.append(d_exprs)
+        # EXACT distincts: one job PER COLUMN instead of one fused agg.
+        # N count_distinct aggs fused into one job plan a single Expand
+        # (N× row multiplication before the partial agg) and serialize
+        # their final merges into one task; per-column jobs plan the
+        # two-phase distinct aggregate with no Expand, each scan prunes
+        # to its one column (same total bytes off columnar storage as
+        # the fused scan reading N columns), and the scheduler overlaps
+        # them. Measured sf0.1 lineitem (14 groupable cols, same
+        # session): 2.29 s fused → 0.70 s split. Approx mode (HLL — the
+        # 100 TB default) is untouched: it fuses into the streaming agg
+        # above, one pass, no Expand.
+        jobs.extend([e] for e in d_exprs)
     if pct_exprs:
-        jobs.append(pct_exprs)
-    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        if p["approx_percentiles"]:
+            # approx sketches are bounded-memory and mergeable — ONE
+            # pass over all columns is the right shape at scale
+            jobs.append(pct_exprs)
+        else:
+            # EXACT percentiles: object-hash aggregates whose final
+            # merge is single-task per job; per-column jobs give each
+            # column its own final task and the scheduler overlaps the
+            # scans. Measured sf0.1 lineitem (7 numeric cols, same
+            # session): 3.27 s fused → 1.96 s split.
+            jobs.extend([e] for e in pct_exprs)
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
         futures = [ex.submit(lambda e=e: df.agg(*e).first().asDict()) for e in jobs]
         wide = {}
         for f in futures:
