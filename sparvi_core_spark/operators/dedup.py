@@ -209,8 +209,14 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = 1000,
     candidates: DataFrame | None = None,
     metric: str = "jaccard",
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over candidate pairs.
+
+    ``shingle_frame``: a precomputed distinct ``(id, shingle)`` frame
+    for ``df`` (internal sharing hook — ``allpairs_jaccard_pairs``
+    passes one frame to candidate generation and verification so the
+    corpus is shingled once).
 
     ``metric="containment"`` swaps the score for max-containment
     ``|A∩B| / min(|A|, |B|)`` (the output column is named after the
@@ -250,7 +256,19 @@ def ngram_jaccard_pairs(
     stop-shingle list and checks its emptiness so benign corpora pay
     zero rescue overhead; the other paths stay fully lazy.
     """
-    sh = shingles(df, id_col, text_col, n).distinct()
+    # materialize the distinct-shingle frame on first use (lazy local
+    # checkpoint): sizes, doc frequencies, both self-join sides and
+    # the stop-shingle add-backs all consume it, and leaving it lazy
+    # re-ran the explode + distinct SHUFFLE per consumer (measured: 16
+    # scans of the corpus in one ngram_jaccard plan, zero exchange
+    # reuse). The pinned frame is token-grain and disk-spillable — the
+    # price of one shuffle instead of up to six.
+    if shingle_frame is not None:
+        sh = shingle_frame
+    else:
+        sh = shingles(df, id_col, text_col, n).distinct().localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         # LSH-then-verify path: exact shared count over ALL shingles,
@@ -402,6 +420,7 @@ def allpairs_candidates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """LOSSLESS prefix-filter candidate pairs for Jaccard ≥ threshold
     (the AllPairs / SSJoin primitive — Bayardo et al. WWW'07,
@@ -433,7 +452,15 @@ def allpairs_candidates(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingles(df, id_col, text_col, n).distinct()
+    # materialized on first use for the same reason as in
+    # ngram_jaccard_pairs: doc frequencies, the rarity join and both
+    # prefix sides would otherwise each re-run the explode + distinct
+    if shingle_frame is not None:
+        sh = shingle_frame
+    else:
+        sh = shingles(df, id_col, text_col, n).distinct().localCheckpoint(
+            eager=False
+        )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
         sh.join(dfreq, "shingle")
@@ -481,9 +508,17 @@ def allpairs_jaccard_pairs(
     licensing screens); use the LSH route when approximate recall is
     an acceptable trade for the lower candidate volume at mid
     thresholds."""
-    cands = allpairs_candidates(df, id_col, text_col, n, threshold)
+    # shingle the corpus ONCE: candidate generation and exact
+    # verification share the same materialized frame
+    sh = shingles(df, id_col, text_col, n).distinct().localCheckpoint(
+        eager=False
+    )
+    cands = allpairs_candidates(
+        df, id_col, text_col, n, threshold, shingle_frame=sh
+    )
     return ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold, candidates=cands
+        df, id_col, text_col, n, threshold, candidates=cands,
+        shingle_frame=sh,
     )
 
 
