@@ -947,29 +947,35 @@ def q_pq_codes(spark, sf_dir):
     t = _views(spark, sf_dir)
     emb = t["embeddings"]
     m, dsub = 4, 16
-    parts = []
-    for s in range(m):
-        parts.append(
-            emb.select(
-                F.col("label").alias("code"),
-                F.posexplode(
-                    F.slice("embedding", s * dsub + 1, dsub)
-                ).alias("pos", "val"),
-            )
-            .groupBy("code", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("v"))
-            .groupBy("code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda p: p["v"],
-                ).alias("centroid")
-            )
-            .select(F.lit(s).alias("subspace"), "code", "centroid")
+    # One embeddings pass for ALL m subspaces (round 11): the previous
+    # shape unioned m per-slice sub-plans, each scanning the table and
+    # running its own two aggregations (4 scans, 8 exchanges). One
+    # posexplode of the whole vector with subspace = pos div dsub
+    # produces the identical (subspace, code, pos) groups — the same
+    # rows feed the same avg cells — in a single scan + one pair of
+    # aggregations.
+    cb = (
+        emb.select(
+            F.col("label").alias("code"),
+            F.posexplode("embedding").alias("gpos", "val"),
         )
-    cb = parts[0]
-    for p in parts[1:]:
-        cb = cb.unionByName(p)
+        .select(
+            "code",
+            (F.col("gpos") / dsub).cast("int").alias("subspace"),
+            (F.col("gpos") % dsub).alias("pos"),
+            "val",
+        )
+        .groupBy("subspace", "code", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("v"))
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda p: p["v"],
+            ).alias("centroid")
+        )
+        .select("subspace", "code", "centroid")
+    )
     codes = pq_encode(emb.filter(F.col("vec_id") < 200), cb)
     return codes.select(
         "id", F.posexplode("codes").alias("subspace", "code")

