@@ -669,52 +669,61 @@ def dedup_clusters(
         return _dedup_clusters_star(pairs, max_iter, raise_on_nonconverged)
     if strategy != "label":
         raise ValueError(f"unknown strategy {strategy!r}: 'label' or 'star'")
+    from pyspark.sql import Observation
+
+    # Round-cost shape (measured sf0.1, guide §2.6/§1.2): the previous
+    # loop paid 3 exchanges + 2 driver jobs per round (nbr join +
+    # groupBy, a left-join update, the checkpoint job, then a separate
+    # changed-count job). Three equivalent-output restructures:
+    # * round 1 fuses into initialization — label₁(u) = min({u} ∪ Γ(u))
+    #   is ONE aggregate over the edge list, replacing the identity-
+    #   label init plus the first full round;
+    # * the per-round update is union + min-aggregate instead of
+    #   join-back (min over own ∪ neighbor labels — same fixpoint
+    #   recurrence, one fewer exchange);
+    # * convergence rides an observe() metric on the checkpoint job:
+    #   labels only ever DECREASE (least of old and candidates), so an
+    #   unchanged per-round label sum is pointwise convergence — no
+    #   second job. The sum is exact decimal(38,0): bigint ids cannot
+    #   overflow it at any corpus size.
+    # Duplicate edges are harmless to a min-aggregate, so the old
+    # edge-set .distinct() shuffle is dropped too.
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    obs = Observation()
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
+        .observe(obs, _label_sum)
         .localCheckpoint()
     )
-    converged = False
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+    prev_sum = obs.get["s"]
+    # empty pair set: the fused round 1 already "ran" on nothing — the
+    # old loop's first round converged immediately on the same input
+    converged = prev_sum is None
+    for _ in range(max_iter - 1):
+        if converged:
+            break
+        cand = edges.join(labels, edges["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "label"
         )
-        # carry the old label through the update so convergence is a
-        # cheap aggregate over the just-checkpointed frame — no extra
-        # join-and-count job per round
-        stepped = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
-                labels["id"],
-                labels["label"].alias("old_label"),
-                F.least(
-                    labels["label"],
-                    F.coalesce(F.col("nbr_label"), labels["label"]),
-                ).alias("label"),
-            )
+        obs = Observation()
+        labels = (
+            labels.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .observe(obs, _label_sum)
             .localCheckpoint()
         )
-        changed = (
-            stepped.agg(
-                F.sum((F.col("label") != F.col("old_label")).cast("long"))
-            ).first()[0]
-            or 0
-        )
-        labels = stepped.select("id", "label")
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         msg = (
             f"dedup_clusters did not converge within max_iter={max_iter} "

@@ -87,6 +87,11 @@ from sparvi_core_spark.sources.ann_index import (
 MANIFEST = "_minhash_manifest.json"
 SIGS_DIR = "_sigs"
 FORMAT = "sparvi-minhash-index/2"
+# probe-side broadcast gate (bytes, conservative per-row estimates):
+# aligned with Spark's 10 MB autoBroadcastJoinThreshold convention —
+# the batch/candidate frames are hinted only under this bound, never
+# assumed small
+_BROADCAST_MAX_BYTES = 8 << 20
 
 
 def _band_bucket(n_buckets: int) -> F.Column:
@@ -481,9 +486,15 @@ def probe_minhash_index(
     qbanded = qbanded.localCheckpoint()
 
     n_buckets = manifest["n_buckets"]
-    buckets = sorted(
-        int(r["bucket"]) for r in qbanded.select("bucket").distinct().collect()
-    )
+    # one job over the checkpointed batch yields BOTH the bucket
+    # IN-list (bounded by n_buckets) and the row count that gates the
+    # broadcast hints below
+    qstats = qbanded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("bucket").alias("buckets"),
+    ).first()
+    n_qrows = int(qstats["n"])
+    buckets = sorted(int(b) for b in qstats["buckets"])
     if 0 < len(buckets) <= n_buckets // 2:
         pruned = band_rows.filter(F.col("bucket").isin(buckets))
     else:
@@ -507,16 +518,25 @@ def probe_minhash_index(
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), "id", "left_anti")
 
+    # Join direction matters: Catalyst sees a small parquet store and
+    # an un-estimable checkpointed batch, and (measured at sf0.1)
+    # broadcasts the ENTIRE band store to probe 8k batch rows — the
+    # build side grows with the INDEX, exactly backwards for a serving
+    # path. Hint the batch side instead whenever its measured row count
+    # is broadcast-safe (~128 B/row: id + band + 32-char bkey), so the
+    # store streams through a map-side hash join: one scan, no
+    # store-sized build, no shuffle. Oversized batches fall back to
+    # whatever AQE picks from real sizes.
+    qside = qbanded.select(
+        F.col("id").alias("batch_id"), F.col("band"), F.col("bkey")
+    )
+    if n_qrows * 128 <= _BROADCAST_MAX_BYTES:
+        qside = F.broadcast(qside)
     cands = (
         pruned.select(
             F.col("id").alias("index_id"), F.col("band"), F.col("bkey")
         )
-        .join(
-            qbanded.select(
-                F.col("id").alias("batch_id"), F.col("band"), F.col("bkey")
-            ),
-            ["band", "bkey"],
-        )
+        .join(qside, ["band", "bkey"])
         .filter(F.col("index_id") != F.col("batch_id"))
         .select("batch_id", "index_id")
         .distinct()
@@ -530,17 +550,19 @@ def probe_minhash_index(
     cands = cands.localCheckpoint()
 
     # verification: stored signatures for candidate index ids only —
-    # their sig buckets are computable map-side and driver-bounded
-    sbuckets = sorted(
-        int(r["sb"])
-        for r in cands.select(
-            F.pmod(F.xxhash64(F.col("index_id"), F.lit("mh-sig")), F.lit(n_buckets))
-            .cast("int")
-            .alias("sb")
-        )
-        .distinct()
-        .collect()
-    )
+    # their sig buckets are computable map-side and driver-bounded.
+    # The same job also counts the candidates, gating the broadcast
+    # hints below.
+    cstats = cands.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(
+            F.pmod(
+                F.xxhash64(F.col("index_id"), F.lit("mh-sig")), F.lit(n_buckets)
+            ).cast("int")
+        ).alias("sb"),
+    ).first()
+    n_cands = int(cstats["n"])
+    sbuckets = sorted(int(s) for s in cstats["sb"])
     sig_store = _sig_rows(spark, path, manifest)
     if not sbuckets:
         # no candidates at all — prune the verification scan to nothing
@@ -562,8 +584,20 @@ def probe_minhash_index(
         F.when(F.col(f"ia_h{k}") == F.col(f"qb_h{k}"), 1).otherwise(0)
         for k in range(num_hashes)
     )
+    # Same join-direction fix as candidate generation: without hints
+    # Catalyst broadcasts the pruned SIG STORE (grows with the index)
+    # into the tiny candidate frame. Stream the store once instead,
+    # probing broadcast candidate ids, then resolve batch signatures
+    # from a second batch-bounded broadcast — zero shuffles, and the
+    # build sides are O(batch), never O(index). Both hints are
+    # bytes-gated on measured counts (candidates: 2 ids/row; batch
+    # sigs: id + K 32-char hex hashes).
+    if n_cands * 32 <= _BROADCAST_MAX_BYTES:
+        cands = F.broadcast(cands)
+    if n_qrows * (16 + 48 * num_hashes) <= _BROADCAST_MAX_BYTES:
+        b = F.broadcast(b)
     return (
-        cands.join(a, "index_id")
+        a.join(cands, "index_id")
         .join(b, "batch_id")
         .select(
             "batch_id",
