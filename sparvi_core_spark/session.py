@@ -9,6 +9,7 @@ query shapes run through Catalyst.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -181,12 +182,34 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# current-registration memo per live SparkSession: every query entry
+# calls register_views, and each registration pays one parquet
+# schema-inference round per table (~1.2 s for the full testdata set —
+# measured to dominate sub-second queries end-to-end). The memo only
+# short-circuits when THIS session's current registration already is
+# (sf_dir, tables) and every view still exists; registering a
+# different dir (or dropping a view) re-registers from scratch, so
+# alternating directories in one session stays correct. Metadata
+# only — no data or results are cached.
+_VIEWS_CURRENT: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def register_views(
     spark: SparkSession,
     sf_dir: str,
     tables: tuple[str, ...] = TESTDATA_TABLES,
 ) -> dict[str, DataFrame]:
     """Register ``{sf_dir}/{name}.parquet`` as temp views; returns name→df."""
+    key = (os.path.abspath(sf_dir), tuple(tables))
+    hit = _VIEWS_CURRENT.get(spark)
+    if (
+        hit is not None
+        and hit[0] == key
+        # cheap liveness probe (~5 ms/table vs ~120 ms to re-register
+        # one): a dropped view re-registers instead of staying missing
+        and all(spark.catalog.tableExists(n) for n in hit[1])
+    ):
+        return dict(hit[1])
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -194,4 +217,5 @@ def register_views(
             df = read_parquet_table(spark, path)
             df.createOrReplaceTempView(name)
             out[name] = df
-    return out
+    _VIEWS_CURRENT[spark] = (key, out)
+    return dict(out)
