@@ -24,9 +24,9 @@ Physical plan (vs the reference's ~dozens of warehouse round-trips):
    join, profile_engine.py:337-385, becomes two scalar literals).
 5. **J5** ``limit(10)`` samples.
 
-The input is cached across J2-J5 when small enough; at 100 TB the cache
-is skipped and each job re-scans with column pruning (J2 is also gated —
-a full-width groupBy of a wide fact table is an opt-in, not a default).
+All jobs are submitted concurrently and re-scan with column pruning —
+no materialization barrier (J2 is also gated — a full-width groupBy of
+a wide fact table is an opt-in, not a default).
 """
 
 from __future__ import annotations
@@ -171,9 +171,8 @@ def profile_table(
     # (min_by/row_number tie-breaks are by value; sketches are
     # order-insensitive; the display sample's partition-order bias is
     # already documented), so the whole profile shares the fanned
-    # frame — and the persist below caches it once. Measured sf0.1
-    # lineitem (in-plan exchange included, same-session A/B):
-    # 7.7 s → 5.2 s. No-op at scale.
+    # frame. Measured sf0.1 lineitem (in-plan exchange included,
+    # same-session A/B): 7.7 s → 5.2 s. No-op at scale.
     from sparvi_core_spark.plans.fanout import fan_out_compact
 
     df = fan_out_compact(df)
@@ -207,74 +206,65 @@ def profile_table(
     if p["approx_distinct"]:
         nd_exprs += d_exprs
         d_exprs = []
-    jobs = [nd_exprs]
+    extra_jobs: list[list] = []
     if d_exprs:
-        # EXACT distincts: one job PER COLUMN instead of one fused agg.
-        # N count_distinct aggs fused into one job plan a single Expand
-        # (N× row multiplication before the partial agg) and serialize
-        # their final merges into one task; per-column jobs plan the
-        # two-phase distinct aggregate with no Expand, each scan prunes
-        # to its one column (same total bytes off columnar storage as
-        # the fused scan reading N columns), and the scheduler overlaps
-        # them. Measured sf0.1 lineitem (14 groupable cols, same
-        # session): 2.29 s fused → 0.70 s split. Approx mode (HLL — the
-        # 100 TB default) is untouched: it fuses into the streaming agg
-        # above, one pass, no Expand.
-        jobs.extend([e] for e in d_exprs)
+        # EXACT distincts: ONE fused job (single Expand) next to the
+        # other concurrent jobs. An earlier cut of this round split it
+        # into one job per column, which wins when the distinct phase
+        # runs ALONE (no Expand, overlapped final merges: 2.29 s fused
+        # → 0.70 s split, phase-isolated) — but in the full concurrent
+        # shape below the machine is already saturated by the other
+        # jobs and N extra jobs just add ~0.25 s/job of driver
+        # planning/codegen, which dominates the small-table exact path
+        # (measured: whole heavy phase 7.2 s with per-column splits vs
+        # 2.2 s fused, sf0.1 lineitem steady-state). The Expand's N×
+        # row multiplication is bounded by the exact-mode size gate.
+        extra_jobs.append(d_exprs)
     if pct_exprs:
         if p["approx_percentiles"]:
             # approx sketches are bounded-memory and mergeable — ONE
             # pass over all columns is the right shape at scale
-            jobs.append(pct_exprs)
+            extra_jobs.append(pct_exprs)
         else:
-            # EXACT percentiles: object-hash aggregates whose final
-            # merge is single-task per job; per-column jobs give each
-            # column its own final task and the scheduler overlaps the
-            # scans. Measured sf0.1 lineitem (7 numeric cols, same
-            # session): 3.27 s fused → 1.96 s split.
-            jobs.extend([e] for e in pct_exprs)
-    # Dependency-aware scheduling (guide §2.6 — overlap independent
-    # jobs): the old shape ran J1 (stream agg + distinct jobs + pctl
-    # jobs) to completion, THEN J2-J5 — but J2/J5 need nothing from J1,
-    # J4 needs only the streaming agg's avg/stdev, and J3 needs only
-    # the distinct counts. Running the streaming agg first (it decides
-    # the persist), then submitting everything else at once with J3
-    # chained behind the distinct futures, overlaps the percentile
-    # object-aggs with the dup-group shuffle and the frequent-values
-    # pass instead of serializing the two phases. Same jobs, same
-    # results, same error semantics (a failed J1 job still raises out
-    # of profile_table; J2-J5 still degrade into errors[]). Measured
-    # sf0.1 lineitem same-session A/B: 7.6 → ~4.5 s.
-    pool = ThreadPoolExecutor(max_workers=min(16, 4 + len(jobs)))
+            # EXACT percentiles stay one job PER COLUMN: each is an
+            # object-hash aggregate whose final merge is a single task,
+            # so fusing them serializes N merges into one straggler
+            # task that becomes the critical path of the whole profile
+            # (measured: 2.9 s fused vs 2.2 s split, sf0.1 lineitem,
+            # concurrent shape). Unlike the distinct case the split
+            # costs only len(numeric) extra jobs.
+            extra_jobs.extend([e] for e in pct_exprs)
+    # Scheduling (guide §2.6 — overlap independent jobs): submit ALL
+    # heavy jobs at t0 — the streaming agg, the fused distinct job, the
+    # per-column percentile jobs, and the duplicate-group job share no
+    # state, so nothing serializes them. The streaming agg's result
+    # gates only the cheap tail (frequent values / outliers / samples
+    # need row_count or avg/stdev), submitted the moment it lands.
+    # There is no persist/materialization barrier any more: every job
+    # re-scans with column pruning, which measured faster than the
+    # persist at every size where exact mode applies (the persist pass
+    # itself cost 2.8 s at sf0.1 and serialized everything behind it),
+    # and at 100 TB (approx mode, row_count ≫ any cache threshold) a
+    # persist was never taken anyway. Error semantics unchanged: a
+    # failed streaming agg still raises out of profile_table; the
+    # distinct/percentile jobs ride _safe-style degradation only where
+    # they always did (they fill `wide`, whose failures raise on
+    # drain, exactly as before); J2-J5 still degrade into errors[].
+    # Measured sf0.1 same-session A/B (bench settings, steady state):
+    # profile_lineitem 7.7 → ~4 s, profile_orders 3.1 → ~1 s.
+    pool = ThreadPoolExecutor(max_workers=min(16, 5 + len(extra_jobs)))
     wide = {}
-    wide.update(df.agg(*nd_exprs).first().asDict())
-    row_count = wide["row_count"]
-
-    cached = False
-    if 0 < row_count <= p["cache_row_threshold"]:
-        df.persist()
-        cached = True
-        # populate the cache with ONE pass before fanning out: the
-        # concurrent jobs below would otherwise each compute-and-cache
-        # every partition themselves (first writer wins, the rest is
-        # wasted compute — measured 3× slower than the barrier)
-        df.count()
-
+    f_nd = pool.submit(lambda: df.agg(*nd_exprs).first().asDict())
     j1_futures = [
-        pool.submit(lambda e=e: df.agg(*e).first().asDict()) for e in jobs[1:]
+        pool.submit(lambda e=e: df.agg(*e).first().asDict())
+        for e in extra_jobs
     ]
-    # jobs[1:] lists the distinct jobs first (exact mode) — J3 waits on
-    # exactly these, not on the percentile jobs behind them
-    d_futures = j1_futures[: len(d_exprs)]
+    # extra_jobs lists the fused distinct job first (exact mode) — J3
+    # waits on exactly it, not on the percentile jobs behind it
+    d_futures = j1_futures[:1] if d_exprs else []
 
     try:
-        # stats_for_outliers comes from the streaming agg alone
-        # (avg/stdev), so J4 can be submitted before the distinct /
-        # percentile jobs drain
         groupable = set(b.groupable)
-        stats_for_outliers = {
-            c: (wide[M.a("avg", c)], wide[M.a("stdev", c)]) for c in b.numeric
-        }
 
         def _assemble():
             # --- assembly of J1 families (driver-side, no Spark work);
@@ -315,23 +305,6 @@ def profile_table(
                     "q3": q[2],
                 }
             return completeness, numeric_stats
-
-        text_length_stats = {
-            c: {
-                "min_length": wide[M.a("min_length", c)],
-                "max_length": wide[M.a("max_length", c)],
-                "avg_length": wide[M.a("avg_length", c)],
-            }
-            for c in b.text
-        }
-        text_patterns = {
-            c: {
-                "email_pattern_count": wide[M.a("email", c)] or 0,
-                "numeric_pattern_count": wide[M.a("numeric_pat", c)] or 0,
-                "date_pattern_count": wide[M.a("date_pat", c)] or 0,
-            }
-            for c in b.text
-        }
 
         def _assemble_dates():
             # distinct_count for date columns rides the distinct jobs —
@@ -518,7 +491,31 @@ def profile_table(
                 errors[name] = f"{type(ex).__name__}: {ex}"
                 return default
 
+        # J2 needs nothing from the streaming agg — it runs from t0
         f2 = pool.submit(j2_duplicates)
+        # drain the streaming agg: row_count gates the tail jobs and a
+        # failure here raises out of profile_table (contract unchanged)
+        wide.update(f_nd.result())
+        row_count = wide["row_count"]
+        stats_for_outliers = {
+            c: (wide[M.a("avg", c)], wide[M.a("stdev", c)]) for c in b.numeric
+        }
+        text_length_stats = {
+            c: {
+                "min_length": wide[M.a("min_length", c)],
+                "max_length": wide[M.a("max_length", c)],
+                "avg_length": wide[M.a("avg_length", c)],
+            }
+            for c in b.text
+        }
+        text_patterns = {
+            c: {
+                "email_pattern_count": wide[M.a("email", c)] or 0,
+                "numeric_pattern_count": wide[M.a("numeric_pat", c)] or 0,
+                "date_pattern_count": wide[M.a("date_pat", c)] or 0,
+            }
+            for c in b.text
+        }
         f3 = pool.submit(j3_frequent_values)
         f4 = pool.submit(j4_outliers)
         f5 = pool.submit(j5_samples)
@@ -534,8 +531,6 @@ def profile_table(
         samples = _safe("samples", f5, [])
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
-        if cached:
-            df.unpersist()
 
     profile: dict[str, Any] = {
         "table": table,
