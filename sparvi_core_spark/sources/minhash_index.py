@@ -115,6 +115,16 @@ def _signed(
     sig store computes it from the id) so the shared journaled
     compaction fold serves both. Docs shorter than ``shingle_n`` words
     have no signature and drop out (the in-memory contract)."""
+    # Micro-batches arrive as 1-few partitions (a localCheckpointed
+    # probe batch is ONE), and everything before the groupBy shuffle —
+    # shingling plus K md5-mins per shingle — runs map-side in that
+    # many tasks. Raise compact inputs to cluster parallelism first
+    # (measured: 1k-doc probe batch signing 3.1 s → sub-second); the
+    # gate makes it a no-op for corpus-sized frames that already fan
+    # out, and for frames already behind an exchange.
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    docs = fan_out_compact(docs)
     sig = minhash_signatures(
         docs,
         id_col=manifest["id_col"],
@@ -479,10 +489,14 @@ def probe_minhash_index(
                 f"id_col={manifest['id_col']!r}, "
                 f"text_col={manifest['text_col']!r})"
             )
-    _require_unique_ids(batch, id_col, "batch")
-    qbanded, qsigs = _signed(
-        batch.select(id_col, manifest["text_col"]), manifest
-    )
+    # fan the (typically single-partition) batch out ONCE so both the
+    # uniqueness-check job and the signing jobs run at cluster
+    # parallelism (no-op for already-spread batches)
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    fanned = fan_out_compact(batch.select(id_col, manifest["text_col"]))
+    _require_unique_ids(fanned, id_col, "batch")
+    qbanded, qsigs = _signed(fanned, manifest)
     qbanded = qbanded.localCheckpoint()
 
     n_buckets = manifest["n_buckets"]
