@@ -113,6 +113,50 @@ def _features(
     )
 
 
+def _nb_featurizer(analyzer: str, char_n, num_features):
+    """Python twin of :func:`_features` for the Arrow scoring kernel —
+    returns ``text -> [feature, ...]`` reproducing the JVM featurizer
+    exactly (verified char-for-char in tests: Java regex ``\\s`` and
+    ``[^a-z0-9]`` are ASCII classes → ``re.ASCII``; ``F.lower`` and
+    codepoint splitting match ``str.lower``/``list`` on every probed
+    edge case incl. astral chars, final sigma, İ; ``F.trim`` strips
+    ASCII spaces). Hashed features (``num_features``) have no Python
+    twin here (xxhash64 unavailable) — callers keep the join path."""
+    import re
+
+    if num_features is not None:
+        raise ValueError("hashed features have no Python featurizer")
+    if analyzer == "word":
+        split = re.compile("[^a-z0-9]+", re.ASCII).split
+
+        def feats(t):
+            if t is None:
+                return []
+            return [w for w in split(t.lower()) if w]
+
+        return feats
+    ns = tuple(char_n) if isinstance(char_n, (tuple, list)) else (char_n,)
+    ns = tuple(int(n) for n in ns)
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"char_n must be positive sizes, got {char_n!r}")
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def feats(t):
+        if t is None:
+            return []
+        norm = ws.sub(" ", t.lower()).strip(" ")
+        out = []
+        for n in ns:
+            if n == 1:
+                out.extend(norm)
+            else:
+                for i in range(len(norm) - n + 1):
+                    out.append(norm[i : i + n])
+        return out
+
+    return feats
+
+
 @dataclass
 class NBModel:
     """A trained classifier: feature counts, class stats, feature-space
@@ -193,29 +237,180 @@ def train_nb(
     )
 
 
-def score_nb(
+def _score_nb_per_doc_arrow(
     docs: DataFrame,
     model: NBModel,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    add_k: float = 1.0,
-    broadcast_model: bool = True,
-    round_to: int = 6,
+    id_col: str,
+    text_col: str,
+    add_k: float,
+    labels: list[str],
 ) -> DataFrame:
-    """Per-(document, class) log score under ``model`` →
-    (id, label, n_tokens, score).
+    """The per-doc NB reduction as a ``mapInPandas`` kernel →
+    ``(id, __s_0.., n_tokens)``, bit-identical to the explode ×
+    broadcast-join × groupBy shape (see the call site for the
+    equivalence argument). Only the (id, text) columns cross the
+    Python boundary; only docs-grain rows come back."""
+    import numpy as np
 
-    Every document gets a row per class — including empty documents,
-    which score on the class prior alone (``n_tokens`` 0). ``score``
-    is the joint log-likelihood ``ln p(c) + Σ tf·ln p(t|c)``; compare
-    WITHIN a document (argmax / margins), not across documents of
-    different lengths.
+    spark = docs.sparkSession
+    L = len(labels)
+    label_ix = {lbl: i for i, lbl in enumerate(labels)}
+    # every log the JVM path would take, computed BY the JVM (py4j
+    # round-trips doubles bit-exactly): ln(count + k) per observed
+    # count plus the unseen ln(0 + k)
+    jlog = spark._jvm.java.lang.Math.log
+    log_cache: dict[float, float] = {}
 
-    ``broadcast_model=True`` broadcasts counts AND class stats —
-    scoring becomes a map-only pass over the corpus beyond the two
-    per-document aggregates (use when the pruned model fits executor
-    memory; the 100 TB default).
-    """
+    def jvm_log(x: float) -> float:
+        v = log_cache.get(x)
+        if v is None:
+            v = float(jlog(float(x)))
+            log_cache[x] = v
+        return v
+
+    k = float(add_k)
+    log_k = jvm_log(0.0 + k)
+    counts_rows = model.counts.collect()  # labels × vocab — bounded
+    vocab: dict[str, int] = {}
+    mat: list = []
+    for r in counts_rows:
+        f = r["feature"]
+        ix = vocab.get(f)
+        if ix is None:
+            ix = len(mat)
+            vocab[f] = ix
+            mat.append(np.full(L, log_k, dtype=np.float64))
+        mat[ix][label_ix[r["label"]]] = jvm_log(float(r["n"]) + k)
+    # sentinel row for unseen features (index -1 gathers the last row)
+    mat.append(np.full(L, log_k, dtype=np.float64))
+    M = np.vstack(mat)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    s_fields = ", ".join(f"__s_{i} double" for i in range(L))
+    schema = f"id {id_type}, {s_fields}, n_tokens bigint"
+
+    # Char n-grams up to n=3 take a fully vectorized path: codepoints
+    # via utf-32 (each < 2^21), an n-gram packed into one int64
+    # (3·21 = 63 bits), vocab lookups via searchsorted per gram size —
+    # zero per-feature Python objects. Word features (and n > 3) use
+    # the string featurizer twin.
+    char_ns: tuple[int, ...] | None = None
+    if model.analyzer == "char":
+        ns = (
+            tuple(model.char_n)
+            if isinstance(model.char_n, (tuple, list))
+            else (model.char_n,)
+        )
+        ns = tuple(int(x) for x in ns)
+        if ns and all(1 <= x <= 3 for x in ns):
+            char_ns = ns
+    if char_ns is not None:
+        import re
+
+        ws = re.compile(r"\s+", re.ASCII)
+        # per gram size: sorted packed keys + their row indices in M
+        by_n: dict[int, tuple] = {}
+        for f, ix in vocab.items():
+            nn = len(f)
+            cps = np.frombuffer(f.encode("utf-32-le"), dtype=np.uint32)
+            key = 0
+            for c in cps.astype(np.int64):
+                key = (key << 21) | int(c)
+            by_n.setdefault(nn, ([], []))
+            by_n[nn][0].append(key)
+            by_n[nn][1].append(ix)
+        lookup: dict[int, tuple] = {}
+        for nn, (keys, ixs) in by_n.items():
+            ka = np.asarray(keys, dtype=np.int64)
+            ia = np.asarray(ixs, dtype=np.int64)
+            order = np.argsort(ka)
+            lookup[nn] = (ka[order], ia[order])
+        empty_keys = np.empty(0, dtype=np.int64)
+
+        def doc_row_ixs(t):
+            norm = ws.sub(" ", t.lower()).strip(" ")
+            if not norm:
+                return None
+            cps = np.frombuffer(
+                norm.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            parts = []
+            for nn in char_ns:
+                m = len(cps) - nn + 1
+                if m <= 0:
+                    parts.append(empty_keys)
+                    continue
+                q = cps[:m].copy()
+                for j in range(1, nn):
+                    q = (q << 21) | cps[j : j + m]
+                ks, ir = lookup.get(nn, (empty_keys, empty_keys))
+                pos = np.searchsorted(ks, q)
+                pos[pos >= len(ks)] = 0
+                hit = len(ks) > 0
+                valid = (ks[pos] == q) if hit else np.zeros(m, dtype=bool)
+                rows = np.where(valid, ir[pos] if hit else -1, -1)
+                parts.append(rows)
+            return np.concatenate(parts)
+
+    else:
+        featurize = _nb_featurizer(model.analyzer, model.char_n, None)
+
+        def doc_row_ixs(t):
+            feats = featurize(t)
+            if not feats:
+                return None
+            return np.fromiter(
+                (vocab.get(f, -1) for f in feats),
+                dtype=np.int64,
+                count=len(feats),
+            )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            S = np.zeros((n, L), dtype=np.float64)
+            T = np.zeros(n, dtype=np.int64)
+            texts = pdf["__text"]
+            for j in range(n):
+                t = texts.iloc[j]
+                ixs = None if t is None else doc_row_ixs(t)
+                if ixs is None or len(ixs) == 0:
+                    continue
+                # cumsum is a strictly sequential accumulation — the
+                # same order the JVM partial aggregate added these
+                S[j] = np.cumsum(M[ixs], axis=0)[-1]
+                T[j] = len(ixs)
+            out = {"id": pdf["__id"].to_numpy()}
+            for i in range(L):
+                out[f"__s_{i}"] = S[:, i]
+            out["n_tokens"] = T
+            yield pd.DataFrame(out)
+
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    narrow = fan_out_compact(
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+    )
+    return narrow.mapInPandas(kernel, schema)
+
+
+def _score_nb_wide(
+    docs: DataFrame,
+    model: NBModel,
+    id_col: str,
+    text_col: str,
+    add_k: float,
+    broadcast_model: bool,
+    round_to: int,
+) -> tuple[DataFrame, list]:
+    """Shared scoring core → ``(per, label_scores)``: ``per`` is the
+    label-WIDE per-doc frame (id, __s_0.., n_tokens) and
+    ``label_scores`` is ``[(label, rounded score Column), ...]`` over
+    it — :func:`score_nb` explodes this to the public row contract,
+    :func:`classify_nb` reduces it map-side."""
     if add_k <= 0:
         raise ValueError(f"add_k must be positive, got {add_k}")
     from sparvi_core_spark.plans.fanout import fan_out_compact
@@ -245,43 +440,68 @@ def score_nb(
     cls_rows = sorted(model.classes.collect(), key=lambda r: r["label"])
     dims_row = model.dims.first()
     labels = [r["label"] for r in cls_rows]
-    wide = model.counts.groupBy("feature").agg(
-        *[
-            F.sum(F.when(F.col("label") == lbl, F.col("n"))).alias(f"__n_{i}")
-            for i, lbl in enumerate(labels)
-        ]
+    # Arrow scoring kernel (round 11): with a broadcastable model and
+    # exact (unhashed) features, the explode × broadcast-join ×
+    # hash-agg pipeline materializes ~3 feature rows per char of the
+    # corpus just to look each one up in the model and add a log — the
+    # whole per-doc reduction fits guide §4.2's "hand batches to
+    # native code" shape (the gopher_repetition precedent). The kernel
+    # reproduces the JVM path bit-for-bit: the featurizer twin is
+    # verified char-identical; every ln(count+k) is precomputed ON THE
+    # JVM (py4j Math.log — same libm as the expression path) and the
+    # per-doc sum accumulates in the same order the hash aggregate
+    # did (one partial per doc, row order = feature order; cumsum is
+    # strictly sequential). One caveat, documented: the kernel scores
+    # each ROW; the groupBy shape merged duplicate ids into one
+    # feature bag (itself merge-order-nondeterministic). Ids are
+    # unique by the same caller contract as everywhere else.
+    # Hashed-feature models (no Python xxhash64 here) and
+    # non-broadcast models keep the join shape.
+    use_kernel = (
+        broadcast_model and model.num_features is None and labels
     )
-    if broadcast_model:
-        wide = F.broadcast(wide)
-    # explode_outer keeps empty/NULL documents (one NULL-feature row) so
-    # they still score on the prior; every real token contributes
-    # ln(count + k) with an unseen count of 0 — no seen/unseen case
-    # split, one left join, one map-side-combined groupBy, zero
-    # corpus-corpus joins
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(
-            _features(text_col, model.num_features, model.analyzer, model.char_n)
-        ).alias("feature"),
-    )
-    joined = tok.join(wide, ["feature"], "left")
-
-    def _contrib(i: int) -> F.Column:
-        return F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
-            F.log(
-                F.coalesce(F.col(f"__n_{i}"), F.lit(0)).cast("double")
-                + F.lit(float(add_k))
-            )
+    if use_kernel:
+        per = _score_nb_per_doc_arrow(
+            docs, model, id_col, text_col, add_k, labels
         )
+    else:
+        wide = model.counts.groupBy("feature").agg(
+            *[
+                F.sum(F.when(F.col("label") == lbl, F.col("n"))).alias(f"__n_{i}")
+                for i, lbl in enumerate(labels)
+            ]
+        )
+        if broadcast_model:
+            wide = F.broadcast(wide)
+        # explode_outer keeps empty/NULL documents (one NULL-feature row) so
+        # they still score on the prior; every real token contributes
+        # ln(count + k) with an unseen count of 0 — no seen/unseen case
+        # split, one left join, one map-side-combined groupBy, zero
+        # corpus-corpus joins
+        tok = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                _features(text_col, model.num_features, model.analyzer, model.char_n)
+            ).alias("feature"),
+        )
+        joined = tok.join(wide, ["feature"], "left")
 
-    per = joined.groupBy("id").agg(
-        *[F.sum(_contrib(i)).alias(f"__s_{i}") for i in range(len(labels))],
-        F.sum(
-            F.when(F.col("feature").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_tokens"),
-    )
+        def _contrib(i: int) -> F.Column:
+            return F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
+                F.log(
+                    F.coalesce(F.col(f"__n_{i}"), F.lit(0)).cast("double")
+                    + F.lit(float(add_k))
+                )
+            )
+
+        per = joined.groupBy("id").agg(
+            *[F.sum(_contrib(i)).alias(f"__s_{i}") for i in range(len(labels))],
+            F.sum(
+                F.when(F.col("feature").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_tokens"),
+        )
     d_val, n_docs_all = dims_row["d"], dims_row["n_docs_all"]
-    scores = []
+    label_scores = []
     for i, r in enumerate(cls_rows):
         denom = F.log(
             F.lit(r["total"]).cast("double")
@@ -292,14 +512,42 @@ def score_nb(
             + F.col(f"__s_{i}")
             - F.col("n_tokens").cast("double") * denom
         )
-        scores.append(
-            F.struct(
-                F.lit(r["label"]).alias("label"),
-                F.round(score, round_to).alias("score"),
-            )
-        )
-    # unpivot back to the (id, label, n_tokens, score) contract — the
+        label_scores.append((r["label"], F.round(score, round_to)))
+    return per, label_scores
+
+
+def score_nb(
+    docs: DataFrame,
+    model: NBModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    broadcast_model: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(document, class) log score under ``model`` →
+    (id, label, n_tokens, score).
+
+    Every document gets a row per class — including empty documents,
+    which score on the class prior alone (``n_tokens`` 0). ``score``
+    is the joint log-likelihood ``ln p(c) + Σ tf·ln p(t|c)``; compare
+    WITHIN a document (argmax / margins), not across documents of
+    different lengths.
+
+    ``broadcast_model=True`` broadcasts counts AND class stats —
+    scoring becomes a map-only pass over the corpus beyond the two
+    per-document aggregates (use when the pruned model fits executor
+    memory; the 100 TB default).
+    """
+    per, label_scores = _score_nb_wide(
+        docs, model, id_col, text_col, add_k, broadcast_model, round_to
+    )
+    # unpivot to the (id, label, n_tokens, score) contract — the
     # explode is over an L-element literal-built array per DOC row
+    scores = [
+        F.struct(F.lit(lbl).alias("label"), sc.alias("score"))
+        for lbl, sc in label_scores
+    ]
     pairs = (
         F.array(*scores)
         if scores
@@ -337,34 +585,47 @@ def classify_nb(
     Ties break on label ascending, deterministically, matching the SQL
     oracle's ``ORDER BY score DESC, label ASC``.
     """
-    scored = score_nb(
-        docs,
-        model,
-        id_col=id_col,
-        text_col=text_col,
-        add_k=add_k,
-        broadcast_model=broadcast_model,
-        round_to=round_to,
+    per, label_scores = _score_nb_wide(
+        docs, model, id_col, text_col, add_k, broadcast_model, round_to
     )
-    # min_by over (-score, label) = max score, ties to the smallest
-    # label — one map-side-combined aggregate, no window sort; the
-    # collected score list is bounded by the class count, not the data
-    key = F.struct((-F.col("score")).alias("neg"), F.col("label"))
-    agg = scored.groupBy(id_col).agg(
-        F.min_by("label", key).alias("label"),
-        F.max("score").alias("score"),
-        F.sort_array(F.collect_list("score"), asc=False).alias("_scores"),
-        F.max("n_tokens").alias("n_tokens"),
+    spark = docs.sparkSession
+    if not label_scores:
+        # zero-class model: the exploded form had no rows to argmax
+        schema = f"`{id_col}` {docs.schema[id_col].dataType.simpleString()}, " \
+                 "label string, score double, margin double" + \
+                 (", n_tokens bigint" if with_tokens else "")
+        return spark.createDataFrame([], schema)
+    # The label axis already lives in COLUMNS on `per` (round 11), so
+    # the argmax is a per-ROW reduction — sort an L-element literal
+    # array of (neg score, label, score) structs — instead of the old
+    # explode-to-rows + second groupBy shuffle. Identical semantics:
+    # struct ordering on (neg, label) IS min_by's key (max score, ties
+    # to the smallest label), element 2's score is the runner-up value
+    # the sorted collect_list produced, and the same rounded score
+    # columns feed both. Zero exchanges after scoring.
+    arr = F.sort_array(
+        F.array(*[
+            F.struct(
+                (-sc).alias("neg"),
+                F.lit(lbl).alias("label"),
+                sc.alias("score"),
+            )
+            for lbl, sc in label_scores
+        ])
     )
     extra = ["n_tokens"] if with_tokens else []
-    return agg.select(
+    return per.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        arr.alias("__a"),
+    ).select(
         id_col,
-        "label",
-        "score",
+        F.col("__a")[0]["label"].alias("label"),
+        F.col("__a")[0]["score"].alias("score"),
         F.round(
             F.when(
-                F.size("_scores") > 1,
-                F.col("score") - F.element_at("_scores", 2),
+                F.size("__a") > 1,
+                F.col("__a")[0]["score"] - F.col("__a")[1]["score"],
             ).otherwise(F.lit(0.0)),
             round_to,
         ).alias("margin"),

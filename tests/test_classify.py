@@ -160,11 +160,26 @@ def test_null_labels_dropped_and_broadcast_plan(spark, seeds):
     }
     assert spam == {"bad": 3}
 
+    # broadcast_model=True with exact features runs the Arrow scoring
+    # kernel (no join at all — round 11); a broadcastable model must
+    # never sort-merge in any path
     plan = score_nb(
         seeds, model, broadcast_model=True
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert (
+        "MapInPandas" in plan
+        or "ArrowEvalPython" in plan
+        or "BroadcastHashJoin" in plan
+        or "BroadcastNestedLoopJoin" in plan
+    )
     assert "SortMergeJoin" not in plan
+    # the hashed-feature path keeps the broadcast join shape
+    hashed = train_nb(with_null, "label", num_features=16)
+    plan_h = score_nb(
+        seeds, hashed, broadcast_model=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_h or "BroadcastNestedLoopJoin" in plan_h
+    assert "SortMergeJoin" not in plan_h
 
 
 def test_hashed_model_is_bounded(spark, seeds):

@@ -789,11 +789,12 @@ def test_repetition_single_scan_plan(spark):
         .optimizedPlan()
         .toString()
     )
-    # all 11 granularities ride ONE explode: the corpus relation
-    # appears twice (id/chars spine + the exploded scan), never once
-    # per granularity
-    assert plan.count("LogicalRDD [doc_id") == 2
-    assert plan.count("Generate explode") == 1
+    # all 11 granularities reduce inside ONE Arrow kernel pass
+    # (round 11): the corpus relation appears once, and no corpus-wide
+    # explode exists at all — only per-doc integers leave the kernel
+    assert plan.count("LogicalRDD [doc_id") == 1
+    assert plan.count("Generate explode") == 0
+    assert "MapInPandas" in plan or "mapInPandas" in plan
 
 
 # ---------------------------------------------------------------------------
