@@ -144,13 +144,16 @@ def kn_from_trigram_counts(
     re-derive, and you get EXACTLY the model a joint retrain would
     produce (:func:`merge_kn_lms`; the profile-once-never-rescan
     property, here for language models)."""
-    # materialize the counts frame on first use (lazy local
-    # checkpoint): every derived table (mid/mid_ctx/uni/consts/
-    # tri_ctx) and every scoring join hangs off it, and leaving it
-    # lazy re-runs the corpus trigram explode+groupBy per consumer.
-    # The frame is trigram-type-bounded — the same mass the scoring
-    # broadcast ships — and spills to disk under pressure.
-    tri = tri.localCheckpoint(eager=False)
+    # materialize the counts frame on first use: every derived table
+    # (mid/mid_ctx/uni/consts/tri_ctx) and every scoring join hangs
+    # off it, and leaving it fully lazy re-runs the corpus trigram
+    # explode+groupBy per consumer (policy + measured comparison in
+    # plans.modelframe). The frame is trigram-type-bounded — the same
+    # mass the scoring broadcast ships — and spills to disk under
+    # pressure.
+    from sparvi_core_spark.plans.modelframe import materialize_model_frame
+
+    tri = materialize_model_frame(tri)
     # continuation counts: N₁₊(·vw) = distinct u preceding (v, w)
     mid = tri.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cont"))
     mid_ctx = mid.groupBy("v").agg(

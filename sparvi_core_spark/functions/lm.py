@@ -98,12 +98,16 @@ def train_bigram_lm(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    # materialize on first use (lazy local checkpoint): contexts, vocab
-    # and every scoring join derive from this one aggregate — leaving
-    # it lazy re-runs the corpus bigram explode+groupBy per consumer.
-    # The model is vocabulary-bounded (broadcastable by design), so
-    # pinning it retains nothing corpus-sized.
-    counts = counts.localCheckpoint(eager=False)
+    # materialize on first use: contexts, vocab and every scoring join
+    # derive from this one aggregate — leaving it fully lazy re-runs
+    # the corpus bigram explode+groupBy per consumer (the policy and
+    # the measured none/lazy/eager comparison live in
+    # plans.modelframe). The model is vocabulary-bounded
+    # (broadcastable by design), so pinning it retains nothing
+    # corpus-sized.
+    from sparvi_core_spark.plans.modelframe import materialize_model_frame
+
+    counts = materialize_model_frame(counts)
     contexts = counts.groupBy("w1").agg(F.sum("n").alias("c_total"))
     # V = distinct context tokens (every trained token appears as a
     # context for its successor; BOS included) — derived from the

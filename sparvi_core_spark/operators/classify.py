@@ -203,14 +203,17 @@ def train_nb(
     counts = pairs.groupBy("label", "feature").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # Materialize the counts ON FIRST USE (lazy local checkpoint): the
-    # model's classes/dims frames and every scoring join all derive
-    # from this one aggregate, and leaving it lazy re-runs the full
-    # training-corpus explode+groupBy for EACH of them (measured: three
-    # corpus passes per classify_nb call). The model is labels ×
-    # vocabulary — broadcastable by design — so pinning it is safe by
-    # construction; nothing corpus-sized is retained.
-    counts = counts.localCheckpoint(eager=False)
+    # Materialize the counts ON FIRST USE: the model's classes/dims
+    # frames and every scoring join all derive from this one
+    # aggregate, and leaving it fully lazy re-runs the full
+    # training-corpus explode+groupBy for EACH of them (measured:
+    # three corpus passes per classify_nb call; policy + the
+    # none/lazy/eager comparison in plans.modelframe). The model is
+    # labels × vocabulary — broadcastable by design — so pinning it
+    # is safe by construction; nothing corpus-sized is retained.
+    from sparvi_core_spark.plans.modelframe import materialize_model_frame
+
+    counts = materialize_model_frame(counts)
     totals = counts.groupBy("label").agg(F.sum("n").alias("total"))
     n_docs = labeled.groupBy(F.col(label_col).cast("string").alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -438,8 +441,21 @@ def _score_nb_wide(
     # jobs at plan-construction time) is the price of turning the
     # label axis into columns.
     cls_rows = sorted(model.classes.collect(), key=lambda r: r["label"])
-    dims_row = model.dims.first()
     labels = [r["label"] for r in cls_rows]
+    if not labels:
+        # zero-class model (trained on zero labeled rows): nothing can
+        # score. Short-circuit BEFORE the wide pivot — its
+        # groupBy().agg(*[]) over zero label columns would raise — and
+        # before the dims job. The empty per-frame keeps the (id,
+        # n_tokens) contract; score_nb's explode over the empty label
+        # array and classify_nb's zero-class guard both yield the same
+        # zero rows the old crossJoin-with-no-labels shape produced.
+        per = docs.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+        ).limit(0)
+        return per, []
+    dims_row = model.dims.first()
     # Arrow scoring kernel (round 11): with a broadcastable model and
     # exact (unhashed) features, the explode × broadcast-join ×
     # hash-agg pipeline materializes ~3 feature rows per char of the

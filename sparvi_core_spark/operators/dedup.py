@@ -740,28 +740,51 @@ def dedup_clusters(
     #   recurrence, one fewer exchange);
     # * convergence rides an observe() metric on the checkpoint job:
     #   labels only ever DECREASE (least of old and candidates), so an
-    #   unchanged per-round label sum is pointwise convergence — no
-    #   second job. The sum is exact decimal(38,0): bigint ids cannot
-    #   overflow it at any corpus size.
+    #   unchanged per-round label digest is pointwise convergence — no
+    #   second job. For INTEGRAL ids the digest is the exact
+    #   decimal(38,0) label sum (strictly decreasing while labels
+    #   change — deterministic; bigint ids cannot overflow it at any
+    #   corpus size). For every other id type (strings, floats) the
+    #   sum is not usable — casting a string to decimal throws under
+    #   ANSI mode (NULLs into false convergence otherwise), and a
+    #   float cast truncates two distinct labels onto one value — so
+    #   the digest is the exact-decimal sum of xxhash64(id, label):
+    #   an unchanged digest with ≥1 changed label needs hash deltas
+    #   that cancel exactly (~2⁻⁶⁴/round — the collision class the
+    #   star strategy's edge digest and the md5 banding already
+    #   accept). The row count rides the same observe so emptiness
+    #   never reads through a NULL sum.
     # Duplicate edges are harmless to a min-aggregate, so the old
     # edge-set .distinct() shuffle is dropped too.
+    from pyspark.sql import types as T
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    integral_ids = isinstance(
+        edges.schema["a"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    _digest = (
+        F.col("label") if integral_ids else F.xxhash64(F.col("id"), F.col("label"))
+    )
+    _metrics = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_digest.cast("decimal(38,0)")).alias("s"),
+    )
     obs = Observation()
     labels = (
         edges.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .select(F.col("a").alias("id"), "label")
-        .observe(obs, _label_sum)
+        .observe(obs, *_metrics)
         .localCheckpoint()
     )
     prev_sum = obs.get["s"]
     # empty pair set: the fused round 1 already "ran" on nothing — the
     # old loop's first round converged immediately on the same input
-    converged = prev_sum is None
+    converged = int(obs.get["n"]) == 0
     for _ in range(max_iter - 1):
         if converged:
             break
@@ -773,11 +796,11 @@ def dedup_clusters(
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .observe(obs, _label_sum)
+            .observe(obs, *_metrics)
             .localCheckpoint()
         )
         cur_sum = obs.get["s"]
-        if cur_sum == prev_sum:
+        if cur_sum is not None and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum

@@ -216,12 +216,15 @@ def score_dsir(
     result — they carry no evidence either way; resample from the
     scored frame.
     """
-    # materialize the weight table on first use (lazy local
-    # checkpoint): the totals collect below AND the scoring join both
-    # consume it, and leaving it lazy re-runs the target+raw corpus
-    # feature aggregations for each. Feature-space-bounded (hashed
+    # materialize the weight table on first use: the totals collect
+    # below materializes it as part of work it does anyway, and the
+    # scoring join then reads the pinned rows instead of re-running
+    # the target+raw corpus feature aggregations (policy + measured
+    # comparison in plans.modelframe). Feature-space-bounded (hashed
     # buckets or observed vocab) — nothing corpus-sized is pinned.
-    counts_ck = model.counts.localCheckpoint(eager=False)
+    from sparvi_core_spark.plans.modelframe import materialize_model_frame
+
+    counts_ck = materialize_model_frame(model.counts)
     totals = counts_ck.agg(
         F.sum("n_target").alias("t"),
         F.sum("n_raw").alias("r"),

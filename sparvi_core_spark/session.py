@@ -9,7 +9,6 @@ query shapes run through Catalyst.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -187,11 +186,32 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
 # schema-inference round per table (~1.2 s for the full testdata set —
 # measured to dominate sub-second queries end-to-end). The memo only
 # short-circuits when THIS session's current registration already is
-# (sf_dir, tables) and every view still exists; registering a
-# different dir (or dropping a view) re-registers from scratch, so
+# (sf_dir, tables), every view still exists, AND the directory
+# fingerprint (per-table mtime+size from one os.stat each) is
+# unchanged — a dataset regenerated in place re-registers instead of
+# silently serving the first read's frozen file listing. Registering
+# a different dir (or dropping a view) re-registers from scratch, so
 # alternating directories in one session stays correct. Metadata
-# only — no data or results are cached.
-_VIEWS_CURRENT: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+# only — no data or results are cached. The memo lives as an
+# attribute ON the session object (not a module-level registry):
+# registered DataFrames strongly reference their session, so any
+# global map keyed by session would pin the session forever — this
+# way the memo's lifetime IS the session wrapper's lifetime.
+_VIEWS_ATTR = "_sparvi_views_current"
+
+
+def _views_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> tuple:
+    """One os.stat per table path: (mtime_ns, size) — a regenerated
+    table directory (files added/removed/rewritten) changes either."""
+    fp = []
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(path)
+            fp.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append(None)
+    return tuple(fp)
 
 
 def register_views(
@@ -200,8 +220,12 @@ def register_views(
     tables: tuple[str, ...] = TESTDATA_TABLES,
 ) -> dict[str, DataFrame]:
     """Register ``{sf_dir}/{name}.parquet`` as temp views; returns name→df."""
-    key = (os.path.abspath(sf_dir), tuple(tables))
-    hit = _VIEWS_CURRENT.get(spark)
+    key = (
+        os.path.abspath(sf_dir),
+        tuple(tables),
+        _views_fingerprint(sf_dir, tables),
+    )
+    hit = getattr(spark, _VIEWS_ATTR, None)
     if (
         hit is not None
         and hit[0] == key
@@ -217,5 +241,5 @@ def register_views(
             df = read_parquet_table(spark, path)
             df.createOrReplaceTempView(name)
             out[name] = df
-    _VIEWS_CURRENT[spark] = (key, out)
+    setattr(spark, _VIEWS_ATTR, (key, out))
     return dict(out)

@@ -56,7 +56,6 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 import json
-import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -160,12 +159,19 @@ def _snapshot_staging(manifest: dict, store: str) -> list[str]:
 # measured ~1.1 s per store at 256 files, per open), and every
 # probe/search opens 1-2 stores. The snapshot file list is immutable
 # by design — any append/compact/delete commits a NEW manifest with a
-# new list — so the exact (root, files) key can never alias two
-# different stores, and a changed manifest misses the memo and
-# re-resolves. This is the table-format practice (manifest-listed
-# files + a cached file index per snapshot); METADATA only — every
-# query still scans the parquet files.
-_SNAPSHOT_FRAMES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# new list of fresh UUID part-file names — so the exact (root, files)
+# key can never alias two different stores, and a changed manifest
+# misses the memo and re-resolves. (The one way to defeat the key is
+# to regenerate an index IN PLACE with byte-identical file names
+# outside the write_*/append_*/compact_* verbs — hand-copying files
+# over a live store — which the single-writer contract already
+# forbids.) This is the table-format practice (manifest-listed files
+# + a cached file index per snapshot); METADATA only — every query
+# still scans the parquet files. The memo lives as an attribute ON
+# the session object, not in a module-level registry: the memoized
+# DataFrames strongly reference their session, so a global map keyed
+# by session (even a weak-keyed one) would pin the session forever.
+_SNAPSHOT_ATTR = "_sparvi_snapshot_frames"
 _SNAPSHOT_MEMO_MAX = 32
 
 
@@ -187,7 +193,10 @@ def _snapshot_read(
     ]
     if not paths:
         return None
-    memo = _SNAPSHOT_FRAMES.setdefault(spark, {})
+    memo = getattr(spark, _SNAPSHOT_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _SNAPSHOT_ATTR, memo)
     key = (root, tuple(paths))
     hit = memo.get(key)
     if hit is not None:

@@ -161,18 +161,14 @@ def test_null_labels_dropped_and_broadcast_plan(spark, seeds):
     assert spam == {"bad": 3}
 
     # broadcast_model=True with exact features runs the Arrow scoring
-    # kernel (no join at all — round 11); a broadcastable model must
-    # never sort-merge in any path
+    # kernel — specifically MapInPandas with NO join of any kind; a
+    # silent fallback to a join shape (or the reverse) must fail here,
+    # not just a sort-merge
     plan = score_nb(
         seeds, model, broadcast_model=True
     )._jdf.queryExecution().executedPlan().toString()
-    assert (
-        "MapInPandas" in plan
-        or "ArrowEvalPython" in plan
-        or "BroadcastHashJoin" in plan
-        or "BroadcastNestedLoopJoin" in plan
-    )
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     # the hashed-feature path keeps the broadcast join shape
     hashed = train_nb(with_null, "label", num_features=16)
     plan_h = score_nb(
@@ -190,6 +186,24 @@ def test_hashed_model_is_bounded(spark, seeds):
     # collisions change scores, never break scoring
     probe = spark.createDataFrame([(60, "spam offer spam")], ["doc_id", "text"])
     assert classify_nb(probe, model).count() == 1
+
+
+def test_zero_class_model_scores_empty(spark, seeds):
+    """A model trained on zero labeled rows has no classes: score_nb
+    returns zero rows (the old crossJoin-with-no-labels result) and
+    classify_nb returns its typed empty frame — neither may raise
+    (the label-wide pivot's agg over zero label columns would)."""
+    from pyspark.sql import functions as F
+
+    unlabeled = seeds.withColumn(
+        "label", F.lit(None).cast("string")
+    )
+    model = train_nb(unlabeled, "label")
+    probe = spark.createDataFrame([(80, "anything at all")], ["doc_id", "text"])
+    assert score_nb(probe, model).collect() == []
+    preds = classify_nb(probe, model, with_tokens=True)
+    assert preds.collect() == []
+    assert preds.columns == ["doc_id", "label", "score", "margin", "n_tokens"]
 
 
 def test_add_k_guard(seeds):

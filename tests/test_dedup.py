@@ -103,6 +103,45 @@ def test_dedup_clusters_chain(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_string_ids_multi_hop(spark):
+    """Non-numeric doc ids (valid for every pair producer) must
+    propagate through multi-hop components: the convergence digest is
+    type-aware — integral ids keep the exact decimal label sum, string
+    ids use the xxhash64 digest (a decimal cast of a string would
+    throw under ANSI mode, or NULL into false convergence without it,
+    silently stopping propagation after the fused first round)."""
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    # a 4-hop chain: wrong labels if convergence fires early
+    pairs = spark.createDataFrame(
+        [("d", "e"), ("c", "d"), ("b", "c"), ("a", "b"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    for strategy in ("label", "star"):
+        got = {
+            r["id"]: r["cluster"]
+            for r in dedup_clusters(pairs, strategy=strategy).collect()
+        }
+        assert got == {
+            "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+            "x": "x", "y": "x",
+        }, strategy
+
+
+def test_dedup_clusters_float_ids_exact_propagation(spark):
+    """Float ids must not take the truncating decimal-sum digest: two
+    labels that differ only in the fraction would read as 'unchanged'
+    and converge with wrong clusters."""
+    from sparvi_core_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2.5, 2.4), (2.4, 2.25), (2.25, 2.125)],
+        "id_a double, id_b double",
+    )
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {2.5: 2.125, 2.4: 2.125, 2.25: 2.125, 2.125: 2.125}
+
+
 def test_dedup_clusters_nonconvergence_is_never_silent(spark):
     """A chain longer than max_iter cannot converge (labels move one hop
     per round) — must raise by default, warn when asked, and converge
