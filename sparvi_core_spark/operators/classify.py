@@ -53,6 +53,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparvi_core_spark.operators.ranking import search_tokens
 
+# hashed-feature models score through the Arrow kernel only while the
+# bucket→row lookup table stays task-memory-trivial (int32 per bucket)
+_HASHED_KERNEL_MAX_D = 1 << 22
+
 
 def _char_gram_array(norm: F.Column, n: int) -> F.Column:
     """Overlapping character n-grams of a (normalized) string column as
@@ -291,13 +295,55 @@ def _score_nb_per_doc_arrow(
     s_fields = ", ".join(f"__s_{i} double" for i in range(L))
     schema = f"id {id_type}, {s_fields}, n_tokens bigint"
 
-    # Char n-grams up to n=3 take a fully vectorized path: codepoints
-    # via utf-32 (each < 2^21), an n-gram packed into one int64
-    # (3·21 = 63 bits), vocab lookups via searchsorted per gram size —
-    # zero per-feature Python objects. Word features (and n > 3) use
-    # the string featurizer twin.
+    # Hashed features (round 12): the trained vocabulary is bucket ids
+    # from pmod(xxhash64(feature), D) — reproduced in NumPy
+    # (functions.xxh64np, parity-pinned against F.xxhash64) over byte
+    # SPANS of a canonical per-batch buffer (functions.spanfeats), so
+    # no per-feature Python object exists: featurize → hash → pmod →
+    # direct array lookup into M.
+    batch_rows = None
+    if model.num_features is not None:
+        from sparvi_core_spark.functions.spanfeats import (
+            char_ngram_spans,
+            word_token_spans,
+        )
+        from sparvi_core_spark.functions.xxh64np import xxh64_spans
+
+        D = np.int64(model.num_features)
+        row_of_bucket = np.full(
+            int(D), len(mat) - 1, dtype=np.int32
+        )  # default: the unseen sentinel row
+        for f, ix in vocab.items():
+            row_of_bucket[int(f)] = ix
+        if model.analyzer == "word":
+
+            def batch_rows(texts):
+                buf, starts, lens, doc = word_token_spans(texts)
+                b = xxh64_spans(buf, starts, lens) % D  # == pmod
+                return row_of_bucket[b], doc
+
+        else:
+            ns_h = (
+                tuple(model.char_n)
+                if isinstance(model.char_n, (tuple, list))
+                else (model.char_n,)
+            )
+            ns_h = tuple(int(x) for x in ns_h)
+
+            def batch_rows(texts):
+                buf, starts, lens, doc, order = char_ngram_spans(
+                    texts, ns_h
+                )
+                b = xxh64_spans(buf, starts, lens) % D
+                return row_of_bucket[b][order], doc[order]
+
+    # Exact char n-grams up to n=3 take a fully vectorized path:
+    # codepoints via utf-32 (each < 2^21), an n-gram packed into one
+    # int64 (3·21 = 63 bits), vocab lookups via searchsorted per gram
+    # size — zero per-feature Python objects. Exact word features (and
+    # n > 3) use the string featurizer twin.
     char_ns: tuple[int, ...] | None = None
-    if model.analyzer == "char":
+    if batch_rows is None and model.analyzer == "char":
         ns = (
             tuple(model.char_n)
             if isinstance(model.char_n, (tuple, list))
@@ -354,7 +400,7 @@ def _score_nb_per_doc_arrow(
                 parts.append(rows)
             return np.concatenate(parts)
 
-    else:
+    elif batch_rows is None:
         featurize = _nb_featurizer(model.analyzer, model.char_n, None)
 
         def doc_row_ixs(t):
@@ -375,15 +421,30 @@ def _score_nb_per_doc_arrow(
             S = np.zeros((n, L), dtype=np.float64)
             T = np.zeros(n, dtype=np.int64)
             texts = pdf["__text"]
-            for j in range(n):
-                t = texts.iloc[j]
-                ixs = None if t is None else doc_row_ixs(t)
-                if ixs is None or len(ixs) == 0:
-                    continue
-                # cumsum is a strictly sequential accumulation — the
-                # same order the JVM partial aggregate added these
-                S[j] = np.cumsum(M[ixs], axis=0)[-1]
-                T[j] = len(ixs)
+            if batch_rows is not None:
+                # hashed path: one vectorized featurize+hash pass for
+                # the whole batch; rows/doc are (doc, feature-order)
+                # sorted, so each doc's slice is contiguous
+                rows, doc = batch_rows(texts)
+                ptr = np.searchsorted(doc, np.arange(n + 1))
+                for j in range(n):
+                    a, b = int(ptr[j]), int(ptr[j + 1])
+                    if a == b:
+                        continue
+                    # cumsum: strictly sequential, the same order the
+                    # JVM partial aggregate added these
+                    S[j] = np.cumsum(M[rows[a:b]], axis=0)[-1]
+                    T[j] = b - a
+            else:
+                for j in range(n):
+                    t = texts.iloc[j]
+                    ixs = None if t is None else doc_row_ixs(t)
+                    if ixs is None or len(ixs) == 0:
+                        continue
+                    # cumsum is a strictly sequential accumulation — the
+                    # same order the JVM partial aggregate added these
+                    S[j] = np.cumsum(M[ixs], axis=0)[-1]
+                    T[j] = len(ixs)
             out = {"id": pdf["__id"].to_numpy()}
             for i in range(L):
                 out[f"__s_{i}"] = S[:, i]
@@ -471,10 +532,15 @@ def _score_nb_wide(
     # each ROW; the groupBy shape merged duplicate ids into one
     # feature bag (itself merge-order-nondeterministic). Ids are
     # unique by the same caller contract as everywhere else.
-    # Hashed-feature models (no Python xxhash64 here) and
-    # non-broadcast models keep the join shape.
-    use_kernel = (
-        broadcast_model and model.num_features is None and labels
+    # Hashed-feature models take the kernel too (round 12): the
+    # featurizer hashes byte spans with the NumPy xxhash64 twin
+    # (functions.xxh64np, parity-pinned) and looks buckets up directly
+    # — gated on the bucket table staying small (int32 per bucket; the
+    # 4M default cap is 16 MB per task). Non-broadcast models, and
+    # hashed models over the cap, keep the join shape.
+    use_kernel = broadcast_model and (
+        model.num_features is None
+        or model.num_features <= _HASHED_KERNEL_MAX_D
     )
     if use_kernel:
         per = _score_nb_per_doc_arrow(

@@ -104,6 +104,111 @@ def doc_features(
     )
 
 
+# hashed models score through the Arrow kernel only while the
+# bucket→weight table stays task-memory-trivial (one float64/bucket)
+_HASHED_KERNEL_MAX_D = 1 << 22
+
+
+def _score_dsir_per_doc_arrow(
+    docs: DataFrame,
+    counts_ck: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float,
+    const: float,
+    num_buckets: int,
+    ngram_n: int,
+) -> DataFrame:
+    """The DSIR per-doc reduction as a ``mapInPandas`` kernel →
+    ``(id_col, __raw_li, n_features)``, bit-identical to the explode ×
+    broadcast-join × groupBy shape: features are byte spans over a
+    canonical space-joined token buffer (functions.spanfeats — the
+    verified lowercase-alnum twin), hashed with the NumPy xxhash64
+    twin (functions.xxh64np, parity-pinned against F.xxhash64), every
+    per-bucket weight is precomputed ON the JVM (py4j ``Math.log`` —
+    the same libm as the expression path — combined in the expression's
+    exact operation order), and the per-doc sum accumulates via cumsum
+    in (gram size, position) order — the same order the hash
+    aggregate's single per-doc partial added the exploded rows.
+    Documents with no features emit no row (explode semantics). Only
+    (id, text) crosses into Python; only docs-grain rows come back."""
+    import numpy as np
+
+    spark = docs.sparkSession
+    jlog = spark._jvm.java.lang.Math.log
+    a = float(alpha)
+    # unseen bucket: (ln(0+α) − ln(0+α)) + const — exactly const, the
+    # same cancellation the JVM expression performs
+    log_a = float(jlog(0.0 + a))
+    W = np.full(num_buckets, (log_a - log_a) + const, dtype=np.float64)
+    for r in counts_ck.collect():  # bucket-bounded
+        W[int(r["feature"])] = (
+            float(jlog(float(r["n_target"] or 0) + a))
+            - float(jlog(float(r["n_raw"] or 0) + a))
+        ) + const
+    D = np.int64(num_buckets)
+    ks = tuple(range(1, ngram_n + 1))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, __raw_li double, n_features bigint"
+
+    from sparvi_core_spark.functions.spanfeats import (
+        canonical_token_buffer,
+        kgram_spans,
+        word_token_spans,
+    )
+    from sparvi_core_spark.functions.xxh64np import xxh64_spans
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            buf, t_starts, t_lens, t_doc = word_token_spans(pdf["__text"])
+            canon, c_starts = canonical_token_buffer(buf, t_starts, t_lens)
+            parts_s, parts_l, parts_d = [], [], []
+            for k in ks:
+                s, l, d = kgram_spans(c_starts, t_lens, t_doc, k)
+                parts_s.append(s)
+                parts_l.append(l)
+                parts_d.append(d)
+            starts = np.concatenate(parts_s)
+            lens = np.concatenate(parts_l)
+            doc = np.concatenate(parts_d)
+            # (gram size, doc, pos) → (doc, gram size, pos): the JVM
+            # feature array's explode order, per doc
+            order = np.argsort(doc, kind="stable")
+            doc = doc[order]
+            w = W[xxh64_spans(canon, starts[order], lens[order]) % D]
+            ptr = np.searchsorted(doc, np.arange(n + 1))
+            ids, li, nf = [], [], []
+            id_vals = pdf["__id"]
+            for j in range(n):
+                lo, hi = int(ptr[j]), int(ptr[j + 1])
+                if lo == hi:
+                    continue  # no features → no row (explode)
+                ids.append(id_vals.iloc[j])
+                # cumsum: strictly sequential, the order the JVM
+                # partial aggregate added these
+                li.append(np.cumsum(w[lo:hi])[-1])
+                nf.append(hi - lo)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=id_vals.dtype),
+                    "__raw_li": pd.Series(li, dtype="float64"),
+                    "n_features": pd.Series(nf, dtype="int64"),
+                }
+            )
+
+    from sparvi_core_spark.plans.fanout import fan_out_compact
+
+    narrow = fan_out_compact(
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+    )
+    return narrow.mapInPandas(kernel, schema)
+
+
 @dataclass
 class DSIRModel:
     """A trained importance model: per-feature target/raw counts plus
@@ -242,6 +347,27 @@ def score_dsir(
         )
     # per-occurrence constant: the smoothing denominators
     const = math.log(n_r + alpha * d) - math.log(n_t + alpha * d)
+    # Arrow scoring kernel (round 12): with a broadcastable hashed
+    # model the explode × broadcast-join × groupBy pipeline
+    # materializes one row per word 1..n-gram occurrence just to look
+    # each bucket up and add a weight — the same guide-§4.2 shape the
+    # NB scorer moved off in round 11. Bit-identical by construction
+    # (see the kernel docstring); exact-mode models (string features)
+    # and non-broadcast models keep the join shape.
+    if (
+        broadcast_model
+        and model.num_buckets is not None
+        and model.num_buckets <= _HASHED_KERNEL_MAX_D
+    ):
+        raw = _score_dsir_per_doc_arrow(
+            docs, counts_ck, id_col, text_col, alpha, const,
+            int(model.num_buckets), int(model.ngram_n),
+        )
+        return raw.select(
+            id_col,
+            F.round(F.col("__raw_li"), 6).alias("log_importance"),
+            "n_features",
+        )
     feats = docs.select(
         F.col(id_col),
         F.explode(

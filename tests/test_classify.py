@@ -169,13 +169,19 @@ def test_null_labels_dropped_and_broadcast_plan(spark, seeds):
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Join" not in plan
-    # the hashed-feature path keeps the broadcast join shape
+    # the hashed-feature path scores through the kernel too (round 12:
+    # NumPy xxhash64 twin); only over-cap or non-broadcast models keep
+    # the join shape
     hashed = train_nb(with_null, "label", num_features=16)
     plan_h = score_nb(
         seeds, hashed, broadcast_model=True
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_h or "BroadcastNestedLoopJoin" in plan_h
-    assert "SortMergeJoin" not in plan_h
+    assert "MapInPandas" in plan_h
+    assert "Join" not in plan_h
+    plan_nb = score_nb(
+        seeds, hashed, broadcast_model=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_nb
 
 
 def test_hashed_model_is_bounded(spark, seeds):

@@ -280,23 +280,40 @@ def test_select_corpus_prefers_target_like(spark, corpora):
 
 
 def test_score_plan_broadcasts_and_single_shuffle(spark, corpora):
+    import sparvi_core_spark.operators.selection as S
+
     target, raw = corpora
     model = train_dsir(target, raw, num_buckets=NUM_BUCKETS)
     model.counts.persist()
     try:
         model.counts.count()
+        # hashed + broadcastable → the Arrow scoring kernel: no join,
+        # no doc-grain exchange at all (round 12)
         plan = (
             score_dsir(raw, model)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
-        # the CORPUS side crosses exactly one exchange — the
-        # per-document aggregate; any other exchange in the plan
-        # belongs to the model lineage, which is feature-space-bounded
-        assert plan.count("Exchange hashpartitioning(doc_id") == 1
+        assert "MapInPandas" in plan
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        # the join fallback (over-cap bucket table) keeps the old
+        # contract: broadcast join, corpus crosses exactly one exchange
+        old = S._HASHED_KERNEL_MAX_D
+        S._HASHED_KERNEL_MAX_D = 0
+        try:
+            plan_j = (
+                score_dsir(raw, model)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            S._HASHED_KERNEL_MAX_D = old
+        assert "BroadcastHashJoin" in plan_j
+        assert "SortMergeJoin" not in plan_j
+        assert plan_j.count("Exchange hashpartitioning(doc_id") == 1
     finally:
         model.counts.unpersist()
 
