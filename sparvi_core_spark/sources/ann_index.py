@@ -193,19 +193,37 @@ def _snapshot_read(
     ]
     if not paths:
         return None
-    memo = getattr(spark, _SNAPSHOT_ATTR, None)
-    if memo is None:
-        memo = {}
-        setattr(spark, _SNAPSHOT_ATTR, memo)
+    memo = _session_memo(spark)
     key = (root, tuple(paths))
     hit = memo.get(key)
     if hit is not None:
         return hit
     df = spark.read.option("basePath", root).parquet(*paths)
+    _memo_put(memo, key, df)
+    return df
+
+
+def _session_memo(spark: SparkSession) -> dict:
+    memo = getattr(spark, _SNAPSHOT_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _SNAPSHOT_ATTR, memo)
+    return memo
+
+
+def _memo_put(memo: dict, key, value) -> None:
     while len(memo) >= _SNAPSHOT_MEMO_MAX:
         memo.pop(next(iter(memo)))
-    memo[key] = df
-    return df
+    memo[key] = value
+
+
+def _snapshot_identity(manifest: dict, store: str) -> tuple:
+    """Hashable identity of one store's committed snapshot — the exact
+    live-file list, the same immutability argument as the scan memo."""
+    files = manifest.get("files", {}).get(store) or {}
+    return tuple(
+        f"{b}/{n}" for b in sorted(files, key=int) for n in files[b]
+    )
 
 
 def _read_staging_names(
@@ -1956,8 +1974,49 @@ def read_ivf_index(
         # leg sidesteps it, and staging is O(pending micro-batches) by
         # contract so the materialization is small
         data = data.unionByName(staged.localCheckpoint(eager=False))
-    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    cents = _centroids_frame(spark, path, manifest)
     return data, cents, manifest
+
+
+def _centroids_frame(
+    spark: SparkSession, path: str, manifest: dict
+) -> DataFrame:
+    """Resolved centroid-table scan, memoized per (session, snapshot).
+    Centroids are immutable for a given snapshot — appends never move
+    them (that would invalidate every prior assignment) and a rebuild
+    or compaction commits a NEW snapshot with fresh part-file names —
+    so keying the resolution on the vectors snapshot identity can
+    never serve stale centroids. Metadata only: the frame is a lazy
+    parquet scan."""
+    memo = _session_memo(spark)
+    key = (path, "__centroids__", _snapshot_identity(manifest, "vectors"))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    _memo_put(memo, key, df)
+    return df
+
+
+def _centroid_rows(
+    spark: SparkSession, path: str, manifest: dict, cents: DataFrame
+) -> tuple:
+    """Collected centroid rows + schema, memoized per (session,
+    snapshot) under the same immutability argument as
+    :func:`_centroids_frame`. The table is the index's model
+    parameters — k × dim doubles, bounded by the centroid contract —
+    and collecting it once per snapshot removes one driver job from
+    EVERY search call (the serving path's steady-state cost, guide §7
+    driver-side work)."""
+    memo = _session_memo(spark)
+    key = (path, "__centroid_rows__", _snapshot_identity(manifest, "vectors"))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    sel = cents.select("bucket", "centroid")
+    out = (sel.collect(), sel.schema)
+    _memo_put(memo, key, out)
+    return out
 
 
 def search_ivf_index(
@@ -1978,6 +2037,7 @@ def search_ivf_index(
     asserted in tests — but the non-probed cells never leave disk.
     Query frame must carry the manifest's ``id_col``/``vec_col``."""
     from sparvi_core_spark.operators.similarity import (
+        LITERAL_CENTROID_MAX,
         cosine_topk_bucketed,
         ivf_assign_probes,
     )
@@ -1990,8 +2050,28 @@ def search_ivf_index(
                 f"queries is missing the index's {c!r} column "
                 f"(manifest: id_col={id_col!r}, vec_col={vec_col!r})"
             )
+    # Driver-job floor (round 12): a search used to run THREE jobs
+    # before the pruned scan — the auto-strategy centroid count, the
+    # literal strategy's centroid collect, and the probe collect —
+    # plus a per-call DataSource resolution of the centroid dir. The
+    # centroid table is the index's immutable model parameters, so its
+    # rows are collected once per (session, snapshot) and rebuilt as a
+    # LOCAL relation per call (collect over LocalTableScan launches no
+    # job), and the strategy is picked from the collected count —
+    # leaving ONE driver job per search ahead of the main scan.
+    cent_rows, cent_schema = _centroid_rows(spark, path, manifest, cents)
+    if nprobe > len(cent_rows):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the number of centroids "
+            f"({len(cent_rows)})"
+        )
+    cents_local = spark.createDataFrame(cent_rows, schema=cent_schema)
+    strategy = (
+        "literal" if len(cent_rows) <= LITERAL_CENTROID_MAX else "join"
+    )
     qp = ivf_assign_probes(
-        queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        queries, cents_local, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, strategy=strategy,
     ).select(F.col("id").alias(id_col), "bucket")
     # The probe assignment is needed twice (distinct cells for the scan
     # prune + the per-query join). Collect it ONCE — bounded by

@@ -514,10 +514,41 @@ def probe_minhash_index(
     else:
         pruned = band_rows  # flat fallback: pruning would not help
 
+    # Join direction matters: Catalyst sees a small parquet store and
+    # an un-estimable checkpointed batch, and (measured at sf0.1)
+    # broadcasts the ENTIRE band store to probe 8k batch rows — the
+    # build side grows with the INDEX, exactly backwards for a serving
+    # path. Hint the batch side instead whenever its measured row count
+    # is broadcast-safe (~128 B/row: id + band + 32-char bkey), so the
+    # store streams through a map-side hash join: one scan, no
+    # store-sized build, no shuffle. Oversized batches fall back to
+    # whatever AQE picks from real sizes.
+    batch_fits = n_qrows * 128 <= _BROADCAST_MAX_BYTES
+    qside = qbanded.select(
+        F.col("id").alias("batch_id"), F.col("band"), F.col("bkey")
+    )
+    if batch_fits:
+        qside = F.broadcast(qside)
+
     # degenerate-bucket cap on the stored side (broadcast anti-join of
-    # the tiny over-cap key list, as in the in-memory tier)
+    # the tiny over-cap key list, as in the in-memory tier). The gauge
+    # itself is bounded by the BATCH, not the store: only (band, bkey)
+    # keys the batch actually probes can generate candidates, so
+    # semi-joining the scan against the batch's keys first keeps the
+    # aggregate's state O(batch keys) instead of O(every stored key in
+    # the pruned scan) — identical candidates (a capped key the batch
+    # never probes was irrelevant either way), but the per-probe cost
+    # no longer grows with index history at 100 TB. The semi-join
+    # probes the SAME broadcast frame the candidate join builds (one
+    # exchange, reused), gated on the same measured batch size; an
+    # over-sized batch falls back to the flat gauge.
+    gauge_scan = (
+        pruned.join(qside, ["band", "bkey"], "left_semi")
+        if batch_fits
+        else pruned
+    )
     over = (
-        pruned.groupBy("band", "bkey")
+        gauge_scan.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_bucket)
     )
@@ -531,21 +562,6 @@ def probe_minhash_index(
     )
     if tomb is not None:
         pruned = pruned.join(F.broadcast(tomb), "id", "left_anti")
-
-    # Join direction matters: Catalyst sees a small parquet store and
-    # an un-estimable checkpointed batch, and (measured at sf0.1)
-    # broadcasts the ENTIRE band store to probe 8k batch rows — the
-    # build side grows with the INDEX, exactly backwards for a serving
-    # path. Hint the batch side instead whenever its measured row count
-    # is broadcast-safe (~128 B/row: id + band + 32-char bkey), so the
-    # store streams through a map-side hash join: one scan, no
-    # store-sized build, no shuffle. Oversized batches fall back to
-    # whatever AQE picks from real sizes.
-    qside = qbanded.select(
-        F.col("id").alias("batch_id"), F.col("band"), F.col("bkey")
-    )
-    if n_qrows * 128 <= _BROADCAST_MAX_BYTES:
-        qside = F.broadcast(qside)
     cands = (
         pruned.select(
             F.col("id").alias("index_id"), F.col("band"), F.col("bkey")
