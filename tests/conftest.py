@@ -8,7 +8,7 @@ def spark():
     s = get_spark(
         app_name="sparvi-tests",
         master="local[8]",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
     )
     s.sparkContext.setLogLevel("ERROR")

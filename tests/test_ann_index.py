@@ -218,6 +218,7 @@ def test_duplicate_and_null_ids_refused(spark, tmp_path):
     assert man2 == man  # manifest unchanged by the refused append
 
 
+@pytest.mark.slow
 def test_append_accumulates_and_search_matches(spark, tmp_path):
     from sparvi_core_spark.operators.similarity import cosine_topk_ivf
     from sparvi_core_spark.sources.ann_index import (
@@ -268,6 +269,7 @@ def test_append_accumulates_and_search_matches(spark, tmp_path):
     assert len(h) == man["k"]
 
 
+@pytest.mark.slow
 def test_append_null_and_dim_guards(spark, tmp_path):
     from sparvi_core_spark.sources.ann_index import append_ivf_index
 
@@ -306,6 +308,7 @@ def test_append_null_and_dim_guards(spark, tmp_path):
         append_ivf_index(base, plain)
 
 
+@pytest.mark.slow
 def test_compact_rewrites_only_fragmented_cells(spark, tmp_path):
     from sparvi_core_spark.operators.similarity import (
         cosine_topk_ivf,
@@ -387,6 +390,7 @@ def test_compact_rewrites_only_fragmented_cells(spark, tmp_path):
     assert rep2["files_before"] == rep2["files_after"] == rep["files_after"]
 
 
+@pytest.mark.slow
 def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
     """Snapshot-commit repair rule: the manifest write IS the commit,
     so the journal alone decides — new files referenced by the
@@ -469,6 +473,7 @@ def test_compact_repair_rolls_forward_and_back(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "_compact_tmp"))
 
 
+@pytest.mark.slow
 def test_retrain_blue_green(spark, tmp_path):
     from sparvi_core_spark.operators.similarity import cosine_topk
     from sparvi_core_spark.sources.ann_index import retrain_ivf_index
@@ -499,6 +504,7 @@ def test_retrain_blue_green(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_delete_by_id_lifecycle(spark, tmp_path):
     """Takedown on the float IVF index: delete is logical + immediate,
     re-append of a tombstoned id refuses, compaction purges and
@@ -558,6 +564,7 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
     assert "purge" not in compact_ivf_index(spark, path)
 
 
+@pytest.mark.slow
 def test_compact_if_trigger(spark, tmp_path):
     """Auto-compaction knob on the float IVF index: gauge-only below
     the threshold, fold above it, search identical, no-op once clean."""
@@ -614,6 +621,7 @@ def test_compact_if_trigger(spark, tmp_path):
     assert out3["compacted"] is False
 
 
+@pytest.mark.slow
 def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     """IVF staging tier: a staged append creates ONE file, searches
     see staged rows transparently (parity with a normal-append twin),
@@ -706,6 +714,7 @@ def test_staged_append_ivf_parity_and_fold(spark, tmp_path):
     assert _staging_files(spark, b, "vectors") == []
 
 
+@pytest.mark.slow
 def test_rename_into_cells_mkdirs_and_checks_returns(spark, tmp_path):
     """Round-10 ADVICE (high): on HDFS/ABFS, rename into a missing
     parent dir returns False (local FS silently falls back to copy,
@@ -750,6 +759,7 @@ def test_rename_into_cells_mkdirs_and_checks_returns(spark, tmp_path):
         _rename_into_cells(spark, fs2, str, root, tmp, produced)
 
 
+@pytest.mark.slow
 def test_stale_break_lock_race_detected(spark, tmp_path):
     """Round-10 verdict #4: the stale-lock auto-break is
     check-then-act — two same-host acquirers can both observe a
@@ -816,6 +826,7 @@ def test_stale_break_lock_race_detected(spark, tmp_path):
     assert not os.path.exists(lockfile)
 
 
+@pytest.mark.slow
 def test_staged_fold_into_previously_empty_cell(spark, tmp_path):
     """A staged batch can assign rows to a cell that was EMPTY at
     build time (its bucket dir does not exist). The fold must create
@@ -863,6 +874,7 @@ def test_staged_fold_into_previously_empty_cell(spark, tmp_path):
     assert hits and all(r["neighbor_id"] >= 1000 for r in hits)
     _, _, man = read_ivf_index(spark, path)
     assert man["rows_per_bucket"]["3"] == 5
+@pytest.mark.slow
 def test_pinned_reader_survives_compaction(spark, tmp_path):
     """THE snapshot-commit guarantee: a search/read planned BEFORE a
     compaction keeps working — and keeps answering from its own
@@ -915,6 +927,7 @@ def test_pinned_reader_survives_compaction(spark, tmp_path):
     assert read_ivf_index(spark, path)[0].count() == 140
 
 
+@pytest.mark.slow
 def test_crashed_append_is_invisible_and_vacuumed(spark, tmp_path):
     """A crash between an append's data write and its manifest commit
     leaves files referenced by NOTHING: readers, searches, identity

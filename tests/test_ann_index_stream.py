@@ -5,6 +5,8 @@ in-memory IVF over the union), and skip replayed batch ids."""
 import json
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparvi_core_spark.sources.ann_index import (
@@ -26,6 +28,7 @@ def _corpus(spark, n, dim=6, seed=11, base_id=0):
     )
 
 
+@pytest.mark.slow
 def test_stream_appends_accumulate_and_search(spark, tmp_path):
     from sparvi_core_spark.operators.similarity import (
         cosine_topk_ivf,
@@ -103,6 +106,7 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     assert man2["last_stream_batch_id"] == 2
 
 
+@pytest.mark.slow
 def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
     """The staged streaming path: each micro-batch lands as ONE
     staging file under the batch's writer lock, searches see staged
@@ -160,6 +164,7 @@ def test_stream_staged_appends_with_auto_compact(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
     """A crash BETWEEN the batch's data append and its single
     manifest commit leaves the landed files referenced by NOTHING
@@ -260,6 +265,7 @@ def test_crash_window_replay_appends_no_duplicates(spark, tmp_path):
     assert read_ivf_index(spark, path)[0].count() == 80
 
 
+@pytest.mark.slow
 def test_crash_window_replay_staged_and_partial(spark, tmp_path):
     """The staged variant of the crash window: PART of the batch's
     rows landed as a staging file before the crash, but the manifest

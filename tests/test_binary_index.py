@@ -194,6 +194,7 @@ def test_rerank_from_side_store_matches_in_memory(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_append_accumulates_and_search_sees_both(spark, tmp_path):
     df = _corpus(spark, n=100)
     path = str(tmp_path / "bidx")
@@ -236,6 +237,7 @@ def test_guards(spark, tmp_path):
         search_binary_index(spark, str(tmp_path / "b2"), q, k=5, rerank=2)
 
 
+@pytest.mark.slow
 def test_delete_by_id_lifecycle(spark, tmp_path):
     """Takedown on the binary index: delete is logical + immediate
     (next search never returns the ids), re-append of a tombstoned id
@@ -330,6 +332,7 @@ def test_delete_by_id_lifecycle(spark, tmp_path):
     assert "purge" not in compact_binary_index(spark, path)
 
 
+@pytest.mark.slow
 def test_compact_binary_index_folds_append_fragments(spark, tmp_path):
     """Appends fragment cells; compaction folds both stores back to
     files_per_bucket with search answers byte-identical pre/post."""
@@ -390,6 +393,7 @@ def test_probe_bucket_combinatorics():
     assert len(_probe_buckets({0, 1}, 4, 0)) == 2
 
 
+@pytest.mark.slow
 def test_filter_new_against_binary_index(spark, tmp_path):
     """Batch vectors equal (or nearly equal) to stored ones drop;
     genuinely new directions survive; columns pass through."""
@@ -440,6 +444,7 @@ def test_filter_new_against_binary_index(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
     """Auto-compaction knob on the binary index: the gauge covers the
     codes store AND the float side-store; the fold brings both back to
@@ -487,6 +492,7 @@ def test_compact_if_trigger_gauges_side_store(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_staged_append_binary_parity_and_fold(spark, tmp_path):
     """Binary staging tier: a staged append creates one file per store
     (codes + float side-store), searches (incl. rerank from the staged

@@ -135,6 +135,7 @@ def test_topk_contract_and_cluster_recovery(clustered):
             assert h["neighbor_id"] // 20 == q // 20, (q, h)
 
 
+@pytest.mark.slow
 def test_rerank_recall_vs_exact_and_monotone_bits(clustered):
     qs_ids = [0, 21, 45, 66, 88, 101]
     exact = {}
@@ -270,6 +271,7 @@ def test_near_pairs_null_and_cap(spark):
     assert capped == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_near_pairs_end_to_end_from_vectors(clustered):
     """Binarize → near-pairs recovers same-cluster near-dup structure:
     every returned pair is within-cluster on the tight fixture."""

@@ -218,6 +218,7 @@ def test_add_k_guard(seeds):
         score_nb(seeds, model, add_k=0)
 
 
+@pytest.mark.slow
 def test_merge_equals_joint_retrain(spark, seeds):
     from sparvi_core_spark.operators.classify import merge_nb_models
 

@@ -1,5 +1,7 @@
 """CLI contract — mirrors reference tests/test_cli.py:8-36."""
 
+import pytest
+
 import json
 
 from click.testing import CliRunner
@@ -485,6 +487,7 @@ def test_dedup_index_lifecycle(spark, sf_dir, tmp_path):
     )["removed"]["host"] == "elsewhere"
 
 
+@pytest.mark.slow
 def test_ann_index_lifecycle_ivf(spark, sf_dir, tmp_path):
     """ann-index CLI, float IVF kind: build → staged append with
     auto-compact → search → delete → compact --if-over → health →
@@ -549,6 +552,7 @@ def test_ann_index_lifecycle_ivf(spark, sf_dir, tmp_path):
     assert json.loads(r.output.strip().splitlines()[-1])["removed"] is None
 
 
+@pytest.mark.slow
 def test_ann_index_lifecycle_binary_and_ivfpq(spark, sf_dir, tmp_path):
     """ann-index CLI, binary and ivfpq kinds: build → staged append →
     rerank search → compact --if-over → health."""

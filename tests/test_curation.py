@@ -243,6 +243,7 @@ def test_argument_validation(spark, blobs):
         cluster_prototypes(assigned, per_cluster=0)
 
 
+@pytest.mark.slow
 def test_parallel_init_recovers_blobs_on_every_seed(spark):
     """The reason cluster_corpus defaults to k-means||: with uniform
     hash seeding, seeds {2,3,5,7} miscluster this exact corpus
@@ -274,6 +275,7 @@ def test_parallel_init_recovers_blobs_on_every_seed(spark):
         )
 
 
+@pytest.mark.slow
 def test_parallel_init_layout_invariant(spark):
     from sparvi_core_spark.operators.similarity import kmeans_fit
 

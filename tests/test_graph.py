@@ -47,6 +47,7 @@ def test_pagerank_matches_numpy_oracle(spark):
             assert got[i] == pytest.approx(want[i], abs=1e-6), i
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_nodes_exact(spark):
     # 0 -> 1 -> 2, node 2 dangling; classic closed-form check vs oracle
     edges = [(0, 1), (1, 2)]

@@ -293,6 +293,7 @@ def test_validation_guards(spark, built, tmp_path):
         read_ivfpq_index(spark, plain)
 
 
+@pytest.mark.slow
 def test_compact_folds_codes_and_floats(spark, built, tmp_path):
     """Three appends fragment both the code files and the _floats/
     side-store; compaction folds each back to files_per_bucket,
@@ -360,6 +361,7 @@ def test_compact_folds_codes_and_floats(spark, built, tmp_path):
     assert again["cells_compacted"] == 0
 
 
+@pytest.mark.slow
 def test_retrain_blue_green(spark, built, tmp_path):
     """Retrain re-fits BOTH models from the float store and writes a
     NEW index; in-place is refused; a codes-only index demands the
@@ -407,6 +409,7 @@ def test_retrain_blue_green(spark, built, tmp_path):
     assert man3["n_vectors"] == 180 and man3["store_floats"] is False
 
 
+@pytest.mark.slow
 def test_streaming_pq_ingest_and_replay_skip(spark, built, tmp_path):
     """Micro-batch ingest into the coded index: three one-file batches
     accumulate exactly (codes + floats), the manifest tracks the last
@@ -457,6 +460,7 @@ def test_streaming_pq_ingest_and_replay_skip(spark, built, tmp_path):
     assert man2["n_vectors"] == 210  # nothing double-appended
 
 
+@pytest.mark.slow
 def test_opq_rotated_index(spark, built, tmp_path):
     """OPQ composition: an index written with a rotation stores the
     matrix, rotates appends and queries automatically, and — because
@@ -559,6 +563,7 @@ def test_opq_rotated_index(spark, built, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_delete_by_id_lifecycle(spark, built, tmp_path):
     """Takedown on the IVF-PQ index: tombstoned ids vanish from ADC
     AND reranked search immediately; compaction purges codes + floats
@@ -623,6 +628,7 @@ def test_delete_by_id_lifecycle(spark, built, tmp_path):
     assert "purge" not in compact_ivfpq_index(spark, path)
 
 
+@pytest.mark.slow
 def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
     """IVF-PQ staging tier: a staged append creates one file per store
     (codes + _floats), ADC search and rerank see staged rows (parity
@@ -700,6 +706,7 @@ def test_staged_append_ivfpq_parity_and_fold(spark, tmp_path, built):
     assert got_b2 == got_a2 and len(got_b2) > 0
 
 
+@pytest.mark.slow
 def test_crash_window_replay_heals_both_stores(spark, built, tmp_path):
     """Snapshot commits, coded-index side: the ONE manifest write
     publishes counts AND both stores' file lists, so (a) a crash that

@@ -416,6 +416,7 @@ def test_stream_replay_keeps_mutual_near_dups(spark, tmp_path):
     assert man2["rows_per_bucket"] == man1["rows_per_bucket"]
 
 
+@pytest.mark.slow
 def test_delete_by_id_lifecycle(spark, tmp_path):
     """The takedown verb: delete is logical + immediate (next probe
     excludes the ids), append of a tombstoned id refuses, compaction
@@ -788,6 +789,7 @@ def test_compact_if_trigger_gauges_both_stores(spark, tmp_path):
         compact_minhash_index_if(spark, path, max_files_per_bucket=0)
 
 
+@pytest.mark.slow
 def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
     """Takedown between two foreachBatch ticks: the deleted doc (a)
     stops screening new near-dups immediately — the next trigger
@@ -883,6 +885,7 @@ def test_novelty_stream_midstream_delete_and_auto_compact(spark, tmp_path):
     assert health.filter(~F.col("ok")).count() == 0
 
 
+@pytest.mark.slow
 def test_staged_append_probe_parity_and_fold(spark, tmp_path):
     """The O(1)-file append path: a staged append creates exactly TWO
     files (one per store), probes/screens/health see staged rows
@@ -1051,6 +1054,7 @@ def test_compact_if_triggers_on_staging_and_repair_extra_old(
     assert not os.path.exists(partial)
 
 
+@pytest.mark.slow
 def test_novelty_stream_reemitted_id_and_crash_replay(spark, tmp_path):
     """(a) NORMAL path: an upstream that re-emits an already-indexed
     id (even with changed text) is dropped — not novel, never

@@ -92,6 +92,7 @@ def test_opq_rotation_orthogonal_and_trace_monotone(spark, aniso):
         assert b <= a + 1e-6, trace
 
 
+@pytest.mark.slow
 def test_opq_beats_plain_pq_on_anisotropic_data(spark, aniso):
     df, X, _ = aniso
     # plain PQ baseline at a larger Lloyd budget
@@ -109,6 +110,7 @@ def test_opq_beats_plain_pq_on_anisotropic_data(spark, aniso):
     assert opq_mse < 0.1 * pq_mse, (opq_mse, pq_mse)
 
 
+@pytest.mark.slow
 def test_identity_init_is_a_fixpoint_motivating_eigen(spark, aniso):
     """The documented failure mode: from R = I the alternation barely
     moves (M ≈ symmetric PSD → Procrustes returns ≈ I) — pinned here

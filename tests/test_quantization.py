@@ -342,6 +342,7 @@ def test_ivfpq_identity_and_exhaustive_ranking(spark):
         assert sorted(rows) == pytest.approx(expect)
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_on_clustered_corpus(spark):
     """End-to-end IVFADC quality tripwire: clustered corpus, k-means
     coarse cells, residual codebook, nprobe=2 — the exact float top-10

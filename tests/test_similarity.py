@@ -217,6 +217,7 @@ def test_semantic_dedup_quality_survivor(spark):
     assert kept == [3, 50]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_repartition_invariant(spark):
     import random
 
@@ -271,6 +272,7 @@ def test_ivf_assign_probes_topn(spark):
         ivf_assign_probes(vecs, cents, nprobe=4)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_nprobe_recovers_boundary_pair(spark):
     """A planted near-dup pair straddling the k-means boundary:
     nprobe=1 misses it (the documented SemDeDup recall loss), nprobe=2

@@ -50,6 +50,7 @@ def test_language_id_default_is_ngram(spark):
     assert got[1] == "und"
 
 
+@pytest.mark.slow
 def test_language_id_ngram_recovers_planted_languages(spark):
     """The char-n-gram NB tier recovers the language of UNSEEN
     sentences in every seeded script — including unsegmented Chinese
@@ -85,6 +86,7 @@ def test_language_id_ngram_recovers_planted_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+@pytest.mark.slow
 def test_langid_eval_macro_accuracy_floor(spark):
     """The acceptance bar for seed/featurizer changes: macro accuracy
     on the built-in held-out corpus (disjoint from the seeds, weighted
