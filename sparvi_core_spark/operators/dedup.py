@@ -21,12 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# verification-path broadcast gate (bytes, conservative 64 B for an
-# (id_a, id_b) row): aligned with Spark's 10 MB
-# autoBroadcastJoinThreshold convention — candidate frames are hinted
-# only under this measured bound, never assumed small
-_BROADCAST_MAX_BYTES = 8 << 20
-
 
 def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.col(text_col), " ")
@@ -280,34 +274,30 @@ def ngram_jaccard_pairs(
         # LSH-then-verify path: exact shared count over ALL shingles,
         # cost bounded by |candidates| × shingles-per-doc.
         #
-        # Verification-join direction (round 12): the candidate frame
-        # is PAIR-bounded (true near-dups + the filter's false
-        # positives) while the shingle frame carries the corpus's
-        # token mass — but Catalyst cannot estimate a frame hanging
-        # off an LSH/prefix join and was sort-merging both
-        # verification joins, shuffling (id, shingle) corpus mass
-        # twice. Materialize the candidates once (both joins consume
-        # them anyway), measure them, and under the byte gate:
-        # broadcast-semi-filter the shingle frame to candidate docs
-        # (map-side, value-preserving — per-id shingle sets are
-        # untouched), broadcast the pair list into the first join and
-        # the pair-bounded intersection counts into the size joins.
-        # Every shuffle that remains carries candidate-doc mass, never
-        # the corpus. Oversized candidate sets keep the unhinted shape
-        # and AQE decides from real sizes.
+        # Verification scope (round 12): the candidate frame is
+        # PAIR-bounded (true near-dups + the filter's false positives)
+        # while the shingle frame carries the corpus's token mass.
+        # Semi-filter the shingle frame to candidate documents before
+        # the intersection joins and the size aggregate, so everything
+        # downstream — join probes, shuffles, the n_sh agg state —
+        # processes candidate-doc mass instead of the corpus (value-
+        # preserving: per-id shingle sets are untouched). The
+        # candidates are materialized once because the semi-filter
+        # adds a second consumer (the id list) — leaving them lazy
+        # would re-run the whole LSH/prefix candidate generation.
+        # Join strategies are deliberately NOT hinted: forcing
+        # broadcasts here measured SLOWER than letting AQE pick from
+        # the runtime sizes (hinted 3.83 s vs unhinted 2.54 s at
+        # sf0.1 in an interleaved A/B — a forced broadcast build of
+        # the verification aggregate serializes what AQE overlaps).
         cand = candidates.localCheckpoint()
-        n_cand = cand.count()
-        cand_fits = n_cand * 64 <= _BROADCAST_MAX_BYTES
-        sh_v = sh
-        if cand_fits:
-            cand_ids = F.broadcast(
-                cand.select(F.col("id_a").alias("id"))
-                .unionByName(cand.select(F.col("id_b").alias("id")))
-                .distinct()
-            )
-            sh_v = sh.join(cand_ids, "id", "left_semi")
-            sizes = sh_v.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-            cand = F.broadcast(cand)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh_v = sh.join(cand_ids, "id", "left_semi")
+        sizes = sh_v.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         ca = sh_v.alias("ca")
         cb = sh_v.alias("cb")
         inter = (
@@ -320,8 +310,6 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
-        if cand_fits:
-            inter = F.broadcast(inter)
     elif max_doc_freq is None:
         # uncapped: one self-join + count — single aggregation pass
         a = sh.alias("a")
